@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine bit-exact numeric helpers.
+  *
+  * The driver's correctness gate hash-compares our parquet output against a
+  * DuckDB run of the oracle SQL. Floating-point aggregation order differs
+  * between engines, so naive `sum(double)` is not reproducible. These
+  * helpers pin down semantics both engines implement identically:
+  *
+  *  - [[dsum]]: sum in exact decimal arithmetic (associative — order
+  *    immaterial), convert the final exact value to double once. Both JVM
+  *    (`BigDecimal.doubleValue`) and DuckDB produce the correctly-rounded
+  *    IEEE754 double for the same decimal value → bit-identical.
+  *  - [[davg]]: exact decimal sum → double, divided by the group count —
+  *    one double division on identical inputs → bit-identical.
+  *  - [[foldDot]]/[[foldSum]]: sequential left-fold over array elements in
+  *    array order, starting from 0.0D — mirrors DuckDB
+  *    `list_reduce(list_prepend(0.0, l), (a,x) -> a+x)` exactly.
+  *  - [[foldHash]]: deterministic polynomial string hash both engines can
+  *    compute in pure SQL (no reliance on engine-specific hash functions),
+  *    used wherever an oracle needs hash parity (minhash, simhash,
+  *    fingerprints, LSH).
+  *
+  * At 100 TB these all stay inside whole-stage codegen (built-in decimal /
+  * higher-order-function expressions; no UDFs on the hot path).
+  */
+object Exact {
+
+  /** Exact money sum: decimal-cast before aggregation, double after.
+    * Oracle: `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(s"decimal($precision,$scale)")).cast("double")
+
+  /** Exact-sum average. Oracle:
+    * `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / COUNT(x)`.
+    */
+  def davg(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    dsum(c, precision, scale) / count(c)
+
+  /** Sequential left-fold sum of an array<numeric> column as double. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0d), (acc, x) => acc + x.cast("double"))
+
+  /** Sequential dot product of two equal-length numeric arrays. */
+  def foldDot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm via sequential fold (same op order as the oracle). */
+  def foldNorm(a: Column): Column =
+    sqrt(foldSum(zip_with(a, a, (x, y) => x.cast("double") * y.cast("double"))))
+
+  /** Cosine similarity with oracle-mirrored operation order. */
+  def foldCosine(a: Column, b: Column): Column =
+    foldDot(a, b) / (foldNorm(a) * foldNorm(b))
+
+  /** Large prime modulus for [[foldHash]]; 31*P + 0x10FFFF fits in a Long. */
+  val HashP: Long = 1000000007L
+
+  /** Portable polynomial string hash: fold over code points,
+    * `h = (h*31 + codepoint(c)) mod 1e9+7`. DuckDB oracle:
+    * `list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''), c -> unicode(c)::BIGINT)), (a,x) -> (a*31+x) % 1000000007)`.
+    * Works on any string both engines split identically (ASCII-safe; the
+    * testdata corpus is ASCII).
+    */
+  def foldHash(s: Column): Column =
+    aggregate(
+      // Java-regex split keeps a trailing "" element that DuckDB's
+      // string_split drops — filter to keep fold lengths identical.
+      filter(split(s, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(HashP)))
+
+  /** Seeded re-hash of a base hash: `(a*h + b) mod P` — the classic
+    * universal-hash family used for minhash permutations.
+    */
+  def seededHash(h: Column, a: Long, b: Long): Column =
+    pmod(h * a + b, lit(HashP))
+}
