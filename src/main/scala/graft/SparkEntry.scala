@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[Seq[QueryDef]] = Seq(
-    RelationalQueries.defs
+    RelationalQueries.defs,
+    DateQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dates.DateSplit._
+
+/** Branch table of `cleaner.py:76-158` (SURVEY.md §2.8 F1) — every accept
+  * format, the YYYY-MM vs YYYY-YYYY disambiguation, calendar validity,
+  * strptime's 1900 default year, range composition, and the 0-sentinel
+  * failure channel.
+  */
+class DateSplitSpec extends AnyFunSuite with SparkSpec {
+
+  private type B = (Int, Int, Int, Int, Int, Int)
+  private val Z: B = (0, 0, 0, 0, 0, 0)
+
+  private val cases: Seq[(String, B)] = Seq(
+    // exact day
+    "1994-03-05" -> (1994, 3, 5, 1994, 3, 5),
+    "1994-3-5" -> (1994, 3, 5, 1994, 3, 5),
+    // month granularity → first..last day, incl. leap Feb
+    "1994-03" -> (1994, 3, 1, 1994, 3, 31),
+    "1996-02" -> (1996, 2, 1, 1996, 2, 29),
+    "1900-02" -> (1900, 2, 1, 1900, 2, 28), // century non-leap
+    "2000-02" -> (2000, 2, 1, 2000, 2, 29), // 400-rule leap
+    // YYYY-MM vs YYYY-YYYY disambiguation
+    "1994-13" -> Z, // 13 is neither a month nor a 4-digit year
+    "1994-1997" -> (1994, 1, 1, 1997, 12, 31),
+    // bare year
+    "1985" -> (1985, 1, 1, 1985, 12, 31),
+    // textual months (abbrev + full, both orders)
+    "Oct 1970" -> (1970, 10, 1, 1970, 10, 31),
+    "1970 Oct" -> (1970, 10, 1, 1970, 10, 31),
+    "October 1970" -> (1970, 10, 1, 1970, 10, 31),
+    // day+month without year → strptime's 1900 default
+    "20 Nov" -> (1900, 11, 20, 1900, 11, 20),
+    "Nov 20" -> (1900, 11, 20, 1900, 11, 20),
+    "30 Feb" -> Z, // impossible calendar day
+    "20 Xyz" -> Z, // unknown month name
+    // ranges: start of left + end of right
+    "1972-07-10/1972-07-14" -> (1972, 7, 10, 1972, 7, 14),
+    "1972/1975" -> (1972, 1, 1, 1975, 12, 31),
+    "1972-07/1973" -> (1972, 7, 1, 1973, 12, 31),
+    "1972-07-10T06:00:00/1972-07-14T08:00:00" -> (1972, 7, 10, 1972, 7, 14),
+    "1972-07-10/bad" -> Z, // any failing side fails the range
+    "1972/1973/1974" -> Z, // >2 parts
+    // comma/whitespace strip + time suffix
+    " 1994-03-05, " -> (1994, 3, 5, 1994, 3, 5),
+    "1994-03-05T23:59:59Z" -> (1994, 3, 5, 1994, 3, 5),
+    // calendar validity on explicit days
+    "1994-02-30" -> Z,
+    "1994-04-31" -> Z,
+    "1994-00-10" -> Z,
+    // garbage
+    "" -> Z,
+    "not a date" -> Z,
+    "94-03-05" -> Z)
+
+  test("splitDates branch table") {
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("raw")
+      .select(col("raw"), splitDates(col("raw")).as("b"))
+      .select("raw", "b.*")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"for input '$raw'")
+    }
+  }
+
+  test("isValidDate is the strict YYYY-MM-DD gate") {
+    import spark.implicits._
+    val got = Seq("1994-03-05", "1994-3-5", "1994-03", "1994-03-05T00:00:00", "x")
+      .toDF("raw").select(isValidDate(col("raw"))).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false, false, false))
+  }
+
+  test("expandStart/expandEnd widen bare years only") {
+    import spark.implicits._
+    val got = Seq("1985", "1985-06-01").toDF("raw")
+      .select(expandStart(col("raw")), expandEnd(col("raw")))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("1985-01-01", "1985-12-31"), ("1985-06-01", "1985-06-01")))
+  }
+}
