@@ -15,7 +15,9 @@ object SparkEntry {
 
   private def groups: Seq[Seq[QueryDef]] = Seq(
     RelationalQueries.defs,
-    DateQueries.defs
+    DateQueries.defs,
+    ValidationQueries.defs,
+    TextQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis._
+
+/** Text-analysis operator coverage over `documents`: token counting (plain
+  * + BPE-ish), quality scoring, language-ID voting, and portable document
+  * fingerprinting — each mirrored by an independent DuckDB formulation.
+  */
+object TextQueries {
+
+  private val EnStop = Seq("the", "a", "key", "scan", "fast")
+  private val EnStopSql = "('the','a','key','scan','fast')"
+
+  private def profileSql(p: Seq[String]): String =
+    p.mkString("('", "','", "')")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting: whitespace + BPE-ish pre-tokenizer --------------
+    QueryDef.sql(
+      "q21_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+        |  CAST(length(text) AS BIGINT) AS n_len
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeishCount(col("text")).cast("long").as("n_bpeish"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- heuristic quality score (stopword/punct/length mix) -------------
+    QueryDef.sql(
+      "q22_quality_score",
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  0.5::DOUBLE * (CAST(len(list_filter(toks, x -> x IN $EnStopSql)) AS DOUBLE) / len(toks))
+         |  + 0.3::DOUBLE * (1.0::DOUBLE - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text))
+         |  + 0.2::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE) AS score
+         |FROM t ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        qualityScore(col("text"), EnStop).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID voting → confusion matrix ---------------------------
+    QueryDef.sql(
+      "q23_lang_confusion", {
+        val scoreCols = LangProfiles.map { case (l, p) =>
+          s"len(list_filter(toks, x -> x IN ${profileSql(p)})) AS s_$l"
+        }.mkString(",\n        |    ")
+        val all = LangProfiles.map { case (l, _) => s"s_$l" }.mkString(", ")
+        val caseChain = LangProfiles.map { case (l, _) =>
+          s"WHEN s_$l = greatest($all) THEN '$l'"
+        }.mkString("\n        |    ")
+        s"""WITH t AS (
+           |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |s AS (
+           |  SELECT lang,
+           |    $scoreCols
+           |  FROM t)
+           |SELECT lang, CASE
+           |    $caseChain
+           |    ELSE 'und' END AS predicted,
+           |  COUNT(*) AS n
+           |FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+      }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // ---- portable rolling-hash document fingerprint ----------------------
+    QueryDef.sql(
+      "q24_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        string_split(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ''),
+        |        c -> unicode(c)::BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprintPortable(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization + token counting, BPE-ish subword counting, quality
+  * scoring, language-ID by token-profile voting, and document
+  * fingerprinting. (Driver extension surface; no reference analog — the
+  * closest are the regex scalar ops of SURVEY.md §2.8.)
+  *
+  * Everything is builtin expressions (split / filter / regexp_count /
+  * higher-order array functions) → whole-stage codegen, one scan, no
+  * shuffle until the caller aggregates. At 100 TB these are the map-side
+  * of a documents pipeline; the only state is literal token profiles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs + digit runs + single punctuation,
+    * the classic pre-tokenizer upper bound on BPE piece count.
+    */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9 ]"))
+
+  /** Fraction of tokens present in `stop` (a closed stopword set). */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(stop: _*))).cast("double") / size(t)
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.5·stopword-ratio + 0.3·(1 − punct-density) + 0.2·min(1, tokens/100).
+    * Same shape as published heuristic quality filters (length, symbol
+    * density, stopword presence); weights are fixed constants so the score
+    * is bit-reproducible.
+    */
+  def qualityScore(text: Column, stop: Seq[String]): Column =
+    lit(0.5) * stopwordRatio(text, stop) +
+      lit(0.3) * (lit(1.0) - punctCount(text).cast("double") / length(text)) +
+      lit(0.2) * least(lit(1.0), tokenCount(text).cast("double") / lit(100.0))
+
+  /** Language profiles: token vote sets. Deterministic, closed-world —
+    * the n-gram-heuristic shape of fastText-style LID reduced to exact
+    * token membership so an independent SQL oracle exists.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "key", "scan", "fast"),
+    "de" -> Seq("agg", "sort", "vector", "window"),
+    "es" -> Seq("data", "row", "stream", "small"),
+    "fr" -> Seq("query", "order", "line", "big"),
+    "zh" -> Seq("merge", "join", "batch", "table"))
+
+  def langScore(text: Column, profile: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isin(profile: _*)))
+
+  /** Predicted language: argmax of profile votes, ties broken by profile
+    * declaration order (en > de > es > fr > zh).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, p) => l -> langScore(text, p) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // Built right-to-left so the first declared language wins ties.
+    scores.reverse.foldLeft(lit("und"): Column) { case (acc, (l, s)) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash over the
+    * normalized text (lowercase, non-alphanumeric collapsed) — the
+    * oracle-mirrorable form (see [[graft.functions.Exact.foldHash]]).
+    * For pure-Spark scale paths prefer [[fingerprint64]].
+    */
+  def fingerprintPortable(text: Column): Column =
+    Exact.foldHash(lower(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+
+  /** 64-bit xxHash fingerprint — the production-scale variant (one codegen
+    * expression, no per-char array). Not DuckDB-mirrorable bit-for-bit, so
+    * queries use [[fingerprintPortable]] for the oracle and this for speed.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+}
