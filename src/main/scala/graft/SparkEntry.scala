@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.defs,
     DateQueries.defs,
     ValidationQueries.defs,
-    TextQueries.defs
+    TextQueries.defs,
+    DedupQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

@@ -1,0 +1,115 @@
+package graft.dedup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.text.TextAnalysis
+
+/** Document deduplication operators for training-data pipelines: exact
+  * (hash group-by), MinHash+LSH banding, SimHash, and character-n-gram
+  * Jaccard. (Driver extension surface; the reference's only dedup is the
+  * keep-first key dedup of SURVEY.md §2.4 A4.)
+  *
+  * Design for 100 TB:
+  *  - Exact dedup is one hash-aggregate on a 128-bit digest — the digest
+  *    (not the document) is the shuffle key, so shuffle volume is rows ×
+  *    ~40 bytes regardless of document size.
+  *  - MinHash/LSH: per-document signatures are map-side only; the ONLY
+  *    shuffle is the band-bucket exchange (bands × rows small keys), and
+  *    candidate verification joins back just the candidate ids — the
+  *    classic shingle→minhash→band→bucket-join plan, never an O(n²)
+  *    cross join.
+  *  - SimHash: signature map-side; near-pair search blocks on signature
+  *    bytes (any hamming-≤k pair shares ≥1 of the 3 byte-bands under
+  *    k ≤ 3 ⇒ pigeonhole), so the join key is one byte of the signature.
+  *  - All primitives are higher-order-function expressions on arrays —
+  *    codegen, no UDFs, no driver-side loops.
+  *
+  * Hash parity: signatures use [[Exact.foldHash]] (portable polynomial
+  * hash) so a DuckDB oracle reproduces them bit-for-bit; a production
+  * deployment would swap in `xxhash64` 1:1.
+  */
+object Dedup {
+
+  val P: Long = Exact.HashP
+
+  /** Fixed MinHash permutation constants (a·h + b mod P). Both engines
+    * receive the same literals — generated once here, injected into the
+    * oracle SQL by the query builder.
+    */
+  val NumPerms = 16
+  val Perms: Seq[(Long, Long)] =
+    (1 to NumPerms).map(j => (((j * 1299721L) % P) | 1L, (j * 104729L * 7919L) % P))
+
+  /** LSH banding: 4 bands × 4 rows (s-curve threshold ≈ (1/4)^(1/4) ≈ .71
+    * on the signature; we verify candidates exactly afterwards).
+    */
+  val Bands = 4
+  val RowsPerBand: Int = NumPerms / Bands
+
+  /** k-word shingles of the whitespace tokens ("" when fewer than k). */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val t = TextAnalysis.tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (1 to k).map(o => element_at(t, i + o)): _*)))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+
+  /** Distinct character n-grams of a string (1-based substr positions,
+    * matching the oracle's `range`-generated slices).
+    */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    array_distinct(
+      when(length(text) >= n,
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n))))
+        .otherwise(typedlit(Seq.empty[String])))
+
+  /** Portable hashes of an array of strings. */
+  def hashAll(arr: Column): Column = transform(arr, s => Exact.foldHash(s))
+
+  /** MinHash signature (length [[NumPerms]]) from pre-hashed shingles. */
+  def minhashSignature(hashes: Column): Column =
+    array(Perms.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+    }: _*)
+
+  /** Band keys: [[Bands]] strings, each the comma-join of one signature
+    * slice — the LSH bucket identifiers.
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      concat_ws(",", slice(sig, b * RowsPerBand + 1, RowsPerBand).cast("array<string>"))
+    }: _*)
+
+  /** Exact Jaccard over two pre-distinct string sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** SimHash bit width — [[Exact.foldHash]] values are < 2^30, so 24 bits
+    * of real signal; 24 = 3 byte-bands for the hamming-≤3 pigeonhole
+    * blocking.
+    */
+  val SimHashBits = 24
+
+  /** SimHash signature from pre-hashed tokens: per bit, majority vote of
+    * ±1 over the token hashes; >= 0 sets the bit.
+    */
+  def simhash(hashes: Column): Column =
+    (0 until SimHashBits).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The three byte-bands of a 24-bit simhash (blocking keys). */
+  def simhashBytes(sh: Column): Seq[Column] =
+    (0 until 3).map(i => pmod(shiftright(sh, i * 8), lit(256L)))
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

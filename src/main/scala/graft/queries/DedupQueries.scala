@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.dedup.Dedup._
+
+/** Dedup operator coverage. The corpus is `documents` augmented with exact
+  * duplicates (every 5th doc re-inserted under doc_id+100000) so dedup
+  * operators have real work; both engines construct the same corpus.
+  *
+  * Oracle SQL for minhash/simhash is generated from the SAME constants the
+  * Spark plans use ([[Dedup.Perms]], bit widths), so signatures must agree
+  * bit-for-bit or the gate fails.
+  */
+object DedupQueries {
+
+  private val CorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)"""
+      .stripMargin
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** Portable char-fold hash, DuckDB formulation (mirror of Exact.foldHash). */
+  private def foldSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> unicode(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
+
+  private val TokSql =
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus"
+
+  private val ShingleSetsSql =
+    """sets AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [] END) AS shd
+      |  FROM tok)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy on a digest ---------------------------
+    QueryDef.sql(
+      "q25_dedup_exact",
+      s"""WITH $CorpusSql
+         |SELECT md5(text) AS h, min(doc_id) AS keeper, COUNT(*) AS n
+         |FROM corpus GROUP BY 1 ORDER BY h""") { (s, d) =>
+      corpus(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("h")
+    },
+
+    // ---- MinHash + LSH banding + exact Jaccard verification --------------
+    QueryDef.sql(
+      "q26_minhash_lsh", {
+        val permsSql = Perms.map { case (a, b) =>
+          s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        val bandsSql = (0 until Bands).map { b =>
+          val lo = b * RowsPerBand + 1
+          val hi = (b + 1) * RowsPerBand
+          s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM mh"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $CorpusSql,
+           |tok AS ($TokSql),
+           |$ShingleSetsSql,
+           |hs AS (SELECT doc_id, shd, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM sets),
+           |mh AS (SELECT doc_id, $permsSql AS mh FROM hs),
+           |bands AS (
+           |  $bandsSql),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+           |j AS (
+           |  SELECT d1, d2,
+           |    CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+           |      (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))) AS jac
+           |  FROM cand JOIN sets a ON cand.d1 = a.doc_id
+           |            JOIN sets b ON cand.d2 = b.doc_id)
+           |SELECT d1, d2, jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"""
+      }) { (s, d) =>
+      val sets = corpus(s, d)
+        .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shd"))
+      val mh = sets
+        .withColumn("mh", minhashSignature(hashAll(col("shd"))))
+      val bands = mh.select(col("doc_id"),
+        posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
+      val cand = bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("shd").as("shd1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("shd").as("shd2")), "d2")
+        .select(col("d1"), col("d2"), Dedup.jaccard(col("shd1"), col("shd2")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+
+    // ---- SimHash signatures ----------------------------------------------
+    QueryDef.sql(
+      "q27_simhash", {
+        val bitsSql = (0 until SimHashBits).map { b =>
+          s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString("\n    + ")
+        s"""WITH $CorpusSql,
+           |tok AS ($TokSql),
+           |tokhs AS (SELECT doc_id, list_transform(toks, t -> ${foldSql("t")}) AS hs FROM tok)
+           |SELECT doc_id, CAST($bitsSql AS BIGINT) AS sh
+           |FROM tokhs ORDER BY doc_id"""
+      }) { (s, d) =>
+      corpus(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash(hashAll(graft.text.TextAnalysis.tokens(col("text")))).as("sh"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SimHash near-pair search via byte-band blocking -----------------
+    QueryDef.sql(
+      "q28_simhash_pairs", {
+        val bitsSql = (0 until SimHashBits).map { b =>
+          s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        val byteBandsSql = (0 until 3).map { i =>
+          s"SELECT doc_id, sh, $i AS band, (sh >> ${i * 8}) & 255 AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $CorpusSql,
+           |tok AS ($TokSql),
+           |tokhs AS (SELECT doc_id, list_transform(toks, t -> ${foldSql("t")}) AS hs FROM tok),
+           |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS sh FROM tokhs),
+           |bands AS (
+           |  $byteBandsSql),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS d1, l.sh AS sh1, r.doc_id AS d2, r.sh AS sh2
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+           |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS ham
+           |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3 ORDER BY d1, d2"""
+      }) { (s, d) =>
+      val sig = corpus(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash(hashAll(graft.text.TextAnalysis.tokens(col("text")))).as("sh"))
+      val bands = sig.select(col("doc_id"), col("sh"),
+        posexplode(array(simhashBytes(col("sh")): _*)).as(Seq("band", "key")))
+      val cand = bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("l.sh").as("sh1"),
+          col("r.doc_id").as("d2"), col("r.sh").as("sh2"))
+        .distinct()
+      cand
+        .filter(hamming(col("sh1"), col("sh2")) <= 3)
+        .select(col("d1"), col("d2"),
+          hamming(col("sh1"), col("sh2")).cast("long").as("ham"))
+        .orderBy("d1", "d2")
+    },
+
+    // ---- character-n-gram Jaccard over a blocked subset ------------------
+    QueryDef.sql(
+      "q29_ngram_jaccard",
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |g AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS gs
+        |      FROM sub)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |    (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |    (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+        |ORDER BY d1, d2""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), charNgrams(col("text")).as("gs"))
+      g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          Dedup.jaccard(col("a.gs"), col("b.gs")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("d1", "d2")
+    }
+  )
+}
