@@ -18,7 +18,8 @@ object SparkEntry {
     DateQueries.defs,
     ValidationQueries.defs,
     TextQueries.defs,
-    DedupQueries.defs
+    DedupQueries.defs,
+    SimilarityQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (`array<float>`). (Driver extension surface.)
+  *
+  * Layout for 100 TB:
+  *  - Brute-force top-k broadcasts the QUERY set (small by definition) and
+  *    streams the corpus through a BroadcastNestedLoopJoin — one corpus
+  *    scan, no corpus shuffle; the only shuffle is the per-query top-k
+  *    window keyed by query id (tiny: k rows per query survive the
+  *    map-side).
+  *  - IVF: centroids broadcast; cell assignment is map-side argmax; the
+  *    search joins query-cell to corpus-cell — an equi-join on cell id
+  *    that prunes the candidate set by ~|cells|× vs brute force. Larger
+  *    deployments re-partition the corpus BY cell once and reuse it
+  *    across query batches.
+  *  - Cosine math is `zip_with`+`aggregate` (codegen, no UDF), sequential
+  *    fold order pinned so a DuckDB oracle reproduces bits exactly
+  *    ([[Exact.foldCosine]]).
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = Exact.foldCosine(a, b)
+
+  /** Exact top-k neighbors for each query vector (self excluded).
+    * Output: (q_id, n_id, sim, rank).
+    */
+  def topkNeighbors(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → lowest
+    * centroid id). Output: input columns + `cell`.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** IVF search: top-k within the query's own cell (nprobe=1), self
+    * excluded. Output: (q_id, n_id, sim, rank).
+    */
+  def ivfSearch(assigned: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    val q = assigned.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine within a blocking key (e.g.
+    * a label or LSH bucket) — never a full cross join.
+    * Output: (d1, d2, sim).
+    */
+  def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = vectors.select(col(blockCol).as("blk"),
+      col("vec_id").as("d1"), col("embedding").as("v1"))
+    val b = vectors.select(col(blockCol).as("blk"),
+      col("vec_id").as("d2"), col("embedding").as("v2"))
+    a.join(b, Seq("blk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), cosine(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
