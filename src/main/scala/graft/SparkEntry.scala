@@ -19,7 +19,9 @@ object SparkEntry {
     ValidationQueries.defs,
     TextQueries.defs,
     DedupQueries.defs,
-    SimilarityQueries.defs
+    SimilarityQueries.defs,
+    EventQueries.defs,
+    StreamQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.9 — the
+  * reference is batch-only, so these are the batch forms; the streaming
+  * module runs the same shapes through Structured Streaming).
+  *
+  * Time arithmetic stays in exact nanosecond integer math on the raw
+  * parquet TIMESTAMP(NANOS) values (`Tables.events` → `ts_ns: long`), so
+  * bucket boundaries are bit-reproducible in any engine — no timestamp
+  * truncation, no timezone.
+  *
+  * Scale: tumbling/sliding aggregate map-side first (partial agg on the
+  * bucket key); sessionization shuffles once on `user_id` and computes
+  * gaps with lag/running-sum windows inside each user partition — the
+  * standard distributed sessionize, no global ordering anywhere.
+  */
+object EventQueries {
+
+  private val Hour = 3600L * 1000 * 1000 * 1000
+  private val Quarter = Hour / 4
+  private val SessionGap = 30L * 60 * 1000 * 1000 * 1000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling 1-hour window aggregation ------------------------------
+    QueryDef.sql(
+      "q33_tumbling_window",
+      s"""SELECT (epoch_ns(ts) // $Hour) * $Hour AS win_start, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      Tables.events(s, d)
+        // integer bucket math: ts - ts % H == (ts // H) * H for ts >= 0,
+        // with no double rounding (ts_ns exceeds double's 53-bit mantissa)
+        .groupBy(
+          (col("ts_ns") - col("ts_ns") % Hour).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // ---- sliding window: 1 hour every 15 min (4 overlapping buckets) -----
+    QueryDef.sql(
+      "q34_sliding_window",
+      s"""SELECT w_start, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM (
+         |  SELECT ((epoch_ns(ts) // $Quarter) - k) * $Quarter AS w_start, value
+         |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(k)
+         |  WHERE epoch_ns(ts) < ((epoch_ns(ts) // $Quarter) - k) * $Quarter + $Hour)
+         |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val slotStart = col("ts_ns") - col("ts_ns") % Quarter
+      Tables.events(s, d)
+        .select(col("ts_ns"), col("value"),
+          explode(sequence(lit(0L), lit(3L))).as("k"))
+        .withColumn("w_start", slotStart - col("k") * Quarter)
+        .filter(col("ts_ns") < col("w_start") + Hour)
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
+        .orderBy("w_start")
+    },
+
+    // ---- sessionization: 30-min-gap sessions per user --------------------
+    QueryDef.sql(
+      "q35_sessionize",
+      s"""WITH g AS (
+         |  SELECT user_id, epoch_ns(ts) AS tns, value,
+         |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+         |           > $SessionGap
+         |         OR lag(epoch_ns(ts))
+         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS is_new,
+         |    event_id
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, tns, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM g)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  min(tns) AS session_start, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("tus"), 1).over(byTime)
+      Tables.events(s, d)
+        // DuckDB's parquet reader truncates TIMESTAMP(NANOS) to micros, so
+        // the oracle only sees µs; compare at µs (the engine keeps nanos).
+        .withColumn("tus", col("ts_ns") - col("ts_ns") % 1000)
+        .withColumn("is_new",
+          when(col("tus") - prev > SessionGap || prev.isNull, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("tus")).as("session_start"), count(lit(1)).as("n"),
+          Exact.dsum(col("value"), 14, 2).as("total"))
+        .orderBy("user_id", "session_idx")
+    }
+  )
+}

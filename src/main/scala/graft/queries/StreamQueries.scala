@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.streaming.{Ev, StatefulSessionize, StreamOps}
+
+/** Streaming operators behind the same DuckDB gate as batch: the stream
+  * runs to completion over the finite events table (AvailableNow + memory
+  * sink), so its output must equal the batch formulation exactly.
+  */
+object StreamQueries {
+
+  private val Hour = 3600L * 1000 * 1000 * 1000
+  private val SessionGap = 30L * 60 * 1000 * 1000 * 1000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- streaming tumbling-window aggregation (same oracle as q33) ------
+    QueryDef.sql(
+      "q36_stream_tumbling",
+      s"""SELECT (epoch_ns(ts) // $Hour) * $Hour AS win_start, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      val agg = StreamOps.eventsStream(s, d)
+        .groupBy(
+          (col("ts_ns") - col("ts_ns") % Hour).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
+      StreamOps.runToBatch(agg).orderBy("win_start", "event_type")
+    },
+
+    // ---- stream ⋈ static broadcast dimension + aggregation ---------------
+    QueryDef.sql(
+      "q37_stream_join_static",
+      """SELECT event_type, CAST(length(event_type) AS BIGINT) AS weight,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1""") { (s, d) =>
+      val dim = graft.Tables.events(s, d)
+        .select("event_type").distinct()
+        .withColumn("weight", length(col("event_type")).cast("long"))
+      val joined = StreamOps.eventsStream(s, d)
+        .join(broadcast(dim), "event_type")
+        .groupBy("event_type", "weight")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
+      StreamOps.runToBatch(joined).orderBy("event_type")
+    },
+
+    // ---- stateful sessionization (same oracle as q35's window form) ------
+    QueryDef.sql(
+      "q38_stateful_sessionize",
+      s"""WITH g AS (
+         |  SELECT user_id, epoch_ns(ts) AS tns, value,
+         |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+         |           > $SessionGap
+         |         OR lag(epoch_ns(ts))
+         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS is_new,
+         |    event_id
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, tns, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM g)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  min(tns) AS session_start, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      import s.implicits._
+      // µs truncation for oracle parity (DuckDB reads TIMESTAMP(NANOS)
+      // truncated to micros); the operator itself is precision-agnostic.
+      val evs = graft.Tables.events(s, d)
+        .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+        .as[Ev]
+      StatefulSessionize.sessionize(evs, SessionGap)
+        .toDF()
+        .orderBy("user_id", "session_idx")
+    }
+  )
+}
