@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.geo.PointInPolygon
+
+/** Session extension registering the engine's custom Catalyst functions.
+  * Use with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  * (For an already-built session, `graft.geo.Geo.register` does the same
+  * registration directly.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("st_contains"),
+      new ExpressionInfo(classOf[PointInPolygon].getName, "st_contains"),
+      exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3))))
+  }
+}

@@ -21,7 +21,8 @@ object SparkEntry {
     DedupQueries.defs,
     SimilarityQueries.defs,
     EventQueries.defs,
-    StreamQueries.defs
+    StreamQueries.defs,
+    GeoQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten
