@@ -22,7 +22,8 @@ object SparkEntry {
     SimilarityQueries.defs,
     EventQueries.defs,
     StreamQueries.defs,
-    GeoQueries.defs
+    GeoQueries.defs,
+    SourceQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.sources.Staging
+
+/** Source/sink + multimodal coverage. Round-trip queries write through the
+  * engine's own sinks to scratch space and read back with declared
+  * schemas; the oracle reads the ORIGINAL parquet, so any loss or
+  * corruption in the round trip fails the gate.
+  */
+object SourceQueries {
+
+  private def scratch(sfDir: String, tag: String): String = {
+    val h = Integer.toHexString(sfDir.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_io/$h/$tag"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S7/S8: CSV sink + fixed-schema CSV source round trip ------------
+    QueryDef.sql(
+      "q40_csv_roundtrip",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""") { (s, d) =>
+      val src = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+      val path = scratch(d, "orders_csv")
+      Staging.writeCsv(src, path)
+      Staging.readCsv(s, src.schema, path)
+        .withColumn("o_orderdate_s", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .drop("o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_s", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- S4/S5: JSON staging sink + fixed-schema JSON source round trip --
+    QueryDef.sql(
+      "q41_json_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""") { (s, d) =>
+      val src = Tables.supplier(s, d)
+      val path = scratch(d, "supplier_json")
+      Staging.writeJson(src, path)
+      Staging.readJson(s, src.schema, path)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
+    // ---- P9/S4: partitioned staging with partition pruning ---------------
+    QueryDef.sql(
+      "q42_partitioned_staging",
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""") { (s, d) =>
+      val path = scratch(d, "docs_by_lang")
+      Staging.writePartitioned(Tables.documents(s, d), Seq("lang"), path)
+      // the lang filter prunes to the lang=en directory at file-listing time
+      Staging.readPartitioned(s, path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    },
+
+    // ---- multimodal: binary payloads + mapPartitions feature extraction --
+    QueryDef.sql(
+      "q43_multimodal_features",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  unicode(text[1]) AS b0, unicode(text[2]) AS b1,
+        |  unicode(text[3]) AS b2, unicode(text[4]) AS b3,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+        |    (a, x) -> (a + x) % 1000000007) AS checksum,
+        |  CAST(length(text) % 640 AS INT) AS width,
+        |  CAST(length(text) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF().orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Staging-layer sources/sinks (SURVEY.md §2.1 S4/S5/S7/S8): fixed-schema
+  * CSV/JSON readers and writers, plus date/species-partitioned staging.
+  *
+  * The reference stages API responses as pretty JSON files per
+  * (species, date-window) (`whalefinder/obis.py:149-164`) and prunes files
+  * by date-window regex before validation (`whalefinder/validate.py:85-143`).
+  * Here staging is written `partitionBy(...)` so that pruning is Catalyst
+  * partition pruning — the filter reaches the file listing, no regex over
+  * file names, and the layout scales to any number of partitions.
+  *
+  * All readers take an explicit `StructType`: schema is DECLARED, never
+  * inferred (the pydantic model is a declared schema — SURVEY.md §1.3),
+  * which also avoids the extra inference scan at 100 TB.
+  */
+object Staging {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Partitioned staging sink: one directory per partition-column value
+    * (the reference's per-species staging dirs, made prunable).
+    */
+  def writePartitioned(df: DataFrame, partitionCols: Seq[String], path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

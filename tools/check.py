@@ -48,10 +48,15 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             continue
         if not g.equals(w):
+            failed.append(name)
             # find first differing cell for diagnostics
             diff = (g != w) & ~(g.isna() & w.isna())
             cells = diff.to_numpy().nonzero()
-            failed.append(name)
+            if len(cells[0]) == 0:
+                dt = [(c, g[c].dtype, w[c].dtype) for c in g.columns
+                      if g[c].dtype != w[c].dtype]
+                print(f"FAIL {name}: values equal but dtypes differ: {dt}")
+                continue
             r, c = cells[0][0], cells[1][0]
             cn = g.columns[c]
             print(f"FAIL {name}: {diff.to_numpy().sum()} cells differ; "
