@@ -70,11 +70,22 @@ object Dedup {
   /** Portable hashes of an array of strings. */
   def hashAll(arr: Column): Column = transform(arr, s => Exact.foldHash(s))
 
-  /** MinHash signature (length [[NumPerms]]) from pre-hashed shingles. */
+  /** MinHash signature (length [[NumPerms]]) from pre-hashed shingles.
+    * ONE pass over the hash array with an array accumulator (vs 16
+    * independent `array_min(transform(...))` passes, which would also
+    * re-evaluate the shingle-hash transform 16×): per element, each perm
+    * slot takes `least(acc_i, (h·a_i + b_i) mod P)`. Empty input → null
+    * signature (mirrors `list_min([]) = NULL`).
+    */
   def minhashSignature(hashes: Column): Column =
-    array(Perms.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-    }: _*)
+    aggregate(
+      hashes,
+      typedlit(Seq.fill(NumPerms)(Long.MaxValue)),
+      (acc, h) => array(Perms.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), pmod(h * a + b, lit(P)))
+      }: _*),
+      acc => when(element_at(acc, 1) === Long.MaxValue,
+        lit(null).cast("array<bigint>")).otherwise(acc))
 
   /** Band keys: [[Bands]] strings, each the comma-join of one signature
     * slice — the LSH bucket identifiers.
@@ -97,14 +108,21 @@ object Dedup {
   val SimHashBits = 24
 
   /** SimHash signature from pre-hashed tokens: per bit, majority vote of
-    * ±1 over the token hashes; >= 0 sets the bit.
+    * ±1 over the token hashes; >= 0 sets the bit. ONE pass with a 24-slot
+    * vote-array accumulator; the finish lambda folds votes into the final
+    * signature once (vs 24 independent aggregates re-hashing the tokens).
     */
   def simhash(hashes: Column): Column =
-    (0 until SimHashBits).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    aggregate(
+      hashes,
+      typedlit(Seq.fill(SimHashBits)(0L)),
+      (acc, h) => array((0 until SimHashBits).map { b =>
+        element_at(acc, b + 1) +
+          when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L)
+      }: _*),
+      votes => (0 until SimHashBits).map { b =>
+        when(element_at(votes, b + 1) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   /** The three byte-bands of a 24-bit simhash (blocking keys). */
   def simhashBytes(sh: Column): Seq[Column] =

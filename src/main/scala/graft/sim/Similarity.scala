@@ -32,11 +32,16 @@ object Similarity {
     * Output: (q_id, n_id, sim, rank).
     */
   def topkNeighbors(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    // norms are computed once per row (not once per pair); the float ops
+    // are identical to inline cosine, so oracle bits don't change
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      Exact.foldNorm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+      Exact.foldNorm(col("embedding")).as("nn"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (Exact.foldDot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -78,12 +83,15 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val a = vectors.select(col(blockCol).as("blk"),
-      col("vec_id").as("d1"), col("embedding").as("v1"))
+      col("vec_id").as("d1"), col("embedding").as("v1"),
+      Exact.foldNorm(col("embedding")).as("n1"))
     val b = vectors.select(col(blockCol).as("blk"),
-      col("vec_id").as("d2"), col("embedding").as("v2"))
+      col("vec_id").as("d2"), col("embedding").as("v2"),
+      Exact.foldNorm(col("embedding")).as("n2"))
     a.join(b, Seq("blk"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), cosine(col("v1"), col("v2")).as("sim"))
+      .select(col("d1"), col("d2"),
+        (Exact.foldDot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
