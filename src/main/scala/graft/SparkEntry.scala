@@ -23,7 +23,8 @@ object SparkEntry {
     EventQueries.defs,
     StreamQueries.defs,
     GeoQueries.defs,
-    SourceQueries.defs
+    SourceQueries.defs,
+    AggExtQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

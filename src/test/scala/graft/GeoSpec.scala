@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geo
+
+class GeoSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val triX = Array(0.0, 10.0, 5.0)
+  private val triY = Array(0.0, 0.0, 10.0)
+  // non-convex L-shape
+  private val lX = Array(0.0, 6.0, 6.0, 3.0, 3.0, 0.0)
+  private val lY = Array(0.0, 0.0, 3.0, 3.0, 9.0, 9.0)
+
+  test("rayCast: convex, non-convex, outside") {
+    assert(Geo.rayCast(triX, triY, 5.0, 2.0))
+    assert(!Geo.rayCast(triX, triY, 9.5, 9.5))
+    assert(Geo.rayCast(lX, lY, 1.0, 8.0)) // in the vertical arm
+    assert(!Geo.rayCast(lX, lY, 5.0, 8.0)) // in the notch
+  }
+
+  test("expression (codegen path) agrees with the Scala implementation") {
+    Geo.register(spark)
+    val pts = (for (x <- 0 to 10; y <- 0 to 10)
+      yield (x + 0.5, y + 0.5)).toDF("x", "y")
+    val got = pts
+      .withColumn("xs", typedlit(lX)).withColumn("ys", typedlit(lY))
+      .select(col("x"), col("y"),
+        Geo.stContains(col("xs"), col("ys"), col("x"), col("y")).as("in"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(2) ==
+        Geo.rayCast(lX, lY, r.getDouble(0), r.getDouble(1)),
+        s"at (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
+  test("GraftExtensions registers st_contains for SQL use") {
+    new GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly
+    Geo.register(spark)
+    val n = spark.sql(
+      "SELECT st_contains(array(0D, 10D, 5D), array(0D, 0D, 10D), 5D, 2D) AS c")
+      .collect()(0).getBoolean(0)
+    assert(n)
+  }
+}
