@@ -89,12 +89,18 @@ object DedupQueries {
            |            JOIN sets b ON cand.d2 = b.doc_id)
            |SELECT d1, d2, jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"""
       }) { (s, d) =>
+      // signatures/shingle-sets are reused by the self-join AND the
+      // verification joins — materialize once (the standard LSH shape:
+      // signatures are ~100× smaller than the corpus; at full scale this
+      // persist becomes a parquet checkpoint between stages)
       val sets = corpus(s, d)
         .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shd"))
+        .persist()
       val mh = sets
         .withColumn("mh", minhashSignature(hashAll(col("shd"))))
       val bands = mh.select(col("doc_id"),
         posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
+        .persist()
       val cand = bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -152,6 +158,7 @@ object DedupQueries {
       val sig = corpus(s, d)
         .select(col("doc_id"),
           Dedup.simhash(hashAll(graft.text.TextAnalysis.tokens(col("text")))).as("sh"))
+        .persist() // reused by both sides of the byte-band self-join
       val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(array(simhashBytes(col("sh")): _*)).as(Seq("band", "key")))
       val cand = bands.as("l")
@@ -185,6 +192,7 @@ object DedupQueries {
       val g = Tables.documents(s, d)
         .filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
+        .persist() // both sides of the pair join reuse the gram sets
       g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           Dedup.jaccard(col("a.gs"), col("b.gs")).as("jac"))
