@@ -59,6 +59,7 @@ object DateQueries {
         .when(k === 6, date_format(d, "MMM yyyy"))
         .otherwise(concat(lit("bad-"), (col("o_orderkey") % 10).cast("string")))
       Tables.orders(s, dir)
+        .repartition(col("o_orderkey")) // regex-heavy parse: use all cores
         .select(col("o_orderkey"), raw.as("raw"))
         .withColumn("p", splitDates(col("raw")))
         .select(col("o_orderkey"), col("raw"), col("p.*"))

@@ -29,6 +29,10 @@ object DedupQueries {
     docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      // the table is small on disk (one input split) but the per-row
+      // signature kernels are CPU-heavy — spread across all cores; at
+      // 100 TB the same repartition co-locates by doc for the band shuffle
+      .repartition(col("doc_id"))
   }
 
   /** Portable char-fold hash, DuckDB formulation (mirror of Exact.foldHash). */
@@ -191,6 +195,7 @@ object DedupQueries {
         |ORDER BY d1, d2""") { (s, d) =>
       val g = Tables.documents(s, d)
         .filter(col("doc_id") % 20 === 0)
+        .repartition(col("doc_id")) // parallelize the gram extraction
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
         .persist() // both sides of the pair join reuse the gram sets
       g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))

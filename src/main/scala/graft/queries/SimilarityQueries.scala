@@ -35,7 +35,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddings(s, d).repartition(col("vec_id")) // spread cosine kernels
       Similarity.topkNeighbors(e.filter(col("vec_id") % 100 === 0), e, 5)
         .orderBy("q_id", "rank")
     },
@@ -49,7 +49,8 @@ object SimilarityQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.3 ORDER BY d1, d2""") { (s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.3)
+      Similarity.nearDupPairs(
+        Tables.embeddings(s, d).repartition(col("vec_id")), "label", 0.3)
         .orderBy("d1", "d2")
     },
 
@@ -73,8 +74,11 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddings(s, d).repartition(col("vec_id"))
+      // cell assignment feeds both the query and corpus sides — persist
+      // (at scale: the IVF index is materialized once, queried many times)
       val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") % 97 === 0))
+        .persist()
       Similarity.ivfSearch(assigned, col("vec_id") % 100 === 0, 3)
         .orderBy("q_id", "rank")
     }
