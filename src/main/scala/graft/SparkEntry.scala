@@ -24,7 +24,8 @@ object SparkEntry {
     StreamQueries.defs,
     GeoQueries.defs,
     SourceQueries.defs,
-    AggExtQueries.defs
+    AggExtQueries.defs,
+    ExtOpQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten

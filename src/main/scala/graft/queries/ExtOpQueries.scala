@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CentsSum
+import graft.operators.{AsOf, SaltedJoin}
+
+/** Extension operators: typed Aggregator UDAF, as-of join, salted skew
+  * join (verified equal to the plain join), and the SQL entry surface.
+  */
+object ExtOpQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- typed Aggregator (UDAF surface) ---------------------------------
+    QueryDef.sql(
+      "q48_typed_aggregator",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val centsSum = udaf(CentsSum)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(centsSum(col("value")).as("total"))
+        .orderBy("event_type")
+    },
+
+    // ---- as-of join: purchase → most recent prior click per user ---------
+    QueryDef.sql(
+      "q49_asof_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_ns(ts) AS tus
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tus,
+        |    last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS prior_click
+        |  FROM e)
+        |SELECT event_id, user_id, tus, prior_click
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""") { (s, d) =>
+      val evs = Tables.events(s, d)
+        .withColumn("tus", col("ts_ns") - col("ts_ns") % 1000) // µs parity
+      AsOf.lastPrior(evs,
+        keyCol = col("user_id"),
+        orderCols = Seq(col("tus"), col("event_id")),
+        probe = col("event_type") === "purchase",
+        reference = col("event_type") === "click",
+        attach = col("tus"),
+        outName = "prior_click")
+        .select("event_id", "user_id", "tus", "prior_click")
+        .orderBy("event_id")
+    },
+
+    // ---- salted skew join ≡ plain join -----------------------------------
+    QueryDef.sql(
+      "q50_salted_join",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      SaltedJoin.inner(
+        Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "k"),
+        Tables.orders(s, d).withColumnRenamed("o_orderkey", "k"),
+        key = "k",
+        saltExpr = col("l_linenumber").cast("int"),
+        salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_quantity"), 12, 2).as("qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- SQL entry surface (spark.sql over registered views) -------------
+    QueryDef.sql(
+      "q51_sql_api",
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT n_name, COUNT(*) AS n,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }
+  )
+}

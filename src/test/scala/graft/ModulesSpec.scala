@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dims.Dimensions
+import graft.validate.Validation
+import graft.validate.Validation.Rule
+
+/** Edge-case specs for the smaller modules (the oracle gate covers the
+  * happy paths at data scale; these pin the corners).
+  */
+class ModulesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("Validation: null check results count as failures (pydantic-style)") {
+    val df = Seq((1, Some(5)), (2, None)).toDF("id", "v")
+    val annotated = Validation.annotate(df,
+      Seq(Rule("v", "value_error", "v must be < 10", col("v") < 10)))
+    assert(Validation.valid(annotated).select("id").as[Int].collect().toSeq == Seq(1))
+    val errs = Validation.explodeDetails(annotated, Seq("id"))
+      .select("id", "loc").as[(Int, String)].collect().toSeq
+    assert(errs == Seq((2, "v"))) // null < 10 → null → failure
+  }
+
+  test("Dimensions.getOrCreate: ids continue past max, existing kept") {
+    val existing = Seq((1L, "Arctic Ocean"), (7L, "Baltic Sea")).toDF("id", "name")
+    val incoming = Seq("Baltic Sea", "Coral Sea", "Arafura Sea").toDF("name")
+    val dim = Dimensions.getOrCreate(existing, incoming)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(dim == Seq((1L, "Arctic Ocean"), (7L, "Baltic Sea"),
+      (8L, "Arafura Sea"), (9L, "Coral Sea"))) // new names: max+rn by name
+  }
+
+  test("Dimensions.resolveFk is null-safe (NULL name → NULL dim row)") {
+    val dim = Seq((0L, null: String), (1L, "Arctic Ocean")).toDF("id", "name")
+    val fact = Seq(("x", "Arctic Ocean"), ("y", null: String)).toDF("k", "waterBody")
+    val got = Dimensions.resolveFk(fact, dim, "waterBody", "wbId")
+      .select("k", "wbId").as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 1L, "y" -> 0L))
+  }
+
+  test("foldHash matches a reference implementation on ASCII strings") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val inputs = Seq("", "a", "hello world", "Spark 4.1.2!")
+    val got = inputs.toDF("s")
+      .select(graft.functions.Exact.foldHash(col("s"))).as[Long].collect().toSeq
+    assert(got == inputs.map(ref))
+  }
+
+  test("SaltedJoin equals plain join") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val right = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "w")
+    val salted = graft.operators.SaltedJoin
+      .inner(left, right, "k", length(col("v")).cast("int"), 4)
+      .select("k", "v", "w").as[(Int, String, String)].collect().toSet
+    val plain = left.join(right, "k")
+      .select("k", "v", "w").as[(Int, String, String)].collect().toSet
+    assert(salted == plain && salted.size == 3)
+  }
+
+  test("AsOf.lastPrior: no prior reference → null; ties broken by order col") {
+    val df = Seq(
+      (1L, 10L, "click"), (2L, 20L, "purchase"), // match: ts 10
+      (3L, 30L, "purchase"), // still ts 10 (no newer click)
+      (4L, 5L, "purchase")) // no prior click → null
+      .toDF("id", "ts", "typ").withColumn("user", lit(1L))
+    val got = graft.operators.AsOf.lastPrior(df, col("user"),
+      Seq(col("ts"), col("id")), col("typ") === "purchase",
+      col("typ") === "click", col("ts"), "prior")
+      .select("id", "prior").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(2L -> Some(10L), 3L -> Some(10L), 4L -> None))
+  }
+
+  test("CentsSum rounds each value to cents before summing (HALF_UP)") {
+    // 0.005 rounds up to 0.01; plain double sum would give 0.015...
+    val centsSum = udaf(graft.functions.CentsSum)
+    val got = Seq(0.005, 0.005).toDF("v")
+      .agg(centsSum(col("v"))).as[Double].head()
+    assert(got == 0.02)
+  }
+
+  test("multimodal feature extraction handles short payloads") {
+    import graft.multimodal.Multimodal
+    val media = Seq(Multimodal.MediaRow(1L, "text/plain", "ab".getBytes))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).head()
+    assert(f.n_bytes == 2 && f.b0 == 'a'.toInt && f.b2 == -1) // -1 = absent
+  }
+}
