@@ -73,6 +73,37 @@ object ExtOpQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- statistical moments from exact sums ------------------------------
+    // stddev/variance built compositionally from exact decimal sums (one
+    // double division + sqrt at the end) instead of engine-native
+    // accumulators (Welford vs naive differ in float rounding across
+    // engines — not reproducible; this formulation is).
+    QueryDef.sql(
+      "q52_moments",
+      """WITH a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, sx / n AS mean,
+        |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_samp,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS std_samp
+        |FROM a ORDER BY event_type""") { (s, d) =>
+      val dec = col("value").cast("decimal(14,2)")
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("sx"),
+          sum(dec * dec).cast("double").as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1.0))).as("var_samp"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1.0))).as("std_samp"))
+        .orderBy("event_type")
+    },
+
     // ---- SQL entry surface (spark.sql over registered views) -------------
     QueryDef.sql(
       "q51_sql_api",
