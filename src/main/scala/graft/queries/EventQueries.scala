@@ -66,6 +66,30 @@ object EventQueries {
         .orderBy("w_start")
     },
 
+    // ---- range-frame moving aggregate: trailing 1-hour sum per user ------
+    QueryDef.sql(
+      "q53_range_frame",
+      s"""SELECT event_id, user_id, tus,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2)))
+         |    OVER (PARTITION BY user_id ORDER BY tus
+         |          RANGE BETWEEN ${3600L * 1000 * 1000} PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS trailing_1h
+         |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, value
+         |      FROM events)
+         |ORDER BY event_id""") { (s, d) =>
+      val HourUs = 3600L * 1000 * 1000
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-HourUs, Window.currentRow)
+      Tables.events(s, d)
+        // integral div: Column./ would round-trip through double and lose
+        // precision above 2^53
+        .withColumn("tus", expr("(ts_ns - ts_ns % 1000) div 1000"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          sum(col("value").cast("decimal(14,2)")).over(w)
+            .cast("double").as("trailing_1h"))
+        .orderBy("event_id")
+    },
+
     // ---- sessionization: 30-min-gap sessions per user --------------------
     QueryDef.sql(
       "q35_sessionize",
