@@ -67,6 +67,23 @@ object SourceQueries {
         .orderBy("source")
     },
 
+    // ---- custom DataSourceV2 with pushdown + stats-planned partitions ----
+    QueryDef.sql(
+      "q54_dsv2_stats",
+      """SELECT y - y % 10 AS decade,
+        |  COUNT(*) AS n_years,
+        |  CAST(SUM((y * 2654435761) % 10000) AS BIGINT) AS records
+        |FROM (SELECT unnest(range(1900, 2026)) AS y)
+        |WHERE y >= 1960 AND y < 2000
+        |GROUP BY 1 ORDER BY 1""") { (s, _) =>
+      s.read.format("graft.sources.v2.StatsSource").load()
+        .filter(col("year") >= 1960 && col("year") < 2000) // pushed to source
+        .groupBy((col("year") - col("year") % 10).as("decade"))
+        .agg(count(lit(1)).as("n_years"), sum(col("records")).as("records"))
+        .withColumn("decade", col("decade").cast("long"))
+        .orderBy("decade")
+    },
+
     // ---- multimodal: binary payloads + mapPartitions feature extraction --
     QueryDef.sql(
       "q43_multimodal_features",
