@@ -67,6 +67,36 @@ object SourceQueries {
         .orderBy("source")
     },
 
+    // ---- multimodal frame sampling: fixed-size frames + per-frame stats --
+    // The media analog of video frame-sampling: chunk the opaque payload
+    // into fixed 64-byte frames map-side, explode, keep every 4th frame.
+    QueryDef.sql(
+      "q55_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, k AS frame_no, substr(text, k * 64 + 1, 64) AS frame
+        |  FROM documents,
+        |       (SELECT unnest(range(0, 16)) AS k)
+        |  WHERE k * 64 < length(text) AND k % 4 = 0)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(length(frame) AS BIGINT) AS frame_len,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(frame, ''), c -> unicode(c)::BIGINT)),
+        |    (a, x) -> (a + x) % 1000000007) AS frame_sum
+        |FROM f ORDER BY doc_id, frame_no""") { (s, d) =>
+      val frames = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(15L))).as("frame_no"))
+        .filter(col("frame_no") * 64 < length(col("text")) &&
+          col("frame_no") % 4 === 0)
+        .withColumn("frame", col("text").substr(
+          (col("frame_no") * 64 + 1).cast("int"), lit(64)))
+      frames.select(col("doc_id"), col("frame_no"),
+        length(col("frame")).cast("long").as("frame_len"),
+        aggregate(filter(split(col("frame"), ""), c => c =!= ""),
+          lit(0L), (a, c) => (a + ascii(c)) % 1000000007L).as("frame_sum"))
+        .orderBy("doc_id", "frame_no")
+    },
+
     // ---- custom DataSourceV2 with pushdown + stats-planned partitions ----
     QueryDef.sql(
       "q54_dsv2_stats",
