@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("st_contains"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "st_contains"),
       exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectOptimizerRule(_ => graft.plans.SpatialBboxRule)
   }
 }

@@ -38,6 +38,29 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SpatialBboxRule prepends a short-circuit bbox conjunct to spatial joins") {
+    Geo.register(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SpatialBboxRule
+    try {
+      val pts = Seq((0.5, 0.5), (50.0, 50.0)).toDF("x", "y")
+      val polys = Seq(("t", triX, triY)).toDF("name", "xs", "ys")
+      val joined = pts.join(polys,
+        Geo.stContains(col("xs"), col("ys"), col("x"), col("y")), "left")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("array_min") && optimized.contains("array_max"),
+        s"bbox conjunct missing:\n$optimized")
+      // and the rewrite preserves results
+      val got = joined.select(col("x"), col("name"))
+        .as[(Double, Option[String])].collect().toSet
+      assert(got == Set((0.5, Some("t")), (50.0, None)))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.SpatialBboxRule)
+    }
+  }
+
   test("GraftExtensions registers st_contains for SQL use") {
     new GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly
