@@ -58,6 +58,41 @@ object Geo {
     */
   def stContains(xs: Column, ys: Column, x: Column, y: Column): Column =
     call_function("st_contains", xs, ys, x, y)
+
+  /** Grid-indexed spatial left join — the scale path when the polygon
+    * table outgrows broadcast-BNLJ (SURVEY.md §7.5): polygons replicate
+    * into every grid cell their bbox covers, points hash to their one
+    * cell, candidates meet in an EQUI-join on (cellx, celly) and only
+    * candidates pay the exact ray cast. Equivalent to the BNLJ join by
+    * construction (a containing polygon's bbox always covers the point's
+    * cell); q56's oracle is literally q39's.
+    *
+    * `points` must carry (`pointCols`…, x, y); `polys` (name, xs, ys).
+    * Output: points columns + matched `name` (null when uncontained).
+    */
+  def gridSpatialJoin(points: org.apache.spark.sql.DataFrame,
+      polys: org.apache.spark.sql.DataFrame, cellSize: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    register(points.sparkSession)
+    def cellOf(c: Column): Column = floor(c / cellSize).cast("long")
+    val polyCells = polys
+      .withColumn("cellx", explode(sequence(
+        cellOf(array_min(col("xs"))), cellOf(array_max(col("xs"))))))
+      .withColumn("celly", explode(sequence(
+        cellOf(array_min(col("ys"))), cellOf(array_max(col("ys"))))))
+    val pts = points
+      .withColumn("cellx", cellOf(col("x")))
+      .withColumn("celly", cellOf(col("y")))
+    val matches = pts
+      .join(polyCells, Seq("cellx", "celly"))
+      .filter(stContains(col("xs"), col("ys"), col("x"), col("y")))
+      .drop("cellx", "celly", "xs", "ys")
+    val misses = pts.drop("cellx", "celly")
+      .join(matches.drop("name"), points.columns.toSeq, "left_anti")
+      .withColumn("name", lit(null).cast("string"))
+    matches.unionByName(misses)
+  }
 }
 
 /** `st_contains(xs: array<double>, ys: array<double>, x, y)` — true when
