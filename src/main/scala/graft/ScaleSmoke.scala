@@ -1,0 +1,38 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/sf1ish"
+    // 10x replicate lineitem/orders with shifted keys; copy dims
+    val reps = (0 until 10)
+    def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      val u = reps.map { r =>
+        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * shift)))
+      }.reduce(_ unionByName _)
+      u.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    rep("lineitem", Seq("l_orderkey"), 100000000L)
+    rep("orders", Seq("o_orderkey"), 100000000L)
+    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
+    println("rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
+    // time key queries at 1x vs 10x
+    for (q <- Seq("q01_pricing_summary", "q05_dedup_keepfirst", "q08_join_broadcast_dim", "q11_anti_join", "q50_salted_join")) {
+      for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        println(f"$q%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
