@@ -56,4 +56,16 @@ object Validation {
     invalid(annotated)
       .select(keep.map(col) :+ explode(col("errors")).as("e"): _*)
       .select(keep.map(col) :+ col("e.type") :+ col("e.loc") :+ col("e.msg"): _*)
+
+  /** SURVEY.md §2.8 F12: the error-dump serialization
+    * (`whalefinder/cleaner.py:277-288` — json.dumps followed by a regex
+    * that patches pandas' literal `nan`s into `null`). `to_json` emits
+    * proper JSON nulls natively, so the reference's regex hack dissolves;
+    * one `errors_json` string column per failing row, ready for
+    * [[graft.sources.Staging.writeJson]].
+    */
+  def errorJson(annotated: DataFrame, keep: Seq[String]): DataFrame =
+    invalid(annotated).select(
+      keep.map(col) :+
+        to_json(struct(col("errors") +: keep.map(col): _*)).as("errors_json"): _*)
 }

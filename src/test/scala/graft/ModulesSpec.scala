@@ -24,6 +24,18 @@ class ModulesSpec extends AnyFunSuite with SparkSpec {
     assert(errs == Seq((2, "v"))) // null < 10 → null → failure
   }
 
+  test("Validation.errorJson emits proper JSON nulls (no 'nan' patching)") {
+    val df = Seq((1, Some(50)), (2, None)).toDF("id", "v")
+    val annotated = Validation.annotate(df,
+      Seq(Rule("v", "value_error", "v must be < 10", col("v") < 10)))
+    val js = Validation.errorJson(annotated, Seq("id", "v"))
+      .select("errors_json").as[String].collect().sorted
+    assert(js.length == 2)
+    assert(js.exists(_.contains("\"v\":50")))
+    // null field is omitted by to_json (proper null semantics, not "nan")
+    assert(js.forall(!_.contains("nan")))
+  }
+
   test("Dimensions.getOrCreate: ids continue past max, existing kept") {
     val existing = Seq((1L, "Arctic Ocean"), (7L, "Baltic Sea")).toDF("id", "name")
     val incoming = Seq("Baltic Sea", "Coral Sea", "Arafura Sea").toDF("name")
