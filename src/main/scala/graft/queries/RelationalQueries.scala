@@ -209,10 +209,14 @@ object RelationalQueries {
       "q11_anti_join",
       """SELECT c_nationkey, COUNT(*) AS n
         |FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""") { (s, d) =>
+      // the filtered right side keeps the result non-empty at every SF
+      // (an unfiltered version matches trivially on all-zero rows)
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
         .orderBy("c_nationkey")
     },
