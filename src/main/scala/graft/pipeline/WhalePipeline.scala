@@ -56,7 +56,7 @@ object WhalePipeline {
     */
   def repairErrors(errors: DataFrame): (DataFrame, DataFrame) = {
     val withParts = errors
-      .withColumn("__p", DateSplit.splitDates(col("eventDate")))
+      .withColumn("__p", graft.dates.SplitDatesFn.splitDatesUdf(col("eventDate")))
       .select(col("*"), col("__p.*")).drop("__p")
     val partCols = Seq("start_year", "start_month", "start_day",
       "end_year", "end_month", "end_day")
@@ -69,7 +69,7 @@ object WhalePipeline {
     */
   def mergeChannels(valid: DataFrame, repaired: DataFrame): DataFrame = {
     val v = valid
-      .withColumn("__p", DateSplit.splitDates(col("eventDate")))
+      .withColumn("__p", graft.dates.SplitDatesFn.splitDatesUdf(col("eventDate")))
       .select(col("*"), col("__p.*")).drop("__p")
     v.unionByName(repaired, allowMissingColumns = true)
       .withColumn("date_is_valid", DateSplit.isValidDate(col("eventDate")))

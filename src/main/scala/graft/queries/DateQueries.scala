@@ -61,7 +61,9 @@ object DateQueries {
       Tables.orders(s, dir)
         .repartition(col("o_orderkey")) // regex-heavy parse: use all cores
         .select(col("o_orderkey"), raw.as("raw"))
-        .withColumn("p", splitDates(col("raw")))
+        // the UDF twin parses once per row; the expression form re-runs
+        // its CASE chain per extracted field (see SplitDatesFn scaladoc)
+        .withColumn("p", graft.dates.SplitDatesFn.splitDatesUdf(col("raw")))
         .select(col("o_orderkey"), col("raw"), col("p.*"))
         .orderBy("o_orderkey")
     },

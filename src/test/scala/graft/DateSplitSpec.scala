@@ -57,7 +57,7 @@ class DateSplitSpec extends AnyFunSuite with SparkSpec {
     "not a date" -> Z,
     "94-03-05" -> Z)
 
-  test("splitDates branch table") {
+  test("splitDates branch table (expression form)") {
     import spark.implicits._
     val got = cases.map(_._1).toDF("raw")
       .select(col("raw"), splitDates(col("raw")).as("b"))
@@ -68,6 +68,44 @@ class DateSplitSpec extends AnyFunSuite with SparkSpec {
       .toMap
     cases.foreach { case (raw, want) =>
       assert(got(raw) == want, s"for input '$raw'")
+    }
+  }
+
+  test("splitDates branch table (UDF twin) — identical semantics") {
+    cases.foreach { case (raw, want) =>
+      val p = graft.dates.SplitDatesFn.parse(raw)
+      assert((p.start_year, p.start_month, p.start_day,
+        p.end_year, p.end_month, p.end_day) == want, s"for input '$raw'")
+    }
+  }
+
+  test("expression and UDF agree on generated date strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val gen = (1 to 2000).map { _ =>
+      val y = 1900 + rnd.nextInt(150)
+      val m = rnd.nextInt(15) // intentionally includes invalid months
+      val d = rnd.nextInt(34)
+      rnd.nextInt(8) match {
+        case 0 => f"$y-$m%02d-$d%02d"
+        case 1 => f"$y-$m"
+        case 2 => s"$y"
+        case 3 => f"$y-$m%02d-$d%02d/$y-${rnd.nextInt(13)}%02d-${rnd.nextInt(29)}%02d"
+        case 4 => f"$y-$m%02d-$d%02dT08:30:00"
+        case 5 => s"$y/${y + rnd.nextInt(5)}"
+        case 6 => s"${Seq("Jan", "Oct", "December", "Foo")(rnd.nextInt(4))} $y"
+        case _ => s"garbage-$y"
+      }
+    }
+    val exprOut = gen.toDF("raw")
+      .select(col("raw"), splitDates(col("raw")).as("b")).select("raw", "b.*")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    exprOut.foreach { case (raw, want) =>
+      val p = graft.dates.SplitDatesFn.parse(raw)
+      assert((p.start_year, p.start_month, p.start_day,
+        p.end_year, p.end_month, p.end_day) == want, s"diverged on '$raw'")
     }
   }
 
