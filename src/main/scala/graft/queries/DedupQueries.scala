@@ -85,12 +85,17 @@ object DedupQueries {
            |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
            |  FROM bands l JOIN bands r
            |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+           |est AS (
+           |  SELECT d1, d2 FROM cand
+           |  JOIN mh m1 ON cand.d1 = m1.doc_id
+           |  JOIN mh m2 ON cand.d2 = m2.doc_id
+           |  WHERE len(list_filter(range(1, ${NumPerms + 1}), i -> m1.mh[i] = m2.mh[i])) >= 6),
            |j AS (
            |  SELECT d1, d2,
            |    CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
            |      (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))) AS jac
-           |  FROM cand JOIN sets a ON cand.d1 = a.doc_id
-           |            JOIN sets b ON cand.d2 = b.doc_id)
+           |  FROM est JOIN sets a ON est.d1 = a.doc_id
+           |           JOIN sets b ON est.d2 = b.doc_id)
            |SELECT d1, d2, jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"""
       }) { (s, d) =>
       // signatures/shingle-sets are reused by the self-join AND the
@@ -102,16 +107,24 @@ object DedupQueries {
         .persist()
       val mh = sets
         .withColumn("mh", minhashSignature(hashAll(col("shd"))))
-      val bands = mh.select(col("doc_id"),
+      val bands = mh.select(col("doc_id"), col("mh"),
         posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
         .persist()
       val cand = bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
             col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+        .select(col("l.doc_id").as("d1"), col("l.mh").as("mh1"),
+          col("r.doc_id").as("d2"), col("r.mh").as("mh2"))
         .distinct()
-      cand
+      // signature-agreement prefilter: 16 long compares estimate jaccard;
+      // only candidates with >= 6/16 matching slots (est ~0.38) pay the
+      // exact shingle-set intersection — standard LSH verify staging
+      val est = cand.filter(
+        size(filter(zip_with(col("mh1"), col("mh2"), (a, b) => a === b),
+          x => x)) >= 6)
+        .select("d1", "d2")
+      est
         .join(sets.select(col("doc_id").as("d1"), col("shd").as("shd1")), "d1")
         .join(sets.select(col("doc_id").as("d2"), col("shd").as("shd2")), "d2")
         .select(col("d1"), col("d2"), Dedup.jaccard(col("shd1"), col("shd2")).as("jac"))
