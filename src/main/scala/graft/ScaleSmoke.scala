@@ -29,7 +29,7 @@ object ScaleSmoke {
     for (q <- Seq("q01_pricing_summary", "q05_dedup_keepfirst", "q08_join_broadcast_dim", "q11_anti_join", "q50_salted_join")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
+        SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         println(f"$q%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }

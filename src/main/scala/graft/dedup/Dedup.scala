@@ -107,22 +107,37 @@ object Dedup {
     */
   val SimHashBits = 24
 
-  /** SimHash signature from pre-hashed tokens: per bit, majority vote of
-    * ±1 over the token hashes; >= 0 sets the bit. ONE pass with a 24-slot
-    * vote-array accumulator; the finish lambda folds votes into the final
-    * signature once (vs 24 independent aggregates re-hashing the tokens).
+  /** SimHash signature from pre-hashed tokens: per bit, majority vote over
+    * the token hashes (ones ≥ half sets the bit — identical to the ±1
+    * vote-sum ≥ 0 formulation the oracle uses: `ones − (n − ones) ≥ 0 ⇔
+    * 2·ones ≥ n`).
+    *
+    * ONE pass, bit-packed: the 24 one-counters live in 3 longs of 8
+    * byte-lanes; each token adds its spread bit pattern with pure long
+    * arithmetic — no per-token array allocation. Lanes hold counts ≤ 255
+    * (documents are ≤ ~150 tokens; assert more tokens than that at the
+    * call site or split the fold).
     */
-  def simhash(hashes: Column): Column =
+  def simhash(hashes: Column): Column = {
+    // bit pattern of h's lane (8 bits) spread into byte lanes of one long
+    def spread(h: Column, lane: Int): Column =
+      (0 until 8).map { k =>
+        shiftleft(shiftright(h, lane * 8 + k) % 2, k * 8)
+      }.reduce(_ + _)
     aggregate(
       hashes,
-      typedlit(Seq.fill(SimHashBits)(0L)),
-      (acc, h) => array((0 until SimHashBits).map { b =>
-        element_at(acc, b + 1) +
-          when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L)
-      }: _*),
-      votes => (0 until SimHashBits).map { b =>
-        when(element_at(votes, b + 1) >= 0, lit(1L << b)).otherwise(lit(0L))
+      struct(lit(0L).as("c0"), lit(0L).as("c1"), lit(0L).as("c2"),
+        lit(0L).as("n")),
+      (acc, h) => struct(
+        (acc("c0") + spread(h, 0)).as("c0"),
+        (acc("c1") + spread(h, 1)).as("c1"),
+        (acc("c2") + spread(h, 2)).as("c2"),
+        (acc("n") + 1L).as("n")),
+      acc => (0 until SimHashBits).map { b =>
+        val ones = shiftright(acc(s"c${b / 8}"), (b % 8) * 8) % 256
+        when(ones * 2 >= acc("n"), lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _))
+  }
 
   /** The three byte-bands of a 24-bit simhash (blocking keys). */
   def simhashBytes(sh: Column): Seq[Column] =

@@ -24,6 +24,18 @@ class ModulesSpec extends AnyFunSuite with SparkSpec {
     assert(errs == Seq((2, "v"))) // null < 10 → null → failure
   }
 
+  test("Species map lookup: literal map, tolerant of unknown names") {
+    import graft.pipeline.Species
+    val got = Seq("beluga_whale", "blue_whale", "unknown_whale").toDF("w")
+      .select(Species.scientificNameFor(col("w")), Species.vernacularFor(col("w")))
+      .as[(Option[String], String)].collect().toSeq
+    assert(got == Seq(
+      (Some("Delphinapterus leucas"), "Beluga Whale"),
+      (Some("Balaenoptera musculus"), "Blue Whale"),
+      (None, "Unknown Whale"))) // tolerant null, not the reference's KeyError
+    assert(Species.dimension(spark).count() == 9)
+  }
+
   test("Validation.errorJson emits proper JSON nulls (no 'nan' patching)") {
     val df = Seq((1, Some(50)), (2, None)).toDF("id", "v")
     val annotated = Validation.annotate(df,
