@@ -67,8 +67,11 @@ object Dedup {
           i => text.substr(i, lit(n))))
         .otherwise(typedlit(Seq.empty[String])))
 
-  /** Portable hashes of an array of strings. */
-  def hashAll(arr: Column): Column = transform(arr, s => Exact.foldHash(s))
+  /** Portable hashes of an array of strings (JVM fold — same values as
+    * `transform(arr, Exact.foldHash)`, without a per-character array per
+    * element; see [[Exact.foldHashJvm]]).
+    */
+  def hashAll(arr: Column): Column = Exact.foldHashAllUdf(arr)
 
   /** MinHash signature (length [[NumPerms]]) from pre-hashed shingles.
     * ONE pass over the hash array with an array accumulator (vs 16

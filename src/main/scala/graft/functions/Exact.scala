@@ -74,9 +74,51 @@ object Exact {
       lit(0L),
       (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(HashP)))
 
+  /** JVM twin of [[foldHash]] — identical values (same fold, same
+    * modulus), ~100× cheaper: the expression form materializes a
+    * per-character string array per value. ASCII-safe like the corpus;
+    * the DuckDB oracle formulation is unchanged. Hot paths (dedup
+    * signatures, fingerprints) use this; [[foldHash]] remains for
+    * expression-only contexts.
+    */
+  def foldHashJvm(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31L + s.charAt(i).toLong) % HashP; i += 1 }
+    h
+  }
+
+  val foldHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => foldHashJvm(s))
+
+  /** Hash every element of a string array (JVM twin of
+    * `transform(arr, foldHash)`).
+    */
+  val foldHashAllUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((xs: Seq[String]) => xs.map(foldHashJvm))
+
   /** Seeded re-hash of a base hash: `(a*h + b) mod P` — the classic
     * universal-hash family used for minhash permutations.
     */
   def seededHash(h: Column, a: Long, b: Long): Column =
     pmod(h * a + b, lit(HashP))
+
+  /** JVM twin of [[foldDot]]: the same sequential left-fold of
+    * element products from 0.0 — identical IEEE op sequence, so
+    * bit-identical doubles — without per-pair array churn.
+    */
+  def foldDotJvm(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0d
+    var i = 0
+    while (i < a.length) { acc = acc + a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  def foldNormJvm(a: Seq[Float]): Double = math.sqrt(foldDotJvm(a, a))
+
+  val foldDotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(foldDotJvm _)
+
+  val foldNormUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(foldNormJvm _)
 }

@@ -82,7 +82,7 @@ object TextAnalysis {
     * For pure-Spark scale paths prefer [[fingerprint64]].
     */
   def fingerprintPortable(text: Column): Column =
-    Exact.foldHash(lower(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+    Exact.foldHashUdf(lower(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
 
   /** 64-bit xxHash fingerprint — the production-scale variant (one codegen
     * expression, no per-char array). Not DuckDB-mirrorable bit-for-bit, so
