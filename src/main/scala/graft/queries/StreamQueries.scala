@@ -48,6 +48,41 @@ object StreamQueries {
       StreamOps.runToBatch(joined).orderBy("event_type")
     },
 
+    // ---- stream ⋈ stream interval join (attribution shape) ---------------
+    // every purchase joined to the same user's clicks in the preceding
+    // 30 minutes; finite input + AvailableNow ⇒ deterministic inner join
+    QueryDef.sql(
+      "q39b_stream_stream_join",
+      s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         |       p.user_id,
+         |       epoch_ns(p.ts) AS p_tus, epoch_ns(c.ts) AS c_tus
+         |FROM events p JOIN events c
+         |  ON p.user_id = c.user_id
+         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+         | AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+         | AND epoch_ns(c.ts) > epoch_ns(p.ts) - ${30L * 60 * 1000 * 1000 * 1000}
+         |ORDER BY purchase_id, click_id""") { (s, d) =>
+      // truncate to µs BEFORE joining so boundary comparisons happen in
+      // the same domain DuckDB sees (its reader truncates nanos)
+      val purchases = StreamOps.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts_ns") - col("ts_ns") % 1000).as("p_ts"))
+      val clicks = StreamOps.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          (col("ts_ns") - col("ts_ns") % 1000).as("c_ts"))
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - 30L * 60 * 1000 * 1000 * 1000)
+      StreamOps.runToBatch(joined, mode = "append")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ---- stateful sessionization (same oracle as q35's window form) ------
     QueryDef.sql(
       "q38_stateful_sessionize",
