@@ -54,6 +54,48 @@ object SimilarityQueries {
         .orderBy("d1", "d2")
     },
 
+    // ---- random-hyperplane LSH ANN: sign-bit buckets, search own bucket --
+    QueryDef.sql(
+      "q57_ann_lsh", {
+        val nPlanes = 8
+        def dotSqlPlane(j: Int): String =
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * (CAST((($j * 1000003 + (i - 1) * 7919) % 97 - 48) AS DOUBLE) / 48.0::DOUBLE))), (x, y) -> x + y)"
+        val bucketSql = (0 until nPlanes).map { j =>
+          s"CASE WHEN ${dotSqlPlane(j)} >= 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, CAST($bucketSql AS INT) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+           |c AS (SELECT vec_id AS n_id, embedding AS nv, bucket FROM b),
+           |s AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS sim
+           |      FROM c JOIN q USING (bucket) WHERE q_id <> n_id),
+           |r AS (SELECT q_id, n_id, sim,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+           |      FROM s)
+           |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
+           |ORDER BY q_id, rank"""
+      }) { (s, d) =>
+      val planes = Similarity.rpPlanes(8, 64)
+      val b = Tables.embeddings(s, d).repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.rpLshBucket(col("embedding"), planes).as("bucket"))
+        .persist()
+      val q = b.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+      val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("qv"), col("nv")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("q_id", "rank")
+    },
+
     // ---- IVF (inverted-file) ANN: assign to centroid cells, search own cell
     QueryDef.sql(
       "q32_ann_ivf",

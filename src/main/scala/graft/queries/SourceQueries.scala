@@ -97,6 +97,30 @@ object SourceQueries {
         .orderBy("doc_id", "frame_no")
     },
 
+    // ---- multimodal resize: nearest-neighbor 1-D downsample (every 4th) --
+    QueryDef.sql(
+      "q58_resize",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, (length(text) - 1) // 4 + 1),
+        |      i -> substr(text, i * 4 + 1, 1)), '') AS rs
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(rs) AS BIGINT) AS resized_len,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(rs, ''), c -> unicode(c)::BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS rhash
+        |FROM r ORDER BY doc_id""") { (s, d) =>
+      val n = expr("(length(text) - 1) div 4")
+      val resized = array_join(
+        transform(sequence(lit(0L), n),
+          i => col("text").substr((i * 4 + 1).cast("int"), lit(1))), "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), resized.as("rs"))
+        .select(col("doc_id"), length(col("rs")).cast("long").as("resized_len"),
+          graft.functions.Exact.foldHashUdf(col("rs")).as("rhash"))
+        .orderBy("doc_id")
+    },
+
     // ---- custom DataSourceV2 with pushdown + stats-planned partitions ----
     QueryDef.sql(
       "q54_dsv2_stats",

@@ -77,6 +77,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic pseudo-random hyperplanes for random-projection LSH:
+    * component i of plane j is `((j·1000003 + i·7919) mod 97 − 48)/48`
+    * ∈ [−1, 1] — pure integer math then one division, so an oracle can
+    * reproduce every coefficient exactly.
+    */
+  def rpPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(j => (0 until dim).map(i =>
+      ((j * 1000003 + i * 7919) % 97 - 48) / 48.0))
+
+  /** Random-hyperplane LSH bucket id: bit j set when dot(v, plane_j) ≥ 0.
+    * Map-side only — nPlanes dot products per vector, no shuffle.
+    */
+  def rpLshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (w, j) =>
+      when(Exact.foldDot(v, typedlit(w)) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Near-duplicate pairs by embedding cosine within a blocking key (e.g.
     * a label or LSH bucket) — never a full cross join.
     * Output: (d1, d2, sim).
