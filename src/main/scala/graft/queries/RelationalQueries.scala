@@ -243,6 +243,33 @@ object RelationalQueries {
         .orderBy("tag")
     },
 
+    // ---- set ops beyond the reference: INTERSECT / EXCEPT ----------------
+    QueryDef.sql(
+      "q59_set_ops",
+      """SELECT 'both' AS tag, n_nationkey AS k FROM (
+        |  SELECT n_nationkey FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        |  INTERSECT
+        |  SELECT n_nationkey FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier))
+        |UNION ALL
+        |SELECT 'cust_only', n_nationkey FROM (
+        |  SELECT n_nationkey FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        |  EXCEPT
+        |  SELECT n_nationkey FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier))
+        |ORDER BY tag, k""") { (s, d) =>
+      val nation = Tables.nation(s, d)
+      val custNations = nation.join(Tables.customer(s, d),
+        col("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select("n_nationkey")
+      val suppNations = nation.join(Tables.supplier(s, d),
+        col("n_nationkey") === col("s_nationkey"), "left_semi")
+        .select("n_nationkey")
+      custNations.intersect(suppNations)
+        .select(lit("both").as("tag"), col("n_nationkey").as("k"))
+        .unionByName(custNations.except(suppNations)
+          .select(lit("cust_only").as("tag"), col("n_nationkey").as("k")))
+        .orderBy("tag", "k")
+    },
+
     // ---- U3: explode (array-of-structs flatten) --------------------------
     // Reference: error-details explode, cleaner.py:229-238 — generalized to
     // token explode over documents.
