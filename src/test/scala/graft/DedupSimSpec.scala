@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Corner cases for the dedup/similarity primitives that the data-scale
+  * oracle queries never reach.
+  */
+class DedupSimSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("wordShingles: fewer than k tokens → empty; exact count otherwise") {
+    val got = Seq("a b", "a b c", "a b c d", "", "  a   b  c  ")
+      .toDF("t").select(Dedup.wordShingles(col("t")).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Nil)
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq("a b c", "b c d"))
+    assert(got(3) == Nil)
+    assert(got(4) == Seq("a b c")) // multi-space safe
+  }
+
+  test("charNgrams: short strings and distinctness") {
+    val got = Seq("ab", "abc", "aaaa")
+      .toDF("t").select(Dedup.charNgrams(col("t")).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Nil)
+    assert(got(1) == Seq("abc"))
+    assert(got(2) == Seq("aaa")) // distinct: two identical grams collapse
+  }
+
+  test("jaccard: identical = 1.0, disjoint = 0.0") {
+    val df = Seq(
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("x"), Seq("y"))).toDF("a", "b")
+    val got = df.select(Dedup.jaccard(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0)
+  }
+
+  test("minhashSignature: empty input → null signature (oracle's list_min([]))") {
+    val got = Seq(Seq.empty[Long], Seq(5L))
+      .toDF("hs").select(Dedup.minhashSignature(col("hs")).as("mh"))
+      .collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getSeq[Long](0).length == Dedup.NumPerms)
+  }
+
+  test("simhash: identical token multisets → identical signatures; 24-bit range") {
+    val got = Seq(Seq("spark", "fast", "spark"), Seq("spark", "spark", "fast"))
+      .toDF("t").select(Dedup.simhash(Dedup.hashAll(col("t"))).as("sh"))
+      .as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got(0) >= 0 && got(0) < (1L << Dedup.SimHashBits))
+  }
+
+  test("rpLshBucket: deterministic and within [0, 2^planes)") {
+    val planes = Similarity.rpPlanes(8, 4)
+    val v = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f)).toDF("e")
+    val b1 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Int].head()
+    val b2 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Int].head()
+    assert(b1 == b2 && b1 >= 0 && b1 < 256)
+  }
+
+  test("hamming: 0 for equal, counts flipped bits") {
+    val got = Seq((5L, 5L), (0L, 7L))
+      .toDF("a", "b").select(Dedup.hamming(col("a"), col("b")))
+      .as[Int].collect()
+    assert(got.toSeq == Seq(0, 3))
+  }
+}
