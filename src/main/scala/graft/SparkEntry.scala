@@ -25,7 +25,8 @@ object SparkEntry {
     GeoQueries.defs,
     SourceQueries.defs,
     AggExtQueries.defs,
-    ExtOpQueries.defs
+    ExtOpQueries.defs,
+    MixQueries.defs
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatten
