@@ -110,36 +110,44 @@ object Dedup {
     */
   val SimHashBits = 24
 
+  /** A lane-overflow bound for [[simhash]]: per-bit counters are 16-bit
+    * lanes, so any document of ≤ 65,535 tokens folds exactly; beyond that
+    * a lane could carry into its neighbor, so the signature is null (no
+    * signature — the document is too large to simhash in one fold; split
+    * upstream if such docs must participate).
+    */
+  val SimHashMaxTokens = 65535
+
   /** SimHash signature from pre-hashed tokens: per bit, majority vote over
     * the token hashes (ones ≥ half sets the bit — identical to the ±1
     * vote-sum ≥ 0 formulation the oracle uses: `ones − (n − ones) ≥ 0 ⇔
     * 2·ones ≥ n`).
     *
-    * ONE pass, bit-packed: the 24 one-counters live in 3 longs of 8
-    * byte-lanes; each token adds its spread bit pattern with pure long
-    * arithmetic — no per-token array allocation. Lanes hold counts ≤ 255
-    * (documents are ≤ ~150 tokens; assert more tokens than that at the
-    * call site or split the fold).
+    * ONE pass, bit-packed: the 24 one-counters live in 6 longs of 4
+    * 16-bit lanes; each token adds its spread bit pattern with pure long
+    * arithmetic — no per-token array allocation. A lane counts at most n
+    * (the token count), so n ≤ [[SimHashMaxTokens]] guarantees no lane
+    * overflow; larger documents — and empty ones, mirroring
+    * `minhashSignature`'s null — yield a null signature.
     */
   def simhash(hashes: Column): Column = {
-    // bit pattern of h's lane (8 bits) spread into byte lanes of one long
-    def spread(h: Column, lane: Int): Column =
-      (0 until 8).map { k =>
-        shiftleft(shiftright(h, lane * 8 + k) % 2, k * 8)
+    // bit pattern of h's 4-bit group spread into the 16-bit lanes of one long
+    def spread(h: Column, group: Int): Column =
+      (0 until 4).map { k =>
+        shiftleft(shiftright(h, group * 4 + k) % 2, k * 16)
       }.reduce(_ + _)
     aggregate(
       hashes,
-      struct(lit(0L).as("c0"), lit(0L).as("c1"), lit(0L).as("c2"),
-        lit(0L).as("n")),
+      struct((0 until 6).map(i => lit(0L).as(s"c$i")) :+ lit(0L).as("n"): _*),
       (acc, h) => struct(
-        (acc("c0") + spread(h, 0)).as("c0"),
-        (acc("c1") + spread(h, 1)).as("c1"),
-        (acc("c2") + spread(h, 2)).as("c2"),
-        (acc("n") + 1L).as("n")),
-      acc => (0 until SimHashBits).map { b =>
-        val ones = shiftright(acc(s"c${b / 8}"), (b % 8) * 8) % 256
-        when(ones * 2 >= acc("n"), lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _))
+        (0 until 6).map(i => (acc(s"c$i") + spread(h, i)).as(s"c$i"))
+          :+ (acc("n") + 1L).as("n"): _*),
+      acc => when(acc("n") === 0 || acc("n") > SimHashMaxTokens,
+        lit(null).cast("bigint"))
+        .otherwise((0 until SimHashBits).map { b =>
+          val ones = shiftright(acc(s"c${b / 4}"), (b % 4) * 16) % 65536
+          when(ones * 2 >= acc("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)))
   }
 
   /** The three byte-bands of a 24-bit simhash (blocking keys). */

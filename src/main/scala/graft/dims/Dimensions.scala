@@ -28,11 +28,15 @@ object Dimensions {
     * null-safe like the proc's `<=>` NULL handling) receive ids
     * `max(existing.id) + row_number() over (order by name)`.
     *
+    * An empty dimension numbers from 0 — the proc's
+    * `IFNULL(MAX(location_id), -1) + 1` (procedures.sql:22-23) — so ids
+    * agree row-for-row with a reference-populated database.
+    *
     * Both inputs must have columns `(id: long | absent, name: string)`;
     * `existing` must have `(id, name)`.
     */
   def getOrCreate(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val maxId = existing.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+    val maxId = existing.agg(coalesce(max(col("id")), lit(-1L))).head().getLong(0)
     val fresh = incoming.select("name").distinct()
       .join(existing.select("name"), Seq("name"), "left_anti")
       .withColumn("id",

@@ -62,9 +62,12 @@ object Exact {
 
   /** Portable polynomial string hash: fold over code points,
     * `h = (h*31 + codepoint(c)) mod 1e9+7`. DuckDB oracle:
-    * `list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''), c -> unicode(c)::BIGINT)), (a,x) -> (a*31+x) % 1000000007)`.
-    * Works on any string both engines split identically (ASCII-safe; the
-    * testdata corpus is ASCII).
+    * `CASE WHEN length(s) = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''), c -> unicode(c)::BIGINT)), (a,x) -> (a*31+x) % 1000000007) END`.
+    * The empty-string CASE is required: DuckDB's `string_split('','')`
+    * yields `['']` and `unicode('')` is −1, so the raw fold hashes "" to
+    * −1 where this fold (and [[foldHashJvm]]) yield 0. Works on any
+    * string both engines split identically (ASCII-safe; the testdata
+    * corpus is ASCII).
     */
   def foldHash(s: Column): Column =
     aggregate(
@@ -88,14 +91,17 @@ object Exact {
     h
   }
 
+  /** Null-safe: null in → null out (a bare String-param UDF would NPE). */
   val foldHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf((s: String) => foldHashJvm(s))
+    org.apache.spark.sql.functions.udf((s: String) => Option(s).map(foldHashJvm))
 
   /** Hash every element of a string array (JVM twin of
-    * `transform(arr, foldHash)`).
+    * `transform(arr, foldHash)`); null array → null, null elements → null.
     */
   val foldHashAllUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf((xs: Seq[String]) => xs.map(foldHashJvm))
+    org.apache.spark.sql.functions.udf((xs: Seq[String]) =>
+      Option(xs).map(_.map(s =>
+        if (s == null) null else java.lang.Long.valueOf(foldHashJvm(s)))))
 
   /** Seeded re-hash of a base hash: `(a*h + b) mod P` — the classic
     * universal-hash family used for minhash permutations.

@@ -30,14 +30,18 @@ object DedupQueries {
       docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       // the table is small on disk (one input split) but the per-row
-      // signature kernels are CPU-heavy — spread across all cores; at
-      // 100 TB the same repartition co-locates by doc for the band shuffle
+      // signature kernels are CPU-heavy — spread across all cores (the
+      // band shuffle later keys on (band, key), not doc_id; this exchange
+      // is purely a local-parallelism spread)
       .repartition(col("doc_id"))
   }
 
-  /** Portable char-fold hash, DuckDB formulation (mirror of Exact.foldHash). */
+  /** Portable char-fold hash, DuckDB formulation (mirror of Exact.foldHash).
+    * The empty-string CASE pins DuckDB's `string_split('','') = ['']` /
+    * `unicode('') = -1` edge to the fold's 0 (see Exact.foldHash docs).
+    */
   private def foldSql(e: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> unicode(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
+    s"CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> unicode(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007) END"
 
   private val TokSql =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus"
@@ -141,7 +145,8 @@ object DedupQueries {
         s"""WITH $CorpusSql,
            |tok AS ($TokSql),
            |tokhs AS (SELECT doc_id, list_transform(toks, t -> ${foldSql("t")}) AS hs FROM tok)
-           |SELECT doc_id, CAST($bitsSql AS BIGINT) AS sh
+           |SELECT doc_id, CASE WHEN len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens}
+           |  THEN NULL ELSE CAST($bitsSql AS BIGINT) END AS sh
            |FROM tokhs ORDER BY doc_id"""
       }) { (s, d) =>
       corpus(s, d)
@@ -162,7 +167,8 @@ object DedupQueries {
         s"""WITH $CorpusSql,
            |tok AS ($TokSql),
            |tokhs AS (SELECT doc_id, list_transform(toks, t -> ${foldSql("t")}) AS hs FROM tok),
-           |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS sh FROM tokhs),
+           |sig AS (SELECT doc_id, CASE WHEN len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens}
+           |  THEN NULL ELSE CAST($bitsSql AS BIGINT) END AS sh FROM tokhs),
            |bands AS (
            |  $byteBandsSql),
            |cand AS (

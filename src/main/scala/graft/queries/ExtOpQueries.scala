@@ -111,12 +111,15 @@ object ExtOpQueries {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""") { (s, d) =>
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.nation(s, d).createOrReplaceTempView("nation")
+      // query-scoped view names: Verify runs query builders concurrently
+      // on one shared session, so a generic "customer" view here could be
+      // clobbered by another query registering the same name mid-analysis
+      Tables.customer(s, d).createOrReplaceTempView("q51_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q51_nation")
       s.sql(
         """SELECT n_name, COUNT(*) AS n,
           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
-          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |FROM q51_customer JOIN q51_nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     }
   )

@@ -44,10 +44,10 @@ object MixQueries {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(least(len(toks), 64) AS BIGINT) AS n_tokens,
-        |  list_reduce(list_prepend(0::BIGINT,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT,
         |    list_transform(string_split(array_to_string(toks[1:64], ' '), ''),
         |      c -> unicode(c)::BIGINT)),
-        |    (a, x) -> (a * 31 + x) % 1000000007) AS truncated_hash
+        |    (a, x) -> (a * 31 + x) % 1000000007) END AS truncated_hash
         |FROM t ORDER BY doc_id""") { (s, d) =>
       val toks = graft.text.TextAnalysis.tokens(col("text"))
       Tables.documents(s, d)

@@ -344,7 +344,7 @@ object RelationalQueries {
         |), dim AS (
         |  SELECT id, name FROM dim0
         |  UNION ALL
-        |  SELECT (SELECT COALESCE(MAX(id), 0) FROM dim0)
+        |  SELECT (SELECT COALESCE(MAX(id), -1) FROM dim0)
         |         + CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name
         |  FROM newnames
         |)

@@ -106,9 +106,9 @@ object SourceQueries {
         |      i -> substr(text, i * 4 + 1, 1)), '') AS rs
         |  FROM documents)
         |SELECT doc_id, CAST(length(rs) AS BIGINT) AS resized_len,
-        |  list_reduce(list_prepend(0::BIGINT,
+        |  CASE WHEN length(rs) = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT,
         |    list_transform(string_split(rs, ''), c -> unicode(c)::BIGINT)),
-        |    (a, x) -> (a * 31 + x) % 1000000007) AS rhash
+        |    (a, x) -> (a * 31 + x) % 1000000007) END AS rhash
         |FROM r ORDER BY doc_id""") { (s, d) =>
       val n = expr("(length(text) - 1) div 4")
       val resized = array_join(
@@ -144,9 +144,9 @@ object SourceQueries {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  unicode(text[1]) AS b0, unicode(text[2]) AS b1,
         |  unicode(text[3]) AS b2, unicode(text[4]) AS b3,
-        |  list_reduce(list_prepend(0::BIGINT,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT,
         |    list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
-        |    (a, x) -> (a + x) % 1000000007) AS checksum,
+        |    (a, x) -> (a + x) % 1000000007) END AS checksum,
         |  CAST(length(text) % 640 AS INT) AS width,
         |  CAST(length(text) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""") { (s, d) =>

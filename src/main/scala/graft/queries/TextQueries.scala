@@ -88,14 +88,16 @@ object TextQueries {
     // ---- portable rolling-hash document fingerprint ----------------------
     QueryDef.sql(
       "q24_fingerprint",
-      """SELECT doc_id,
-        |  list_reduce(
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(nt) = 0 THEN 0 ELSE list_reduce(
         |    list_prepend(0::BIGINT,
-        |      list_transform(
-        |        string_split(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ''),
-        |        c -> unicode(c)::BIGINT)),
-        |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""") { (s, d) =>
+        |      list_transform(string_split(nt, ''), c -> unicode(c)::BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) END AS fp
+        |FROM norm ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id")

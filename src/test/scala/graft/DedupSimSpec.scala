@@ -57,6 +57,36 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert(got(0) >= 0 && got(0) < (1L << Dedup.SimHashBits))
   }
 
+  test("simhash: 16-bit lanes exact past 255 tokens; empty and oversize → null") {
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.fill(1000)(rnd.nextInt(1 << Dedup.SimHashBits).toLong)
+    // naive per-bit majority vote — the semantics the packed fold must match
+    def naive(hs: Seq[Long]): Long =
+      (0 until Dedup.SimHashBits).map { b =>
+        val ones = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (2 * ones >= hs.length) 1L << b else 0L
+      }.sum
+    val over = Seq.fill(Dedup.SimHashMaxTokens + 1)(3L)
+    val got = Seq(hashes, Seq.empty[Long], over)
+      .toDF("hs").select(Dedup.simhash(col("hs")).as("sh")).collect()
+    assert(got(0).getLong(0) == naive(hashes)) // byte lanes would overflow here
+    assert(got(1).isNullAt(0)) // mirrors minhashSignature's empty → null
+    assert(got(2).isNullAt(0)) // lane-overflow bound → no signature
+  }
+
+  test("foldHash UDFs: null-safe, empty string hashes to 0") {
+    val df = Seq(("x", Seq("a", "b")), (null: String, null: Seq[String]))
+      .toDF("s", "xs")
+    val got = df.select(
+      graft.functions.Exact.foldHashUdf(col("s")).as("h"),
+      graft.functions.Exact.foldHashAllUdf(col("xs")).as("hs")).collect()
+    assert(!got(0).isNullAt(0) && !got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    val empty = Seq("").toDF("s")
+      .select(graft.functions.Exact.foldHashUdf(col("s"))).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("rpLshBucket: deterministic and within [0, 2^planes)") {
     val planes = Similarity.rpPlanes(8, 4)
     val v = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f)).toDF("e")

@@ -57,6 +57,14 @@ class ModulesSpec extends AnyFunSuite with SparkSpec {
       (8L, "Arafura Sea"), (9L, "Coral Sea"))) // new names: max+rn by name
   }
 
+  test("Dimensions.getOrCreate: empty dimension numbers from 0 (proc's IFNULL(MAX,-1)+1)") {
+    val existing = Seq.empty[(Long, String)].toDF("id", "name")
+    val incoming = Seq("Coral Sea", "Arafura Sea").toDF("name")
+    val dim = Dimensions.getOrCreate(existing, incoming)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(dim == Seq((0L, "Arafura Sea"), (1L, "Coral Sea")))
+  }
+
   test("Dimensions.resolveFk is null-safe (NULL name → NULL dim row)") {
     val dim = Seq((0L, null: String), (1L, "Arctic Ocean")).toDF("id", "name")
     val fact = Seq(("x", "Arctic Ocean"), ("y", null: String)).toDF("k", "waterBody")
