@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, PrefixFilter}
 import graft.dedup.Dedup._
 
 /** Dedup operator coverage. The corpus is `documents` augmented with exact
@@ -198,7 +198,12 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
-    // ---- character-n-gram Jaccard over a blocked subset ------------------
+    // ---- character-n-gram Jaccard via exact prefix filtering -------------
+    // The oracle is the all-pairs ground truth; the Spark plan finds the
+    // SAME pairs through PrefixFilter's equi-join candidate generation
+    // (recall 1.0 by the prefix-filtering lemma — see PrefixFilter docs —
+    // unlike MinHash banding, whose s-curve drops threshold-grazing
+    // pairs), so no O(n²) self-join appears anywhere in the plan.
     QueryDef.sql(
       "q29_ngram_jaccard",
       """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
@@ -216,11 +221,8 @@ object DedupQueries {
         .filter(col("doc_id") % 20 === 0)
         .repartition(col("doc_id")) // parallelize the gram extraction
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
-        .persist() // both sides of the pair join reuse the gram sets
-      g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          Dedup.jaccard(col("a.gs"), col("b.gs")).as("jac"))
-        .filter(col("jac") >= 0.5)
+        .persist() // prefix generation and verification reuse the gram sets
+      PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
         .orderBy("d1", "d2")
     }
   )

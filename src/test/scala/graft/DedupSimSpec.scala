@@ -95,6 +95,34 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert(b1 == b2 && b1 >= 0 && b1 < 256)
   }
 
+  test("PrefixFilter.jaccardSelfJoin equals brute-force all-pairs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'z').map(_.toString)
+    // overlapping random sets, including clones, subsets, and an empty set
+    val base = (0 until 30).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(4 + rnd.nextInt(10)).distinct)
+    }
+    val rows = base ++ Seq(
+      (100L, base(3)._2),                 // exact clone → jac 1.0
+      (101L, base(5)._2.take(3)),         // subset
+      (102L, Seq.empty[String]))          // empty set
+    val df = rows.toDF("doc_id", "gs")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val got = graft.dedup.PrefixFilter
+      .jaccardSelfJoin(df, "doc_id", "gs", 0.5)
+      .collect().map(key).toSet
+    val brute = rows.flatMap { case (i, a) =>
+      rows.collect { case (j, b) if i < j =>
+        val inter = a.toSet.intersect(b.toSet).size
+        val uni = a.toSet.union(b.toSet).size
+        (i, j, if (uni == 0) -1.0 else inter.toDouble / uni)
+      }
+    }.filter(_._3 >= 0.5)
+      .map { case (i, j, jac) => (i, j, math.round(jac * 1e9)) }.toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("hamming: 0 for equal, counts flipped bits") {
     val got = Seq((5L, 5L), (0L, 7L))
       .toDF("a", "b").select(Dedup.hamming(col("a"), col("b")))
