@@ -71,48 +71,90 @@ final case class Ev(event_id: Long, ts_ns: Long, user_id: Long,
 final case class SessionRow(user_id: Long, session_idx: Long,
     session_start: Long, n: Long, total: Double)
 
+/** The per-user open session carried across micro-batches: 1-based index,
+  * start/last event times, event count, and the exact running total in
+  * cents (a Long keeps the state row small and the sum associative; the
+  * emitted double `cents / 100.0` is the correctly-rounded IEEE value of
+  * the exact decimal, bit-identical to `CAST(SUM(DECIMAL(14,2)) AS
+  * DOUBLE)`).
+  */
+final case class OpenSession(idx: Long, start: Long, lastTs: Long,
+    n: Long, totalCents: Long)
+
 /** Custom state logic on `KeyValueGroupedDataset` — the
-  * `flatMapGroupsWithState` sessionizer. Runs identically over a batch
-  * Dataset (state starts empty, one invocation per key) and a stream
-  * (incremental), so the batch window-function sessionizer (q35) oracles
-  * this implementation too (q38).
+  * `flatMapGroupsWithState` sessionizer, genuinely incremental: the open
+  * session lives in `GroupState` and survives micro-batch boundaries, so
+  * sessions spanning batches never fragment.
+  *
+  * Emission contract is UPDATE-shaped: a session closed by a gap is
+  * emitted in final form the moment the closing event arrives; the
+  * still-open session is emitted as a snapshot each batch it changes.
+  * Downstream takes the last write per `(user_id, session_idx)` —
+  * [[StatefulSessionize.compact]], the memory-sink analog of a
+  * last-write-wins KV sink. This is the only contract that yields the
+  * exact batch result on a finite stream: an emit-only-on-close operator
+  * can never emit the trailing still-open sessions (no event or watermark
+  * closes them before the stream ends).
+  *
+  * Over a batch Dataset the runtime invokes each key exactly once with
+  * empty state, so every session is emitted exactly once (closed ones at
+  * their gap, the trailing one as the single final snapshot) — identical
+  * to the one-shot sort-and-scan, which is how q35's window-function
+  * oracle gates this implementation too (q38).
+  *
+  * Ordering: events are sorted within each invocation; across batches,
+  * per-key event-time order is assumed (watermark-ordered replay
+  * upstream). A late event older than the open session's last timestamp
+  * still merges into it (interior late data is absorbed); late data older
+  * than the open session's start would need buffered-events state +
+  * event-time timeout — out of scope, documented.
   */
 object StatefulSessionize {
 
-  /** Split each user's events into sessions separated by > `gapNs`.
-    * Totals use exact decimal(2) accumulation matching
-    * `CAST(SUM(CAST(v AS DECIMAL(14,2))) AS DOUBLE)`.
-    */
+  /** Split each user's events into sessions separated by > `gapNs`. */
   def sessionize(events: Dataset[Ev], gapNs: Long): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, SessionRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[Ev], _) =>
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev],
+            state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
           val sorted = it.toVector.sortBy(e => (e.ts_ns, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
-            val sessions = Vector.newBuilder[SessionRow]
-            var idx = 0L
-            var start = 0L
-            var prev = Long.MinValue
-            var n = 0L
-            var total = BigDecimal(0)
-            def close(): Unit =
-              if (n > 0) sessions += SessionRow(uid, idx, start, n, total.toDouble)
+            val out = Vector.newBuilder[SessionRow]
+            def emit(s: OpenSession): Unit =
+              out += SessionRow(uid, s.idx, s.start, s.n, s.totalCents / 100.0)
+            var open = state.getOption.orNull
             sorted.foreach { e =>
-              if (prev == Long.MinValue || e.ts_ns - prev > gapNs) {
-                close()
-                idx += 1; start = e.ts_ns; n = 0; total = BigDecimal(0)
-              }
-              prev = e.ts_ns
-              n += 1
-              total += BigDecimal(e.value)
+              val cents = BigDecimal(e.value)
                 .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .bigDecimal.movePointRight(2).longValueExact()
+              if (open == null)
+                open = OpenSession(1L, e.ts_ns, e.ts_ns, 1L, cents)
+              else if (e.ts_ns - open.lastTs > gapNs) {
+                emit(open) // closed by this gap — final form
+                open = OpenSession(open.idx + 1, e.ts_ns, e.ts_ns, 1L, cents)
+              } else
+                open = open.copy(lastTs = math.max(open.lastTs, e.ts_ns),
+                  n = open.n + 1, totalCents = open.totalCents + cents)
             }
-            close()
-            sessions.result().iterator
+            state.update(open)
+            emit(open) // snapshot of the (possibly still-open) session
+            out.result().iterator
           }
       }
+  }
+
+  /** Last-write-wins compaction for the update-shaped emissions: the
+    * final version of a session is its highest-count snapshot (counts
+    * only grow). Batch invocations emit each session once, so this is a
+    * no-op there.
+    */
+  def compact(rows: Dataset[SessionRow]): Dataset[SessionRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(r => (r.user_id, r.session_idx))
+      .reduceGroups((a, b) => if (a.n >= b.n) a else b)
+      .map(_._2)
   }
 }

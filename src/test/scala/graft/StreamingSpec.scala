@@ -43,4 +43,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 10:00:00", "a", 2L),
       ("2024-01-01 10:10:00", "b", 1L)))
   }
+
+  test("StatefulSessionize carries open sessions across micro-batches") {
+    import graft.streaming.{Ev, SessionRow, StatefulSessionize}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+      .as[Ev].collect().toSeq
+    assert(events.nonEmpty)
+
+    // the ground truth: one-shot batch sessionization of the same events
+    val expected = StatefulSessionize
+      .sessionize(events.toDS(), gapNs).collect().toSet
+
+    // same events in global event-time order, split across 4 micro-batches
+    // — sessions WILL straddle the cut points, which is the behavior under
+    // test (a stateless per-batch sessionizer fragments them)
+    val sorted = events.sortBy(e => (e.ts_ns, e.event_id))
+    val chunks = sorted.grouped((sorted.size + 3) / 4).toSeq
+    assert(chunks.size >= 3)
+
+    val input = MemoryStream[Ev]
+    val q = StatefulSessionize.sessionize(input.toDS(), gapNs)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val got = StatefulSessionize
+      .compact(spark.table("sess_test").as[SessionRow]).collect().toSet
+    assert(got == expected)
+  }
 }
