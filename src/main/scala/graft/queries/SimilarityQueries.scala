@@ -40,17 +40,44 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
-    // ---- blocked embedding-cosine near-dup pairs -------------------------
+    // ---- banded-LSH embedding-cosine near-dup pairs ----------------------
+    // Contract (mirrored in the oracle, like q26/q28's banding): candidates
+    // share the label AND at least one of 4 RP-LSH bands (4 planes each
+    // from a 16-plane signature), verified by exact cosine ≥ 0.3. Label
+    // alone is NOT the block key — per-label membership grows O(n), so
+    // label-blocked pair work grows O(n²); the bands bound bucket sizes.
     QueryDef.sql(
-      "q31_embedding_neardup",
-      s"""SELECT d1, d2, sim FROM (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |         ${cosSql("a.embedding", "b.embedding")} AS sim
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE sim >= 0.3 ORDER BY d1, d2""") { (s, d) =>
-      Similarity.nearDupPairs(
-        Tables.embeddings(s, d).repartition(col("vec_id")), "label", 0.3)
+      "q31_embedding_neardup", {
+        val nPlanes = 16
+        val bands = 4
+        val rpb = nPlanes / bands
+        def dotSqlPlane(j: Int): String =
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * (CAST((($j * 1000003 + (i - 1) * 7919) % 97 - 48) AS DOUBLE) / 48.0::DOUBLE))), (x, y) -> x + y)"
+        val bucketSql = (0 until nPlanes).map { j =>
+          s"CASE WHEN ${dotSqlPlane(j)} >= 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        val bandsSql = (0 until bands).map { b =>
+          s"SELECT vec_id, label, $b AS band, (bucket >> ${b * rpb}) & ${(1 << rpb) - 1} AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sig AS (
+           |  SELECT vec_id, label, CAST($bucketSql AS INT) AS bucket FROM embeddings),
+           |bands AS (
+           |  $bandsSql),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2
+           |  FROM bands l JOIN bands r
+           |    ON l.label = r.label AND l.band = r.band AND l.key = r.key
+           |   AND l.vec_id < r.vec_id),
+           |s AS (
+           |  SELECT d1, d2, ${cosSql("a.embedding", "b.embedding")} AS sim
+           |  FROM cand JOIN embeddings a ON d1 = a.vec_id
+           |            JOIN embeddings b ON d2 = b.vec_id)
+           |SELECT d1, d2, sim FROM s WHERE sim >= 0.3 ORDER BY d1, d2"""
+      }) { (s, d) =>
+      Similarity.bandedNearDupPairs(
+        Tables.embeddings(s, d).repartition(col("vec_id")),
+        "label", Similarity.rpPlanes(16, 64), 4, 0.3)
         .orderBy("d1", "d2")
     },
 

@@ -94,8 +94,54 @@ object Similarity {
       when(Exact.foldDot(v, typedlit(w)) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Banded RP-LSH near-duplicate pairs — the OR-construction: the
+    * `planes.size`-bit signature splits into `bands` bands of
+    * `r = planes.size / bands` planes; candidates are pairs agreeing on
+    * ≥1 whole band (within `blockCol`), then exact cosine verifies. Per-
+    * band match probability for angle θ is `(1 − θ/π)^r`, so recall is
+    * `1 − (1 − (1−θ/π)^r)^bands` — at 16 planes / 4 bands ≈ 0.96 for
+    * sim 0.9 pairs. Scale rule: grow `r` with corpus size to hold
+    * per-bucket membership (`r ≈ log2(n / target_bucket)`), adding bands
+    * to keep recall.
+    *
+    * Plan shape: signature is map-side; only (block, band, key) rows
+    * shuffle for the equi-join; vectors join back by id for verification
+    * — the same LSH-banding shape as the MinHash dedup path, never a
+    * per-block O(n²) explosion.
+    * Output: (d1, d2, sim).
+    */
+  def bandedNearDupPairs(vectors: DataFrame, blockCol: String,
+      planes: Seq[Seq[Double]], bands: Int, threshold: Double): DataFrame = {
+    require(planes.size % bands == 0, "planes must split evenly into bands")
+    val r = planes.size / bands
+    val sig = vectors.select(col(blockCol).as("blk"), col("vec_id"),
+      rpLshBucket(col("embedding"), planes).as("bucket"))
+    val banded = sig.select(col("blk"), col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("bucket"), b * r).bitwiseAND(lit((1 << r) - 1))): _*))
+        .as(Seq("band", "key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      Exact.foldNorm(col("embedding")).as("nrm"))
+    cand
+      .join(v.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+        col("nrm").as("n1")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+        col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (Exact.foldDot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Near-duplicate pairs by embedding cosine within a blocking key (e.g.
-    * a label or LSH bucket) — never a full cross join.
+    * a label or LSH bucket) — never a full cross join, but per-block pair
+    * counts grow O(n²) with block membership: use [[bandedNearDupPairs]]
+    * unless the block key is known to stay high-cardinality.
     * Output: (d1, d2, sim).
     */
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
