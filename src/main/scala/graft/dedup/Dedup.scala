@@ -123,29 +123,35 @@ object Dedup {
     * vote-sum ≥ 0 formulation the oracle uses: `ones − (n − ones) ≥ 0 ⇔
     * 2·ones ≥ n`).
     *
-    * ONE pass, bit-packed: the 24 one-counters live in 6 longs of 4
-    * 16-bit lanes; each token adds its spread bit pattern with pure long
-    * arithmetic — no per-token array allocation. A lane counts at most n
-    * (the token count), so n ≤ [[SimHashMaxTokens]] guarantees no lane
-    * overflow; larger documents — and empty ones, mirroring
+    * ONE pass, bit-packed: the 24 one-counters live in 8 longs of 3
+    * 16-bit lanes (shifts 0/16/32); each token adds its spread bit
+    * pattern with pure long arithmetic — no per-token array allocation.
+    * Three lanes, not four: a 4-lane packing puts the top lane at bit 48,
+    * and at 32,768 tokens its counter crosses bit 63 — a signed-long
+    * overflow that ANSI mode rejects outright and non-ANSI mode wraps
+    * into sign-corrupted lane reads. With the top lane at bit 32 the
+    * accumulator peaks at 65,535·(1+2^16+2^32) ≈ 2^48, far inside the
+    * signed range, so every lane extracts exactly for any n ≤
+    * [[SimHashMaxTokens]]. Larger documents — and empty ones, mirroring
     * `minhashSignature`'s null — yield a null signature.
     */
   def simhash(hashes: Column): Column = {
-    // bit pattern of h's 4-bit group spread into the 16-bit lanes of one long
+    // bit pattern of h's 3-bit group spread into the 16-bit lanes of one long
     def spread(h: Column, group: Int): Column =
-      (0 until 4).map { k =>
-        shiftleft(shiftright(h, group * 4 + k) % 2, k * 16)
+      (0 until 3).map { k =>
+        shiftleft(shiftright(h, group * 3 + k) % 2, k * 16)
       }.reduce(_ + _)
     aggregate(
       hashes,
-      struct((0 until 6).map(i => lit(0L).as(s"c$i")) :+ lit(0L).as("n"): _*),
+      struct((0 until 8).map(i => lit(0L).as(s"c$i")) :+ lit(0L).as("n"): _*),
       (acc, h) => struct(
-        (0 until 6).map(i => (acc(s"c$i") + spread(h, i)).as(s"c$i"))
+        (0 until 8).map(i => (acc(s"c$i") + spread(h, i)).as(s"c$i"))
           :+ (acc("n") + 1L).as("n"): _*),
       acc => when(acc("n") === 0 || acc("n") > SimHashMaxTokens,
         lit(null).cast("bigint"))
         .otherwise((0 until SimHashBits).map { b =>
-          val ones = shiftright(acc(s"c${b / 4}"), (b % 4) * 16) % 65536
+          val ones = shiftright(acc(s"c${b / 3}"), (b % 3) * 16)
+            .bitwiseAND(lit(0xFFFFL))
           when(ones * 2 >= acc("n"), lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _)))
   }

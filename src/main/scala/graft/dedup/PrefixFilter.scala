@@ -47,9 +47,13 @@ object PrefixFilter {
         transform(col("_ord"), e => e("_tok")).as("_sorted"))
 
     // prefix length |x| - ceil(t*|x|) + 1 (≥ 1 unless the set is empty;
-    // empty sets yield empty prefixes → no candidates, matching J=∅ rules)
+    // empty sets yield empty prefixes → no candidates, matching J=∅ rules).
+    // The product is rounded to 9 decimals before the ceiling: for t·n
+    // mathematically integral but not binary-exact (t=0.7, n=10 →
+    // 7.000000000000001) a bare ceil overshoots, shortening the prefix by
+    // one and breaking the recall-1.0 lemma.
     val n = size(col("_sorted"))
-    val prefLen = (n - ceil(n * t) + 1).cast("int")
+    val prefLen = (n - ceil(round(n * t, 9)) + 1).cast("int")
     val prefixes = ordered
       .select(col("_id"),
         explode(slice(col("_sorted"), lit(1), prefLen)).as("_tok"))

@@ -81,17 +81,25 @@ object Geo {
         cellOf(array_min(col("xs"))), cellOf(array_max(col("xs"))))))
       .withColumn("celly", explode(sequence(
         cellOf(array_min(col("ys"))), cellOf(array_max(col("ys"))))))
+    // a synthetic point id keys the miss path: matches reduce to
+    // (_pt_id, name) and LEFT-join back, so unmatched points surface with
+    // a null name in ONE join — an all-columns left_anti here would cost
+    // an extra full shuffle of the point set AND silently drop both
+    // copies of a fully-duplicate point row when only one matched. The
+    // persist pins monotonically_increasing_id to one evaluation (both
+    // join branches read the same materialized ids).
     val pts = points
+      .withColumn("_pt_id", monotonically_increasing_id())
       .withColumn("cellx", cellOf(col("x")))
       .withColumn("celly", cellOf(col("y")))
+      .persist()
     val matches = pts
       .join(polyCells, Seq("cellx", "celly"))
       .filter(stContains(col("xs"), col("ys"), col("x"), col("y")))
-      .drop("cellx", "celly", "xs", "ys")
-    val misses = pts.drop("cellx", "celly")
-      .join(matches.drop("name"), points.columns.toSeq, "left_anti")
-      .withColumn("name", lit(null).cast("string"))
-    matches.unionByName(misses)
+      .select(col("_pt_id"), col("name"))
+    pts.drop("cellx", "celly")
+      .join(matches, Seq("_pt_id"), "left")
+      .drop("_pt_id")
   }
 }
 

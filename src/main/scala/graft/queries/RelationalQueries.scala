@@ -16,11 +16,12 @@ import graft.functions.Exact._
   * well-distributed columns (partial aggregation does the heavy lifting
   * map-side); all dimension joins broadcast (`supplier`/`nation`/`region`
   * are dimension-sized by construction); windows partition by a key so
-  * they shuffle once and never collapse to a single partition — except
-  * where the reference itself demands a global ordering (q07: synthetic
-  * negative ids are inherently sequential; on a cluster that stays a
-  * single-partition window over an already-tiny filtered slice, exactly
-  * like the reference's in-order numbering of null keys).
+  * they shuffle once and never collapse to a single partition. Where the
+  * reference demands a global ordering over a fact-table slice (q07:
+  * sequential negative ids), the numbering runs as the two-pass
+  * partition-offset scheme of [[graft.operators.GlobalRowNumber]] — no
+  * partition-less window anywhere. q06/q16 keep a bare global window
+  * only over dimension-sized deltas (≤ thousands of rows).
   */
 object RelationalQueries {
 
@@ -143,11 +144,15 @@ object RelationalQueries {
         |       CAST(-row_number() OVER (ORDER BY o_orderkey) AS VARCHAR) AS synthetic_id
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""") { (s, d) =>
-      Tables.orders(s, d)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-        .withColumn("synthetic_id",
-          (-row_number().over(Window.orderBy("o_orderkey"))).cast("string"))
+      // two-pass partition-offset numbering — a bare Window.orderBy would
+      // collapse ~20% of orders onto one partition (see GlobalRowNumber)
+      graft.operators.GlobalRowNumber.byKeyOrder(
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        "o_orderkey", "_rn")
+        .withColumn("synthetic_id", (-col("_rn")).cast("string"))
+        .select("o_orderkey", "synthetic_id")
         .orderBy("o_orderkey")
     },
 

@@ -104,10 +104,12 @@ final case class OpenSession(idx: Long, start: Long, lastTs: Long,
   *
   * Ordering: events are sorted within each invocation; across batches,
   * per-key event-time order is assumed (watermark-ordered replay
-  * upstream). A late event older than the open session's last timestamp
-  * still merges into it (interior late data is absorbed); late data older
-  * than the open session's start would need buffered-events state +
-  * event-time timeout — out of scope, documented.
+  * upstream). A late event within `gapNs` of the open session's last
+  * timestamp merges into it — including one older than the session's
+  * start, which lowers `session_start` to the exact earliest event time.
+  * Late data far enough in the past to belong to an ALREADY-CLOSED
+  * session would need buffered-events state + event-time timeout — out
+  * of scope, documented.
   */
 object StatefulSessionize {
 
@@ -136,7 +138,11 @@ object StatefulSessionize {
                 emit(open) // closed by this gap — final form
                 open = OpenSession(open.idx + 1, e.ts_ns, e.ts_ns, 1L, cents)
               } else
-                open = open.copy(lastTs = math.max(open.lastTs, e.ts_ns),
+                // min on start: a cross-batch late event older than the
+                // open session's first event is absorbed with an exact
+                // session_start, not the stale one
+                open = open.copy(start = math.min(open.start, e.ts_ns),
+                  lastTs = math.max(open.lastTs, e.ts_ns),
                   n = open.n + 1, totalCents = open.totalCents + cents)
             }
             state.update(open)

@@ -74,6 +74,63 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert(got(2).isNullAt(0)) // lane-overflow bound → no signature
   }
 
+  test("simhash: exact past 32,768 tokens (top-lane sign bit)") {
+    // 40,000 tokens all sharing bit 3 (top lane of counter 0) drives that
+    // lane past 32,767 — the packed long goes negative, and the old
+    // arithmetic-shift + sign-preserving-% extraction returned negative
+    // `ones`, silently clearing majority bits. SimHashMaxTokens = 65535
+    // promises these documents fold exactly.
+    val rnd = new scala.util.Random(11)
+    val hashes = Seq.fill(40000)((rnd.nextInt(1 << Dedup.SimHashBits) | 0x8).toLong)
+    def naive(hs: Seq[Long]): Long =
+      (0 until Dedup.SimHashBits).map { b =>
+        val ones = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (2L * ones >= hs.length) 1L << b else 0L
+      }.sum
+    val got = Seq(hashes).toDF("hs")
+      .select(Dedup.simhash(col("hs")).as("sh")).as[Long].head()
+    assert(got == naive(hashes))
+    assert((got & 0x8L) == 0x8L) // the overflowing lane's bit IS set
+  }
+
+  test("PrefixFilter: exact prefix length at t=0.7, n=10 (float-ceil trap)") {
+    // 10·0.7 = 7.000000000000001 in doubles; a bare ceil gives 8 and a
+    // 3-prefix. A = {u1,u2,u3} ∪ S, B = S (|S|=7): jac = 7/10 = 0.7.
+    // A's three df-1 unique tokens fill the shortened prefix, so the pair
+    // is found ONLY via A's 4th prefix slot — missed by the buggy length.
+    val shared = (1 to 7).map(i => s"s$i")
+    val rows = Seq(
+      (1L, Seq("u1", "u2", "u3") ++ shared),
+      (2L, shared))
+    val got = graft.dedup.PrefixFilter
+      .jaccardSelfJoin(rows.toDF("doc_id", "gs"), "doc_id", "gs", 0.7)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(2) == 0.7)
+  }
+
+  test("PrefixFilter: recall 1.0 vs brute force across t in {0.5,0.7,0.8,0.9}") {
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 40).map(i => f"w$i%02d")
+    val rows = (0 until 25).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(5 + rnd.nextInt(12)).distinct)
+    } ++ Seq((50L, (0 until 10).map(i => f"w$i%02d"))) // fixed 10-set: t·n integral at .7/.8/.9
+    val df = rows.toDF("doc_id", "gs")
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9)) {
+      val got = graft.dedup.PrefixFilter
+        .jaccardSelfJoin(df, "doc_id", "gs", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = rows.flatMap { case (i, a) =>
+        rows.collect { case (j, b) if i < j =>
+          val inter = a.toSet.intersect(b.toSet).size.toDouble
+          (i, j, inter / (a.size + b.size - inter))
+        }
+      }.filter(_._3 >= t).map(p => (p._1, p._2)).toSet
+      assert(got == brute, s"t=$t: got ${got.size}, brute ${brute.size}")
+    }
+  }
+
   test("foldHash UDFs: null-safe, empty string hashes to 0") {
     val df = Seq(("x", Seq("a", "b")), (null: String, null: Seq[String]))
       .toDF("s", "xs")

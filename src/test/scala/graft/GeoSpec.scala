@@ -61,6 +61,31 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("gridSpatialJoin: left semantics with fully-duplicate point rows") {
+    val polys = Seq(("t", triX, triY)).toDF("name", "xs", "ys")
+    // two ENTIRELY identical contained points, one uncontained point —
+    // every physical row must surface exactly once (the old all-columns
+    // left_anti miss path conflated identical rows)
+    val pts = Seq((1L, 5.0, 2.0), (1L, 5.0, 2.0), (2L, 50.0, 50.0))
+      .toDF("k", "x", "y")
+    val got = Geo.gridSpatialJoin(pts, polys, cellSize = 10.0)
+      .select(col("k"), col("x"), col("y"), col("name"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        Option(r.getString(3))))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 5.0, 2.0, Some("t")),
+      (1L, 5.0, 2.0, Some("t")),
+      (2L, 50.0, 50.0, None)))
+    // and it matches the BNLJ reference plan on the same inputs
+    val bnlj = pts.join(broadcast(polys),
+      Geo.stContains(col("xs"), col("ys"), col("x"), col("y")), "left")
+      .select(col("k"), col("name")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._4)) == bnlj)
+  }
+
   test("GraftExtensions registers st_contains for SQL use") {
     new GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly

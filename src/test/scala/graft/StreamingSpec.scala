@@ -79,4 +79,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .compact(spark.table("sess_test").as[SessionRow]).collect().toSet
     assert(got == expected)
   }
+
+  test("StatefulSessionize absorbs a pre-start late event with exact session_start") {
+    import graft.streaming.{Ev, SessionRow, StatefulSessionize}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val gapNs = 10000L
+    def ev(id: Long, ts: Long) = Ev(id, ts, 1L, "x", 1.0, "")
+    // batch 1 opens a session at ts=1000; batch 2 delivers a LATE event at
+    // ts=500 — older than the open session's start but within gapNs of its
+    // last timestamp. It must merge AND lower session_start to 500.
+    val batch1 = Seq(ev(1, 1000), ev(2, 2000))
+    val batch2 = Seq(ev(3, 500), ev(4, 3000))
+
+    val input = MemoryStream[Ev]
+    val q = StatefulSessionize.sessionize(input.toDS(), gapNs)
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    Seq(batch1, batch2).foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val got = StatefulSessionize
+      .compact(spark.table("late_test").as[SessionRow]).collect().toSet
+    // ground truth: the one-shot batch sessionization of all four events
+    val expected = StatefulSessionize
+      .sessionize((batch1 ++ batch2).toDS(), gapNs).collect().toSet
+    assert(got == expected)
+    assert(got == Set(SessionRow(1L, 1L, 500L, 4L, 4.0)))
+  }
 }
