@@ -150,6 +150,57 @@ object DateSplit {
   /** F2: strict `YYYY-MM-DD` shape gate (`cleaner.py:160-168`). */
   def isValidDate(c: Column): Column = c.rlike("^\\d{4}-\\d{2}-\\d{2}$")
 
+  /** The pydantic eventDate gate's explicit reject list
+    * (`whalefinder/validate.py:50-58`) — shapes that ARE
+    * dateutil-parsable but whose parse invents values (`1925-11`,
+    * `June 1758`, ranges with `/`), checked BEFORE the accept set.
+    */
+  val BadDateFormats: Seq[String] = Seq(
+    "^\\d{4}-\\d{1,2}$", "^\\d{1,2}-\\d{4}$", "^\\d{1,4}$",
+    "^\\d{1,2} [A-Za-z]+$", "^[A-Za-z]+ \\d{1,2}$", "^[A-Za-z]+ \\d{4}$",
+    "^\\d{4} [A-Za-z]+$", "^.*/.*$")
+
+  /** The reference's full eventDate acceptance (`validate.py:37-63`):
+    * reject [[BadDateFormats]], else accept what `dateutil.parse` accepts
+    * and emit the date pydantic's `model_dump(mode='json')` would — the
+    * normalized `YYYY-MM-DD` string — or null when rejected.
+    *
+    * dateutil's accept set is open-ended; this pins the subset observed
+    * in OBIS data plus the validate.py docstring examples:
+    *  - ISO `YYYY-MM-DD`, optional ` `/`T` time, optional `Z`/offset
+    *    (`1849-12-04 23:12:00`, `1849-12-04T23:12:00Z`,
+    *    `1971-01-01 00:00:00+00`, `1910-12-24T02:00`)
+    *  - dotted `YYYY.MM.DD` (`2020.05.01`)
+    *  - `Month DD, YYYY` / `DD Month YYYY` (comma optional, full or
+    *    abbreviated month — `May 5, 2020`)
+    * Impossible calendar dates and unknown month words are rejected,
+    * as dateutil rejects them.
+    */
+  def dateutilNormalize(c: Column): Column = {
+    val bad = BadDateFormats.map(c.rlike).reduce(_ || _)
+    val time = "([ T]([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d)?(Z|[+-]\\d{2}(:?\\d{2})?)?)?"
+    val isoPat = s"^(\\d{4})-(\\d{1,2})-(\\d{1,2})$time$$"
+    val dotPat = "^(\\d{4})\\.(\\d{1,2})\\.(\\d{1,2})$"
+    val mdyPat = "^([A-Za-z]+) (\\d{1,2}),? (\\d{4})$"
+    val dmyPat = "^(\\d{1,2}) ([A-Za-z]+),? (\\d{4})$"
+    def g(pat: String, i: Int): Column = regexp_extract(c, pat, i)
+    def norm(y: Column, m: Column, d: Column): Column =
+      when(m.between(1, 12) && d.between(1, lastDayOf(y, m)),
+        format_string("%04d-%02d-%02d", y, m, d))
+    def gi(pat: String, i: Int): Column = g(pat, i).cast("int")
+    when(bad, lit(null).cast("string"))
+      .when(c.rlike(isoPat), norm(gi(isoPat, 1), gi(isoPat, 2), gi(isoPat, 3)))
+      .when(c.rlike(dotPat), norm(gi(dotPat, 1), gi(dotPat, 2), gi(dotPat, 3)))
+      .when(c.rlike(mdyPat),
+        norm(gi(mdyPat, 3), monthNum(g(mdyPat, 1)), gi(mdyPat, 2)))
+      .when(c.rlike(dmyPat),
+        norm(gi(dmyPat, 3), monthNum(g(dmyPat, 2)), gi(dmyPat, 1)))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Boolean form of [[dateutilNormalize]] — the P3 validation gate. */
+  def dateutilAccept(c: Column): Column = dateutilNormalize(c).isNotNull
+
   /** F3: bare-year default expansion for request windows
     * (`whalefinder/obis.py:103-122`): `YYYY` → `YYYY-01-01` / `YYYY-12-31`.
     */

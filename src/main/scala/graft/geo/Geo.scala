@@ -76,11 +76,15 @@ object Geo {
     import org.apache.spark.sql.functions._
     register(points.sparkSession)
     def cellOf(c: Column): Column = floor(c / cellSize).cast("long")
+    // bbox over finite vertices only: Wkt's NaN ring separators sort as
+    // the largest double, so a bare array_max would be NaN (and its cast
+    // to a cell id rejected under ANSI mode)
+    def finite(c: Column): Column = filter(c, v => !isnan(v))
     val polyCells = polys
       .withColumn("cellx", explode(sequence(
-        cellOf(array_min(col("xs"))), cellOf(array_max(col("xs"))))))
+        cellOf(array_min(finite(col("xs")))), cellOf(array_max(finite(col("xs")))))))
       .withColumn("celly", explode(sequence(
-        cellOf(array_min(col("ys"))), cellOf(array_max(col("ys"))))))
+        cellOf(array_min(finite(col("ys")))), cellOf(array_max(finite(col("ys")))))))
     // a synthetic point id keys the miss path: matches reduce to
     // (_pt_id, name) and LEFT-join back, so unmatched points surface with
     // a null name in ONE join — an all-columns left_anti here would cost

@@ -1,0 +1,64 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WKT polygon on-ramp to the engine's `(name, xs, ys)` polygon contract
+  * (SURVEY.md §2.1 S6; reference `whalefinder/cleaner.py:18-27` loads the
+  * GOaS ocean shapefile via geopandas — shapefiles export to WKT with any
+  * standard GIS tool, so WKT is the interchange the engine accepts).
+  *
+  * Multi-ring/multi-part handling: POLYGON interior rings (holes) and all
+  * MULTIPOLYGON parts fold into ONE vertex-array row, rings separated by a
+  * NaN vertex. [[Geo.rayCast]]'s even-odd rule then remains exact with no
+  * code changes: every comparison against a NaN coordinate is false, so
+  * the two synthetic edges touching a separator (and the wrap-around edge)
+  * never count as crossings, while each closed ring contributes its own
+  * crossings — and the even-odd fill rule over the union of rings is
+  * precisely "inside an odd number of rings", i.e. inside some part and
+  * not in its holes. One row per polygon keeps the broadcast-BNLJ shape of
+  * q39 untouched at any ring count.
+  */
+object Wkt {
+
+  /** Rings of a POLYGON/MULTIPOLYGON WKT as (x, y) vertex runs. Innermost
+    * parenthesis groups are exactly the rings in both geometries.
+    */
+  def parseRings(wkt: String): Seq[Array[(Double, Double)]] = {
+    val t = wkt.trim.toUpperCase
+    require(t.startsWith("POLYGON") || t.startsWith("MULTIPOLYGON"),
+      s"unsupported WKT geometry: ${wkt.take(30)}")
+    "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
+      m.group(1).trim.split(",").map { pt =>
+        val xy = pt.trim.split("\\s+")
+        (xy(0).toDouble, xy(1).toDouble)
+      }
+    }.toSeq
+  }
+
+  /** NaN-separated (xs, ys) arrays for all rings of a WKT geometry. */
+  def toVertexArrays(wkt: String): (Array[Double], Array[Double]) = {
+    val rings = parseRings(wkt)
+    val sep = Array((Double.NaN, Double.NaN))
+    val joined =
+      if (rings.size == 1) rings.head
+      else rings.reduce((a, b) => a ++ sep ++ b)
+    (joined.map(_._1), joined.map(_._2))
+  }
+
+  /** Read a tab-separated `name<TAB>wkt` file into the `(name, xs, ys)`
+    * polygon contract. Parsing runs distributed (polygon tables are
+    * dimension-sized, but vertex counts can be large — GOaS rings carry
+    * millions of points).
+    */
+  def loadPolygons(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (wkt: String) =>
+      val (xs, ys) = toVertexArrays(wkt)
+      (xs, ys)
+    }
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("name", "wkt")
+      .select(col("name"), parse(col("wkt")).as("p"))
+      .select(col("name"), col("p._1").as("xs"), col("p._2").as("ys"))
+  }
+}

@@ -68,6 +68,53 @@ object DateQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- P3 extended: the dateutil-lenient pydantic eventDate gate ------
+    // Raw strings are derived from o_orderdate in 10 shapes (6 accepted by
+    // validate.py:37-63 + dateutil, 4 rejected); the oracle computes the
+    // expected normalization from the SOURCE DATE directly, so the gate's
+    // regex/calendar logic is checked against ground truth rather than a
+    // re-implementation of itself.
+    QueryDef.sql(
+      "q63_dateutil_gate",
+      """SELECT o_orderkey,
+        |  CASE k WHEN 0 THEN strftime(d, '%Y-%m-%d')
+        |         WHEN 1 THEN strftime(d, '%Y-%m-%d') || ' 23:12:00'
+        |         WHEN 2 THEN strftime(d, '%Y-%m-%d') || 'T08:30'
+        |         WHEN 3 THEN strftime(d, '%Y.%m.%d')
+        |         WHEN 4 THEN strftime(d, '%B') || ' ' || CAST(day(d) AS VARCHAR) || ', ' || strftime(d, '%Y')
+        |         WHEN 5 THEN CAST(day(d) AS VARCHAR) || ' ' || strftime(d, '%b') || ' ' || strftime(d, '%Y')
+        |         WHEN 6 THEN strftime(d, '%Y-%m')
+        |         WHEN 7 THEN strftime(d, '%Y')
+        |         WHEN 8 THEN strftime(d, '%Y-%m-%d') || '/' || strftime(d + INTERVAL 4 DAY, '%Y-%m-%d')
+        |         ELSE 'Foo ' || CAST(day(d) AS VARCHAR) || ', ' || strftime(d, '%Y') END AS raw,
+        |  CASE WHEN k <= 5 THEN strftime(d, '%Y-%m-%d') END AS norm,
+        |  (k <= 5) AS accepted
+        |FROM (SELECT o_orderkey, o_orderdate AS d, o_orderkey % 10 AS k FROM orders)
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      val k = col("o_orderkey") % 10
+      val d = col("o_orderdate")
+      def day = dayofmonth(d).cast("string")
+      val raw = when(k === 0, date_format(d, "yyyy-MM-dd"))
+        .when(k === 1, concat(date_format(d, "yyyy-MM-dd"), lit(" 23:12:00")))
+        .when(k === 2, concat(date_format(d, "yyyy-MM-dd"), lit("T08:30")))
+        .when(k === 3, date_format(d, "yyyy.MM.dd"))
+        .when(k === 4, concat(date_format(d, "MMMM"), lit(" "), day,
+          lit(", "), date_format(d, "yyyy")))
+        .when(k === 5, concat(day, lit(" "), date_format(d, "MMM"),
+          lit(" "), date_format(d, "yyyy")))
+        .when(k === 6, date_format(d, "yyyy-MM"))
+        .when(k === 7, date_format(d, "yyyy"))
+        .when(k === 8, concat(date_format(d, "yyyy-MM-dd"), lit("/"),
+          date_format(date_add(d, 4), "yyyy-MM-dd")))
+        .otherwise(concat(lit("Foo "), day, lit(", "), date_format(d, "yyyy")))
+      Tables.orders(s, dir)
+        .repartition(col("o_orderkey")) // regex-heavy gate: use all cores
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("norm", dateutilNormalize(col("raw")))
+        .withColumn("accepted", dateutilAccept(col("raw")))
+        .orderBy("o_orderkey")
+    },
+
     // ---- F2/F3: strict-date gate + bare-year window expansion -----------
     QueryDef.sql(
       "q18_date_gate_expand",

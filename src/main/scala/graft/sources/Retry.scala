@@ -14,14 +14,17 @@ object Retry {
   def backoffSchedule(attempts: Int, baseMs: Long, capMs: Long): Seq[Long] =
     (0 until attempts).map(i => math.min(baseMs << i, capMs))
 
-  /** Run `f`, retrying on exception per `schedule` (one sleep per retry);
-    * the final failure propagates.
+  /** Run `f`, retrying per `schedule` (one sleep per retry) on exceptions
+    * `retryOn` accepts — default: all. Terminal failures (predicate false
+    * or schedule exhausted) propagate. The reference's adapter likewise
+    * retries only its status forcelist + connection errors, never 4xx
+    * (`obis.py:23`).
     */
-  def withRetries[T](schedule: Seq[Long], sleep: Long => Unit = Thread.sleep)
-      (f: () => T): T = {
+  def withRetries[T](schedule: Seq[Long], sleep: Long => Unit = Thread.sleep,
+      retryOn: Exception => Boolean = _ => true)(f: () => T): T = {
     @tailrec def go(remaining: Seq[Long]): T =
       try f() catch {
-        case e: Exception if remaining.nonEmpty =>
+        case e: Exception if remaining.nonEmpty && retryOn(e) =>
           sleep(remaining.head)
           go(remaining.tail)
         case e: Exception => throw e

@@ -109,6 +109,54 @@ class DateSplitSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dateutilNormalize: pinned accept/reject table from validate.py + dateutil") {
+    import spark.implicits._
+    // (input, expected normalized date or None) — the validate.py:37-63
+    // gate: bad_formats rejected first, then dateutil's parse, normalized
+    // the way pydantic's model_dump(mode='json') emits dates
+    val table: Seq[(String, Option[String])] = Seq(
+      // validate.py docstring accepted examples
+      "1913-03-17" -> Some("1913-03-17"),
+      "1849-12-04 23:12:00" -> Some("1849-12-04"),
+      "1849-12-04T23:12:00" -> Some("1849-12-04"),
+      "1849-12-04T23:12:00Z" -> Some("1849-12-04"),
+      "1971-01-01 00:00:00+00" -> Some("1971-01-01"),
+      "1910-12-24T02:00" -> Some("1910-12-24"),
+      // dateutil-lenient shapes beyond the strict gate
+      "2020.05.01" -> Some("2020-05-01"),
+      "May 5, 2020" -> Some("2020-05-05"),
+      "May 5 2020" -> Some("2020-05-05"),
+      "5 May 2020" -> Some("2020-05-05"),
+      "5 November, 2020" -> Some("2020-11-05"),
+      "1994-3-5" -> Some("1994-03-05"),
+      // validate.py bad_formats — dateutil COULD parse these, the gate
+      // must reject them before it gets the chance
+      "1925-11" -> None,
+      "03-1990" -> None,
+      "1985" -> None,
+      "20 Nov" -> None,
+      "Oct 15" -> None,
+      "June 1758" -> None,
+      "1970 Oct" -> None,
+      "1800-01-01/1874-06-24" -> None,
+      // dateutil failures: impossible dates, unknown months, garbage
+      "2020-02-31" -> None,
+      "2021-02-29" -> None,
+      "2020-13-01" -> None,
+      "Foo 5, 2020" -> None,
+      "2020-05-01 25:99" -> None,
+      "not a date" -> None,
+      "" -> None)
+    val got = table.map(_._1).toDF("raw")
+      .select(col("raw"), dateutilNormalize(col("raw")).as("norm"),
+        dateutilAccept(col("raw")).as("ok"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getBoolean(2))).toMap
+    table.foreach { case (raw, want) =>
+      assert(got(raw) == ((want, want.isDefined)), s"for input '$raw'")
+    }
+  }
+
   test("isValidDate is the strict YYYY-MM-DD gate") {
     import spark.implicits._
     val got = Seq("1994-03-05", "1994-3-5", "1994-03", "1994-03-05T00:00:00", "x")

@@ -86,6 +86,36 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(r => (r._1, r._4)) == bnlj)
   }
 
+  test("WKT on-ramp: holes and multipolygon parts match BNLJ expectations") {
+    import graft.geo.Wkt
+    val dir = java.nio.file.Files.createTempDirectory("wkt_fix")
+    val wkt = Seq(
+      // square with a square hole — (5,5) is inside the hole, so outside
+      "donut\tPOLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))",
+      // two disjoint parts under one name
+      "twin\tMULTIPOLYGON (((20 0, 30 0, 30 10, 20 10, 20 0)), ((40 0, 50 0, 50 10, 40 10, 40 0)))")
+    java.nio.file.Files.write(dir.resolve("polys.tsv"),
+      wkt.mkString("\n").getBytes("UTF-8"))
+
+    Geo.register(spark)
+    val polys = Wkt.loadPolygons(spark, dir.toString)
+    assert(polys.count() == 2) // one row per polygon, rings folded in
+
+    val pts = Seq((1L, 1.0, 1.0), (2L, 5.0, 5.0), (3L, 25.0, 5.0),
+      (4L, 35.0, 5.0), (5L, 45.0, 5.0)).toDF("k", "x", "y")
+    def names(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("name")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    val bnlj = names(pts.join(broadcast(polys),
+      Geo.stContains(col("xs"), col("ys"), col("x"), col("y")), "left"))
+    assert(bnlj == Seq(
+      (1L, Some("donut")), (2L, None), // even-odd: hole excluded
+      (3L, Some("twin")), (4L, None), (5L, Some("twin"))))
+    // grid path (NaN-separator-safe bbox) agrees with the BNLJ plan
+    val grid = names(Geo.gridSpatialJoin(pts, polys, cellSize = 5.0))
+    assert(grid == bnlj)
+  }
+
   test("GraftExtensions registers st_contains for SQL use") {
     new GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly
