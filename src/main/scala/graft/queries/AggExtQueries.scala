@@ -6,9 +6,11 @@ import graft.Tables
 import graft.functions.Exact
 
 /** Extended aggregation surface beyond the reference's count/sum/min/max
-  * (SURVEY.md §7.6): exact distinct aggregation, HLL sketch (rows-only —
-  * engines' HLL estimates legitimately differ), ROLLUP hierarchies, and
-  * pivot (conditional aggregation).
+  * (SURVEY.md §7.6): exact distinct aggregation, sketches (HLL distinct,
+  * quantile) gated on their ACCURACY CONTRACTS (raw estimates are
+  * engine-specific, so the oracle checks the deterministic claim "the
+  * estimate is within the sketch's error bound of the exact answer"),
+  * ROLLUP hierarchies, and pivot (conditional aggregation).
   */
 object AggExtQueries {
 
@@ -27,11 +29,57 @@ object AggExtQueries {
         .orderBy("o_orderpriority")
     },
 
-    // ---- HLL sketch: estimates are engine-specific → rows-only check -----
-    QueryDef.rowsOnly("q45_hll_sketch") { (s, d) =>
+    // ---- HLL sketch -------------------------------------------------------
+    // The raw estimate is engine-specific (DuckDB's approx_count_distinct
+    // uses a different HLL), so the ORACLE-CHECKABLE contract is the
+    // sketch's accuracy guarantee: |est − exact| / exact within 3× the
+    // requested rsd (0.05 → 0.15). Spark emits the tolerance verdict next
+    // to the exact count; DuckDB recomputes the exact count and expects
+    // TRUE — a sketch that drifts out of its error bound fails the gate.
+    QueryDef.sql(
+      "q45_hll_sketch",
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS est_in_tolerance
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.05).as("approx_cust"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.05).as("approx"))
+        .select(col("o_orderpriority"), col("exact_cust"),
+          (abs(col("approx") - col("exact_cust")).cast("double") /
+            col("exact_cust") <= 0.15).as("est_in_tolerance"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- quantile sketch --------------------------------------------------
+    // Same contract shape as q45: percentile_approx's guarantee is
+    // RANK-based (error ≤ n/accuracy), so the verdict joins the estimate
+    // back and checks the fraction of rows at-or-below it sits within
+    // 0.02 of the target quantile (accuracy 10000 → rank error ≤ 1e-4·n,
+    // + discreteness ≤ 1/n — far inside the bound at every SF).
+    QueryDef.sql(
+      "q64_quantile_sketch",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val appr = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+      Tables.orders(s, d)
+        .join(broadcast(appr), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          avg(when(col("o_totalprice") <= element_at(col("ap"), 1), 1.0)
+            .otherwise(0.0)).as("r50"),
+          avg(when(col("o_totalprice") <= element_at(col("ap"), 2), 1.0)
+            .otherwise(0.0)).as("r95"))
+        .select(col("o_orderpriority"), col("n"),
+          (abs(col("r50") - 0.5) <= 0.02).as("p50_rank_ok"),
+          (abs(col("r95") - 0.95) <= 0.02).as("p95_rank_ok"))
         .orderBy("o_orderpriority")
     },
 
