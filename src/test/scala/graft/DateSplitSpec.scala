@@ -154,6 +154,30 @@ class DateSplitSpec extends AnyFunSuite with SparkSpec {
         (Option(r.getString(1)), r.getBoolean(2))).toMap
     table.foreach { case (raw, want) =>
       assert(got(raw) == ((want, want.isDefined)), s"for input '$raw'")
+      // the JVM twin must agree exactly (it's what q63 and the CLI run)
+      assert(Option(graft.dates.SplitDatesFn.dateutilNormalize(raw)) == want,
+        s"UDF twin diverged on '$raw'")
+    }
+    // generated cross-check: expression ≡ twin on derived strings
+    val rnd = new scala.util.Random(13)
+    val months = Seq("May", "January", "Sep", "Foo")
+    val gen = (1 to 1500).map { _ =>
+      val (y, m, d) = (1900 + rnd.nextInt(150), rnd.nextInt(15), rnd.nextInt(34))
+      rnd.nextInt(6) match {
+        case 0 => f"$y-$m%02d-$d%02d"
+        case 1 => f"$y.$m.$d"
+        case 2 => s"${months(rnd.nextInt(4))} $d, $y"
+        case 3 => s"$d ${months(rnd.nextInt(4))} $y"
+        case 4 => f"$y-$m%02d-$d%02dT0${rnd.nextInt(10)}:30"
+        case _ => s"$y-$m"
+      }
+    }
+    val exprOut = gen.toDF("raw")
+      .select(col("raw"), dateutilNormalize(col("raw")).as("n"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+    exprOut.foreach { case (raw, want) =>
+      assert(Option(graft.dates.SplitDatesFn.dateutilNormalize(raw)) == want,
+        s"diverged on '$raw'")
     }
   }
 
