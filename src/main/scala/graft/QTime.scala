@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    args.foreach { name =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }.sorted
+      println(f"TIMING $name median ${ts(1)}%.2f s (${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

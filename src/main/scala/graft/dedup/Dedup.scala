@@ -90,6 +90,36 @@ object Dedup {
       acc => when(element_at(acc, 1) === Long.MaxValue,
         lit(null).cast("array<bigint>")).otherwise(acc))
 
+  /** JVM twin of `minhashSignature(hashAll(shingles))`, fused: one pass
+    * over the shingles folds each portable hash and updates all
+    * [[NumPerms]] permutation minima in a primitive long array — no
+    * intermediate hash array, no per-element array-accumulator
+    * allocation (the expression fold builds a fresh 16-slot array per
+    * shingle). Identical values: same char fold, same `(a·h+b) mod P`,
+    * same empty→null contract. Equivalence pinned by DedupSimSpec's
+    * dual-impl case and q26's oracle.
+    */
+  def minhashJvm(shingles: Seq[String]): Array[Long] = {
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val as = Perms.map(_._1).toArray
+    val bs = Perms.map(_._2).toArray
+    shingles.foreach { s =>
+      val h = Exact.foldHashJvm(s)
+      var i = 0
+      while (i < NumPerms) {
+        val v = (h * as(i) + bs(i)) % P // h, a < P < 2^30 → no overflow
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    mins
+  }
+
+  /** `minhashUdf(shingles)` → array<bigint> signature (null for empty). */
+  val minhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((xs: Seq[String]) =>
+      Option(xs).filter(_.nonEmpty).map(minhashJvm))
+
   /** Band keys: [[Bands]] strings, each the comma-join of one signature
     * slice — the LSH bucket identifiers.
     */
@@ -155,6 +185,36 @@ object Dedup {
           when(ones * 2 >= acc("n"), lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _)))
   }
+
+  /** JVM twin of `simhash(hashAll(tokens))`, fused like [[minhashJvm]]:
+    * one pass folds each token hash and bumps 24 primitive int vote
+    * counters (the expression fold allocates a 9-field struct per
+    * token). Same contract: empty or > [[SimHashMaxTokens]] → null.
+    */
+  def simhashJvm(tokens: Seq[String]): java.lang.Long = {
+    val n = tokens.length
+    if (n == 0 || n > SimHashMaxTokens) return null
+    val ones = new Array[Int](SimHashBits)
+    tokens.foreach { t =>
+      val h = Exact.foldHashJvm(t)
+      var b = 0
+      while (b < SimHashBits) {
+        if (((h >> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimHashBits) {
+      if (2L * ones(b) >= n) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((xs: Seq[String]) =>
+      Option(xs).map(simhashJvm).orNull)
 
   /** The three byte-bands of a 24-bit simhash (blocking keys). */
   def simhashBytes(sh: Column): Seq[Column] =

@@ -109,8 +109,10 @@ object DedupQueries {
       val sets = corpus(s, d)
         .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shd"))
         .persist()
+      // fused JVM signature kernel (hash fold + 16 minima in one pass);
+      // the expression pipeline allocates a fresh slot array per shingle
       val mh = sets
-        .withColumn("mh", minhashSignature(hashAll(col("shd"))))
+        .withColumn("mh", Dedup.minhashUdf(col("shd")))
       val bands = mh.select(col("doc_id"), col("mh"),
         posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
         .persist()
@@ -151,7 +153,7 @@ object DedupQueries {
       }) { (s, d) =>
       corpus(s, d)
         .select(col("doc_id"),
-          Dedup.simhash(hashAll(graft.text.TextAnalysis.tokens(col("text")))).as("sh"))
+          Dedup.simhashUdf(graft.text.TextAnalysis.tokens(col("text"))).as("sh"))
         .orderBy("doc_id")
     },
 
@@ -180,7 +182,7 @@ object DedupQueries {
       }) { (s, d) =>
       val sig = corpus(s, d)
         .select(col("doc_id"),
-          Dedup.simhash(hashAll(graft.text.TextAnalysis.tokens(col("text")))).as("sh"))
+          Dedup.simhashUdf(graft.text.TextAnalysis.tokens(col("text"))).as("sh"))
         .persist() // reused by both sides of the byte-band self-join
       val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(array(simhashBytes(col("sh")): _*)).as(Seq("band", "key")))

@@ -74,6 +74,40 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert(got(2).isNullAt(0)) // lane-overflow bound → no signature
   }
 
+  test("minhashJvm fused kernel ≡ expression pipeline (incl. empty → null)") {
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 20).map { _ =>
+      Seq.fill(1 + rnd.nextInt(50))(rnd.alphanumeric.take(3 + rnd.nextInt(12)).mkString)
+    } :+ Seq.empty[String]
+    val got = docs.toDF("shd")
+      .select(
+        Dedup.minhashUdf(col("shd")).as("jvm"),
+        Dedup.minhashSignature(Dedup.hashAll(col("shd"))).as("expr"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    assert(got.last.isNullAt(0)) // empty set → null signature both ways
+  }
+
+  test("simhashJvm fused kernel ≡ expression pipeline") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 20).map { _ =>
+      Seq.fill(1 + rnd.nextInt(200))(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+    } :+ Seq.empty[String]
+    val got = docs.toDF("t")
+      .select(
+        Dedup.simhashUdf(col("t")).as("jvm"),
+        Dedup.simhash(Dedup.hashAll(col("t"))).as("expr"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(got.last.isNullAt(0))
+  }
+
   test("simhash: exact past 32,768 tokens (top-lane sign bit)") {
     // 40,000 tokens all sharing bit 3 (top lane of counter 0) drives that
     // lane past 32,767 — the packed long goes negative, and the old
