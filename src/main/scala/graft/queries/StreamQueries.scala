@@ -83,6 +83,23 @@ object StreamQueries {
         .orderBy("purchase_id", "click_id")
     },
 
+    // ---- streaming exact dedup (training-pipeline shape) -----------------
+    // Stateful key dedup over the stream: each (user_id, event_type) key
+    // is emitted exactly once, on first sight — the streaming twin of the
+    // batch DISTINCT the oracle runs. At scale the state store holds one
+    // entry per key (keys, not rows); with event-time bounds the
+    // watermarked variant (`dropDuplicatesWithinWatermark`) caps state.
+    QueryDef.sql(
+      "q65_stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""") { (s, d) =>
+      val dd = StreamOps.eventsStream(s, d)
+        .select("user_id", "event_type")
+        .dropDuplicates(Seq("user_id", "event_type"))
+      StreamOps.runToBatch(dd, mode = "append")
+        .orderBy("user_id", "event_type")
+    },
+
     // ---- stateful sessionization (same oracle as q35's window form) ------
     QueryDef.sql(
       "q38_stateful_sessionize",
