@@ -42,9 +42,9 @@ object Cli {
       polygons: String = "", jdbcUrl: String = "")
 
   /** Per-stage tallies, returned for tests and printed for humans. */
-  final case class Tallies(validated: Long = 0, errorRows: Long = 0,
-      repaired: Long = 0, unrepairable: Long = 0, cleaned: Long = 0,
-      loaded: Long = 0)
+  final case class Tallies(staged: Long = 0, validated: Long = 0,
+      errorRows: Long = 0, repaired: Long = 0, unrepairable: Long = 0,
+      cleaned: Long = 0, loaded: Long = 0)
 
   val Commands = Set("pipeline", "fetch", "process", "load")
 
@@ -100,7 +100,7 @@ object Cli {
     val files = new ObisClient(http).batchRequests(
       Species.WhaleNames(cfg.whale), cfg.whale,
       cfg.startdate, cfg.enddate, cfg.size, cfg.dataDir)
-    Tallies(validated = files.size) // files staged, nothing validated yet
+    Tallies(staged = files.size)
   }
 
   // ---- process -------------------------------------------------------------

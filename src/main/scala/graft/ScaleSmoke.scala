@@ -22,11 +22,24 @@ object ScaleSmoke {
     }
     rep("lineitem", Seq("l_orderkey"), 100000000L)
     rep("orders", Seq("o_orderkey"), 100000000L)
-    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events", "documents", "embeddings"))
+    // documents: shifted ids AND per-replica text perturbation, so the
+    // corpus grows 10x without manufacturing 10-way exact-duplicate
+    // groups (which would measure corpus pathology, not engine scaling)
+    locally {
+      val df = spark.read.parquet(s"$base/documents.parquet")
+      reps.map { r =>
+        df.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" rep$r")))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events", "embeddings"))
       spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     println("rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
     // time key queries at 1x vs 10x
-    for (q <- Seq("q01_pricing_summary", "q05_dedup_keepfirst", "q08_join_broadcast_dim", "q11_anti_join", "q50_salted_join")) {
+    for (q <- Seq("q01_pricing_summary", "q05_dedup_keepfirst", "q08_join_broadcast_dim",
+      "q11_anti_join", "q50_salted_join", "q07_negative_ids", "q26_minhash_lsh",
+      "q63_dateutil_gate")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()

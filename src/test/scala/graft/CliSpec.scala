@@ -62,7 +62,7 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       jdbcUrl = "jdbc:derby:memory:graftcli;create=true")
 
     val fetched = Cli.run(base, new FakeHttp, spark)
-    assert(fetched.validated == 1) // one staged window file
+    assert(fetched.staged == 1) // one staged window file
 
     val t = Cli.run(base.copy(command = "process"), new FakeHttp, spark)
     assert(t.validated == 5)
