@@ -150,6 +150,40 @@ object SimilarityQueries {
         .persist()
       Similarity.ivfSearch(assigned, col("vec_id") % 100 === 0, 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- multi-probe IVF: queries probe their 2 nearest cells ------------
+    // The recall knob nprobe=1 lacks: query-side-only fan-out (corpus
+    // never replicates), candidates stay unique because each corpus
+    // vector has one home cell.
+    QueryDef.sql(
+      "q66_ann_ivf_nprobe",
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+         |               FROM embeddings WHERE vec_id % 97 = 0),
+         |asg AS (SELECT e.vec_id, e.embedding, cent_id,
+         |          ${cosSql("e.embedding", "cv")} AS csim
+         |        FROM embeddings e CROSS JOIN cents),
+         |cell AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+         |           FROM asg) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS q_id, embedding AS qv, cent_id AS cell FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+         |           FROM asg WHERE vec_id % 100 = 0) WHERE rn <= 2),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv, cell FROM cell),
+         |s AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS sim
+         |      FROM c JOIN probe USING (cell) WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, sim,
+         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""") { (s, d) =>
+      val e = Tables.embeddings(s, d).repartition(col("vec_id"))
+      val cents = e.filter(col("vec_id") % 97 === 0)
+      val assigned = Similarity.ivfAssign(e, cents).persist()
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfSearchProbes(assigned, probes, 3)
+        .orderBy("q_id", "rank")
     }
   )
 }

@@ -77,6 +77,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Query-side probe fan-out for multi-probe IVF: each vector's `nprobe`
+    * nearest centroids (ties → lowest centroid id). The corpus keeps its
+    * single home cell — probing replicates only the (small) query side,
+    * so recall grows with `nprobe` at `nprobe×` query-side join input and
+    * zero extra corpus shuffle. Output: (vec_id, embedding, cell),
+    * `nprobe` rows per vector.
+    */
+  def ivfProbes(vectors: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Multi-probe IVF search: queries meet the corpus in every probed
+    * cell (equi-join on cell id; candidates are unique because a corpus
+    * vector lives in exactly one cell). Output: (q_id, n_id, sim, rank).
+    */
+  def ivfSearchProbes(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val q = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes for random-projection LSH:
     * component i of plane j is `((j·1000003 + i·7919) mod 97 − 48)/48`
     * ∈ [−1, 1] — pure integer math then one division, so an oracle can
