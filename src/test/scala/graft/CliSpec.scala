@@ -90,4 +90,13 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(base.copy(command = "load"), new FakeHttp, spark).loaded == 5)
     assert(table("occurrences").count() == 5)
   }
+
+  test("pipeline command chains fetch, process, and load in one run") {
+    val dataDir = Files.createTempDirectory("cli_pipe").toString
+    val cfg = Cli.Config("pipeline", "killer_whale", dataDir = dataDir,
+      jdbcUrl = "jdbc:derby:memory:graftpipe;create=true")
+    val t = Cli.run(cfg, new FakeHttp, spark)
+    assert(t.validated == 5 && t.repaired == 1 && t.unrepairable == 1)
+    assert(t.cleaned == 5 && t.loaded == 5)
+  }
 }
