@@ -116,6 +116,24 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(grid == bnlj)
   }
 
+  test("Wkt parser: ring extraction, whitespace tolerance, rejects non-polygons") {
+    import graft.geo.Wkt
+    val rings = Wkt.parseRings(
+      "POLYGON ((0 0, 10 0,  10 10 , 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert(rings.size == 2 && rings.head.length == 5)
+    assert(rings(1).head == ((3.0, 3.0)))
+    val multi = Wkt.parseRings(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    assert(multi.size == 2)
+    // NaN separators: one per ring boundary
+    val (xs, _) = Wkt.toVertexArrays(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    assert(xs.count(_.isNaN) == 1 && xs.length == 9)
+    intercept[IllegalArgumentException] {
+      Wkt.parseRings("POINT (1 2)")
+    }
+  }
+
   test("GraftExtensions registers st_contains for SQL use") {
     new GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly
