@@ -3,12 +3,14 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.dedup.Dedup
 
 /** Training-data preparation operators: deterministic mixture sampling
-  * (up/down-weighting sources), token-budget truncation, and greedy
-  * sequence packing — the ops that sit between dedup/quality filtering
-  * and tokenizer sharding in a real pipeline. All hash/arithmetic-based,
-  * so the DuckDB oracle reproduces every decision bit-for-bit (no RNG).
+  * (up/down-weighting sources), token-budget truncation, greedy sequence
+  * packing, benchmark decontamination, and quality-ranked budget capping
+  * — the ops that sit between dedup/quality filtering and tokenizer
+  * sharding in a real pipeline. All hash/arithmetic-based, so the DuckDB
+  * oracle reproduces every decision bit-for-bit (no RNG).
   */
 object MixQueries {
 
@@ -89,6 +91,93 @@ object MixQueries {
         .groupBy("source", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("pack_tokens"))
         .orderBy("source", "pack_id")
+    },
+
+    // ---- benchmark decontamination: shingle overlap vs a probe set -------
+    // The standard eval-contamination sweep: the (small) benchmark's
+    // distinct word shingles broadcast; a document is contaminated when
+    // it shares any shingle. Shingle width is the knob — production
+    // sweeps use 8-13-gram windows; the synthetic corpus's short
+    // template texts only collide at 3-grams, so that is what the gate
+    // exercises. Only shingle rows shuffle — the classic
+    // broadcast-semi-join shape; at 100 TB the probe side is the
+    // benchmark suite (tiny by construction), the corpus never shuffles.
+    QueryDef.sql(
+      "q67_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [] END) AS shd
+        |  FROM tok),
+        |probe AS (SELECT DISTINCT unnest(shd) AS g FROM sh WHERE doc_id % 250 = 0),
+        |hit AS (
+        |  SELECT DISTINCT doc_id, source FROM (
+        |    SELECT doc_id, source, unnest(shd) AS g FROM sh WHERE doc_id % 250 <> 0)
+        |  WHERE g IN (SELECT g FROM probe))
+        |SELECT source, COUNT(*) AS contaminated,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM hit GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the shingle kernels
+        .select(col("doc_id"), col("source"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shd"))
+        .persist() // probe and corpus sides share the shingle pass
+      val probes = sh.filter(col("doc_id") % 250 === 0)
+        .select(explode(col("shd")).as("g")).distinct()
+      sh.filter(col("doc_id") % 250 =!= 0)
+        .select(col("doc_id"), col("source"), explode(col("shd")).as("g"))
+        .join(broadcast(probes), Seq("g"), "left_semi")
+        .select("doc_id", "source").distinct()
+        .groupBy("source")
+        .agg(count(lit(1)).as("contaminated"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source")
+    },
+
+    // ---- quality-ranked token budget cap per source ----------------------
+    // Keep each source's best documents until the source's running token
+    // total crosses 20k — curriculum-style budgeting. Ordering is the
+    // q22 quality score (bit-identical across engines) with doc_id
+    // tie-break; one partitioned window, no global sort.
+    QueryDef.sql(
+      "q68_token_budget_cap", {
+        val stop = TextQueries.EnStopSql
+        s"""WITH t AS (
+           |  SELECT doc_id, source,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS toks, text
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+           |    0.5::DOUBLE * (CAST(len(list_filter(toks, x -> x IN $stop)) AS DOUBLE) / len(toks))
+           |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text))
+           |    + 0.2::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE) AS score
+           |  FROM t),
+           |r AS (
+           |  SELECT doc_id, source, n_tok,
+           |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+           |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+           |  FROM q)
+           |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+           |FROM r WHERE running <= 20000 GROUP BY 1 ORDER BY 1"""
+      }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+          graft.text.TextAnalysis.qualityScore(col("text"),
+            graft.queries.TextQueries.EnStop).as("score"))
+        .withColumn("running", sum(col("n_tok")).over(w))
+        .filter(col("running") <= 20000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).cast("long").as("kept_tokens"))
+        .orderBy("source")
     }
   )
 }

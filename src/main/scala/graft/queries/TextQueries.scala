@@ -11,8 +11,8 @@ import graft.text.TextAnalysis._
   */
 object TextQueries {
 
-  private val EnStop = Seq("the", "a", "key", "scan", "fast")
-  private val EnStopSql = "('the','a','key','scan','fast')"
+  val EnStop = Seq("the", "a", "key", "scan", "fast")
+  val EnStopSql = "('the','a','key','scan','fast')"
 
   private def profileSql(p: Seq[String]): String =
     p.mkString("('", "','", "')")
