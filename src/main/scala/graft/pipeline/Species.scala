@@ -24,7 +24,7 @@ object Species {
     "gray_whale" -> "Eschrichtius robustus",
     "humpback_whale" -> "Megaptera novaeangliae",
     "killer_whale" -> "Orcinus orca",
-    "north_atlantic_right_whale" -> "Eubalaena glacialis",
+    "narwhal" -> "Monodon monoceros",
     "sperm_whale" -> "Physeter macrocephalus")
 
   /** Literal map lookup (null when unknown — the *tolerant* form of the
