@@ -176,7 +176,10 @@ object Cli {
       // file+row position stands in for the reference's frame row order
       .withColumn("ord", monotonically_increasing_id())
 
-    val annotated = Validation.annotate(staged, validationRules)
+    // persist: the channel counts, both checkpoint writes, and the
+    // cleaning chain all read this — without it each action re-runs the
+    // JSON scan + validation
+    val annotated = Validation.annotate(staged, validationRules).persist()
     // valid channel gets pydantic's normalizations: eventDate as the
     // parsed ISO date (model_dump(mode='json')), individualCount default 1
     val valid = Validation.valid(annotated)
@@ -194,8 +197,9 @@ object Cli {
           StructField("xs", ArrayType(DoubleType)),
           StructField("ys", ArrayType(DoubleType)))))
 
-    val (cleaned, unrepairable) =
+    val (cleaned, unrepairable0) =
       WhalePipeline.process(valid, errors, cfg.whale, polys, "ord")
+    val unrepairable = unrepairable0.persist()
 
     val out = java.nio.file.Paths.get(cfg.dataDir, cfg.whale).toString
     cleaned.write.mode("overwrite").parquet(s"$out/cleaned")

@@ -99,10 +99,13 @@ object Dedup {
     * same empty→null contract. Equivalence pinned by DedupSimSpec's
     * dual-impl case and q26's oracle.
     */
+  private val PermA: Array[Long] = Perms.map(_._1).toArray
+  private val PermB: Array[Long] = Perms.map(_._2).toArray
+
   def minhashJvm(shingles: Seq[String]): Array[Long] = {
     val mins = Array.fill(NumPerms)(Long.MaxValue)
-    val as = Perms.map(_._1).toArray
-    val bs = Perms.map(_._2).toArray
+    val as = PermA
+    val bs = PermB
     shingles.foreach { s =>
       val h = Exact.foldHashJvm(s)
       var i = 0
