@@ -134,6 +134,68 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Shapefile reader: .shp polygons + .dbf names -> (name, xs, ys)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.geo.Shapefile
+
+    // --- build a two-record fixture: a donut (2 rings) and a square ------
+    def polyRecord(recNo: Int, rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+      val numPoints = rings.map(_.size).sum
+      val contentLen = 4 + 32 + 4 + 4 + 4 * rings.size + 16 * numPoints
+      val b = ByteBuffer.allocate(8 + contentLen)
+      b.order(ByteOrder.BIG_ENDIAN).putInt(recNo).putInt(contentLen / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN).putInt(5)
+      (0 until 4).foreach(_ => b.putDouble(0.0)) // bbox (unused by reader)
+      b.putInt(rings.size).putInt(numPoints)
+      rings.scanLeft(0)(_ + _.size).dropRight(1).foreach(b.putInt)
+      rings.flatten.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+    }
+    val donut = Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((3.0, 3.0), (3.0, 7.0), (7.0, 7.0), (7.0, 3.0), (3.0, 3.0)))
+    val square = Seq(
+      Seq((20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (20.0, 10.0), (20.0, 0.0)))
+    val recs = polyRecord(1, donut) ++ polyRecord(2, square)
+    val shp = ByteBuffer.allocate(100 + recs.length)
+    shp.order(ByteOrder.BIG_ENDIAN).putInt(0, 9994)
+      .putInt(24, (100 + recs.length) / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, 5)
+    shp.position(100); shp.put(recs)
+
+    val names = Seq("donut", "square")
+    val dbf = ByteBuffer.allocate(65 + names.size * 17)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 3.toByte).putInt(4, names.size)
+      .putShort(8, 65.toShort).putShort(10, 17.toShort)
+    dbf.position(32)
+    dbf.put("NAME".getBytes("US-ASCII")).put(new Array[Byte](7))
+    dbf.put('C'.toByte).put(new Array[Byte](4)).put(16.toByte)
+    dbf.position(64); dbf.put(0x0D.toByte)
+    names.foreach { n =>
+      dbf.put(' '.toByte) // not-deleted flag
+      dbf.put(n.padTo(16, ' ').getBytes("US-ASCII"))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("shp_fix")
+    java.nio.file.Files.write(dir.resolve("oceans.shp"), shp.array())
+    java.nio.file.Files.write(dir.resolve("oceans.dbf"), dbf.array())
+
+    // --- read and join ----------------------------------------------------
+    val polys = Shapefile.loadPolygons(spark, dir.resolve("oceans.shp").toString)
+    assert(polys.count() == 2)
+    val pts = Seq((1L, 1.0, 1.0), (2L, 5.0, 5.0), (3L, 25.0, 5.0), (4L, 50.0, 5.0))
+      .toDF("k", "x", "y")
+    Geo.register(spark)
+    val got = pts.join(broadcast(polys),
+      Geo.stContains(col("xs"), col("ys"), col("x"), col("y")), "left")
+      .select(col("k"), col("name")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("donut")), (2L, None), // even-odd: inside the hole
+      (3L, Some("square")), (4L, None)))
+  }
+
   test("GraftExtensions registers st_contains for SQL use") {
     new GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly
