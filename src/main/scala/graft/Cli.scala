@@ -190,7 +190,9 @@ object Cli {
       .withColumn("individualCount", coalesce(col("individualCount"), lit(1)))
 
     val polys =
-      if (cfg.polygons.nonEmpty) Wkt.loadPolygons(spark, cfg.polygons)
+      if (cfg.polygons.endsWith(".shp"))
+        graft.geo.Shapefile.loadPolygons(spark, cfg.polygons)
+      else if (cfg.polygons.nonEmpty) Wkt.loadPolygons(spark, cfg.polygons)
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("name", StringType),

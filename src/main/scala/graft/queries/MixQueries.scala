@@ -138,6 +138,43 @@ object MixQueries {
         .orderBy("source")
     },
 
+    // ---- repetition ratio: duplicate-bigram fraction per document --------
+    // The Gopher-rules repetition signal: heavily templated/boilerplate
+    // documents have a high fraction of repeated word 2-grams. Pure
+    // map-side expression work; `keep` applies the standard ≤0.2 gate.
+    QueryDef.sql(
+      "q69_repetition_ratio",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(bg) = 0 THEN 0.0::DOUBLE
+        |       ELSE 1.0::DOUBLE - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS rep_ratio,
+        |  (CASE WHEN len(bg) = 0 THEN 0.0::DOUBLE
+        |        ELSE 1.0::DOUBLE - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END) <= 0.2 AS keep
+        |FROM g ORDER BY doc_id""") { (s, d) =>
+      val bg = Dedup.wordShingles(col("text"), 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), bg.as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+          when(size(col("bg")) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+            .as("rep_ratio"))
+        .withColumn("keep", col("rep_ratio") <= 0.2)
+        .orderBy("doc_id")
+    },
+
     // ---- quality-ranked token budget cap per source ----------------------
     // Keep each source's best documents until the source's running token
     // total crosses 20k — curriculum-style budgeting. Ordering is the
