@@ -134,6 +134,32 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SpatialBboxRule stays correct on NaN-separated multi-ring polygons") {
+    // the rule's bbox conjunct computes array_max over vertex arrays that
+    // contain NaN ring separators — Spark orders NaN as the largest
+    // double, so `x <= NaN` is TRUE and the upper bounds degrade to
+    // always-pass (a sound superset) while the lower bounds keep cutting
+    Geo.register(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SpatialBboxRule
+    try {
+      val (xs, ys) = graft.geo.Wkt.toVertexArrays(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((20 0, 30 0, 30 10, 20 10, 20 0)))")
+      val polys = Seq(("p", xs, ys)).toDF("name", "xs", "ys")
+      val pts = Seq((1L, 5.0, 5.0), (2L, 25.0, 5.0), (3L, 50.0, 5.0))
+        .toDF("k", "x", "y")
+      val got = pts.join(broadcast(polys),
+        Geo.stContains(col("xs"), col("ys"), col("x"), col("y")), "left")
+        .select(col("k"), col("name")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, Some("p")), (2L, Some("p")), (3L, None)))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.SpatialBboxRule)
+    }
+  }
+
   test("Shapefile reader: .shp polygons + .dbf names -> (name, xs, ys)") {
     import java.nio.{ByteBuffer, ByteOrder}
     import graft.geo.Shapefile
