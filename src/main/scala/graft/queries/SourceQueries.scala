@@ -154,6 +154,66 @@ object SourceQueries {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
         .as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media).toDF().orderBy("doc_id")
+    },
+
+    // ---- multimodal near-dup: perceptual average-hash + band blocking ----
+    // Image-style dedup over opaque payloads: 32 evenly-spaced "pixels"
+    // (stub decode — bytes of the payload; a real deployment swaps in the
+    // codec), aHash bit k set iff pixel k ≥ the mean (integer form:
+    // 32·p_k ≥ Σp, no floats), near-pairs via the q28 byte-band
+    // pigeonhole (4 bands of 8 bits ⇒ exact recall at hamming ≤ 3).
+    // Map-side hashing; only (band, key) rows shuffle — never payloads.
+    QueryDef.sql(
+      "q70_phash_neardup",
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32), k -> unicode(text[1 + ((k * length(text)) // 32)])) AS ps
+        |  FROM documents WHERE length(text) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN 32 * ps[i] >= list_sum(ps) THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS BIGINT) AS ah
+        |  FROM px),
+        |bands AS (
+        |  SELECT doc_id, ah, b.band, (ah >> (b.band * 8)) & 255 AS key
+        |  FROM h, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS d1, l.ah AS a1, r.doc_id AS d2, r.ah AS a2
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(a1, a2)) AS BIGINT) AS ham
+        |FROM cand WHERE bit_count(xor(a1, a2)) <= 3 ORDER BY d1, d2""") { (s, d) =>
+      val len = length(col("text"))
+      // (k·len)/32 is exact in doubles (dividing a small int by 2^5)
+      val ps = transform(sequence(lit(0), lit(31)),
+        k => ascii(col("text").substr(
+          (lit(1) + (k * len / 32).cast("int")), lit(1))).cast("long"))
+      val sig = Tables.documents(s, d)
+        .filter(len > 0)
+        .repartition(col("doc_id")) // spread the hash kernels
+        .select(col("doc_id"), ps.as("ps"))
+        .withColumn("s", aggregate(col("ps"), lit(0L), _ + _))
+        .select(col("doc_id"),
+          (0 until 32).map { k =>
+            when(element_at(col("ps"), k + 1) * 32 >= col("s"), lit(1L << k))
+              .otherwise(lit(0L))
+          }.reduce(_ + _).as("ah"))
+        .persist() // both sides of the band self-join
+      val bands = sig.select(col("doc_id"), col("ah"),
+        posexplode(array((0 until 4).map(b =>
+          pmod(shiftright(col("ah"), b * 8), lit(256L))): _*))
+          .as(Seq("band", "key")))
+      bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("l.ah").as("a1"),
+          col("r.doc_id").as("d2"), col("r.ah").as("a2"))
+        .distinct()
+        .filter(graft.dedup.Dedup.hamming(col("a1"), col("a2")) <= 3)
+        .select(col("d1"), col("d2"),
+          graft.dedup.Dedup.hamming(col("a1"), col("a2")).cast("long").as("ham"))
+        .orderBy("d1", "d2")
     }
   )
 }
