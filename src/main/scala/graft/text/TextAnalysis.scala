@@ -90,4 +90,25 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+
+  /** `(total, distinct)` word-bigram counts in one JVM pass. The
+    * expression form (`array_distinct` over the bigram strings) is O(n²):
+    * Spark's specialized distinct hash set covers primitive types only,
+    * so string arrays fall back to pairwise comparison — measured 7.5 s
+    * vs sub-second at sf0.1 on q69. Token split matches [[tokens]]
+    * (split on space, empties dropped).
+    */
+  def bigramStatsJvm(text: String): (Long, Long) = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < 2) (0L, 0L)
+    else {
+      val set = new java.util.HashSet[String]()
+      var i = 0
+      while (i < toks.length - 1) { set.add(toks(i) + " " + toks(i + 1)); i += 1 }
+      ((toks.length - 1).toLong, set.size.toLong)
+    }
+  }
+
+  val bigramStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(bigramStatsJvm _)
 }
