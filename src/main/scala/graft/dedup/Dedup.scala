@@ -57,6 +57,33 @@ object Dedup {
       .otherwise(typedlit(Seq.empty[String]))
   }
 
+  /** JVM twin of `array_distinct(wordShingles(text, k))`: one pass, one
+    * split. The expression form re-runs the tokens SPLIT inside the
+    * transform lambda for every element access (no common-subexpression
+    * elimination inside higher-order-function bodies), making shingle
+    * construction quadratic in document length. First-occurrence order is
+    * preserved (LinkedHashSet), matching `array_distinct`.
+    */
+  def distinctShinglesJvm(text: String, k: Int): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < k) Array.empty
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  val distinctShinglesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(distinctShinglesJvm _)
+
   /** Distinct character n-grams of a string (1-based substr positions,
     * matching the oracle's `range`-generated slices).
     */

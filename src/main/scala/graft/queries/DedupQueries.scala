@@ -107,7 +107,8 @@ object DedupQueries {
       // signatures are ~100× smaller than the corpus; at full scale this
       // persist becomes a parquet checkpoint between stages)
       val sets = corpus(s, d)
-        .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shd"))
+        .select(col("doc_id"),
+          Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
         .persist()
       // fused JVM signature kernel (hash fold + 16 minima in one pass);
       // the expression pipeline allocates a fresh slot array per shingle

@@ -124,7 +124,7 @@ object MixQueries {
       val sh = Tables.documents(s, d)
         .repartition(col("doc_id")) // spread the shingle kernels
         .select(col("doc_id"), col("source"),
-          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shd"))
+          Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
         .persist() // probe and corpus sides share the shingle pass
       val probes = sh.filter(col("doc_id") % 250 === 0)
         .select(explode(col("shd")).as("g")).distinct()

@@ -74,6 +74,24 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert(got(2).isNullAt(0)) // lane-overflow bound → no signature
   }
 
+  test("distinctShinglesJvm ≡ array_distinct(wordShingles) incl. order") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("a", "b", "c", "d", "ee", "fff")
+    val texts = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("", "a b", "  a   b  c  a b c ")
+    for (k <- Seq(2, 3, 8)) {
+      val got = texts.toDF("t")
+        .select(
+          Dedup.distinctShinglesUdf(col("t"), lit(k)).as("jvm"),
+          array_distinct(Dedup.wordShingles(col("t"), k)).as("expr"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
+      }
+    }
+  }
+
   test("minhashJvm fused kernel ≡ expression pipeline (incl. empty → null)") {
     val rnd = new scala.util.Random(3)
     val docs = (0 until 20).map { _ =>
