@@ -170,6 +170,13 @@ object Cli {
       "No json files were found to validate, try fetching from the Obis API first")
     val staged = spark.read
       .schema(StructType(Seq(StructField("results", ArrayType(ResultSchema)))))
+      // each staged file is ONE response document (obis.py stages the raw
+      // body); multiLine parses pretty-printed bodies instead of silently
+      // yielding an all-null row, and FAILFAST surfaces malformed JSON as
+      // an error (the reference's json.load would throw) rather than a
+      // 0-validated-rows run
+      .option("multiLine", true)
+      .option("mode", "FAILFAST")
       .json(files: _*)
       .select(explode(col("results")).as("r")).select("r.*")
       // stable encounter order for keep-first / negative-id semantics:
@@ -237,7 +244,13 @@ object Cli {
         |  end_year INT, end_month INT, end_day INT,
         |  date_is_valid BOOLEAN)""").foreach { ddl =>
       try { conn.createStatement().execute(ddl.stripMargin) }
-      catch { case _: java.sql.SQLException => () } // exists already
+      catch {
+        // only "table already exists" is expected (Derby X0Y32, MySQL-family
+        // 42S01); anything else (permissions, dialect) must surface here,
+        // not as a confusing upsert failure later
+        case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => ()
+      }
     } finally conn.close()
   }
 

@@ -81,8 +81,16 @@ object Dedup {
     }
   }
 
+  /** Null-safe: null text → EMPTY shingle set — exactly what
+    * `array_distinct(wordShingles(null))` evaluates to (tokens(null) is
+    * null, `when(size(null) >= k)` is null → the `.otherwise([])` branch)
+    * and what the DuckDB oracle's `CASE WHEN len(toks) >= 2 … ELSE []`
+    * yields. A bare String-param UDF would NPE instead (the
+    * [[graft.functions.Exact.foldHashUdf]] hazard).
+    */
   val distinctShinglesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf(distinctShinglesJvm _)
+    org.apache.spark.sql.functions.udf((s: String, k: Int) =>
+      if (s == null) Array.empty[String] else distinctShinglesJvm(s, k))
 
   /** Distinct character n-grams of a string (1-based substr positions,
     * matching the oracle's `range`-generated slices).

@@ -109,6 +109,13 @@ object TextAnalysis {
     }
   }
 
+  /** Null-safe: null text → `(0, 0)` — exactly what the expression
+    * pipeline it replaced computed (`wordShingles(null)` is the empty
+    * array, so both counts were 0) and what the DuckDB oracle's
+    * `CASE WHEN len(toks) >= 2 … ELSE []` yields. A bare String-param
+    * UDF would NPE instead.
+    */
   val bigramStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf(bigramStatsJvm _)
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) (0L, 0L) else bigramStatsJvm(s))
 }

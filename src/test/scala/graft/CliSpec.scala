@@ -91,6 +91,28 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(table("occurrences").count() == 5)
   }
 
+  test("process parses pretty-printed (multi-line) staged response bodies") {
+    // a pretty-printed API body used to parse to one all-null row in
+    // single-line PERMISSIVE mode, and explode(results) then silently
+    // dropped everything — process reported 0 validated rows with no error
+    val pretty = Seq(
+      rec("a1", "2001-05-10", 10.0, 10.0),
+      rec("a2", "2002-06-01", 60.0, 70.0)).mkString(
+      "{\n  \"results\": [\n    ", ",\n    ", "\n  ]\n}\n")
+    val http = new Http {
+      override def get(url: String, params: Seq[(String, String)]): HttpResponse =
+        if (url.endsWith("statistics/years"))
+          HttpResponse(200, """[{"year":2001,"records":2}]""")
+        else HttpResponse(200, pretty)
+    }
+    val dataDir = Files.createTempDirectory("cli_pretty").toString
+    val cfg = Cli.Config("fetch", "killer_whale", dataDir = dataDir)
+    Cli.run(cfg, http, spark)
+    val t = Cli.run(cfg.copy(command = "process"), http, spark)
+    assert(t.validated == 2)
+    assert(t.errorRows == 0)
+  }
+
   test("pipeline command chains fetch, process, and load in one run") {
     val dataDir = Files.createTempDirectory("cli_pipe").toString
     val cfg = Cli.Config("pipeline", "killer_whale", dataDir = dataDir,

@@ -92,6 +92,23 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("null text: shingle/bigram kernels match expression semantics, no NPE") {
+    // the expression forms route null through when(...).otherwise(empty):
+    // null text → [] shingles / (0, 0) bigram stats, never a null or crash
+    val df = Seq("a b c d", null).toDF("t")
+    val got = df.select(
+      Dedup.distinctShinglesUdf(col("t"), lit(2)).as("jvm"),
+      array_distinct(Dedup.wordShingles(col("t"), 2)).as("expr"),
+      graft.text.TextAnalysis.bigramStatsUdf(col("t")).as("bs")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(!r.isNullAt(2))
+    }
+    assert(got(1).getSeq[String](0).isEmpty)
+    assert(got(1).getStruct(2).getLong(0) == 0L)
+    assert(got(1).getStruct(2).getLong(1) == 0L)
+  }
+
   test("minhashJvm fused kernel ≡ expression pipeline (incl. empty → null)") {
     val rnd = new scala.util.Random(3)
     val docs = (0 until 20).map { _ =>
