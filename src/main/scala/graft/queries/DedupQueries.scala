@@ -53,6 +53,110 @@ object DedupQueries {
       |    ELSE [] END) AS shd
       |  FROM tok)""".stripMargin
 
+  /** The q26 LSH pipeline's CTE chain up to `pairs (d1, d2, jac)` —
+    * shared verbatim by q26 and the clustering queries q71/q72 so their
+    * edge sets are the identical oracle-matched relation.
+    */
+  private lazy val PairsCtes: String = {
+    val permsSql = Perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandsSql = (0 until Bands).map { b =>
+      val lo = b * RowsPerBand + 1
+      val hi = (b + 1) * RowsPerBand
+      s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""$CorpusSql,
+       |tok AS ($TokSql),
+       |$ShingleSetsSql,
+       |hs AS (SELECT doc_id, shd, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM sets),
+       |mh AS (SELECT doc_id, $permsSql AS mh FROM hs),
+       |bands AS (
+       |  $bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT d1, d2 FROM cand
+       |  JOIN mh m1 ON cand.d1 = m1.doc_id
+       |  JOIN mh m2 ON cand.d2 = m2.doc_id
+       |  WHERE len(list_filter(range(1, ${NumPerms + 1}), i -> m1.mh[i] = m2.mh[i])) >= 6),
+       |j AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+       |      (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))) AS jac
+       |  FROM est JOIN sets a ON est.d1 = a.doc_id
+       |           JOIN sets b ON est.d2 = b.doc_id),
+       |pairs AS (SELECT d1, d2, jac FROM j WHERE jac >= 0.5)""".stripMargin
+  }
+
+  /** Clustering CTE chain: `pairs` → recursive transitive closure →
+    * `lab (doc_id, cluster_id)`. The oracle states WHAT a component is
+    * (reachability fixpoint); the Spark side computes the same relation
+    * with the large-star/small-star contraction — declarative spec vs
+    * distributed algorithm, gate-checked equal.
+    */
+  private lazy val ClustersCtes: String =
+    s"""$PairsCtes,
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION ALL SELECT d2 AS u, d1 AS v FROM pairs),
+       |reach AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u),
+       |lab AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Spark twin of the `pairs` CTE (unordered): the q26 plan minus its
+    * presentation ORDER BY.
+    */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    // signatures/shingle-sets are reused by the self-join AND the
+    // verification joins — materialize once (the standard LSH shape:
+    // signatures are ~100× smaller than the corpus; at full scale this
+    // persist becomes a parquet checkpoint between stages)
+    val sets = corpus(s, d)
+      .select(col("doc_id"),
+        Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
+      .persist()
+    // fused JVM signature kernel (hash fold + 16 minima in one pass);
+    // the expression pipeline allocates a fresh slot array per shingle
+    val mh = sets
+      .withColumn("mh", Dedup.minhashUdf(col("shd")))
+    val bands = mh.select(col("doc_id"), col("mh"),
+      posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
+      .persist()
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("l.mh").as("mh1"),
+        col("r.doc_id").as("d2"), col("r.mh").as("mh2"))
+      .distinct()
+    // signature-agreement prefilter: 16 long compares estimate jaccard;
+    // only candidates with >= 6/16 matching slots (est ~0.38) pay the
+    // exact shingle-set intersection — standard LSH verify staging
+    val est = cand.filter(
+      size(filter(zip_with(col("mh1"), col("mh2"), (a, b) => a === b),
+        x => x)) >= 6)
+      .select("d1", "d2")
+    est
+      .join(sets.select(col("doc_id").as("d1"), col("shd").as("shd1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shd").as("shd2")), "d2")
+      .select(col("d1"), col("d2"), Dedup.jaccard(col("shd1"), col("shd2")).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** Spark twin of the `lab` CTE: near-dup clusters from the LSH pairs via
+    * [[graft.dedup.ConnectedComponents]].
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame =
+    graft.dedup.ConnectedComponents
+      .run(lshPairs(s, d).select(col("d1").as("u"), col("d2").as("v")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: hash-groupBy on a digest ---------------------------
@@ -69,74 +173,10 @@ object DedupQueries {
 
     // ---- MinHash + LSH banding + exact Jaccard verification --------------
     QueryDef.sql(
-      "q26_minhash_lsh", {
-        val permsSql = Perms.map { case (a, b) =>
-          s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        val bandsSql = (0 until Bands).map { b =>
-          val lo = b * RowsPerBand + 1
-          val hi = (b + 1) * RowsPerBand
-          s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM mh"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $CorpusSql,
-           |tok AS ($TokSql),
-           |$ShingleSetsSql,
-           |hs AS (SELECT doc_id, shd, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM sets),
-           |mh AS (SELECT doc_id, $permsSql AS mh FROM hs),
-           |bands AS (
-           |  $bandsSql),
-           |cand AS (
-           |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-           |  FROM bands l JOIN bands r
-           |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-           |est AS (
-           |  SELECT d1, d2 FROM cand
-           |  JOIN mh m1 ON cand.d1 = m1.doc_id
-           |  JOIN mh m2 ON cand.d2 = m2.doc_id
-           |  WHERE len(list_filter(range(1, ${NumPerms + 1}), i -> m1.mh[i] = m2.mh[i])) >= 6),
-           |j AS (
-           |  SELECT d1, d2,
-           |    CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-           |      (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))) AS jac
-           |  FROM est JOIN sets a ON est.d1 = a.doc_id
-           |           JOIN sets b ON est.d2 = b.doc_id)
-           |SELECT d1, d2, jac FROM j WHERE jac >= 0.5 ORDER BY d1, d2"""
-      }) { (s, d) =>
-      // signatures/shingle-sets are reused by the self-join AND the
-      // verification joins — materialize once (the standard LSH shape:
-      // signatures are ~100× smaller than the corpus; at full scale this
-      // persist becomes a parquet checkpoint between stages)
-      val sets = corpus(s, d)
-        .select(col("doc_id"),
-          Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
-        .persist()
-      // fused JVM signature kernel (hash fold + 16 minima in one pass);
-      // the expression pipeline allocates a fresh slot array per shingle
-      val mh = sets
-        .withColumn("mh", Dedup.minhashUdf(col("shd")))
-      val bands = mh.select(col("doc_id"), col("mh"),
-        posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
-        .persist()
-      val cand = bands.as("l")
-        .join(bands.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("l.mh").as("mh1"),
-          col("r.doc_id").as("d2"), col("r.mh").as("mh2"))
-        .distinct()
-      // signature-agreement prefilter: 16 long compares estimate jaccard;
-      // only candidates with >= 6/16 matching slots (est ~0.38) pay the
-      // exact shingle-set intersection — standard LSH verify staging
-      val est = cand.filter(
-        size(filter(zip_with(col("mh1"), col("mh2"), (a, b) => a === b),
-          x => x)) >= 6)
-        .select("d1", "d2")
-      est
-        .join(sets.select(col("doc_id").as("d1"), col("shd").as("shd1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("shd").as("shd2")), "d2")
-        .select(col("d1"), col("d2"), Dedup.jaccard(col("shd1"), col("shd2")).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy("d1", "d2")
+      "q26_minhash_lsh",
+      s"""WITH $PairsCtes
+         |SELECT d1, d2, jac FROM pairs ORDER BY d1, d2""") { (s, d) =>
+      lshPairs(s, d).orderBy("d1", "d2")
     },
 
     // ---- SimHash signatures ----------------------------------------------
@@ -227,6 +267,58 @@ object DedupQueries {
         .persist() // prefix generation and verification reuse the gram sets
       PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
         .orderBy("d1", "d2")
+    },
+
+    // ---- near-dup clusters: pairs → connected components -----------------
+    // Pairs alone don't say what to delete: A~B and B~C must land A, B, C
+    // in ONE cluster even though (A, C) was never emitted. The oracle
+    // declares the component as a recursive reachability fixpoint; the
+    // Spark plan computes it with alternating star contraction
+    // (O(log n) bounded rounds of groupBy-min + equi-join — see
+    // ConnectedComponents). cluster_id = component-minimum doc_id, a
+    // canonical label both engines derive independently.
+    QueryDef.sql(
+      "q71_dup_clusters",
+      s"""WITH RECURSIVE $ClustersCtes
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+         |FROM lab ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      dupClusters(s, d)
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    },
+
+    // ---- canonical selection: keep ONE document per dup cluster ----------
+    // The dedup end-game: inside each near-dup cluster keep the longest
+    // text (doc_id ascending as the tie-break), mark the rest deletable.
+    // One partitioned window over the tiny cluster relation — the corpus
+    // itself is only touched for a projected (doc_id, length) join.
+    QueryDef.sql(
+      "q72_canonical_keep",
+      s"""WITH RECURSIVE $ClustersCtes,
+         |scored AS (
+         |  SELECT l.doc_id, l.cluster_id, CAST(length(c.text) AS BIGINT) AS tlen
+         |  FROM lab l JOIN corpus c ON l.doc_id = c.doc_id),
+         |r AS (
+         |  SELECT doc_id, cluster_id, tlen,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |                       ORDER BY tlen DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id, cluster_id, tlen, rn = 1 AS keep
+         |FROM r ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tlen = corpus(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("tlen"))
+      dupClusters(s, d)
+        .join(tlen, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("tlen").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("tlen"),
+          (col("rn") === 1).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }
