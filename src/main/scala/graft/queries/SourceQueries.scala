@@ -51,6 +51,24 @@ object SourceQueries {
         .orderBy("s_suppkey")
     },
 
+    // ---- S7/S8 (columnar): ORC sink + declared-schema ORC source ---------
+    // The second native columnar format: unlike CSV/JSON the round trip
+    // keeps types without a parse, and the post-read filter pushes into
+    // the ORC scan (predicate pushdown + column pruning, like parquet).
+    QueryDef.sql(
+      "q73_orc_roundtrip",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""") { (s, d) =>
+      val src = Tables.customer(s, d)
+      val path = scratch(d, "customer_orc")
+      Staging.writeOrc(src, path)
+      Staging.readOrc(s, src.schema, path)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     // ---- P9/S4: partitioned staging with partition pruning ---------------
     QueryDef.sql(
       "q42_partitioned_staging",

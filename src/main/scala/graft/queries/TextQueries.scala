@@ -101,6 +101,49 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- PII redaction: typed placeholders + occurrence counts -----------
+    // The synthetic corpus carries no PII, so both engines first inject
+    // the SAME deterministic emails/phones (doc_id-derived; ~1/3 of docs
+    // get an email, ~1/4 a phone, some both, many neither), then redact.
+    // The md5 of the redacted text makes the gate exact: a regex dialect
+    // divergence or a missed/extra replacement flips the hash. All
+    // map-side codegen'd expressions — no shuffle at any scale.
+    QueryDef.sql(
+      "q74_pii_scrub", {
+        import graft.text.TextAnalysis.{EmailRe, PhoneRe}
+        s"""WITH aug AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user'
+           |         || CAST(doc_id % 89 AS VARCHAR) || '@mail'
+           |         || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+           |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+           |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+           |                     '$PhoneRe', '<PHONE>', 'g')) AS h
+           |FROM aug ORDER BY doc_id"""
+      }) { (s, d) =>
+      import graft.text.TextAnalysis
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" reach user"), (col("doc_id") % 89).cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("t")).cast("long").as("n_emails"),
+          TextAnalysis.phoneCount(col("t")).cast("long").as("n_phones"),
+          md5(TextAnalysis.redactPii(col("t")).cast("binary")).as("h"))
+        .orderBy("doc_id")
     }
   )
 }

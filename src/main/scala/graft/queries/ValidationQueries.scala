@@ -60,6 +60,52 @@ object ValidationQueries {
         .agg(count(lit(1)).as("n"),
           graft.functions.Exact.dsum(col("value"), 14, 2).as("sum_value"))
         .orderBy("event_type")
+    },
+
+    // ---- column profiler: per-column quality stats in ONE scan -----------
+    // The ingest-side data-quality report (null counts, cardinality,
+    // bounds) every pipeline runs before trusting a new drop. All metrics
+    // for all columns come from a single aggregate over one scan — the
+    // multi-countDistinct plans as one Expand + partial aggs, not one
+    // pass per column — then unpivot via explode into a row per column.
+    QueryDef.sql(
+      "q75_profile", {
+        def one(c: String, num: Boolean): String = {
+          val minMax =
+            if (num) s"CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            else s"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, MIN($c) AS min_str, MAX($c) AS max_str"
+          s"""SELECT '$c' AS col_name,
+             |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $minMax
+             |FROM customer""".stripMargin
+        }
+        Seq("c_custkey" -> true, "c_name" -> false, "c_nationkey" -> true,
+          "c_acctbal" -> true, "c_mktsegment" -> false)
+          .map((one _).tupled).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }) { (s, d) =>
+      val profiled = Seq("c_custkey" -> true, "c_name" -> false,
+        "c_nationkey" -> true, "c_acctbal" -> true, "c_mktsegment" -> false)
+      val aggs = profiled.flatMap { case (c, _) => Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+      } :+ count(lit(1)).as("__total")
+      val one = Tables.customer(s, d).agg(aggs.head, aggs.tail: _*)
+      val entries = profiled.map { case (c, num) =>
+        struct(
+          lit(c).as("col_name"),
+          (col("__total") - col(s"${c}__cnt")).as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          (if (num) col(s"${c}__min").cast("double") else lit(null).cast("double")).as("min_num"),
+          (if (num) col(s"${c}__max").cast("double") else lit(null).cast("double")).as("max_num"),
+          (if (num) lit(null).cast("string") else col(s"${c}__min").cast("string")).as("min_str"),
+          (if (num) lit(null).cast("string") else col(s"${c}__max").cast("string")).as("max_str"))
+      }
+      one.select(explode(array(entries: _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
     }
   )
 }

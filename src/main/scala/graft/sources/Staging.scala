@@ -31,6 +31,17 @@ object Staging {
   def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Columnar ORC sink/source — the second columnar format Spark ships
+    * natively. Same declared-schema discipline as CSV/JSON; ORC carries
+    * its own types so the read is a schema CHECK, not a parse, and scans
+    * get predicate pushdown + column pruning like parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Partitioned staging sink: one directory per partition-column value
     * (the reference's per-species staging dirs, made prunable).
     */

@@ -109,6 +109,27 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction patterns — deliberately restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, `+`/bounded repetition, no backrefs/lookaround. Codegen'd
+    * `regexp_replace`/`regexp_count` — pure map-side work at any scale.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** Replace every email/phone occurrence with a typed placeholder token —
+    * the standard pre-training PII scrub (redact, don't drop: document
+    * structure survives for packing/quality scoring downstream).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
   /** Null-safe: null text → `(0, 0)` — exactly what the expression
     * pipeline it replaced computed (`wordShingles(null)` is the empty
     * array, so both counts were 0) and what the DuckDB oracle's
