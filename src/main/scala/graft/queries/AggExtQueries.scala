@@ -83,6 +83,42 @@ object AggExtQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- frequent-items sketch --------------------------------------------
+    // Completes the sketch trio (distinct q45, quantile q64, heavy hitters
+    // here). The skew key is doc_id's trailing-zero count — frequencies
+    // are geometric (1/2, 1/4, ...) so the >5% heavy-hitter set is {0,1,2,3}
+    // at EVERY scale factor, independent of corpus size. freqItems'
+    // guarantee (Karp et al. single-pass counting) is no-false-negative:
+    // every item above the support threshold must appear in the sketch;
+    // the oracle recomputes the exact heavy set and expects in_sketch TRUE.
+    QueryDef.sql(
+      "q76_freq_sketch", {
+        val tzSql = (0 until 6).map(k =>
+          s"WHEN doc_id % ${1L << (k + 1)} = ${1L << k} THEN $k")
+          .mkString("CASE ", " ", " ELSE 6 END")
+        s"""WITH t AS (SELECT CAST($tzSql AS BIGINT) AS tz FROM documents),
+           |c AS (SELECT tz, COUNT(*) AS n FROM t GROUP BY tz),
+           |tot AS (SELECT COUNT(*) AS n_total FROM t)
+           |SELECT tz, c.n, TRUE AS in_sketch
+           |FROM c, tot WHERE c.n > 0.05 * n_total ORDER BY tz"""
+      }) { (s, d) =>
+      val tz = (0 until 6).foldRight(lit(6L): org.apache.spark.sql.Column) {
+        (k, rest) =>
+          when(col("doc_id") % (1L << (k + 1)) === (1L << k), lit(k.toLong))
+            .otherwise(rest)
+      }
+      val t = Tables.documents(s, d).select(tz.as("tz"))
+      val sketch = t.stat.freqItems(Array("tz"), 0.05)
+      val tot = t.agg(count(lit(1)).as("n_total"))
+      t.groupBy("tz").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") > lit(0.05) * col("n_total"))
+        .crossJoin(broadcast(sketch))
+        .select(col("tz"), col("n"),
+          array_contains(col("tz_freqItems"), col("tz")).as("in_sketch"))
+        .orderBy("tz")
+    },
+
     // ---- ROLLUP hierarchy (subtotals + grand total) ----------------------
     QueryDef.sql(
       "q46_rollup",
