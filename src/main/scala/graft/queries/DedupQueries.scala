@@ -227,17 +227,19 @@ object DedupQueries {
         .persist() // reused by both sides of the byte-band self-join
       val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(array(simhashBytes(col("sh")): _*)).as(Seq("band", "key")))
-      val cand = bands.as("l")
+      // hamming BEFORE distinct: the filter is a map-side xor+popcount,
+      // so failing candidates (a third here) never reach the dedup
+      // shuffle, and surviving rows carry (d1, d2, ham) instead of two
+      // 64-bit signatures — strictly less exchanged data, same result
+      // (band-duplicate pairs agree on ham, so distinct is unaffected)
+      bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
             col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("l.sh").as("sh1"),
-          col("r.doc_id").as("d2"), col("r.sh").as("sh2"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+          hamming(col("l.sh"), col("r.sh")).cast("long").as("ham"))
+        .filter(col("ham") <= 3)
         .distinct()
-      cand
-        .filter(hamming(col("sh1"), col("sh2")) <= 3)
-        .select(col("d1"), col("d2"),
-          hamming(col("sh1"), col("sh2")).cast("long").as("ham"))
         .orderBy("d1", "d2")
     },
 
