@@ -258,6 +258,62 @@ object Dedup {
   def simhashBytes(sh: Column): Seq[Column] =
     (0 until 3).map(i => pmod(shiftright(sh, i * 8), lit(256L)))
 
+  /** Production-width simhash: 64 vote bits over a wrapping FNV-1a-64
+    * token hash. The 24-bit portable form above exists because the DuckDB
+    * oracle needs overflow-free arithmetic (`foldHash` < 2^30); this is
+    * the variant a 100 TB run should block on — 4 16-bit bands give
+    * 65,536 keys per band vs the byte-bands' 256, cutting expected
+    * bucket collisions ~256× for the same hamming-≤3 pigeonhole. Not
+    * oracle-mirrorable bit-for-bit (wrapping 64-bit multiply throws in
+    * both engines' checked SQL arithmetic), so it is spec-gated
+    * (determinism, locality, null contracts) like
+    * [[graft.text.TextAnalysis.fingerprint64]], and its query is
+    * registered rows-only.
+    */
+  def fnv64Jvm(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L // wrapping on purpose: JVM long multiply
+      i += 1
+    }
+    h
+  }
+
+  def simhash64Jvm(tokens: Seq[String]): java.lang.Long = {
+    val n = tokens.length
+    if (n == 0 || n > SimHashMaxTokens) return null
+    val ones = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv64Jvm(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * ones(b) >= n) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  val simhash64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((xs: Seq[String]) =>
+      Option(xs).map(simhash64Jvm).orNull)
+
+  /** The four 16-bit bands of a 64-bit simhash (blocking keys). `>>>`
+    * semantics via shiftrightunsigned: the top band must not smear the
+    * sign bit (the round-2 lane-extraction lesson).
+    */
+  def simhash64Bands(sh: Column): Seq[Column] =
+    (0 until 4).map(i =>
+      shiftrightunsigned(sh, i * 16).bitwiseAND(lit(0xFFFFL)))
+
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -321,6 +321,31 @@ object DedupQueries {
         .select(col("doc_id"), col("cluster_id"), col("tlen"),
           (col("rn") === 1).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- production-width simhash near-pairs (rows-only) -----------------
+    // The 64-bit/16-bit-band scale variant of q28: same plan shape, 256×
+    // more selective blocking keys. ScaleSmoke showed the 24-bit form's
+    // byte-bands saturating on a 60k-doc corpus (quadratic candidate
+    // growth inside hot buckets); this is the knob a real run turns.
+    // Wrapping 64-bit hashing is not expressible in checked SQL
+    // arithmetic, so the gate is rows-only + DedupSimSpec properties.
+    QueryDef.rowsOnly("q78_simhash64_pairs") { (s, d) =>
+      val sig = corpus(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash64Udf(graft.text.TextAnalysis.tokens(col("text"))).as("sh"))
+        .persist()
+      val bands = sig.select(col("doc_id"), col("sh"),
+        posexplode(array(Dedup.simhash64Bands(col("sh")): _*)).as(Seq("band", "key")))
+      bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+          hamming(col("l.sh"), col("r.sh")).cast("long").as("ham"))
+        .filter(col("ham") <= 3)
+        .distinct()
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -178,6 +178,33 @@ object MixQueries {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic train/val/test split ------------------------------
+    // The split every training run needs, done the only way that survives
+    // re-runs and late-arriving data: assignment is a pure function of
+    // doc_id (multiplicative hash, 98/1/1), never RNG — a document keeps
+    // its split forever, on any cluster, at any scale, and val/test stay
+    // leak-free as the corpus grows. Map-side assignment, one partial-agg
+    // shuffle for the report.
+    QueryDef.sql(
+      "q77_split_assign",
+      """SELECT source,
+        |  CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY source, split ORDER BY source, split""") { (s, d) =>
+      val h = (col("doc_id") * 2654435761L) % 1000
+      Tables.documents(s, d)
+        .select(col("source"),
+          when(h < 980, "train").when(h < 990, "val").otherwise("test").as("split"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy("source", "split")
+    },
+
     // ---- quality-ranked token budget cap per source ----------------------
     // Keep each source's best documents until the source's running token
     // total crosses 20k — curriculum-style budgeting. Ordering is the

@@ -162,6 +162,31 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert((got & 0x8L) == 0x8L) // the overflowing lane's bit IS set
   }
 
+  test("simhash64: deterministic, local, null contracts, sign-safe bands") {
+    val base = (1 to 200).map(i => s"tok$i")
+    val a = Dedup.simhash64Jvm(base)
+    // deterministic
+    assert(a == Dedup.simhash64Jvm(base))
+    // locality: replacing one token of 200 flips few of the 64 vote bits
+    val b = Dedup.simhash64Jvm(base.updated(7, "CHANGED"))
+    assert(java.lang.Long.bitCount(a ^ b) <= 8)
+    // a disjoint vocabulary lands far away
+    val c = Dedup.simhash64Jvm((1 to 200).map(i => s"other$i"))
+    assert(java.lang.Long.bitCount(a ^ c) > 8)
+    // contracts shared with the 24-bit form
+    assert(Dedup.simhash64Jvm(Seq.empty) == null)
+    assert(Dedup.simhash64Jvm(Seq.fill(Dedup.SimHashMaxTokens + 1)("x")) == null)
+    // band extraction: a negative signature (top bit set) must yield the
+    // true top-16 bits, not a sign-smeared value
+    val neg = Seq(java.lang.Long.valueOf(0xF000_0000_0000_1234L))
+    val got = neg.toDF("sh")
+      .select(array(Dedup.simhash64Bands(col("sh")): _*).as("bs"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(0x1234L, 0L, 0L, 0xF000L))
+    // bands cover the signature: equal signatures share all four keys
+    assert(got.length == 4)
+  }
+
   test("PrefixFilter: exact prefix length at t=0.7, n=10 (float-ceil trap)") {
     // 10·0.7 = 7.000000000000001 in doubles; a bare ceil gives 8 and a
     // 3-prefix. A = {u1,u2,u3} ∪ S, B = S (|S|=7): jac = 7/10 = 0.7.
