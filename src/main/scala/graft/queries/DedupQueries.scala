@@ -323,6 +323,112 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- incremental dedup: new batch vs existing corpus -----------------
+    // The shape that matters once the corpus is too big to re-self-join:
+    // the base corpus's band index is persisted STATE; only the (small)
+    // delta computes signatures and probes it with a band equi-join —
+    // base never self-joins, base signatures never recompute. Per delta
+    // document the verdict is admit (novel) or reject (n_dups matches,
+    // best_jac). Half the delta is constructed novel on both engines.
+    QueryDef.sql(
+      "q79_incremental_dedup", {
+        val permsSql = Perms.map { case (a, b) =>
+          s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        def chain(rel: String, p: String): String =
+          s"""${p}tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM $rel),
+             |${p}sets AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |    ELSE [] END) AS shd
+             |  FROM ${p}tok),
+             |${p}mh AS (
+             |  SELECT doc_id, $permsSql AS mh
+             |  FROM (SELECT doc_id, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM ${p}sets)),
+             |${p}bands AS (
+             |  ${(0 until Bands).map { b =>
+                  val lo = b * RowsPerBand + 1
+                  val hi = (b + 1) * RowsPerBand
+                  s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM ${p}mh"
+                }.mkString("\n  UNION ALL ")})""".stripMargin
+        s"""WITH $CorpusSql,
+           |delta AS (
+           |  SELECT doc_id + 200000 AS doc_id,
+           |    CASE WHEN doc_id % 40 = 27
+           |      THEN 'completely novel document ' || CAST(doc_id AS VARCHAR) || ' with unique content entirely unlike anything else'
+           |      ELSE text END AS text
+           |  FROM documents WHERE doc_id % 20 = 7),
+           |${chain("corpus", "b_")},
+           |${chain("delta", "d_")},
+           |cand AS (
+           |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+           |  FROM d_bands d JOIN b_bands b ON d.band = b.band AND d.key = b.key),
+           |est AS (
+           |  SELECT delta_id, base_id FROM cand
+           |  JOIN d_mh m1 ON cand.delta_id = m1.doc_id
+           |  JOIN b_mh m2 ON cand.base_id = m2.doc_id
+           |  WHERE len(list_filter(range(1, ${NumPerms + 1}), i -> m1.mh[i] = m2.mh[i])) >= 6),
+           |j AS (
+           |  SELECT delta_id, base_id,
+           |    CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+           |      (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))) AS jac
+           |  FROM est JOIN d_sets a ON est.delta_id = a.doc_id
+           |           JOIN b_sets b ON est.base_id = b.doc_id),
+           |m AS (
+           |  SELECT delta_id, COUNT(*) AS n_dups, MAX(jac) AS best_jac
+           |  FROM j WHERE jac >= 0.5 GROUP BY delta_id)
+           |SELECT d.doc_id AS delta_id,
+           |  CAST(coalesce(m.n_dups, 0) AS BIGINT) AS n_dups,
+           |  m.best_jac,
+           |  m.delta_id IS NULL AS is_novel
+           |FROM delta d LEFT JOIN m ON d.doc_id = m.delta_id
+           |ORDER BY delta_id"""
+      }) { (s, d) =>
+      def sigBands(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+        val sets = df.select(col("doc_id"),
+          Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd")).persist()
+        val mh = sets.select(col("doc_id"), col("shd"),
+          Dedup.minhashUdf(col("shd")).as("mh")).persist()
+        val bands = mh.select(col("doc_id"),
+          posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
+        (sets, mh, bands)
+      }
+      val delta = Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          when(col("doc_id") % 40 === 27,
+            concat(lit("completely novel document "), col("doc_id").cast("string"),
+              lit(" with unique content entirely unlike anything else")))
+            .otherwise(col("text")).as("text"))
+        .repartition(col("doc_id"))
+      val (dSets, dMh, dBands) = sigBands(delta)
+      val (bSets, bMh, bBands) = sigBands(corpus(s, d))
+      val cand = dBands.as("l")
+        .join(bBands.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+        .select(col("l.doc_id").as("delta_id"), col("r.doc_id").as("base_id"))
+        .distinct()
+      val est = cand
+        .join(dMh.select(col("doc_id").as("delta_id"), col("mh").as("mh1")), "delta_id")
+        .join(bMh.select(col("doc_id").as("base_id"), col("mh").as("mh2")), "base_id")
+        .filter(size(filter(zip_with(col("mh1"), col("mh2"), (a, b) => a === b),
+          x => x)) >= 6)
+        .select("delta_id", "base_id")
+      val matches = est
+        .join(dSets.select(col("doc_id").as("delta_id"), col("shd").as("shd1")), "delta_id")
+        .join(bSets.select(col("doc_id").as("base_id"), col("shd").as("shd2")), "base_id")
+        .select(col("delta_id"), Dedup.jaccard(col("shd1"), col("shd2")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .groupBy("delta_id")
+        .agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
+      delta.select(col("doc_id").as("delta_id"))
+        .join(matches, Seq("delta_id"), "left")
+        .select(col("delta_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("best_jac"),
+          col("n_dups").isNull.as("is_novel"))
+        .orderBy("delta_id")
+    },
+
     // ---- production-width simhash near-pairs (rows-only) -----------------
     // The 64-bit/16-bit-band scale variant of q28: same plan shape, 256×
     // more selective blocking keys. ScaleSmoke showed the 24-bit form's
