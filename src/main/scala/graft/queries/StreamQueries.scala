@@ -63,20 +63,33 @@ object StreamQueries {
          | AND epoch_ns(c.ts) > epoch_ns(p.ts) - ${30L * 60 * 1000 * 1000 * 1000}
          |ORDER BY purchase_id, click_id""") { (s, d) =>
       // truncate to µs BEFORE joining so boundary comparisons happen in
-      // the same domain DuckDB sees (its reader truncates nanos)
+      // the same domain DuckDB sees (its reader truncates nanos). The
+      // join range condition runs on WATERMARKED event-time columns, not
+      // raw longs: an interval join whose range Spark can't tie to a
+      // watermark keeps BOTH sides' state forever — the one unbounded-
+      // state shape in the repo before this. With both sides watermarked
+      // 30 min, clicks older than (watermark − 30 min) are evicted every
+      // batch; inner interval joins emit eagerly, so results are
+      // identical on any input. µs → timestamp via timestamp_micros is
+      // 1:1 (integer div of the already-µs-truncated ns; never `/` —
+      // double division corrupts epoch nanos above 2^53).
       val purchases = StreamOps.eventsStream(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           (col("ts_ns") - col("ts_ns") % 1000).as("p_ts"))
+        .withColumn("p_t", timestamp_micros(expr("p_ts div 1000")))
+        .withWatermark("p_t", "30 minutes")
       val clicks = StreamOps.eventsStream(s, d)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"),
           col("user_id").as("c_user"),
           (col("ts_ns") - col("ts_ns") % 1000).as("c_ts"))
+        .withColumn("c_t", timestamp_micros(expr("c_ts div 1000")))
+        .withWatermark("c_t", "30 minutes")
       val joined = purchases.join(clicks,
         col("user_id") === col("c_user") &&
-          col("c_ts") <= col("p_ts") &&
-          col("c_ts") > col("p_ts") - 30L * 60 * 1000 * 1000 * 1000)
+          col("c_t") <= col("p_t") &&
+          col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES"))
       StreamOps.runToBatch(joined, mode = "append")
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))

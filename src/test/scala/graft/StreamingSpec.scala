@@ -44,6 +44,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 10:10:00", "b", 1L)))
   }
 
+  test("watermarked interval join: in-range matches emit, expired state can't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(java.sql.Timestamp, Long, Long)]  // (t, user, pid)
+    val right = MemoryStream[(java.sql.Timestamp, Long, Long)] // (t, user, cid)
+    val p = left.toDF().toDF("p_t", "user_id", "purchase_id")
+      .withWatermark("p_t", "30 minutes")
+    val c = right.toDF().toDF("c_t", "c_user", "click_id")
+      .withWatermark("c_t", "30 minutes")
+    val joined = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_t") <= col("p_t") &&
+        col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES"))
+      .select("purchase_id", "click_id")
+    val q = joined.writeStream.format("memory")
+      .queryName("wm_ivj").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: click at 10:00, purchase at 10:10 → in range, emits
+    right.addData((ts(10, 0), 7L, 100L))
+    left.addData((ts(10, 10), 7L, 1L))
+    q.processAllAvailable()
+    // batch 2: advance both watermarks far past the click's horizon
+    right.addData((ts(14, 0), 8L, 101L))
+    left.addData((ts(14, 0), 8L, 2L))
+    q.processAllAvailable()
+    // batch 3: a purchase that WOULD range-match the 10:00 click had the
+    // state lived forever — but 10:25 is behind the 13:30 watermark, so
+    // the evicted click cannot produce it (this is the state bound)
+    left.addData((ts(10, 25), 7L, 3L))
+    q.processAllAvailable()
+    val got = spark.table("wm_ivj")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 100L)))  // in-range pair emitted
+    assert(got.contains((2L, 101L)))  // same-instant pair emitted
+    assert(!got.contains((3L, 100L))) // expired state evicted, no match
+  }
+
   test("StatefulSessionize carries open sessions across micro-batches") {
     import graft.streaming.{Ev, SessionRow, StatefulSessionize}
     import spark.implicits._
