@@ -184,6 +184,72 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfSearchProbes(assigned, probes, 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- int8-quantized brute-force ANN ----------------------------------
+    // The memory-bandwidth lever for scan-heavy vector search: per-vector
+    // symmetric int8 quantization (scale = max |x|, q_i = ⌊x/scale·127 +
+    // .5⌋) shrinks the scanned bytes 4× vs float32, and the score is pure
+    // integer dot products (the scales cancel in cosine) — which makes
+    // the WHOLE ranking bit-exact in DuckDB, no accuracy-contract hedging
+    // needed. Output carries both the quantized score and the true
+    // cosine of each selected neighbor, so quantization error is visible
+    // in the gated result itself. Quantization and norms are map-side,
+    // once per vector; the search is the same broadcast-query BNLJ shape
+    // as q30.
+    QueryDef.sql(
+      "q80_quantized_ann", {
+        def qdotSql(a: String, b: String): String =
+          s"CAST(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (x, y) -> x + y) AS DOUBLE)"
+        s"""WITH s AS (
+           |  SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, embedding,
+           |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+           |         ELSE list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / sc * 127.0 + 0.5) AS BIGINT)) END AS q
+           |  FROM s),
+           |n AS (SELECT vec_id, embedding, q, sqrt(${qdotSql("q", "q")}) AS qn FROM qv),
+           |p AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |    ${qdotSql("a.q", "b.q")} / (a.qn * b.qn) AS qsim,
+           |    ${cosSql("a.embedding", "b.embedding")} AS sim
+           |  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+           |r AS (
+           |  SELECT q_id, n_id, qsim, sim,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, n_id) AS BIGINT) AS rank
+           |  FROM p)
+           |SELECT q_id, n_id, qsim, sim, rank FROM r WHERE rank <= 5
+           |ORDER BY q_id, rank"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Exact
+      val sc = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val qCol = when(col("sc") === 0,
+        transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") / col("sc") * 127.0 + 0.5)))
+      def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+          .cast("double")
+      val n = Tables.embeddings(s, d)
+        .repartition(col("vec_id")) // spread the per-vector quantization
+        .withColumn("sc", sc)
+        .withColumn("q", qCol)
+        .withColumn("qn", sqrt(qdot(col("q"), col("q"))))
+        .select("vec_id", "embedding", "q", "qn")
+      val queries = n.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("q").as("qq"), col("qn").as("qqn"))
+      val w = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("n_id"))
+      n.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (qdot(col("qq"), col("q")) / (col("qqn") * col("qn"))).as("qsim"),
+          Exact.foldCosine(col("qe"), col("embedding")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("q_id", "rank")
     }
   )
 }
