@@ -106,6 +106,43 @@ object ValidationQueries {
       one.select(explode(array(entries: _*)).as("p"))
         .select("p.*")
         .orderBy("col_name")
+    },
+
+    // ---- typed semi-structured parse: from_json with declared schema -----
+    // The scale path for JSON columns: get_json_object re-parses the
+    // string PER EXTRACTION (q19/q20 use it for per-rule checks, where
+    // one field is touched once); from_json parses once into a typed
+    // struct every downstream expression reads natively. Malformed rows
+    // (injected identically on both engines) degrade to null fields, not
+    // failures — counted, not crashed on, matching the validation
+    // channel's philosophy.
+    QueryDef.sql(
+      "q81_json_typed_parse",
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 97 = 13 THEN substr(props, 1, 3) ELSE props END AS pj
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(pj) THEN CAST(pj->>'k' AS BIGINT) END AS k
+        |  FROM t)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_bad_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val pj = when(col("event_id") % 97 === 13, substring(col("props"), 1, 3))
+        .otherwise(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(pj, StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("k"))).as("n_bad_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
     }
   )
 }
