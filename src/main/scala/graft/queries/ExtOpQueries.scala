@@ -73,6 +73,39 @@ object ExtOpQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- bloom-filter-pruned join ----------------------------------------
+    // The runtime-filter pattern for selective fact⋈dim joins: build a
+    // Bloom filter over the (small) dim key set, broadcast it, and drop
+    // non-matching fact rows MAP-SIDE before they reach the join
+    // exchange — at 100 TB that's the difference between shuffling the
+    // whole fact table and shuffling the ~matching slice. Bloom false
+    // positives only cost a little extra shuffle; the exact join behind
+    // the filter removes them, so the result — and the oracle — is
+    // exactly the plain join. (AQE injects this automatically in some
+    // shapes; the explicit operator covers the rest.)
+    QueryDef.sql(
+      "q82_bloom_join",
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey < 5
+        |GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 5)
+        .select("s_suppkey", "s_nationkey")
+      val bf = dim.stat.bloomFilter("s_suppkey", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_quantity")
+        .filter(mightContain(col("l_suppkey"))) // map-side prune pre-shuffle
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_quantity"), 12, 2).as("qty"))
+        .orderBy("s_nationkey")
+    },
+
     // ---- statistical moments from exact sums ------------------------------
     // stddev/variance built compositionally from exact decimal sums (one
     // double division + sqrt at the end) instead of engine-native
