@@ -127,6 +127,48 @@ object EventQueries {
         .agg(min(col("tus")).as("session_start"), count(lit(1)).as("n"),
           Exact.dsum(col("value"), 14, 2).as("total"))
         .orderBy("user_id", "session_idx")
+    },
+
+    // ---- gaps-and-islands: collapse consecutive equal-state runs ---------
+    // The SCD-2 / state-history pattern: per customer, consecutive orders
+    // with the same priority collapse into one validity run
+    // [first_date, last_date]. Change detection is lag() ≠ current; the
+    // island id is the running sum of change flags — two windows over ONE
+    // partitioning (a single shuffle on the entity key), then an ordinary
+    // grouped aggregate. The only state an executor holds is a partition
+    // sort, not history.
+    QueryDef.sql(
+      "q83_gaps_islands",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderpriority AS state,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderkey
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |g AS (
+        |  SELECT o_custkey, state, d, o_orderkey,
+        |    CASE WHEN lag(state) OVER w IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+        |i AS (
+        |  SELECT o_custkey, state, d,
+        |    SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS island, state,
+        |  MIN(d) AS run_start, MAX(d) AS run_end, COUNT(*) AS n_orders
+        |FROM i GROUP BY o_custkey, island, state
+        |ORDER BY o_custkey, island""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderpriority").as("state"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"), col("o_orderkey"))
+        .withColumn("chg",
+          when(!(lag(col("state"), 1).over(w) <=> col("state")), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("o_custkey", "island", "state")
+        .agg(min(col("d")).as("run_start"), max(col("d")).as("run_end"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey", "island")
     }
   )
 }
