@@ -50,4 +50,21 @@ object Staging {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compacting sink: writes `df` as ⌈rows / targetFileRows⌉ similarly-
+    * sized parquet files. The small-files problem is an operational
+    * failure mode at scale — a 32-partition shuffle writing hourly for a
+    * year is ~280k files whose LISTING dominates downstream scan setup.
+    * One count action sizes the layout; `repartition(n)` (round-robin)
+    * balances rows across writers, and `maxRecordsPerFile` caps any
+    * writer that still ends up oversized.
+    */
+  def writeCompacted(df: DataFrame, path: String, targetFileRows: Long): Unit = {
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+    df.repartition(files)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetFileRows)
+      .parquet(path)
+  }
 }

@@ -14,6 +14,21 @@ class ModulesSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  test("Staging.writeCompacted: sizes file count to the row target") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = spark.range(10000).toDF("id")
+    graft.sources.Staging.writeCompacted(df, dir, targetFileRows = 3000)
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    // 10000 rows / 3000 target → 4 balanced files, none above the cap
+    assert(files.size == 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    val perFile = back.groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 3000))
+  }
+
   test("Validation: null check results count as failures (pydantic-style)") {
     val df = Seq((1, Some(5)), (2, None)).toDF("id", "v")
     val annotated = Validation.annotate(df,
