@@ -40,7 +40,8 @@ object ScaleSmoke {
     for (q <- Seq("q01_pricing_summary", "q05_dedup_keepfirst", "q08_join_broadcast_dim",
       "q11_anti_join", "q50_salted_join", "q07_negative_ids", "q26_minhash_lsh",
       "q63_dateutil_gate", "q28_simhash_pairs", "q71_dup_clusters",
-      "q74_pii_scrub", "q75_profile", "q76_freq_sketch", "q78_simhash64_pairs")) {
+      "q74_pii_scrub", "q75_profile", "q76_freq_sketch", "q78_simhash64_pairs",
+      "q79_incremental_dedup", "q82_bloom_join", "q83_gaps_islands")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()

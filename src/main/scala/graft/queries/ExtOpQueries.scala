@@ -95,7 +95,11 @@ object ExtOpQueries {
         .select("s_suppkey", "s_nationkey")
       val bf = dim.stat.bloomFilter("s_suppkey", 100000L, 0.01)
       val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      // boxed param: a primitive-Long UDF NPEs on a null key (the same
+      // hazard class as the null-text UDF crashes fixed this round); a
+      // null key can't match any dim row, so false is the right verdict
+      val mightContain = udf((k: java.lang.Long) =>
+        k != null && bfB.value.mightContainLong(k))
       Tables.lineitem(s, d)
         .select("l_suppkey", "l_quantity")
         .filter(mightContain(col("l_suppkey"))) // map-side prune pre-shuffle
