@@ -215,7 +215,8 @@ object SimilarityQueries {
            |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
            |    ${qdotSql("a.q", "b.q")} / (a.qn * b.qn) AS qsim,
            |    ${cosSql("a.embedding", "b.embedding")} AS sim
-           |  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+           |  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+           |  WHERE a.qn > 0 AND b.qn > 0),
            |r AS (
            |  SELECT q_id, n_id, qsim, sim,
            |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, n_id) AS BIGINT) AS rank
@@ -243,7 +244,12 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("q").as("qq"), col("qn").as("qqn"))
       val w = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("n_id"))
-      n.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      // qn > 0 on both sides: an all-zero vector would otherwise emit
+      // a NaN score (0/0) with engine-dependent NaN ordering in the
+      // rank window — excluded identically in the oracle
+      n.filter(col("qn") > 0)
+        .join(broadcast(queries.filter(col("qqn") > 0)),
+          col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           (qdot(col("qq"), col("q")) / (col("qqn") * col("qn"))).as("qsim"),
           Exact.foldCosine(col("qe"), col("embedding")).as("sim"))
