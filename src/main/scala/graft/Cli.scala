@@ -168,16 +168,28 @@ object Cli {
     val files = matchFiles(cfg)
     require(files.nonEmpty,
       "No json files were found to validate, try fetching from the Obis API first")
-    val staged = spark.read
+    // each staged file is ONE response document (obis.py stages the raw
+    // body); multiLine parses pretty-printed bodies instead of silently
+    // yielding an all-null row. PERMISSIVE (not FAILFAST): Spark's JSON
+    // parser coerces quoted numerics the way pydantic's lax mode does, so
+    // well-formed documents survive field-level sloppiness and their rows
+    // flow to the validation channel. A document that cannot be parsed
+    // under the declared schema at all (malformed JSON, or a field value
+    // no coercion accepts) reads as a null `results` — those fail loud
+    // WITH THE FILE NAMES (the reference's json.load throw), never as a
+    // silent 0-validated-rows run.
+    val raw = spark.read
       .schema(StructType(Seq(StructField("results", ArrayType(ResultSchema)))))
-      // each staged file is ONE response document (obis.py stages the raw
-      // body); multiLine parses pretty-printed bodies instead of silently
-      // yielding an all-null row, and FAILFAST surfaces malformed JSON as
-      // an error (the reference's json.load would throw) rather than a
-      // 0-validated-rows run
       .option("multiLine", true)
-      .option("mode", "FAILFAST")
       .json(files: _*)
+      .withColumn("_src", input_file_name())
+      .persist()
+    val broken = raw.filter(col("results").isNull)
+      .select("_src").distinct().limit(5)
+      .collect().map(_.getString(0))
+    require(broken.isEmpty,
+      s"Staged file(s) are not parseable OBIS responses: ${broken.mkString(", ")}")
+    val staged = raw
       .select(explode(col("results")).as("r")).select("r.*")
       // stable encounter order for keep-first / negative-id semantics:
       // file+row position stands in for the reference's frame row order
@@ -218,6 +230,7 @@ object Cli {
     val (nv, ne) = (valid.count(), errors.count())
     val nu = unrepairable.count()
     val nc = spark.read.parquet(s"$out/cleaned").count()
+    raw.unpersist()
     Tallies(validated = nv, errorRows = ne, repaired = ne - nu,
       unrepairable = nu, cleaned = nc)
   }

@@ -107,6 +107,13 @@ object ConnectedComponents {
       cur = next
       round += 1
     }
+    // convergence is proven O(log n) rounds for star contraction, so 50
+    // covers any physical graph — but if the loop DID exit on the cap,
+    // `cur` is not a star forest and the labels below would be silently
+    // wrong. Fail loud instead.
+    require(done,
+      s"connected components did not converge within $maxRounds rounds " +
+        s"(${prev._1} edges remain) — raise maxRounds")
 
     // star forest → assignment; roots (and nothing else) are absent from
     // the `u` side and label themselves

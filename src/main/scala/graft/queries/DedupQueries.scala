@@ -53,26 +53,41 @@ object DedupQueries {
       |    ELSE [] END) AS shd
       |  FROM tok)""".stripMargin
 
+  /** The minhash permutation array, rendered once for every oracle. */
+  private lazy val PermsSql: String = Perms.map { case (a, b) =>
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+  }.mkString("[", ", ", "]")
+
+  /** The minhash CTE chain over relation `rel`: `${p}tok` → `${p}sets`
+    * (distinct 3-shingles) → `${p}mh` (signatures) → `${p}bands` (LSH
+    * band keys). ONE builder parameterized by (relation, prefix) so the
+    * self-join pipeline (q26/q71/q72, prefix "") and the delta-vs-base
+    * pipeline (q79, prefixes `b_`/`d_`) can never drift apart.
+    */
+  private def mhChainSql(rel: String, p: String): String =
+    s"""${p}tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM $rel),
+       |${p}sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    ELSE [] END) AS shd
+       |  FROM ${p}tok),
+       |${p}mh AS (
+       |  SELECT doc_id, $PermsSql AS mh
+       |  FROM (SELECT doc_id, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM ${p}sets)),
+       |${p}bands AS (
+       |  ${(0 until Bands).map { b =>
+            val lo = b * RowsPerBand + 1
+            val hi = (b + 1) * RowsPerBand
+            s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM ${p}mh"
+          }.mkString("\n  UNION ALL ")})""".stripMargin
+
   /** The q26 LSH pipeline's CTE chain up to `pairs (d1, d2, jac)` —
     * shared verbatim by q26 and the clustering queries q71/q72 so their
     * edge sets are the identical oracle-matched relation.
     */
-  private lazy val PairsCtes: String = {
-    val permsSql = Perms.map { case (a, b) =>
-      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
-    }.mkString("[", ", ", "]")
-    val bandsSql = (0 until Bands).map { b =>
-      val lo = b * RowsPerBand + 1
-      val hi = (b + 1) * RowsPerBand
-      s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM mh"
-    }.mkString("\n  UNION ALL ")
+  private lazy val PairsCtes: String =
     s"""$CorpusSql,
-       |tok AS ($TokSql),
-       |$ShingleSetsSql,
-       |hs AS (SELECT doc_id, shd, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM sets),
-       |mh AS (SELECT doc_id, $permsSql AS mh FROM hs),
-       |bands AS (
-       |  $bandsSql),
+       |${mhChainSql("corpus", "")},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
        |  FROM bands l JOIN bands r
@@ -89,7 +104,6 @@ object DedupQueries {
        |  FROM est JOIN sets a ON est.d1 = a.doc_id
        |           JOIN sets b ON est.d2 = b.doc_id),
        |pairs AS (SELECT d1, d2, jac FROM j WHERE jac >= 0.5)""".stripMargin
-  }
 
   /** Clustering CTE chain: `pairs` → recursive transitive closure →
     * `lab (doc_id, cluster_id)`. The oracle states WHAT a component is
@@ -157,6 +171,34 @@ object DedupQueries {
       .run(lshPairs(s, d).select(col("d1").as("u"), col("d2").as("v")))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
 
+  /** SimHash near-pair plan, shared by the 24-bit portable (q28) and
+    * 64-bit production (q78) widths — only the signature kernel and the
+    * band extraction differ. Hamming runs BEFORE distinct: the filter is
+    * a map-side xor+popcount, so failing candidates never reach the
+    * dedup shuffle, and surviving rows carry (d1, d2, ham) instead of
+    * two signatures — strictly less exchanged data, same result
+    * (band-duplicate pairs agree on ham, so distinct is unaffected).
+    */
+  private def simhashPairs(s: SparkSession, d: String,
+      signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      bandsOf: org.apache.spark.sql.Column => Seq[org.apache.spark.sql.Column],
+      maxHam: Int = 3): DataFrame = {
+    val sig = corpus(s, d)
+      .select(col("doc_id"), signature(col("text")).as("sh"))
+      .persist() // reused by both sides of the band self-join
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(array(bandsOf(col("sh")): _*)).as(Seq("band", "key")))
+    bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        hamming(col("l.sh"), col("r.sh")).cast("long").as("ham"))
+      .filter(col("ham") <= maxHam)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: hash-groupBy on a digest ---------------------------
@@ -221,26 +263,9 @@ object DedupQueries {
            |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS ham
            |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3 ORDER BY d1, d2"""
       }) { (s, d) =>
-      val sig = corpus(s, d)
-        .select(col("doc_id"),
-          Dedup.simhashUdf(graft.text.TextAnalysis.tokens(col("text"))).as("sh"))
-        .persist() // reused by both sides of the byte-band self-join
-      val bands = sig.select(col("doc_id"), col("sh"),
-        posexplode(array(simhashBytes(col("sh")): _*)).as(Seq("band", "key")))
-      // hamming BEFORE distinct: the filter is a map-side xor+popcount,
-      // so failing candidates (a third here) never reach the dedup
-      // shuffle, and surviving rows carry (d1, d2, ham) instead of two
-      // 64-bit signatures — strictly less exchanged data, same result
-      // (band-duplicate pairs agree on ham, so distinct is unaffected)
-      bands.as("l")
-        .join(bands.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-          hamming(col("l.sh"), col("r.sh")).cast("long").as("ham"))
-        .filter(col("ham") <= 3)
-        .distinct()
-        .orderBy("d1", "d2")
+      simhashPairs(s, d,
+        t => Dedup.simhashUdf(graft.text.TextAnalysis.tokens(t)),
+        Dedup.simhashBytes)
     },
 
     // ---- character-n-gram Jaccard via exact prefix filtering -------------
@@ -332,25 +357,6 @@ object DedupQueries {
     // best_jac). Half the delta is constructed novel on both engines.
     QueryDef.sql(
       "q79_incremental_dedup", {
-        val permsSql = Perms.map { case (a, b) =>
-          s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        def chain(rel: String, p: String): String =
-          s"""${p}tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM $rel),
-             |${p}sets AS (
-             |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-             |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             |    ELSE [] END) AS shd
-             |  FROM ${p}tok),
-             |${p}mh AS (
-             |  SELECT doc_id, $permsSql AS mh
-             |  FROM (SELECT doc_id, list_transform(shd, s -> ${foldSql("s")}) AS hs FROM ${p}sets)),
-             |${p}bands AS (
-             |  ${(0 until Bands).map { b =>
-                  val lo = b * RowsPerBand + 1
-                  val hi = (b + 1) * RowsPerBand
-                  s"SELECT doc_id, $b AS band, array_to_string(mh[$lo:$hi], ',') AS key FROM ${p}mh"
-                }.mkString("\n  UNION ALL ")})""".stripMargin
         s"""WITH $CorpusSql,
            |delta AS (
            |  SELECT doc_id + 200000 AS doc_id,
@@ -358,8 +364,8 @@ object DedupQueries {
            |      THEN 'completely novel document ' || CAST(doc_id AS VARCHAR) || ' with unique content entirely unlike anything else'
            |      ELSE text END AS text
            |  FROM documents WHERE doc_id % 20 = 7),
-           |${chain("corpus", "b_")},
-           |${chain("delta", "d_")},
+           |${mhChainSql("corpus", "b_")},
+           |${mhChainSql("delta", "d_")},
            |cand AS (
            |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
            |  FROM d_bands d JOIN b_bands b ON d.band = b.band AND d.key = b.key),
@@ -437,21 +443,9 @@ object DedupQueries {
     // Wrapping 64-bit hashing is not expressible in checked SQL
     // arithmetic, so the gate is rows-only + DedupSimSpec properties.
     QueryDef.rowsOnly("q78_simhash64_pairs") { (s, d) =>
-      val sig = corpus(s, d)
-        .select(col("doc_id"),
-          Dedup.simhash64Udf(graft.text.TextAnalysis.tokens(col("text"))).as("sh"))
-        .persist()
-      val bands = sig.select(col("doc_id"), col("sh"),
-        posexplode(array(Dedup.simhash64Bands(col("sh")): _*)).as(Seq("band", "key")))
-      bands.as("l")
-        .join(bands.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-          hamming(col("l.sh"), col("r.sh")).cast("long").as("ham"))
-        .filter(col("ham") <= 3)
-        .distinct()
-        .orderBy("d1", "d2")
+      simhashPairs(s, d,
+        t => Dedup.simhash64Udf(graft.text.TextAnalysis.tokens(t)),
+        Dedup.simhash64Bands)
     }
   )
 }

@@ -18,19 +18,22 @@ object MixQueries {
 
     // ---- mixture sampling: per-language keep-rates, hash-gated -----------
     // keep iff (doc_id·2654435761 mod 1000) < rate(lang): en 80%, de 50%,
+    // computed as ((doc_id mod 1000)·C) mod 1000 — identical by modular
+    // arithmetic, but overflow-free for doc_id past 2^63/C ≈ 3.5e9 (a
+    // raw multiply would THROW under ANSI at 100 TB corpus ids),
     // others 25% — deterministic "data mixing" with no RNG state.
     QueryDef.sql(
       "q60_mixture_sample",
       """SELECT lang, COUNT(*) AS n_kept,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id % 1000) * 2654435761) % 1000 <
         |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 ELSE 250 END
         |GROUP BY lang ORDER BY lang""") { (s, d) =>
       val rate = when(col("lang") === "en", 800)
         .when(col("lang") === "de", 500).otherwise(250)
       Tables.documents(s, d)
-        .filter((col("doc_id") * 2654435761L) % 1000 < rate)
+        .filter((col("doc_id") % 1000 * 2654435761L) % 1000 < rate)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).cast("long").as("chars_kept"))
@@ -188,14 +191,14 @@ object MixQueries {
     QueryDef.sql(
       "q77_split_assign",
       """SELECT source,
-        |  CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+        |  CASE WHEN ((doc_id % 1000) * 2654435761) % 1000 < 980 THEN 'train'
+        |       WHEN ((doc_id % 1000) * 2654435761) % 1000 < 990 THEN 'val'
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
         |FROM documents
         |GROUP BY source, split ORDER BY source, split""") { (s, d) =>
-      val h = (col("doc_id") * 2654435761L) % 1000
+      val h = (col("doc_id") % 1000 * 2654435761L) % 1000
       Tables.documents(s, d)
         .select(col("source"),
           when(h < 980, "train").when(h < 990, "val").otherwise("test").as("split"),

@@ -240,6 +240,7 @@ object SimilarityQueries {
         .withColumn("q", qCol)
         .withColumn("qn", sqrt(qdot(col("q"), col("q"))))
         .select("vec_id", "embedding", "q", "qn")
+        .persist() // probe AND broadcast sides read it — quantize once
       val queries = n.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("q").as("qq"), col("qn").as("qqn"))

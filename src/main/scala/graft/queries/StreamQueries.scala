@@ -69,8 +69,13 @@ object StreamQueries {
       // watermark keeps BOTH sides' state forever — the one unbounded-
       // state shape in the repo before this. With both sides watermarked
       // 30 min, clicks older than (watermark − 30 min) are evicted every
-      // batch; inner interval joins emit eagerly, so results are
-      // identical on any input. µs → timestamp via timestamp_micros is
+      // batch; inner interval joins emit eagerly, so on a time-ordered
+      // replay (this source: one AvailableNow batch) the result equals
+      // the unwatermarked join's. Under multi-batch replay, events behind
+      // the 30-min horizon are dropped — that loss bound IS the contract
+      // that keeps state finite (pinned by the 3-batch StreamingSpec
+      // case); an unbounded exact join of out-of-order history is a
+      // batch job, not a stream. µs → timestamp via timestamp_micros is
       // 1:1 (integer div of the already-µs-truncated ns; never `/` —
       // double division corrupts epoch nanos above 2^53).
       val purchases = StreamOps.eventsStream(s, d)

@@ -115,7 +115,10 @@ object ValidationQueries {
     // struct every downstream expression reads natively. Malformed rows
     // (injected identically on both engines) degrade to null fields, not
     // failures — counted, not crashed on, matching the validation
-    // channel's philosophy.
+    // channel's philosophy. The oracle's json_type guard pins from_json's
+    // exact accept-set: only JSON INTEGER tokens become k (quoted "12",
+    // 1.5, missing key, malformed doc → null on BOTH engines — probed
+    // shape-by-shape).
     QueryDef.sql(
       "q81_json_typed_parse",
       """WITH t AS (
@@ -124,7 +127,10 @@ object ValidationQueries {
         |  FROM events),
         |p AS (
         |  SELECT event_type,
-        |    CASE WHEN json_valid(pj) THEN CAST(pj->>'k' AS BIGINT) END AS k
+        |    CASE WHEN json_valid(pj) THEN
+        |      CASE WHEN json_type(pj, '$.k') IN ('BIGINT', 'UBIGINT')
+        |           THEN CAST(pj->>'k' AS BIGINT) END
+        |    END AS k
         |  FROM t)
         |SELECT event_type, COUNT(*) AS n,
         |  CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_bad_k,

@@ -113,6 +113,23 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(t.errorRows == 0)
   }
 
+  test("process fails loud, naming the file, on an unparseable staged body") {
+    val http = new Http {
+      override def get(url: String, params: Seq[(String, String)]): HttpResponse =
+        if (url.endsWith("statistics/years"))
+          HttpResponse(200, """[{"year":2001,"records":1}]""")
+        else HttpResponse(200, """{"results": [{"occurrenceID"""") // truncated body
+    }
+    val dataDir = Files.createTempDirectory("cli_broken").toString
+    val cfg = Cli.Config("fetch", "killer_whale", dataDir = dataDir)
+    Cli.run(cfg, http, spark)
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(cfg.copy(command = "process"), http, spark)
+    }
+    assert(e.getMessage.contains("not parseable"))
+    assert(e.getMessage.contains(".json")) // the offending file is named
+  }
+
   test("pipeline command chains fetch, process, and load in one run") {
     val dataDir = Files.createTempDirectory("cli_pipe").toString
     val cfg = Cli.Config("pipeline", "killer_whale", dataDir = dataDir,
