@@ -30,8 +30,11 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def assertMatches(edges: Seq[(Long, Long)]): Unit = {
-    val got = ConnectedComponents.run(edges.toDF("u", "v"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = ConnectedComponents.run(edges.toDF("u", "v")).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one row per node — a non-star edge set would emit duplicate nodes,
+    // which toMap would silently collapse
+    assert(rows.length == got.size)
     assert(got == unionFind(0, edges))
   }
 
