@@ -129,6 +129,50 @@ object EventQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ---- multi-step funnel: ordered step containment per user ------------
+    // The product-analytics staple: for each user, the first view, the
+    // first click AT OR AFTER that view, and the first purchase at or
+    // after that click — each stage's timestamp conditional on the
+    // previous. Three chained conditional-min windows over ONE user
+    // partitioning: a single shuffle, no self-joins (the naive form is
+    // three joins of the event table against itself). Null propagation
+    // does the funnel logic: no view → t_view null → the click predicate
+    // is null → no click stage, and so on.
+    QueryDef.sql(
+      "q84_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |w1 AS (
+        |  SELECT user_id, event_type, tns,
+        |    min(CASE WHEN event_type = 'view' THEN tns END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND tns >= t_view THEN tns END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND tns >= t_click THEN tns END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2)
+        |SELECT DISTINCT user_id, t_view, t_click, t_purchase
+        |FROM w3 ORDER BY user_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          (col("ts_ns") - col("ts_ns") % 1000).as("tns"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("tns"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("tns") >= col("t_view"),
+            col("tns"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("tns") >= col("t_click"),
+            col("tns"))).over(w))
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .distinct()
+        .orderBy("user_id")
+    },
+
     // ---- gaps-and-islands: collapse consecutive equal-state runs ---------
     // The SCD-2 / state-history pattern: per customer, consecutive orders
     // with the same priority collapse into one validity run
