@@ -21,11 +21,13 @@ object SparkEntry {
     DedupQueries.defs,
     SimilarityQueries.defs,
     EventQueries.defs,
+    CohortQueries.defs,
     StreamQueries.defs,
     GeoQueries.defs,
     SourceQueries.defs,
     AggExtQueries.defs,
     ExtOpQueries.defs,
+    LayoutQueries.defs,
     MixQueries.defs
   )
 

@@ -156,6 +156,53 @@ object AggExtQueries {
       pivoted.select(col("user_id") +:
         types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
         .orderBy("user_id")
+    },
+
+    // ---- full cube with grouping id --------------------------------------
+    // All four grouping sets of (priority, status) in one pass — Spark
+    // expands the cube BEFORE the shuffle, so each set still partial-aggs
+    // map-side. grouping_id() disambiguates genuine NULL dimension values
+    // from the cube's roll-up NULLs (the coalesce-to-'ALL' trick q46 uses
+    // breaks down when a real NULL exists; the id bitmask never does).
+    QueryDef.sql(
+      "q91_cube_grouping",
+      """SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        |    AS BIGINT) AS gid,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  coalesce(o_orderstatus, 'ALL') AS st,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY 1, 2, 3""") { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice"), 14, 2).as("total"))
+        .select(col("gid"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("n"), col("total"))
+        .orderBy("gid", "pri", "st")
+    },
+
+    // ---- fixed-width histogram -------------------------------------------
+    // 50-wide value buckets per event type — the one-pass distribution
+    // profile (bucket is a map-side pure function; the groupBy
+    // partial-aggs, so the shuffle carries ≤ types × buckets rows, not
+    // events). floor(x / 50) on identical input doubles is deterministic
+    // across IEEE engines.
+    QueryDef.sql(
+      "q92_value_histogram",
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
+        .orderBy("event_type", "bucket")
     }
   )
 }

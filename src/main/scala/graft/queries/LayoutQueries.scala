@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.operators.GlobalRowNumber
+
+/** Data-layout operators: the clustering / global-ordering machinery a
+  * 100 TB table needs before it is written, not read.
+  *
+  *  - q88: a Morton (z-order) clustering key — interleaving the bits of
+  *    two dimensions so a range scan on EITHER dimension touches few
+  *    contiguous key ranges. This is the sort key behind multi-dimension
+  *    data skipping (Delta/Iceberg `OPTIMIZE ZORDER BY`); here it is a
+  *    pure codegen'd expression, so computing it map-side costs nothing.
+  *  - q93: exact global decile statistics WITHOUT a partition-less
+  *    window — reuses [[GlobalRowNumber]]'s two-pass range-bucketed
+  *    numbering, so the biggest sort any task runs is ~n/buckets rows.
+  */
+object LayoutQueries {
+
+  /** Morton interleave of the low `bits` of `a` (odd positions) and `b`
+    * (even positions) — a static fold, fully codegen-friendly.
+    */
+  private def morton(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }
+
+  /** The identical interleave as DuckDB SQL (bit-shift via exact powers
+    * of two — multiplication keeps operator precedence unambiguous).
+    */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(($a >> $i) & 1) * ${1L << (2 * i + 1)}",
+        s"(($b >> $i) & 1) * ${1L << (2 * i)}")
+    }.mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- z-order clustering key ------------------------------------------
+    // Cluster `orders` on (customer, order-day): 8 low bits of each,
+    // interleaved to a 16-bit Morton key, then summarized per 64-key
+    // block (the "file" a writer would cut). The summary's tight per-block
+    // min/max on BOTH dimensions is exactly the data-skipping property
+    // z-ordering buys.
+    QueryDef.sql(
+      "q88_zorder_key",
+      s"""WITH k AS (
+         |  SELECT o_orderkey,
+         |    o_custkey & 255 AS a,
+         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 255 AS b
+         |  FROM orders),
+         |z AS (SELECT o_orderkey, a, b, ${mortonSql("a", "b", 8)} AS zkey FROM k)
+         |SELECT zkey // 64 AS zblock, COUNT(*) AS n,
+         |  MIN(a) AS a_lo, MAX(a) AS a_hi, MIN(b) AS b_lo, MAX(b) AS b_hi
+         |FROM z GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(255L)).as("a"),
+          day.cast("long").bitwiseAND(lit(255L)).as("b"))
+        .withColumn("zkey", morton(col("a"), col("b"), 8))
+        .groupBy((col("zkey") - col("zkey") % 64).divide(64).cast("long").as("zblock"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_lo"), max(col("a")).as("a_hi"),
+          min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
+        .orderBy("zblock")
+    },
+
+    // ---- exact global deciles via two-pass numbering ---------------------
+    // Decile stats over the EXACT global (o_totalprice, o_orderkey) order.
+    // The naive ntile(10) is a partition-less window — a single-task sort
+    // of the whole table. Here the global rank comes from
+    // GlobalRowNumber.byKeyOrder (range-bucket, count, offset — every
+    // sort is per-bucket), and the decile is integer math on the rank.
+    // The composite sort key packs exact cents and the unique order key
+    // into one long, so ties are impossible (valid while cents < ~9e5
+    // and o_orderkey < 1e10; both hold at TPC-H SF ≤ ~700).
+    QueryDef.sql(
+      "q93_global_deciles",
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT ((rn - 1) * 10) // n AS decile, COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_totalprice"),
+          (round(col("o_totalprice") * 100).cast("long") * 10000000000L +
+            col("o_orderkey")).as("pk"))
+      val n = orders.count()
+      val t = (col("rn") - 1) * 10
+      GlobalRowNumber.byKeyOrder(orders, "pk", "rn")
+        .groupBy(((t - t % n) / n).cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+          Exact.dsum(col("o_totalprice"), 14, 2).as("total"))
+        .orderBy("decile")
+    }
+  )
+}

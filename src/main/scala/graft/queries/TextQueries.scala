@@ -144,6 +144,44 @@ object TextQueries {
           TextAnalysis.phoneCount(col("t")).cast("long").as("n_phones"),
           md5(TextAnalysis.redactPii(col("t")).cast("binary")).as("h"))
         .orderBy("doc_id")
+    },
+
+    // ---- per-language distinctive terms (integer tf/df ranking) ----------
+    // Top-5 tokens per language by raw language-local frequency, ties
+    // broken toward corpus-rare (low document-frequency) tokens then
+    // lexically — the integer-only core of tf-idf term ranking (an
+    // actual idf multiplies by a log, which is float-unstable across
+    // engines; the RANKING it induces for fixed tf is this df order).
+    // Scale shape: one explode, two partial-agg groupBys on the token
+    // key, a join of two ALREADY-AGGREGATED vocab tables, and a window
+    // partitioned by language — nothing touches raw documents twice.
+    QueryDef.sql(
+      "q89_distinctive_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT lang, tf.token AS token, tf, df,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY tf DESC, df ASC, tf.token) AS rk
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |SELECT lang, token, tf, df, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("df").asc, col("token"))
+      tf.join(df, "token")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("lang", "token", "tf", "df", "rk")
+        .orderBy("lang", "rk")
     }
   )
 }
