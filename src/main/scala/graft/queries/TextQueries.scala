@@ -173,7 +173,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+          explode(tokens(lower(col("text")))).as("token"))
       val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
       val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("df").asc, col("token"))
