@@ -95,7 +95,10 @@ object StreamQueries {
         col("user_id") === col("c_user") &&
           col("c_t") <= col("p_t") &&
           col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES"))
-      StreamOps.runToBatch(joined, mode = "append")
+      // inner interval joins emit eagerly — the trailing no-data batch
+      // would only evict state the finite drain is about to discard
+      // (measured: +4 s, see StreamOps.runToBatch)
+      StreamOps.runToBatch(joined, mode = "append", noDataBatches = false)
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))
         .orderBy("purchase_id", "click_id")
@@ -114,7 +117,9 @@ object StreamQueries {
       val dd = StreamOps.eventsStream(s, d)
         .select("user_id", "event_type")
         .dropDuplicates(Seq("user_id", "event_type"))
-      StreamOps.runToBatch(dd, mode = "append")
+      // first-sight emission is eager; unwatermarked dedup state never
+      // evicts, so the no-data batch is pure commit overhead
+      StreamOps.runToBatch(dd, mode = "append", noDataBatches = false)
         .orderBy("user_id", "event_type")
     },
 

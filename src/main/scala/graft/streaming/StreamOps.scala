@@ -50,16 +50,41 @@ object StreamOps {
 
   /** Drain a finite stream through a memory sink and return the result as
     * a batch DataFrame (complete mode: aggregation states emitted fully).
+    *
+    * `noDataBatches = false` skips the trailing NO-DATA micro-batch that
+    * AvailableNow otherwise runs after the last data batch. For an
+    * eagerly-emitting operator (inner interval join, streaming dedup)
+    * that batch produces zero rows — it exists solely to advance the
+    * watermark and evict state, then the temp checkpoint holding that
+    * state is deleted anyway. Measured on q39b at sf0.1: the eviction
+    * batch removed 39,909 of 39,947 state rows at a cost of ~4 s — all
+    * state-store commit overhead across 32 partitions × 4 stores/side —
+    * doubling the query (4.8→8.5 s) for work the finite drain discards.
+    * Continuous operation is unaffected: there, eviction runs inside
+    * ordinary DATA batches as the watermark advances (the 3-batch
+    * StreamingSpec eviction case pins exactly that contract). Leave it
+    * true for append-mode AGGREGATIONS, which need the final watermark
+    * advance to emit their last windows.
     */
-  def runToBatch(stream: DataFrame, mode: String = "complete"): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    stream.sparkSession.table(name)
+  def runToBatch(stream: DataFrame, mode: String = "complete",
+      noDataBatches: Boolean = true): DataFrame = {
+    val spark = stream.sparkSession
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, noDataBatches)
+    try {
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
 
