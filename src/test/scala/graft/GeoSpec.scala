@@ -38,6 +38,55 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("boundary points: half-open PNPOLY convention, identical in every plan") {
+    // Pinned semantics (SURVEY §7.5): the even-odd ray cast with strict
+    // comparisons classifies an axis-aligned square as the half-open tile
+    // [x0,x1)×[y0,y1) — bottom and left boundary (incl. the min corner)
+    // IN, top and right boundary (incl. the other three corners) OUT. A
+    // point shared by two adjacent tiles is therefore counted exactly
+    // once, which is the convention a partitioned spatial pipeline needs;
+    // shapely's `intersects` (the reference's sjoin) instead includes the
+    // whole boundary, a deliberate, documented divergence — the oracle
+    // mirrors THIS formula, so all engines agree bit-for-bit.
+    val sqX = Array(0.0, 4.0, 4.0, 0.0)
+    val sqY = Array(0.0, 0.0, 4.0, 4.0)
+    val expected = Seq(
+      ((2.0, 0.0), true),   // bottom edge
+      ((0.0, 2.0), true),   // left edge
+      ((2.0, 4.0), false),  // top edge
+      ((4.0, 2.0), false),  // right edge
+      ((0.0, 0.0), true),   // min vertex
+      ((4.0, 0.0), false), ((4.0, 4.0), false), ((0.0, 4.0), false),
+      ((2.0, 2.0), true),   // interior sanity
+      ((5.0, 2.0), false))  // exterior sanity
+    expected.foreach { case ((x, y), in) =>
+      assert(Geo.rayCast(sqX, sqY, x, y) == in, s"rayCast at ($x, $y)")
+    }
+    // the same ten points through BOTH physical plans (codegen BNLJ and
+    // grid equi-join), with the bbox rule active so its inclusive
+    // prefilter is also proven not to drop in-boundary points
+    Geo.register(spark)
+    val pts = expected.map { case ((x, y), _) => (x, y) }.toDF("x", "y")
+    val polys = Seq(("sq", sqX, sqY)).toDF("name", "xs", "ys")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SpatialBboxRule
+    try {
+      def classify(df: org.apache.spark.sql.DataFrame): Set[((Double, Double), Boolean)] =
+        df.select(col("x"), col("y"), col("name").isNotNull.as("in"))
+          .collect()
+          .map(r => ((r.getDouble(0), r.getDouble(1)), r.getBoolean(2))).toSet
+      val bnlj = classify(pts.join(broadcast(polys),
+        Geo.stContains(col("xs"), col("ys"), col("x"), col("y")), "left"))
+      val grid = classify(Geo.gridSpatialJoin(pts, polys, cellSize = 4.0))
+      assert(bnlj == expected.toSet, "BNLJ plan")
+      assert(grid == expected.toSet, "grid plan (cell edges ON the boundary)")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.SpatialBboxRule)
+    }
+  }
+
   test("SpatialBboxRule prepends a short-circuit bbox conjunct to spatial joins") {
     Geo.register(spark)
     spark.experimental.extraOptimizations =
