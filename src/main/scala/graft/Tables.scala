@@ -36,4 +36,18 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Round-robin-widen a scan ONLY when it yields fewer splits than the
+    * session has cores — the single-parquet testdata tables scan as a
+    * handful of row-group splits, starving a CPU-heavy downstream kernel
+    * (cosine, quantization) at local[32]. At scale this is the identity:
+    * a 100 TB table scans as thousands of splits, and an unconditional
+    * `repartition` there is a full exchange bought for parallelism the
+    * scan already provides. Round-robin, not hash-by-key: the kernels are
+    * per-row, so key co-location buys nothing and hash skew could cost.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

@@ -30,10 +30,9 @@ object DedupQueries {
       docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       // the table is small on disk (one input split) but the per-row
-      // signature kernels are CPU-heavy — spread across all cores (the
-      // band shuffle later keys on (band, key), not doc_id; this exchange
-      // is purely a local-parallelism spread)
-      .repartition(col("doc_id"))
+      // signature kernels are CPU-heavy; widen only when the scan itself
+      // is narrower than the machine (Tables.spread — identity at scale)
+      .transform(Tables.spread)
   }
 
   /** Portable char-fold hash, DuckDB formulation (mirror of Exact.foldHash).
@@ -289,7 +288,7 @@ object DedupQueries {
         |ORDER BY d1, d2""") { (s, d) =>
       val g = Tables.documents(s, d)
         .filter(col("doc_id") % 20 === 0)
-        .repartition(col("doc_id")) // parallelize the gram extraction
+        .transform(Tables.spread) // gram extraction wants all cores
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
         .persist() // prefix generation and verification reuse the gram sets
       PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
@@ -406,7 +405,7 @@ object DedupQueries {
             concat(lit("completely novel document "), col("doc_id").cast("string"),
               lit(" with unique content entirely unlike anything else")))
             .otherwise(col("text")).as("text"))
-        .repartition(col("doc_id"))
+        .transform(Tables.spread)
       val (dSets, dMh, dBands) = sigBands(delta)
       val (bSets, bMh, bBands) = sigBands(corpus(s, d))
       val cand = dBands.as("l")

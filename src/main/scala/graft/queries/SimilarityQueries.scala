@@ -35,7 +35,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.embeddings(s, d).repartition(col("vec_id")) // spread cosine kernels
+      val e = Tables.spread(Tables.embeddings(s, d)) // widen ONLY if scan splits < cores
       Similarity.topkNeighbors(e.filter(col("vec_id") % 100 === 0), e, 5)
         .orderBy("q_id", "rank")
     },
@@ -76,7 +76,7 @@ object SimilarityQueries {
            |SELECT d1, d2, sim FROM s WHERE sim >= 0.3 ORDER BY d1, d2"""
       }) { (s, d) =>
       Similarity.bandedNearDupPairs(
-        Tables.embeddings(s, d).repartition(col("vec_id")),
+        Tables.spread(Tables.embeddings(s, d)),
         "label", Similarity.rpPlanes(16, 64), 4, 0.3)
         .orderBy("d1", "d2")
     },
@@ -105,7 +105,7 @@ object SimilarityQueries {
            |ORDER BY q_id, rank"""
       }) { (s, d) =>
       val planes = Similarity.rpPlanes(8, 64)
-      val b = Tables.embeddings(s, d).repartition(col("vec_id"))
+      val b = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           Similarity.rpLshBucket(col("embedding"), planes).as("bucket"))
         .persist()
@@ -143,7 +143,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.embeddings(s, d).repartition(col("vec_id"))
+      val e = Tables.spread(Tables.embeddings(s, d))
       // cell assignment feeds both the query and corpus sides — persist
       // (at scale: the IVF index is materialized once, queried many times)
       val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") % 97 === 0))
@@ -177,7 +177,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.embeddings(s, d).repartition(col("vec_id"))
+      val e = Tables.spread(Tables.embeddings(s, d))
       val cents = e.filter(col("vec_id") % 97 === 0)
       val assigned = Similarity.ivfAssign(e, cents).persist()
       val probes = Similarity.ivfProbes(
@@ -234,8 +234,7 @@ object SimilarityQueries {
       def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
           .cast("double")
-      val n = Tables.embeddings(s, d)
-        .repartition(col("vec_id")) // spread the per-vector quantization
+      val n = Tables.spread(Tables.embeddings(s, d)) // per-vector quantization wants all cores
         .withColumn("sc", sc)
         .withColumn("q", qCol)
         .withColumn("qn", sqrt(qdot(col("q"), col("q"))))
