@@ -36,19 +36,23 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         dt
       }.sorted
-      name -> times(Reps / 2)
+      name -> ((times(Reps / 2), times.head))
     }
     // Layout is tail-truncation-resilient: the harness keeps only the LAST
-    // ~2k chars of stdout, so queries print in ASCENDING time order and
-    // metric/value/sf come after them — whatever gets cut is the cheap
-    // head, never the slow queries or the total. Values are ms-rounded to
-    // keep the line short (sub-ms per-query precision is noise anyway).
+    // ~2k chars of stdout, so the per-query MIN map (contention detector:
+    // median >> min flags a noisy machine, not a regression) prints first
+    // and is the first thing cut; `queries` (medians) prints in ASCENDING
+    // time order after it, then metric/value/sf — whatever gets cut is
+    // the min map and the cheap head, never the slow queries or the
+    // total. Values are ms-rounded to keep the line short.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}""")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val byMedian = results.toSeq.sortBy(_._2._1)
+    val qs = jmap(byMedian.map { case (k, (med, _)) => k -> med })
+    val mins = jmap(byMedian.map { case (k, (_, min)) => k -> min })
+    val total = results.values.map(_._1).sum
+    println(s"""{"unit":"sec","reps":$Reps,"min":$mins,"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }
