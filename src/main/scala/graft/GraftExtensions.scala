@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("st_contains"),
       new ExpressionInfo(classOf[PointInPolygon].getName, "st_contains"),
       exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("fold_dot"),
+      new ExpressionInfo(classOf[graft.functions.FoldDot].getName, "fold_dot"),
+      exprs => graft.functions.FoldDot(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.SpatialBboxRule)
   }
 }

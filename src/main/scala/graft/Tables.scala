@@ -37,17 +37,23 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** Round-robin-widen a scan ONLY when it yields fewer splits than the
-    * session has cores — the single-parquet testdata tables scan as a
-    * handful of row-group splits, starving a CPU-heavy downstream kernel
-    * (cosine, quantization) at local[32]. At scale this is the identity:
-    * a 100 TB table scans as thousands of splits, and an unconditional
-    * `repartition` there is a full exchange bought for parallelism the
-    * scan already provides. Round-robin, not hash-by-key: the kernels are
-    * per-row, so key co-location buys nothing and hash skew could cost.
+  /** Widen a scan ONLY when it yields fewer splits than the session has
+    * cores — the single-parquet testdata tables scan as a handful of
+    * row-group splits, starving a CPU-heavy downstream kernel (cosine,
+    * quantization, shingling) at local[32]. At scale this is the
+    * identity: a 100 TB table scans as thousands of splits, and an
+    * unconditional `repartition` there is a full exchange bought for
+    * parallelism the scan already provides.
+    *
+    * Hash on a caller-supplied high-cardinality key, NOT round-robin:
+    * `repartition(n)` must stay deterministic under task retry, so Spark
+    * first sorts every row by ALL columns
+    * (`spark.sql.execution.sortBeforeRepartition`) — measured on q29 a
+    * full sort of document text, 2.1 s → 6.9 s. Hash-by-key exchanges
+    * without sorting.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
   }
 }

@@ -45,13 +45,25 @@ object Exact {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0d), (acc, x) => acc + x.cast("double"))
 
-  /** Sequential dot product of two equal-length numeric arrays. */
-  def foldDot(a: Column, b: Column): Column =
+  /** Sequential dot product of two equal-length numeric arrays — the
+    * native codegen [[VectorFold.dot]] (higher-order functions are
+    * CodegenFallback: interpreted lambda per element, an allocated
+    * product array per pair, and a broken codegen span right at the ANN
+    * inner loop). Identical IEEE op order to [[foldDotHof]], which
+    * remains the documented oracle mirror; VectorFoldSpec pins the two
+    * bit-for-bit.
+    */
+  def foldDot(a: Column, b: Column): Column = VectorFold.dot(a, b)
+
+  /** The `zip_with`+`aggregate` fold — the form the DuckDB oracle SQL
+    * mirrors (`list_reduce(list_prepend(0.0, …))`): kept as the
+    * cross-check twin of the native expression, not the hot path.
+    */
+  def foldDotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 norm via sequential fold (same op order as the oracle). */
-  def foldNorm(a: Column): Column =
-    sqrt(foldSum(zip_with(a, a, (x, y) => x.cast("double") * y.cast("double"))))
+  def foldNorm(a: Column): Column = sqrt(VectorFold.dot(a, a))
 
   /** Cosine similarity with oracle-mirrored operation order. */
   def foldCosine(a: Column, b: Column): Column =

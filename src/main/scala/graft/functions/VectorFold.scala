@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen dot product over embedding arrays.
+  *
+  * [[Exact.foldDot]]'s `zip_with` + `aggregate` form is semantically the
+  * oracle mirror, but Spark's higher-order functions are
+  * `CodegenFallback`: they interpret their lambda per element, allocate
+  * an intermediate product array per pair, and break the enclosing
+  * whole-stage-codegen span. On the brute-force/ANN paths the dot product
+  * is THE inner loop — at 100 TB it runs billions of times — so it gets
+  * the same treatment as [[graft.geo.PointInPolygon]]: a real Catalyst
+  * expression whose `doGenCode` emits the tight primitive loop inline,
+  * keeping the surrounding join/filter/projection in one codegen span.
+  *
+  * The float semantics are IDENTICAL to the HOF form — a sequential
+  * left-fold from 0.0 of per-element `(double) a[i] * (double) b[i]`
+  * products in array order — so results are bit-for-bit the ones the
+  * DuckDB oracle computes (VectorFoldSpec pins native ≡ HOF on every
+  * element type combination). Null semantics likewise: null array,
+  * length mismatch, or null element → null, matching what the
+  * `zip_with` product array makes `aggregate` return.
+  */
+case class FoldDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fold_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fold_dot expects array<float|double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val ba = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != ba.numElements()) return null
+    val aF = elemType(left) == FloatType
+    val bF = elemType(right) == FloatType
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || ba.isNullAt(i)) return null
+      val x = if (aF) aa.getFloat(i).toDouble else aa.getDouble(i)
+      val y = if (bF) ba.getFloat(i).toDouble else ba.getDouble(i)
+      acc = acc + x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(e: Expression, arr: String, i: String): String =
+      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+      else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFold {
+  /** Register `fold_dot` in an existing session (idempotent; same
+    * pattern as [[graft.geo.Geo.register]] — Spark 4 exposes no public
+    * Expression→Column constructor, so custom expressions enter plans
+    * through the function registry).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fold_dot", exprs => FoldDot(exprs(0), exprs(1)), "built-in")
+
+  /** `fold_dot(a, b)` — requires [[register]] (or [[graft.GraftExtensions]])
+    * to have run on the session that analyzes the plan.
+    */
+  def dot(a: Column, b: Column): Column = call_function("fold_dot", a, b)
+}

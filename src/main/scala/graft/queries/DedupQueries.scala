@@ -32,7 +32,7 @@ object DedupQueries {
       // the table is small on disk (one input split) but the per-row
       // signature kernels are CPU-heavy; widen only when the scan itself
       // is narrower than the machine (Tables.spread — identity at scale)
-      .transform(Tables.spread)
+      .transform(Tables.spread(_, col("doc_id")))
   }
 
   /** Portable char-fold hash, DuckDB formulation (mirror of Exact.foldHash).
@@ -288,7 +288,7 @@ object DedupQueries {
         |ORDER BY d1, d2""") { (s, d) =>
       val g = Tables.documents(s, d)
         .filter(col("doc_id") % 20 === 0)
-        .transform(Tables.spread) // gram extraction wants all cores
+        .transform(Tables.spread(_, col("doc_id"))) // gram extraction wants all cores
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
         .persist() // prefix generation and verification reuse the gram sets
       PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
@@ -405,7 +405,7 @@ object DedupQueries {
             concat(lit("completely novel document "), col("doc_id").cast("string"),
               lit(" with unique content entirely unlike anything else")))
             .otherwise(col("text")).as("text"))
-        .transform(Tables.spread)
+        .transform(Tables.spread(_, col("doc_id")))
       val (dSets, dMh, dBands) = sigBands(delta)
       val (bSets, bMh, bBands) = sigBands(corpus(s, d))
       val cand = dBands.as("l")

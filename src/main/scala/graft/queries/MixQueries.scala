@@ -125,7 +125,7 @@ object MixQueries {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM hit GROUP BY 1 ORDER BY 1""") { (s, d) =>
       val sh = Tables.documents(s, d)
-        .transform(graft.Tables.spread) // shingle kernels want all cores
+        .transform(graft.Tables.spread(_, col("doc_id"))) // shingle kernels want all cores
         .select(col("doc_id"), col("source"),
           Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
         .persist() // probe and corpus sides share the shingle pass
@@ -170,7 +170,7 @@ object MixQueries {
       // build per use — measured 9.1 s → 0.6 s at sf0.1. Equivalence is
       // gated by this oracle (exact string-distinct semantics).
       Tables.documents(s, d)
-        .transform(graft.Tables.spread) // per-doc string kernels want all cores
+        .transform(graft.Tables.spread(_, col("doc_id"))) // per-doc string kernels want all cores
         .withColumn("bs", graft.text.TextAnalysis.bigramStatsUdf(col("text")))
         .select(col("doc_id"),
           col("bs._1").as("n_bigrams"), col("bs._2").as("n_distinct"))

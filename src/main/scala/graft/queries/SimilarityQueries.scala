@@ -35,7 +35,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.spread(Tables.embeddings(s, d)) // widen ONLY if scan splits < cores
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id")) // widen ONLY if scan splits < cores
       Similarity.topkNeighbors(e.filter(col("vec_id") % 100 === 0), e, 5)
         .orderBy("q_id", "rank")
     },
@@ -76,7 +76,7 @@ object SimilarityQueries {
            |SELECT d1, d2, sim FROM s WHERE sim >= 0.3 ORDER BY d1, d2"""
       }) { (s, d) =>
       Similarity.bandedNearDupPairs(
-        Tables.spread(Tables.embeddings(s, d)),
+        Tables.spread(Tables.embeddings(s, d), col("vec_id")),
         "label", Similarity.rpPlanes(16, 64), 4, 0.3)
         .orderBy("d1", "d2")
     },
@@ -104,8 +104,9 @@ object SimilarityQueries {
            |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
            |ORDER BY q_id, rank"""
       }) { (s, d) =>
+      graft.functions.VectorFold.register(s)
       val planes = Similarity.rpPlanes(8, 64)
-      val b = Tables.spread(Tables.embeddings(s, d))
+      val b = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding"),
           Similarity.rpLshBucket(col("embedding"), planes).as("bucket"))
         .persist()
@@ -143,7 +144,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.spread(Tables.embeddings(s, d))
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
       // cell assignment feeds both the query and corpus sides — persist
       // (at scale: the IVF index is materialized once, queried many times)
       val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") % 97 === 0))
@@ -177,7 +178,7 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
-      val e = Tables.spread(Tables.embeddings(s, d))
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
       val cents = e.filter(col("vec_id") % 97 === 0)
       val assigned = Similarity.ivfAssign(e, cents).persist()
       val probes = Similarity.ivfProbes(
@@ -226,6 +227,7 @@ object SimilarityQueries {
       }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import graft.functions.Exact
+      graft.functions.VectorFold.register(s)
       val sc = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       val qCol = when(col("sc") === 0,
         transform(col("embedding"), _ => lit(0L)))
@@ -234,7 +236,7 @@ object SimilarityQueries {
       def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
           .cast("double")
-      val n = Tables.spread(Tables.embeddings(s, d)) // per-vector quantization wants all cores
+      val n = Tables.spread(Tables.embeddings(s, d), col("vec_id")) // per-vector quantization wants all cores
         .withColumn("sc", sc)
         .withColumn("q", qCol)
         .withColumn("qn", sqrt(qdot(col("q"), col("q"))))

@@ -208,7 +208,7 @@ object SourceQueries {
           (lit(1) + (k * len / 32).cast("int")), lit(1))).cast("long"))
       val sig = Tables.documents(s, d)
         .filter(len > 0)
-        .transform(graft.Tables.spread) // hash kernels want all cores
+        .transform(graft.Tables.spread(_, col("doc_id"))) // hash kernels want all cores
         .select(col("doc_id"), ps.as("ps"))
         .withColumn("s", aggregate(col("ps"), lit(0L), _ + _))
         .select(col("doc_id"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact
+import graft.functions.{Exact, VectorFold}
 
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`array<float>`). (Driver extension surface.)
@@ -32,6 +32,7 @@ object Similarity {
     * Output: (q_id, n_id, sim, rank).
     */
   def topkNeighbors(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    VectorFold.register(queries.sparkSession)
     // norms are computed once per row (not once per pair); the float ops
     // are identical to inline cosine, so oracle bits don't change
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -50,6 +51,7 @@ object Similarity {
     * centroid id). Output: input columns + `cell`.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    VectorFold.register(vectors.sparkSession)
     val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     vectors.select(col("vec_id"), col("embedding"))
@@ -65,6 +67,7 @@ object Similarity {
     * excluded. Output: (q_id, n_id, sim, rank).
     */
   def ivfSearch(assigned: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    VectorFold.register(assigned.sparkSession)
     val q = assigned.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
     val c = assigned
@@ -85,6 +88,7 @@ object Similarity {
     * `nprobe` rows per vector.
     */
   def ivfProbes(vectors: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    VectorFold.register(vectors.sparkSession)
     val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     vectors.select(col("vec_id"), col("embedding"))
@@ -101,6 +105,7 @@ object Similarity {
     * vector lives in exactly one cell). Output: (q_id, n_id, sim, rank).
     */
   def ivfSearchProbes(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    VectorFold.register(assigned.sparkSession)
     val q = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
       col("cell"))
     val c = assigned
@@ -148,6 +153,7 @@ object Similarity {
     */
   def bandedNearDupPairs(vectors: DataFrame, blockCol: String,
       planes: Seq[Seq[Double]], bands: Int, threshold: Double): DataFrame = {
+    VectorFold.register(vectors.sparkSession)
     require(planes.size % bands == 0, "planes must split evenly into bands")
     val r = planes.size / bands
     val sig = vectors.select(col(blockCol).as("blk"), col("vec_id"),
@@ -181,6 +187,7 @@ object Similarity {
     * Output: (d1, d2, sim).
     */
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    VectorFold.register(vectors.sparkSession)
     val a = vectors.select(col(blockCol).as("blk"),
       col("vec_id").as("d1"), col("embedding").as("v1"),
       Exact.foldNorm(col("embedding")).as("n1"))

@@ -239,6 +239,7 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("rpLshBucket: deterministic and within [0, 2^planes)") {
+    graft.functions.VectorFold.register(spark) // fold_dot, like st_contains
     val planes = Similarity.rpPlanes(8, 4)
     val v = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f)).toDF("e")
     val b1 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Int].head()
