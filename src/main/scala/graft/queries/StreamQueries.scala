@@ -28,7 +28,10 @@ object StreamQueries {
           (col("ts_ns") - col("ts_ns") % Hour).as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
-      StreamOps.runToBatch(agg).orderBy("win_start", "event_type")
+      // state = live windows × types, tiny: 8 state partitions (see
+      // runToBatch scaladoc for the measured per-store commit cost)
+      StreamOps.runToBatch(agg, statePartitions = Some(8))
+        .orderBy("win_start", "event_type")
     },
 
     // ---- stream ⋈ static broadcast dimension + aggregation ---------------
@@ -45,7 +48,7 @@ object StreamQueries {
         .join(broadcast(dim), "event_type")
         .groupBy("event_type", "weight")
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
-      StreamOps.runToBatch(joined).orderBy("event_type")
+      StreamOps.runToBatch(joined, statePartitions = Some(8)).orderBy("event_type")
     },
 
     // ---- stream ⋈ stream interval join (attribution shape) ---------------
@@ -98,7 +101,8 @@ object StreamQueries {
       // inner interval joins emit eagerly — the trailing no-data batch
       // would only evict state the finite drain is about to discard
       // (measured: +4 s, see StreamOps.runToBatch)
-      StreamOps.runToBatch(joined, mode = "append", noDataBatches = false)
+      StreamOps.runToBatch(joined, mode = "append", noDataBatches = false,
+          statePartitions = Some(8)) // ~40k state keys: commit cost, not CPU, dominates
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))
         .orderBy("purchase_id", "click_id")
@@ -119,7 +123,8 @@ object StreamQueries {
         .dropDuplicates(Seq("user_id", "event_type"))
       // first-sight emission is eager; unwatermarked dedup state never
       // evicts, so the no-data batch is pure commit overhead
-      StreamOps.runToBatch(dd, mode = "append", noDataBatches = false)
+      StreamOps.runToBatch(dd, mode = "append", noDataBatches = false,
+          statePartitions = Some(8))
         .orderBy("user_id", "event_type")
     },
 

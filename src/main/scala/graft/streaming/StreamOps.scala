@@ -66,12 +66,25 @@ object StreamOps {
     * true for append-mode AGGREGATIONS, which need the final watermark
     * advance to emit their last windows.
     */
+  /** `statePartitions` sizes the STATEFUL shuffle: every state partition
+    * is a state-store instance whose per-batch commit (delta write +
+    * fsync + maintenance) has a large fixed cost — measured on the q39b
+    * interval join at sf0.1, summed commit time was 3.5 s at 8
+    * partitions, 89 s at 32, 134 s at 64, for identical 40k-row state.
+    * A stateful stream should therefore size its shuffle to STATE VOLUME
+    * (keys, not input rows), not inherit the batch shuffle default; at
+    * 100 TB with billions of keys you raise it, and the setting is baked
+    * into the checkpoint either way. None inherits the session conf.
+    */
   def runToBatch(stream: DataFrame, mode: String = "complete",
-      noDataBatches: Boolean = true): DataFrame = {
+      noDataBatches: Boolean = true,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, noDataBatches)
+    val keys = Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString) ++
+      statePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       val q = stream.writeStream
@@ -81,9 +94,9 @@ object StreamOps {
         .start()
       q.awaitTermination()
       spark.table(name)
-    } finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }

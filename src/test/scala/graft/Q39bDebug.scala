@@ -12,13 +12,20 @@ import graft.streaming.StreamOps
 object Q39bDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val oneSided = args.length > 1 && args(1) == "oneSided"
+    val oneSided = args.exists(_ == "oneSided")
+    val rocks = args.exists(_ == "rocksdb")
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (rocks) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // match production q39b (StreamOps.runToBatch noDataBatches=false)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    args.find(_.startsWith("parts=")).foreach(a =>
+      s.conf.set("spark.sql.shuffle.partitions", a.stripPrefix("parts=")))
     s.range(1000000L).selectExpr("sum(id)").collect()
     val t0 = System.nanoTime()
 
