@@ -44,7 +44,9 @@ object ConnectedComponents {
     sym.filter(col("v") > col("u"))
       .join(mins, "u")
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    // no distinct here: the consumer (smallStar) takes a duplicate-
+    // agnostic groupBy-min and dedups its own output — dropping the
+    // exchange saves one full shuffle per round
   }
 
   /** Small-star round. Input: oriented edges (u, v), u > v.
@@ -98,14 +100,43 @@ object ConnectedComponents {
     var prev = digest(cur)
     var round = 0
     var done = prev._1 == 0L
-    while (!done && round < maxRounds) {
-      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
-      val next = smallStar(largeStar(sym)).localCheckpoint()
-      val d = digest(next)
-      done = d == prev
-      prev = d
-      cur = next
-      round += 1
+    // each round runs ~6 shuffles; size them to the MEASURED edge count
+    // (from the digest we already paid for), not the session default — a
+    // 20k-edge graph at 32 partitions pays 6 × 32 empty-task overheads
+    // per round, while a 100 TB pair list (billions of edges) keeps the
+    // session's (large) setting. Scoped set/restore: the loop owns every
+    // action between here and convergence. ~2M edges/partition keeps a
+    // partition's groupBy hash map comfortably in executor memory.
+    // AQE's per-stage re-planning is also pure latency on a loop whose
+    // partition count is already sized to measured data — off inside the
+    // loop, restored after.
+    val spark = edges.sparkSession
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" -> math.max(8L, math.min(
+        spark.conf.getOption("spark.sql.shuffle.partitions")
+          .flatMap(_.toLongOption).getOrElse(200L),
+        prev._1 / 2000000L + 1L)).toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val prior = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      while (!done && round < maxRounds) {
+        val t0 = System.nanoTime()
+        val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+        val next = smallStar(largeStar(sym)).localCheckpoint()
+        val t1 = System.nanoTime()
+        val d = digest(next)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"CCROUND $round%d edges=${d._1}%d star=${(t1 - t0) / 1e9}%.2f " +
+            f"digest=${(System.nanoTime() - t1) / 1e9}%.2f")
+        done = d == prev
+        prev = d
+        cur = next
+        round += 1
+      }
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     // convergence is proven O(log n) rounds for star contraction, so 50
     // covers any physical graph — but if the loop DID exit on the cap,
