@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fold_dot"),
       new ExpressionInfo(classOf[graft.functions.FoldDot].getName, "fold_dot"),
       exprs => graft.functions.FoldDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("fold_dot_long"),
+      new ExpressionInfo(classOf[graft.functions.FoldDotLong].getName, "fold_dot_long"),
+      exprs => graft.functions.FoldDotLong(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.SpatialBboxRule)
   }
 }

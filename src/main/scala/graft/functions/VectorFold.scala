@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen dot product over embedding arrays.
   *
@@ -97,18 +97,87 @@ case class FoldDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer twin of [[FoldDot]] for quantized vectors (`array<long>` —
+  * the int8-ANN path q80): exact long arithmetic, so unlike the float
+  * fold there is no op-order subtlety at all, just the same
+  * CodegenFallback-HOF cost to avoid. Null semantics mirror [[FoldDot]].
+  */
+case class FoldDotLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fold_dot_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fold_dot_long expects array<bigint> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val ba = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != ba.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || ba.isNullAt(i)) return null
+      acc = acc + aa.getLong(i) * ba.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFold {
   /** Register `fold_dot` in an existing session (idempotent; same
     * pattern as [[graft.geo.Geo.register]] — Spark 4 exposes no public
     * Expression→Column constructor, so custom expressions enter plans
     * through the function registry).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fold_dot", exprs => FoldDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fold_dot_long", exprs => FoldDotLong(exprs(0), exprs(1)), "built-in")
+  }
 
   /** `fold_dot(a, b)` — requires [[register]] (or [[graft.GraftExtensions]])
     * to have run on the session that analyzes the plan.
     */
   def dot(a: Column, b: Column): Column = call_function("fold_dot", a, b)
+
+  /** `fold_dot_long(a, b)` — same registration requirement. */
+  def dotLong(a: Column, b: Column): Column = call_function("fold_dot_long", a, b)
 }

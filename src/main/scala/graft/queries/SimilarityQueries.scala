@@ -233,9 +233,10 @@ object SimilarityQueries {
         transform(col("embedding"), _ => lit(0L)))
         .otherwise(transform(col("embedding"),
           x => floor(x.cast("double") / col("sc") * 127.0 + 0.5)))
+      // native codegen integer fold (exact long math — order-free), not
+      // the CodegenFallback HOF pair; see functions/VectorFold
       def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-          .cast("double")
+        graft.functions.VectorFold.dotLong(a, b).cast("double")
       val n = Tables.spread(Tables.embeddings(s, d), col("vec_id")) // per-vector quantization wants all cores
         .withColumn("sc", sc)
         .withColumn("q", qCol)

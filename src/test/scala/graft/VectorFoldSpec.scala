@@ -53,6 +53,25 @@ class VectorFoldSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fold_dot_long matches the HOF integer fold exactly") {
+    VectorFold.register(spark)
+    val df = (1 to 30).map { i =>
+      val r = new scala.util.Random(i)
+      (Array.fill(64)(r.nextInt(255).toLong - 127),
+        Array.fill(64)(r.nextInt(255).toLong - 127))
+    }.toDF("a", "b")
+    val got = df.select(
+      VectorFold.dotLong(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null semantics mirror FoldDot
+    val nulls = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]),
+      (Some(Seq(1L)), Some(Seq(1L, 2L)))).toDF("a", "b")
+    val gn = nulls.select(VectorFold.dotLong(col("a"), col("b"))).collect()
+    assert(gn(0).isNullAt(0) && gn(1).isNullAt(0))
+  }
+
   test("null semantics: null array, null element, length mismatch -> null") {
     VectorFold.register(spark)
     val rows = Seq(
