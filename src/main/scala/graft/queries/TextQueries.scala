@@ -174,10 +174,18 @@ object TextQueries {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(tokens(lower(col("text")))).as("token"))
-      val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+      // ONE corpus scan and ONE (lang, token) shuffle: a document has
+      // exactly one lang, so global document frequency is the sum of
+      // per-lang distinct-doc counts — a window over the same aggregate,
+      // not a second scan+groupBy of the corpus (the naive tf/df pair of
+      // aggregations planned TWO parquet scans of `documents`)
+      val base = tok.groupBy("lang", "token")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("dfl"))
+      val withDf = base
+        .withColumn("df", sum(col("dfl")).over(Window.partitionBy("token")))
+        .drop("dfl")
       val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("df").asc, col("token"))
-      tf.join(df, "token")
+      withDf
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select("lang", "token", "tf", "df", "rk")
