@@ -123,7 +123,11 @@ object ConnectedComponents {
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
         val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
-        val next = smallStar(largeStar(sym)).localCheckpoint()
+        // LAZY checkpoint: the digest below is the materializing action,
+        // so each round schedules one job instead of an eager-checkpoint
+        // job plus a digest job (same total work, half the job-submission
+        // round-trips — which is what a busy 1000-executor driver queues on)
+        val next = smallStar(largeStar(sym)).localCheckpoint(false)
         val t1 = System.nanoTime()
         val d = digest(next)
         if (sys.env.contains("GRAFT_CC_DEBUG"))
