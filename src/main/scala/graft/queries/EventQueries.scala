@@ -213,6 +213,46 @@ object EventQueries {
         .agg(min(col("d")).as("run_start"), max(col("d")).as("run_end"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_custkey", "island")
+    },
+
+    // ---- batch interval join via bucketized equi-join --------------------
+    // The BATCH form of q39b's attribution (purchases ⋈ same-user clicks
+    // in the preceding 30 min). Spark has no native range join, and the
+    // naive key + range theta-join degenerates to a per-key cross
+    // product on hot keys; IntervalJoin buckets time by the window width
+    // and replicates the BUILD side into (bucket, bucket+1), so the plan
+    // is an ordinary shuffled equi-join on (user, bucket) — IntervalSpec
+    // asserts no BNLJ/cartesian node — with the exact range applied
+    // after. Same oracle text as q39b: the two formulations (streaming
+    // watermarked join, batch bucketized join) must agree exactly.
+    QueryDef.sql(
+      "q94_interval_join_batch",
+      s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         |       p.user_id,
+         |       epoch_ns(p.ts) AS p_tus, epoch_ns(c.ts) AS c_tus
+         |FROM events p JOIN events c
+         |  ON p.user_id = c.user_id
+         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+         | AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+         | AND epoch_ns(c.ts) > epoch_ns(p.ts) - ${30L * 60 * 1000 * 1000 * 1000}
+         |ORDER BY purchase_id, click_id""") { (s, d) =>
+      val W = 30L * 60 * 1000 * 1000 * 1000
+      // µs-truncate BEFORE joining, exactly like q39b: DuckDB's reader
+      // truncates TIMESTAMP(NANOS) to µs, so boundary comparisons must
+      // run in the same domain
+      val ev = Tables.events(s, d)
+        .withColumn("tus", col("ts_ns") - col("ts_ns") % 1000)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tus").as("p_tus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("tus").as("c_tus"))
+      graft.operators.IntervalJoin.preceding(
+          purchases, clicks,
+          col("user_id"), col("c_user"), col("p_tus"), col("c_tus"), W)
+        .select("purchase_id", "click_id", "user_id", "p_tus", "c_tus")
+        .orderBy("purchase_id", "click_id")
     }
   )
 }
