@@ -215,6 +215,52 @@ object EventQueries {
         .orderBy("o_custkey", "island")
     },
 
+    // ---- native session_window sessionization ----------------------------
+    // The same sessions as q35/q38, via Spark's BUILTIN session_window
+    // (merge-on-overlap session aggregation) instead of lag/running-sum
+    // windows or custom state — the operator a Spark-first pipeline
+    // reaches for FIRST. Boundary semantics pinned to the oracle:
+    // session_window splits when diff >= gap (event windows [t, t+gap)
+    // merge on overlap) while the oracle splits when diff > gap; on
+    // µs-quantized timestamps `gap + 1 µs` makes the two identical.
+    // session_idx is a per-user ordinal over session starts (the one
+    // extra window runs on the already-aggregated session rows, not the
+    // raw events). Oracle text = q35's, verbatim.
+    QueryDef.sql(
+      "q95_session_window",
+      s"""WITH g AS (
+         |  SELECT user_id, epoch_ns(ts) AS tns, value,
+         |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+         |           > $SessionGap
+         |         OR lag(epoch_ns(ts))
+         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS is_new,
+         |    event_id
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, tns, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM g)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  min(tns) AS session_start, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      val gapMicros = SessionGap / 1000 + 1
+      val sessions = Tables.events(s, d)
+        .withColumn("tus", col("ts_ns") - col("ts_ns") % 1000)
+        .withColumn("t", timestamp_micros(expr("tus div 1000")))
+        .groupBy(col("user_id"), session_window(col("t"), s"$gapMicros microseconds"))
+        .agg(min(col("tus")).as("session_start"), count(lit(1)).as("n"),
+          Exact.dsum(col("value"), 14, 2).as("total"))
+      val byStart = Window.partitionBy("user_id").orderBy("session_start")
+      sessions
+        .withColumn("session_idx", row_number().over(byStart).cast("long"))
+        .select("user_id", "session_idx", "session_start", "n", "total")
+        .orderBy("user_id", "session_idx")
+    },
+
     // ---- batch interval join via bucketized equi-join --------------------
     // The BATCH form of q39b's attribution (purchases ⋈ same-user clicks
     // in the preceding 30 min). Spark has no native range join, and the
