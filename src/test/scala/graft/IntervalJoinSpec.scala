@@ -53,6 +53,29 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("randomized: bucketized ≡ naive across widths, keys, negative epochs") {
+    // seeded-random property sweep (the BatchPlannerSpec pattern): dense
+    // key collisions and timestamps straddling zero so bucket edges,
+    // exact-boundary hits, and floor-vs-truncate all get exercised
+    val r = new scala.util.Random(42)
+    val probe = (1 to 300).map(i =>
+      (r.nextInt(12).toLong, i.toLong, r.nextLong() % 2000L))
+      .toDF("k", "pid", "pts")
+    val build = (1 to 300).map(i =>
+      (r.nextInt(12).toLong, (i + 1000).toLong, r.nextLong() % 2000L))
+      .toDF("bk", "bid", "bts")
+    for (w <- Seq(1L, 7L, 100L, 3600L)) {
+      val got = IntervalJoin.preceding(probe, build,
+          col("k"), col("bk"), col("pts"), col("bts"), w)
+        .select("pid", "bid").as[(Long, Long)].collect().toSet
+      val naive = probe.join(build,
+          col("k") === col("bk") &&
+            col("bts") > col("pts") - w && col("bts") <= col("pts"))
+        .select("pid", "bid").as[(Long, Long)].collect().toSet
+      assert(got === naive, s"width $w")
+    }
+  }
+
   test("negative timestamps bucket by floor division (no toward-zero flip)") {
     val probe = Seq((1L, 1L, 50L)).toDF("k", "pid", "pts")
     val build = Seq((1L, 2L, -40L), (1L, 3L, -60L)).toDF("bk", "bid", "bts")

@@ -85,6 +85,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains((3L, 100L))) // expired state evicted, no match
   }
 
+  test("streaming session_window (watermarked append) ≡ batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // two users, a 5-min gap: u1 {1,3 | 15,16}, u2 {2 | 30}
+    val events = Seq((1L, ts(1)), (1L, ts(3)), (2L, ts(2)),
+      (1L, ts(15)), (1L, ts(16)), (2L, ts(30)))
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = input.toDF().toDF("u", "t")
+      .withWatermark("t", "0 seconds")
+      .groupBy(col("u"), session_window(col("t"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("u"), col("session_window.start").as("start"), col("n"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sw_stream").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // feed everything, then a far-future event to close all sessions
+    input.addData(events: _*)
+    q.processAllAvailable()
+    input.addData((99L, ts(59)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw_stream")
+      .filter(col("u") =!= 99L)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // batch reference over the same rows
+    val batch = events.toDF("u", "t")
+      .groupBy(col("u"), session_window(col("t"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("u"), col("session_window.start").as("start"), col("n"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === batch)
+    assert(batch === Set((1L, ts(1), 2L), (1L, ts(15), 2L), (2L, ts(2), 1L),
+      (2L, ts(30), 1L)))
+  }
+
   test("StatefulSessionize carries open sessions across micro-batches") {
     import graft.streaming.{Ev, SessionRow, StatefulSessionize}
     import spark.implicits._
