@@ -93,14 +93,41 @@ object Dedup {
       if (s == null) Array.empty[String] else distinctShinglesJvm(s, k))
 
   /** Distinct character n-grams of a string (1-based substr positions,
-    * matching the oracle's `range`-generated slices).
+    * matching the oracle's `range`-generated slices) — the expression
+    * form, kept as the documented oracle mirror and spec cross-check.
     */
-  def charNgrams(text: Column, n: Int = 3): Column =
+  def charNgramsExpr(text: Column, n: Int = 3): Column =
     array_distinct(
       when(length(text) >= n,
         transform(sequence(lit(1), length(text) - (n - 1)),
           i => text.substr(i, lit(n))))
         .otherwise(typedlit(Seq.empty[String])))
+
+  /** JVM twin of [[charNgramsExpr]]: `array_distinct` over STRING arrays
+    * is Spark's pairwise-comparison fallback (the specialized hash set
+    * covers primitive types only — the [[graft.text.TextAnalysis
+    * .bigramStatsJvm]] finding), so a ~1k-gram document costs ~10⁶
+    * string compares. One pass, one LinkedHashSet; first-occurrence
+    * order preserved, matching `array_distinct`.
+    */
+  def charNgramsJvm(text: String, n: Int): Array[String] = {
+    if (text.length < n) Array.empty
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= text.length) { set.add(text.substring(i, i + n)); i += 1 }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** Null-safe (null text → empty grams, the expression form's value). */
+  val charNgramsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String, n: Int) =>
+      if (s == null) Array.empty[String] else charNgramsJvm(s, n))
+
+  /** Hot-path distinct n-grams (see [[charNgramsJvm]]). */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    charNgramsUdf(text, lit(n))
 
   /** Portable hashes of an array of strings (JVM fold — same values as
     * `transform(arr, Exact.foldHash)`, without a per-character array per

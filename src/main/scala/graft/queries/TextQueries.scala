@@ -171,9 +171,10 @@ object TextQueries {
         |SELECT lang, token, tf, df, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY lang, rk""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      import graft.text.TextAnalysis
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(tokens(lower(col("text")))).as("token"))
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
       // ONE corpus scan and ONE (lang, token) shuffle: a document has
       // exactly one lang, so global document frequency is the sum of
       // per-lang distinct-doc counts — a window over the same aggregate,

@@ -33,6 +33,17 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     assert(got(2) == Seq("aaa")) // distinct: two identical grams collapse
   }
 
+  test("charNgramsJvm ≡ the expression form, incl. order and null") {
+    val texts = Seq("ab", "abc", "aaaa", "the quick brown fox the quick",
+      "x" * 300, null)
+    val df = texts.toDF("t").select(
+      Dedup.charNgrams(col("t")).as("jvm"),
+      Dedup.charNgramsExpr(col("t")).as("expr"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("jaccard: identical = 1.0, disjoint = 0.0") {
     val df = Seq(
       (Seq("x", "y"), Seq("x", "y")),
