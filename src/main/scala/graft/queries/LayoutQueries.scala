@@ -18,8 +18,55 @@ import graft.operators.GlobalRowNumber
   *  - q93: exact global decile statistics WITHOUT a partition-less
   *    window — reuses [[GlobalRowNumber]]'s two-pass range-bucketed
   *    numbering, so the biggest sort any task runs is ~n/buckets rows.
+  *  - q96: hash-bucketed co-located join — both fact tables written
+  *    `bucketBy` the join key, after which the join plans with ZERO
+  *    exchange (the spec asserts it). At 100 TB this is THE fact⋈fact
+  *    strategy: the shuffle is paid once at ingest and every subsequent
+  *    join of the two tables on that key is exchange-free.
   */
 object LayoutQueries {
+
+  /** Write `df` as a bucketed, per-bucket-sorted datasource table under
+    * java.io.tmpdir (never inside the repo), replacing any previous
+    * incarnation. The `repartition(buckets, key)` aligns Spark's write
+    * tasks with the bucket hash, so each bucket lands as ONE file —
+    * the layout bucketed reads plan best against (and the precondition
+    * for ever eliding the merge-side sort).
+    */
+  private def writeBucketed(
+      df: org.apache.spark.sql.DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val path = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_buckets", table).toString
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, col(key))
+      .write.format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The exchange-free joined detail (shared by q96 and its spec): both
+    * sides bucketed on the join key → SortMergeJoin with no shuffle
+    * below it.
+    */
+  def bucketedJoin(s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val buckets = 8
+    writeBucketed(Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority"), "graft_q96_orders", "o_orderkey", buckets)
+    writeBucketed(Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice"), "graft_q96_lineitem", "l_orderkey", buckets)
+    // hint("merge") pins SortMergeJoin: at test SF the planner would
+    // rather broadcast the small side (and ignore buckets entirely), but
+    // the strategy this layout exists for is the fact⋈fact case where
+    // NEITHER side broadcasts — the hint makes the plan under test the
+    // plan that runs at scale
+    s.table("graft_q96_orders").hint("merge")
+      .join(s.table("graft_q96_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+  }
 
   /** Morton interleave of the low `bits` of `a` (odd positions) and `b`
     * (even positions) — a static fold, fully codegen-friendly.
@@ -103,6 +150,28 @@ object LayoutQueries {
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
           Exact.dsum(col("o_totalprice"), 14, 2).as("total"))
         .orderBy("decile")
+    },
+
+    // ---- bucketed co-located join ----------------------------------------
+    // orders⋈lineitem where BOTH sides were written `bucketBy(8, key)` +
+    // `sortBy(key)`: the scan's hash-bucket layout satisfies the join's
+    // distribution requirement, so the SortMergeJoin takes its inputs
+    // straight from the parquet buckets — no Exchange below the join
+    // (BucketedJoinSpec pins that plan shape). The timing INCLUDES both
+    // bucketed writes: that is the once-per-ingest cost the layout buys
+    // every later join with. Only the tiny 5-row priority rollup after
+    // the join shuffles.
+    QueryDef.sql(
+      "q96_bucketed_join",
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      bucketedJoin(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice"), 14, 2).as("revenue"))
+        .orderBy("o_orderpriority")
     }
   )
 }
