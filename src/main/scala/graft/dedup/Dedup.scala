@@ -213,6 +213,12 @@ object Dedup {
     */
   val SimHashMaxTokens = 65535
 
+  /** Max accepted edit distance for q98's blocked levenshtein near-dup
+    * verify — also the early-abandon threshold handed to Spark's
+    * bounded levenshtein.
+    */
+  val EditDistanceMax = 8
+
   /** SimHash signature from pre-hashed tokens: per bit, majority vote over
     * the token hashes (ones ≥ half sets the bit — identical to the ±1
     * vote-sum ≥ 0 formulation the oracle uses: `ones − (n − ones) ≥ 0 ⇔

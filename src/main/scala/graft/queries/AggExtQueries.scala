@@ -203,6 +203,38 @@ object AggExtQueries {
           floor(col("value") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"))
         .orderBy("event_type", "bucket")
+    },
+
+    // ---- unpivot (melt) — the inverse of q47's pivot ---------------------
+    // Per-nation customer stats computed wide, then melted to one
+    // (nation, stat, value) row per stat via Dataset.unpivot — an Expand
+    // node, pure map-side row generation with NO shuffle (the only
+    // exchanges are the stat groupBy before it and the final sort). The
+    // stat columns are cast to one type first: unpivot requires a common
+    // value type, and double is the lossless envelope here.
+    QueryDef.sql(
+      "q97_unpivot",
+      """WITH w AS (
+        |  SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n_cust,
+        |    MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, 'n_cust' AS stat, n_cust AS value FROM w
+        |UNION ALL SELECT n_name, 'bal_min', bal_min FROM w
+        |UNION ALL SELECT n_name, 'bal_max', bal_max FROM w
+        |ORDER BY n_name, stat""") { (s, d) =>
+      val wide = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast("double").as("n_cust"),
+          min(col("c_acctbal")).as("bal_min"),
+          max(col("c_acctbal")).as("bal_max"))
+      wide.unpivot(
+        Array(col("n_name")),
+        Array(col("n_cust"), col("bal_min"), col("bal_max")),
+        "stat", "value")
+        .orderBy("n_name", "stat")
     }
   )
 }

@@ -445,6 +445,43 @@ object DedupQueries {
       simhashPairs(s, d,
         t => Dedup.simhash64Udf(graft.text.TextAnalysis.tokens(t)),
         Dedup.simhash64Bands)
+    },
+
+    // ---- blocked edit-distance near-dup pairs ----------------------------
+    // Candidate pairs share a 16-char text prefix (the blocking key —
+    // an equi-join shuffle on the prefix, never an O(n²) cross join);
+    // survivors are verified with levenshtein. Blocking is part of the
+    // operator's declared semantics (standard blocking+verify entity
+    // resolution), so the oracle applies the identical block. The Spark
+    // side uses the THRESHOLD form levenshtein(a, b, 8): it abandons a
+    // row's DP early once the distance provably exceeds 8 — O(k·n) per
+    // verified pair instead of O(n·m), the difference between verifying
+    // a hot block and timing out on it at corpus scale.
+    QueryDef.sql(
+      "q98_edit_distance", {
+        val k = Dedup.EditDistanceMax
+        s"""WITH d AS (SELECT doc_id, text FROM documents),
+           |p AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    levenshtein(a.text, b.text) AS ed
+           |  FROM d a JOIN d b
+           |    ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+           |    AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, CAST(ed AS BIGINT) AS ed
+           |FROM p WHERE ed <= $k ORDER BY d1, d2"""
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 16).as("blk"))
+      val a = docs.select(col("doc_id").as("d1"), col("text").as("t1"), col("blk"))
+      val b = docs.select(col("doc_id").as("d2"), col("text").as("t2"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2"), Dedup.EditDistanceMax)
+            .cast("long").as("ed"))
+        .filter(col("ed") >= 0) // threshold form returns -1 past the cap
+        .orderBy("d1", "d2")
     }
   )
 }
