@@ -108,6 +108,75 @@ object StreamQueries {
         .orderBy("purchase_id", "click_id")
     },
 
+    // ---- stream ⋈ stream LEFT OUTER interval join ------------------------
+    // q39b's attribution join, outer form: every purchase emits, clicks
+    // or not. The hard streaming part is the NULL side: an unmatched
+    // purchase can only be declared unmatched once the joint watermark
+    // (min over both inputs of max-event-time − 30 min) passes its
+    // timestamp — before that, a matching click could still arrive. So
+    // the null rows emit from state EVICTION, not from the join itself,
+    // and the trailing no-data batch must run (noDataBatches = true
+    // here, unlike inner q39b) to advance the watermark and flush them.
+    // Purchases inside the last 30 min of the stream are never
+    // finalized by an AvailableNow drain; the query therefore DECLARES
+    // a finalization horizon — only purchases ≥ 31 min behind the joint
+    // max are reported — and the oracle applies the identical cut. The
+    // 1-min margin keeps the gate off the exact eviction boundary
+    // (strict `<` vs `<=` at the watermark line); rows are filtered,
+    // never re-derived, so everything reported came through the
+    // streaming state machine. The horizon itself is 1-row metadata
+    // from a batch scan (like q37's static dim), not a stream action.
+    QueryDef.sql(
+      "q99_stream_outer_join",
+      s"""WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+         |      FROM events WHERE event_type = 'click'),
+         |h AS (SELECT LEAST((SELECT max(tns) FROM p),
+         |                   (SELECT max(tns) FROM c))
+         |             - ${31L * 60 * 1000 * 1000 * 1000} AS cut)
+         |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         |       p.user_id, p.tns AS p_tus, c.tns AS c_tus
+         |FROM p LEFT JOIN c
+         |  ON p.user_id = c.user_id
+         | AND c.tns <= p.tns
+         | AND c.tns > p.tns - ${30L * 60 * 1000 * 1000 * 1000}
+         |WHERE p.tns <= (SELECT cut FROM h)
+         |ORDER BY purchase_id, click_id NULLS FIRST""") { (s, d) =>
+      import s.implicits._
+      // joint-watermark horizon: µs-truncated to match the join's time
+      // domain (see q39b's truncation note)
+      val cut = graft.Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(max(col("ts_ns") - col("ts_ns") % 1000).as("mx"))
+        .agg(min("mx")).as[Long].head() - 31L * 60 * 1000 * 1000 * 1000
+      val purchases = StreamOps.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts_ns") - col("ts_ns") % 1000).as("p_ts"))
+        .withColumn("p_t", timestamp_micros(expr("p_ts div 1000")))
+        .withWatermark("p_t", "30 minutes")
+      val clicks = StreamOps.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          (col("ts_ns") - col("ts_ns") % 1000).as("c_ts"))
+        .withColumn("c_t", timestamp_micros(expr("c_ts div 1000")))
+        .withWatermark("c_t", "30 minutes")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_t") <= col("p_t") &&
+          col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      StreamOps.runToBatch(joined, mode = "append",
+          statePartitions = Some(8))
+        .filter(col("p_ts") <= cut)
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ---- streaming exact dedup (training-pipeline shape) -----------------
     // Stateful key dedup over the stream: each (user_id, event_type) key
     // is emitted exactly once, on first sight — the streaming twin of the
