@@ -259,6 +259,70 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- product-quantization (PQ) ANN -------------------------------------
+    // The compression step past q80's int8: 8 subspaces × 8 dims, each
+    // subvector snapped to its nearest codeword, so a vector persists as
+    // 8 codeword ids (≈16 B) instead of 64 floats (256 B) — the 16×
+    // scan-bandwidth lever for corpus-scale vector search. Ranking uses
+    // the RECONSTRUCTED vector (decode-on-read from the broadcast
+    // codebook): one 64-wide exact fold ≡ ADC's per-subspace table-sum
+    // in the same op order, which keeps the whole ranking bit-exact in
+    // DuckDB. Codebook = the deterministic vec_id%97 subset (the q32
+    // centroid device); production k-means-trains it — same plan, only
+    // reconstruction error changes. True cosine rides along per row, so
+    // quantization error is visible inside the gated output.
+    QueryDef.sql(
+      "q100_ann_pq", {
+        def l2Sql(a: String, b: String): String =
+          s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+           |               FROM embeddings WHERE vec_id % 97 = 0),
+           |sp AS (SELECT j FROM range(8) t(j)),
+           |asg AS (
+           |  SELECT e.vec_id, j, cent_id,
+           |    ${l2Sql("(e.embedding[(j*8+1):(j*8+8)])", "(c.cv[(j*8+1):(j*8+8)])")} AS dist,
+           |    c.cv[(j*8+1):(j*8+8)] AS sub
+           |  FROM embeddings e CROSS JOIN cents c CROSS JOIN sp),
+           |chosen AS (SELECT vec_id, j, sub FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |                                 ORDER BY dist, cent_id) AS rn
+           |    FROM asg) WHERE rn = 1),
+           |dec AS (SELECT vec_id, flatten(list(sub ORDER BY j)) AS dv
+           |        FROM chosen GROUP BY vec_id),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           |      WHERE vec_id % 100 = 0),
+           |c AS (SELECT e.vec_id AS n_id, e.embedding AS nv, dv
+           |      FROM embeddings e JOIN dec ON e.vec_id = dec.vec_id),
+           |s AS (SELECT q_id, n_id,
+           |        ${cosSql("qv", "dv")} AS psim, ${cosSql("qv", "nv")} AS sim
+           |      FROM c JOIN q ON q_id <> n_id),
+           |r AS (SELECT q_id, n_id, psim, sim,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY psim DESC, n_id) AS BIGINT) AS rank
+           |      FROM s)
+           |SELECT q_id, n_id, psim, sim, rank FROM r WHERE rank <= 3
+           |ORDER BY q_id, rank"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Exact
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+      // the index is built once and persisted (like q32's cell index);
+      // queries rank against the decoded corpus
+      val idx = Similarity.pqIndex(e, e.filter(col("vec_id") % 97 === 0), 8, 64)
+        .persist()
+      val q = idx.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
+      idx.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("dv"))
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Exact.foldCosine(col("qv"), col("dv")).as("psim"),
+          Exact.foldCosine(col("qv"), col("nv")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("q_id", "rank")
     }
   )
 }
