@@ -308,14 +308,17 @@ object SimilarityQueries {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.Exact
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
-      // the index is built once and persisted (like q32's cell index);
-      // queries rank against the decoded corpus
+      // the index (codes + decoded form, no raw vectors) is built once
+      // and persisted (like q32's cell index); the search re-joins the
+      // original table for the true-cosine column
       val idx = Similarity.pqIndex(e, e.filter(col("vec_id") % 97 === 0), 8, 64)
         .persist()
-      val q = idx.filter(col("vec_id") % 100 === 0)
+      val corpus = e.select(col("vec_id"), col("embedding").as("nv"))
+        .join(idx, "vec_id")
+      val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
-      idx.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("dv"))
+      corpus.select(col("vec_id").as("n_id"), col("nv"), col("dv"))
         .join(broadcast(q), col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
           Exact.foldCosine(col("qv"), col("dv")).as("psim"),

@@ -238,20 +238,26 @@ object Similarity {
     val ca = part(col("cv"))
     val dist = Exact.foldDot(va, va) - lit(2.0d) * Exact.foldDot(va, ca) +
       Exact.foldDot(ca, ca)
-    val w = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("cent_id"))
-    val chosen = vectors.select(col("vec_id"), col("embedding"))
+    // argmin as min(struct(dist, cent_id, sub)) — struct ordering is
+    // (dist asc, cent_id asc), exactly the oracle's row_number order, and
+    // unlike a rank window it partial-aggregates MAP-SIDE: the exchange
+    // carries one best-so-far row per (vec_id, j) per map partition, not
+    // the full corpus × codewords × subspaces stream. The raw embedding
+    // never enters the shuffle at all (only id, j, dist, codeword) —
+    // callers re-join the original table by vec_id when they need it.
+    val best = vectors.select(col("vec_id"), col("embedding"))
       .join(broadcast(cb))
       .select(col("vec_id"), col("embedding"), col("cent_id"), col("cv"),
         explode(sequence(lit(0), lit(m - 1))).as("j"))
-      .select(col("vec_id"), col("embedding"), col("cent_id"), col("j"),
-        dist.as("dist"), ca.as("sub"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    chosen.groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        array_sort(collect_list(struct(col("j"), col("cent_id"), col("sub"))))
-          .as("parts"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("j"),
+        struct(dist.as("dist"), col("cent_id"), ca.as("sub")).as("cand"))
+      .groupBy("vec_id", "j")
+      .agg(min(col("cand")).as("best"))
+    best.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"),
+          col("best.cent_id").as("cent_id"), col("best.sub").as("sub"))))
+        .as("parts"))
+      .select(col("vec_id"),
         transform(col("parts"), p => p.getField("cent_id")).as("codes"),
         flatten(transform(col("parts"), p => p.getField("sub"))).as("dv"))
   }
