@@ -326,6 +326,52 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- embedding-space benchmark decontamination (ANN anti-join) -------
+    // q67 drops training docs sharing exact shingles with a benchmark;
+    // this is the embedding twin, catching PARAPHRASED contamination:
+    // drop every train vector within cosine 0.3 of any benchmark vector
+    // (vec_id % 50 = 0 plays the benchmark). Banded RP-LSH is the
+    // candidate filter — part of the declared contract, mirrored in the
+    // oracle like q31 — so candidate generation is a broadcast hash probe
+    // over the train scan, never a train × bench cross join. The output
+    // is the DROP LIST (id + max offending cosine); callers anti-join it.
+    QueryDef.sql(
+      "q101_embed_decontaminate", {
+        val nPlanes = 16
+        val bands = 4
+        val rpb = nPlanes / bands
+        def dotSqlPlane(j: Int): String =
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * (CAST((($j * 1000003 + (i - 1) * 7919) % 97 - 48) AS DOUBLE) / 48.0::DOUBLE))), (x, y) -> x + y)"
+        val bucketSql = (0 until nPlanes).map { j =>
+          s"CASE WHEN ${dotSqlPlane(j)} >= 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        val bandsSql = (0 until bands).map { b =>
+          s"SELECT vec_id, $b AS band, (bucket >> ${b * rpb}) & ${(1 << rpb) - 1} AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sig AS (
+           |  SELECT vec_id, CAST($bucketSql AS INT) AS bucket FROM embeddings),
+           |bands AS (
+           |  $bandsSql),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id, r.vec_id AS bid
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+           |  WHERE l.vec_id % 50 <> 0 AND r.vec_id % 50 = 0),
+           |s AS (
+           |  SELECT cand.vec_id, ${cosSql("a.embedding", "b.embedding")} AS sim
+           |  FROM cand JOIN embeddings a ON cand.vec_id = a.vec_id
+           |            JOIN embeddings b ON cand.bid = b.vec_id)
+           |SELECT vec_id, max(sim) AS max_sim FROM s WHERE sim >= 0.3
+           |GROUP BY vec_id ORDER BY vec_id"""
+      }) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+      Similarity.annContaminated(
+        e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0),
+        Similarity.rpPlanes(16, 64), 4, 0.3)
+        .orderBy("vec_id")
     }
   )
 }

@@ -201,6 +201,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-space benchmark decontamination — the ANN ANTI-JOIN shape:
+    * find every TRAIN vector whose cosine against ANY benchmark vector
+    * reaches `threshold`, so the caller can drop them (the embedding
+    * twin of the shingle semi-join decontamination, catching paraphrased
+    * contamination that exact n-grams miss). Contract, mirrored in the
+    * oracle exactly like [[bandedNearDupPairs]]: a train vector is
+    * indictable only via a benchmark vector sharing ≥1 RP-LSH band.
+    *
+    * Plan shape for 100 TB: the benchmark set is small by definition —
+    * its banded form BROADCASTS, so candidate generation is a map-side
+    * hash probe over the train scan (no train shuffle at all); only the
+    * surviving candidate ids shuffle to fetch vectors for the exact-
+    * cosine verify, and the per-train-id max aggregates partial map-side.
+    * Output: (vec_id, max_sim) of CONTAMINATED train vectors.
+    */
+  def annContaminated(train: DataFrame, bench: DataFrame,
+      planes: Seq[Seq[Double]], bands: Int, threshold: Double): DataFrame = {
+    VectorFold.register(train.sparkSession)
+    require(planes.size % bands == 0, "planes must split evenly into bands")
+    val r = planes.size / bands
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), rpLshBucket(col("embedding"), planes).as("bucket"))
+        .select(col("vec_id"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("bucket"), b * r).bitwiseAND(lit((1 << r) - 1))): _*))
+            .as(Seq("band", "key")))
+    val cand = banded(train)
+      .join(broadcast(banded(bench).withColumnRenamed("vec_id", "bid")),
+        Seq("band", "key"))
+      .select(col("vec_id"), col("bid")).distinct()
+    val tv = train.select(col("vec_id"), col("embedding").as("v1"),
+      Exact.foldNorm(col("embedding")).as("n1"))
+    val bv = bench.select(col("vec_id").as("bid"), col("embedding").as("v2"),
+      Exact.foldNorm(col("embedding")).as("n2"))
+    cand.join(tv, "vec_id")
+      .join(broadcast(bv), "bid")
+      .select(col("vec_id"),
+        (Exact.foldDot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("max_sim"))
+  }
+
   /** Product-quantization index: split each `dim`-wide embedding into `m`
     * subspaces of `dim/m` dims; per subspace, snap the subvector to its
     * nearest codeword (squared-L2 argmin, ties → lowest codeword id) from

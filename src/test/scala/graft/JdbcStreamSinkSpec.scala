@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.JdbcStreamSink
+
+/** Exactly-once streaming → JDBC against embedded Derby: the replay
+  * contracts of `foreachBatch` (duplicate batch id, partial-landing
+  * retry) plus an end-to-end multi-batch stream.
+  */
+class JdbcStreamSinkSpec extends AnyFunSuite with SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftstream;create=true"
+
+  private def exec(sql: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+
+  private def rows(table: String): Seq[(Long, String)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT id, v FROM $table ORDER BY id")
+      val b = Seq.newBuilder[(Long, String)]
+      while (rs.next()) b += ((rs.getLong(1), rs.getString(2)))
+      b.result()
+    } finally conn.close()
+  }
+
+  test("duplicate batchId replay writes nothing the second time") {
+    import spark.implicits._
+    exec("CREATE TABLE facts1 (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    JdbcStreamSink.writeBatch(df, url, "facts1", Seq("id"), "s1", batchId = 0)
+    // full replay of the same batch id: ledger short-circuits — even a
+    // DIFFERENT payload is ignored, proving the data path never ran
+    val changed = Seq((1L, "XXX")).toDF("id", "v")
+    JdbcStreamSink.writeBatch(changed, url, "facts1", Seq("id"), "s1", batchId = 0)
+    assert(rows("facts1") == Seq((1L, "a"), (2L, "b")))
+    assert(JdbcStreamSink.committedBatches(url, "facts1", "s1") == Seq(0L))
+  }
+
+  test("partially-landed batch converges on retry (keyed-merge idempotence)") {
+    import spark.implicits._
+    exec("CREATE TABLE facts2 (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // simulate a crash AFTER some rows landed but BEFORE the ledger
+    // commit: upsert a prefix directly, no ledger row
+    graft.sinks.JdbcUpsert.upsert(Seq((1L, "a")).toDF("id", "v"),
+      url, "facts2", Seq("id"))
+    assert(JdbcStreamSink.committedBatches(url, "facts2", "s2").isEmpty)
+    // the replay re-runs the WHOLE batch; merge-by-key absorbs the
+    // already-landed prefix and the ledger records exactly one commit
+    JdbcStreamSink.writeBatch(df, url, "facts2", Seq("id"), "s2", batchId = 0)
+    assert(rows("facts2") == Seq((1L, "a"), (2L, "b")))
+    assert(JdbcStreamSink.committedBatches(url, "facts2", "s2") == Seq(0L))
+  }
+
+  test("end-to-end: multi-batch stream lands exactly once, updates win") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    exec("CREATE TABLE facts3 (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        JdbcStreamSink.writeBatch(df, url, "facts3", Seq("id"), "s3", id)
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "b2"), (3L, "c")) // second batch updates id=2
+    q.processAllAvailable()
+    q.stop()
+    assert(rows("facts3") == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(JdbcStreamSink.committedBatches(url, "facts3", "s3") == Seq(0L, 1L))
+  }
+}
