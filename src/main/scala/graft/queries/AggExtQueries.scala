@@ -186,6 +186,39 @@ object AggExtQueries {
         .orderBy("gid", "pri", "st")
     },
 
+    // ---- GROUPING SETS: the general form behind ROLLUP/CUBE ---------------
+    // Exactly the aggregation levels a report needs — (priority, status),
+    // (priority), (status) — skipping CUBE's grand total: one Expand node
+    // replicates each input row once per set (3×), then ONE groupBy
+    // shuffle aggregates all levels together; never a UNION of separate
+    // re-aggregations re-scanning the table per level.
+    QueryDef.sql(
+      "q102_grouping_sets",
+      """SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        |    AS BIGINT) AS gid,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  coalesce(o_orderstatus, 'ALL') AS st,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus))
+        |ORDER BY 1, 2, 3""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice"), 14, 2).as("total"))
+        .select(col("gid"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("n"), col("total"))
+        .orderBy("gid", "pri", "st")
+    },
+
     // ---- fixed-width histogram -------------------------------------------
     // 50-wide value buckets per event type — the one-pass distribution
     // profile (bucket is a map-side pure function; the groupBy

@@ -457,6 +457,13 @@ object DedupQueries {
     // row's DP early once the distance provably exceeds 8 — O(k·n) per
     // verified pair instead of O(n·m), the difference between verifying
     // a hot block and timing out on it at corpus scale.
+    //
+    // Scale behavior (ScaleSmoke 10x): pair work grows with Σ block².
+    // A corpus with many shared-prefix documents inflates blocks — the
+    // remedies are a longer/multi-key block (prefix + length bucket) or
+    // graduating to band-based blocking (q78's shape); both change the
+    // declared candidate contract, so this operator keeps the standard
+    // 16-char prefix and states the trade.
     QueryDef.sql(
       "q98_edit_distance", {
         val k = Dedup.EditDistanceMax
