@@ -78,7 +78,7 @@ object StreamOps {
     */
   def runToBatch(stream: DataFrame, mode: String = "complete",
       noDataBatches: Boolean = true,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None): DataFrame = runLock.synchronized {
     val spark = stream.sparkSession
     val keys = Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString) ++
@@ -99,6 +99,17 @@ object StreamOps {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Serializes [[runToBatch]] drains: the set→run→restore window mutates
+    * SESSION-scoped confs, and concurrent submitters (graft.Verify runs 4)
+    * would otherwise let one stream start under another's settings —
+    * q99 picking up q39b's noDataBatches=false would silently lose its
+    * eviction-emitted outer rows. Streams serialize against each other
+    * only; batch queries are unaffected (a racing batch plan could at
+    * worst observe the temporary shuffle-partition count, which changes
+    * no results).
+    */
+  private val runLock = new Object
 }
 
 /** Typed event row shared by the stateful operators. */
