@@ -71,7 +71,7 @@ object LayoutQueries {
   /** Morton interleave of the low `bits` of `a` (odd positions) and `b`
     * (even positions) — a static fold, fully codegen-friendly.
     */
-  private def morton(a: Column, b: Column, bits: Int): Column =
+  private[graft] def morton(a: Column, b: Column, bits: Int): Column =
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc + shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
