@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.streaming.{Ev, StatefulSessionize, StreamOps}
+import graft.streaming.{Ev, SessionRow, StatefulSessionize, StreamOps, TwsSessionize}
 
 /** Streaming operators behind the same DuckDB gate as batch: the stream
   * runs to completion over the finite events table (AvailableNow + memory
@@ -200,25 +200,7 @@ object StreamQueries {
     // ---- stateful sessionization (same oracle as q35's window form) ------
     QueryDef.sql(
       "q38_stateful_sessionize",
-      s"""WITH g AS (
-         |  SELECT user_id, epoch_ns(ts) AS tns, value,
-         |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
-         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-         |           > $SessionGap
-         |         OR lag(epoch_ns(ts))
-         |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
-         |         THEN 1 ELSE 0 END AS is_new,
-         |    event_id
-         |  FROM events),
-         |s AS (
-         |  SELECT user_id, tns, value,
-         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
-         |                      ROWS UNBOUNDED PRECEDING) AS session_idx
-         |  FROM g)
-         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-         |  min(tns) AS session_start, COUNT(*) AS n,
-         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
-         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      sessionOracle) { (s, d) =>
       import s.implicits._
       // µs truncation for oracle parity (DuckDB reads TIMESTAMP(NANOS)
       // truncated to micros); the operator itself is precision-agnostic.
@@ -228,6 +210,56 @@ object StreamQueries {
       StatefulSessionize.sessionize(evs, SessionGap)
         .toDF()
         .orderBy("user_id", "session_idx")
+    },
+
+    // ---- the same sessionizer on transformWithState (Spark 4 API) --------
+    // q38's fold on the successor stateful API: named typed state
+    // (ValueState[OpenSession]) instead of one monolithic state object,
+    // per-state TTL available, and the RocksDB provider REQUIRED — so
+    // this runs as a real stream on the production state path end to
+    // end. Same fold function, same oracle: identical by construction.
+    QueryDef.sql(
+      "q103_tws_sessionize",
+      sessionOracle) { (s, d) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val evs = StreamOps.eventsStream(s, d)
+        .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+        .as[Ev]
+      val sess = evs.groupByKey(_.user_id)
+        .transformWithState(new TwsSessionize(SessionGap),
+          TimeMode.None(), OutputMode.Update())
+      val drained = StreamOps.runToBatch(sess.toDF(), mode = "update",
+        statePartitions = Some(8),
+        extraConfs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      StatefulSessionize.compact(drained.as[SessionRow])
+        .toDF()
+        .orderBy("user_id", "session_idx")
     }
   )
+
+  /** Session statistics ground truth (q35's window form) — shared by the
+    * flatMapGroupsWithState (q38) and transformWithState (q103) gates.
+    */
+  private def sessionOracle: String =
+    s"""WITH g AS (
+       |  SELECT user_id, epoch_ns(ts) AS tns, value,
+       |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+       |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+       |           > $SessionGap
+       |         OR lag(epoch_ns(ts))
+       |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS is_new,
+       |    event_id
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, tns, value,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM g)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  min(tns) AS session_start, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -78,11 +78,13 @@ object StreamOps {
     */
   def runToBatch(stream: DataFrame, mode: String = "complete",
       noDataBatches: Boolean = true,
-      statePartitions: Option[Int] = None): DataFrame = runLock.synchronized {
+      statePartitions: Option[Int] = None,
+      extraConfs: Seq[(String, String)] = Nil): DataFrame = runLock.synchronized {
     val spark = stream.sparkSession
     val keys = Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString) ++
-      statePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+      statePartitions.map("spark.sql.shuffle.partitions" -> _.toString) ++
+      extraConfs
     val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -162,6 +164,41 @@ final case class OpenSession(idx: Long, start: Long, lastTs: Long,
   */
 object StatefulSessionize {
 
+  /** The one sessionizing fold both stateful APIs share — input already
+    * sorted by (ts, id); returns the update-shaped emissions (closed
+    * sessions in final form, then a snapshot of the open one) and the
+    * open-session state to carry into the next batch. Keeping the fold
+    * in one place makes q38 (flatMapGroupsWithState) and q103
+    * (transformWithState) identical by construction, not by parallel
+    * maintenance.
+    */
+  private[streaming] def fold(uid: Long, sorted: Vector[Ev], gapNs: Long,
+      prior: Option[OpenSession]): (Vector[SessionRow], OpenSession) = {
+    val out = Vector.newBuilder[SessionRow]
+    def emit(s: OpenSession): Unit =
+      out += SessionRow(uid, s.idx, s.start, s.n, s.totalCents / 100.0)
+    var open = prior.orNull
+    sorted.foreach { e =>
+      val cents = BigDecimal(e.value)
+        .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(2).longValueExact()
+      if (open == null)
+        open = OpenSession(1L, e.ts_ns, e.ts_ns, 1L, cents)
+      else if (e.ts_ns - open.lastTs > gapNs) {
+        emit(open) // closed by this gap — final form
+        open = OpenSession(open.idx + 1, e.ts_ns, e.ts_ns, 1L, cents)
+      } else
+        // min on start: a cross-batch late event older than the
+        // open session's first event is absorbed with an exact
+        // session_start, not the stale one
+        open = open.copy(start = math.min(open.start, e.ts_ns),
+          lastTs = math.max(open.lastTs, e.ts_ns),
+          n = open.n + 1, totalCents = open.totalCents + cents)
+    }
+    emit(open) // snapshot of the (possibly still-open) session
+    (out.result(), open)
+  }
+
   /** Split each user's events into sessions separated by > `gapNs`. */
   def sessionize(events: Dataset[Ev], gapNs: Long): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
@@ -173,30 +210,9 @@ object StatefulSessionize {
           val sorted = it.toVector.sortBy(e => (e.ts_ns, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
-            val out = Vector.newBuilder[SessionRow]
-            def emit(s: OpenSession): Unit =
-              out += SessionRow(uid, s.idx, s.start, s.n, s.totalCents / 100.0)
-            var open = state.getOption.orNull
-            sorted.foreach { e =>
-              val cents = BigDecimal(e.value)
-                .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .bigDecimal.movePointRight(2).longValueExact()
-              if (open == null)
-                open = OpenSession(1L, e.ts_ns, e.ts_ns, 1L, cents)
-              else if (e.ts_ns - open.lastTs > gapNs) {
-                emit(open) // closed by this gap — final form
-                open = OpenSession(open.idx + 1, e.ts_ns, e.ts_ns, 1L, cents)
-              } else
-                // min on start: a cross-batch late event older than the
-                // open session's first event is absorbed with an exact
-                // session_start, not the stale one
-                open = open.copy(start = math.min(open.start, e.ts_ns),
-                  lastTs = math.max(open.lastTs, e.ts_ns),
-                  n = open.n + 1, totalCents = open.totalCents + cents)
-            }
+            val (rows, open) = fold(uid, sorted, gapNs, state.getOption)
             state.update(open)
-            emit(open) // snapshot of the (possibly still-open) session
-            out.result().iterator
+            rows.iterator
           }
       }
   }
@@ -211,5 +227,38 @@ object StatefulSessionize {
     rows.groupByKey(r => (r.user_id, r.session_idx))
       .reduceGroups((a, b) => if (a.n >= b.n) a else b)
       .map(_._2)
+  }
+}
+
+/** The [[StatefulSessionize]] fold on Spark 4's `transformWithState` —
+  * the successor API to `flatMapGroupsWithState`: named, individually
+  * typed state variables (`ValueState`/`ListState`/`MapState`) with
+  * per-state TTL, instead of one monolithic state object. Semantics are
+  * identical by construction (both call [[StatefulSessionize.fold]]);
+  * what changes is the state surface — at 100 TB, TTL-evicted named
+  * state and the mandatory RocksDB provider are the operational
+  * difference. q103 gates this against the same oracle as q35/q38/q95.
+  */
+final class TwsSessionize(gapNs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionRow] {
+
+  @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenSession],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionRow] = {
+    val sorted = rows.toVector.sortBy(e => (e.ts_ns, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val prior = if (open.exists()) Some(open.get()) else None
+      val (out, o) = StatefulSessionize.fold(uid, sorted, gapNs, prior)
+      open.update(o)
+      out.iterator
+    }
   }
 }
