@@ -42,8 +42,13 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      // decimal-exact sums are the cost here, and a single-file scan
+      // yields a handful of row-group splits — spread the rows first so
+      // the partial aggregation runs on all cores (no-op at real scale,
+      // where splits >> cores; see Tables.spread)
+      Tables.spread(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp")),
+        col("l_orderkey"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity"), 12, 2).as("sum_qty"),
