@@ -39,7 +39,12 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events", "embeddings"))
+    // events: 10x USERS (shifted user_id + event_id, same time range) —
+    // per-user window/session state and stream-stream join state grow
+    // 10x while the watermark horizon stays put, which is exactly how a
+    // larger deployment's stateful load scales
+    rep("events", Seq("event_id", "user_id"), 10000000L)
+    for (t <- Seq("customer", "supplier", "part", "nation", "region", "embeddings"))
       spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     println("rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
     // time key queries at 1x vs 10x
@@ -48,7 +53,10 @@ object ScaleSmoke {
       "q63_dateutil_gate", "q28_simhash_pairs", "q71_dup_clusters",
       "q74_pii_scrub", "q75_profile", "q76_freq_sketch", "q78_simhash64_pairs",
       "q79_incremental_dedup", "q82_bloom_join", "q83_gaps_islands",
-      "q93_global_deciles", "q96_bucketed_join", "q98_edit_distance")) {
+      "q93_global_deciles", "q96_bucketed_join", "q98_edit_distance",
+      "q35_sessionize", "q38_stateful_sessionize", "q103_tws_sessionize",
+      "q84_funnel", "q90_ewma_smooth", "q36_stream_tumbling",
+      "q65_stream_dedup", "q39b_stream_stream_join", "q99_stream_outer_join")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()

@@ -40,12 +40,19 @@ object StreamOps {
 
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source needs a DIRECTORY basePath; select the one
-    // table file with a glob filter.
-    spark.readStream.schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
+    // The file stream source needs a DIRECTORY basePath. The testdata
+    // table is one FILE in the sf dir (select it with a glob filter);
+    // a Spark-written table (ScaleSmoke's replicated dirs) is itself a
+    // directory — use it as the basePath directly.
+    val tableDir = s"$sfDir/events.parquet"
+    val src =
+      if (new java.io.File(tableDir).isDirectory)
+        spark.readStream.schema(EventsSchema).parquet(tableDir)
+      else
+        spark.readStream.schema(EventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+    src.withColumnRenamed("ts", "ts_ns")
   }
 
   /** Drain a finite stream through a memory sink and return the result as
