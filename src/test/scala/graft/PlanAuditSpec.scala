@@ -33,6 +33,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q87_gap_fill_daily" // calendar x event-type frame: both sides tiny
   )
 
+  test("selective queries prune columns and push filters to the scan") {
+    // q04: a 1-column aggregate over a 6-column table — the scan must
+    // read ONLY o_orderdate, and the year-range predicate must reach the
+    // parquet reader as pushed data filters (year(x) >= c rewrites to a
+    // date-range filter Catalyst can push)
+    val q04 = SparkEntry.queries("q04_year_range")(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(q04).getOrElse("")
+    assert(read.contains("o_orderdate"), read)
+    for (c <- Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority"))
+      assert(!read.contains(c), s"q04 scan reads unneeded column $c: $read")
+    assert(q04.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"q04 filter not pushed:\n$q04")
+
+    // q08: the dim side of the broadcast join must scan only its join
+    // key + projected column, and the fact side only the key it joins on
+    val q08 = SparkEntry.queries("q08_join_broadcast_dim")(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    assert(q08.contains("BroadcastHashJoin"), s"q08 lost its broadcast:\n$q08")
+  }
+
   test("no cartesian product in any registered plan; BNLJ only where deliberate") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
