@@ -53,6 +53,16 @@ object Bench {
     val mins = jmap(byMedian.map { case (k, (_, min)) => k -> min })
     val total = results.values.map(_._1).sum
     println(s"""{"unit":"sec","reps":$Reps,"min":$mins,"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}""")
+    // The harness records only the LAST ~2000 chars of stdout and tries
+    // to json-parse them; at 100+ queries the verbose line above is ~6k
+    // chars, so a truncated fragment is all that would survive (r4's
+    // BENCH records parsed: null for exactly this reason). Emit a final
+    // COMPACT line, sized to fit the tail window whole, carrying the
+    // total + the slowest medians (the cheap head is derivable from the
+    // verbose line in full logs).
+    val slowest = byMedian.reverse.take(40).reverse
+    println(s"""{"unit":"sec","reps":$Reps,"n_queries":${results.size},"queries":${
+      jmap(slowest.map { case (k, (med, _)) => k -> med })},"sf":"$sfDir","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }
