@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through VERBATIM instead of relaying
+// each line with an "[info] " prefix: Bench/Verify print one-line JSON
+// contracts that the driver json-parses from a stdout tail — the prefix
+// has made every round's BENCH record parsed:null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time:" epilogue so the JSON
+// contract line is the LAST line of stdout.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
