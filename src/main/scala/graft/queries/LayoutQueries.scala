@@ -54,19 +54,26 @@ object LayoutQueries {
   def bucketedJoin(s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
     val buckets = 8
+    // unique table names per construction: concurrent callers (parallel
+    // test suites both exercising q96, bench reps) each own their tables
+    // — a shared fixed name is a drop/overwrite race against a reader
+    val id = bucketedJoinCounter.incrementAndGet()
+    val (ot, lt) = (s"graft_q96_orders_$id", s"graft_q96_lineitem_$id")
     writeBucketed(Tables.orders(s, d)
-      .select("o_orderkey", "o_orderpriority"), "graft_q96_orders", "o_orderkey", buckets)
+      .select("o_orderkey", "o_orderpriority"), ot, "o_orderkey", buckets)
     writeBucketed(Tables.lineitem(s, d)
-      .select("l_orderkey", "l_extendedprice"), "graft_q96_lineitem", "l_orderkey", buckets)
+      .select("l_orderkey", "l_extendedprice"), lt, "l_orderkey", buckets)
     // hint("merge") pins SortMergeJoin: at test SF the planner would
     // rather broadcast the small side (and ignore buckets entirely), but
     // the strategy this layout exists for is the fact⋈fact case where
     // NEITHER side broadcasts — the hint makes the plan under test the
     // plan that runs at scale
-    s.table("graft_q96_orders").hint("merge")
-      .join(s.table("graft_q96_lineitem"),
+    s.table(ot).hint("merge")
+      .join(s.table(lt),
         col("o_orderkey") === col("l_orderkey"))
   }
+
+  private val bucketedJoinCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Morton interleave of the low `bits` of `a` (odd positions) and `b`
     * (even positions) — a static fold, fully codegen-friendly.
