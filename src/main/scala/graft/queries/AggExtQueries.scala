@@ -53,6 +53,40 @@ object AggExtQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- mergeable HLL sketch table (pre-aggregate, union on read) --------
+    // The warehouse shape q45's one-shot estimate doesn't show: sketches
+    // as PERSISTED STATE. Ingest aggregates one DataSketches HLL per
+    // (event_type, day) — that sketch table is what a deployment stores
+    // (a few KB per cell instead of the user-id sets) — and read-time
+    // distinct-users-per-type is hll_union_agg over the day sketches,
+    // never a rescan of raw events. Merging is lossless for HLL, so the
+    // union'd estimate carries the sketch's own accuracy guarantee
+    // (lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%); the oracle-checkable
+    // contract is the q45 shape: |est − exact| / exact ≤ 0.05.
+    QueryDef.sql(
+      "q104_hll_merge",
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_in_tolerance
+        |FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (col("ts_ns") - col("ts_ns") % dayNs).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .persist() // the sketch table: built once at ingest, reused by reads
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(merged, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("est_in_tolerance"))
+        .orderBy("event_type")
+    },
+
     // ---- quantile sketch --------------------------------------------------
     // Same contract shape as q45: percentile_approx's guarantee is
     // RANK-based (error ≤ n/accuracy), so the verdict joins the estimate
