@@ -53,6 +53,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val q08 = SparkEntry.queries("q08_join_broadcast_dim")(spark, Sf)
       .queryExecution.sparkPlan.toString
     assert(q08.contains("BroadcastHashJoin"), s"q08 lost its broadcast:\n$q08")
+
+    // q73: the equality predicate must reach the ORC reader (columnar
+    // formats beyond parquet keep their pushdown)
+    val q73 = SparkEntry.queries("q73_orc_roundtrip")(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    assert(q73.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"q73 ORC filter not pushed:\n$q73")
+
+    // q42: the lang predicate must prune PARTITIONS (directory-level
+    // elimination), not just filter rows post-scan
+    val q42 = SparkEntry.queries("q42_partitioned_staging")(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(q42).isDefined,
+      s"q42 lang predicate not a partition filter:\n$q42")
   }
 
   test("no cartesian product in any registered plan; BNLJ only where deliberate") {
