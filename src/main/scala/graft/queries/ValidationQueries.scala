@@ -39,7 +39,10 @@ object ValidationQueries {
         |  SELECT event_id, 'value_error', 'props.k', 'k out of range [0, 90)'
         |  FROM events WHERE NOT (CAST(props->>'k' AS BIGINT) BETWEEN 0 AND 89)
         |) ORDER BY event_id, loc""") { (s, d) =>
-      val annotated = Validation.annotate(Tables.events(s, d), rules)
+      // the JSON probes in the rules are the CPU cost; spread the
+      // under-split single-file scan first (no-op at real scale)
+      val annotated = Validation.annotate(
+        graft.Tables.spread(Tables.events(s, d), col("event_id")), rules)
       Validation.explodeDetails(annotated, Seq("event_id"))
         .orderBy("event_id", "loc")
     },
@@ -54,7 +57,8 @@ object ValidationQueries {
         |  AND event_type IN ('click','view','purchase','signup')
         |  AND (CAST(props->>'k' AS BIGINT) BETWEEN 0 AND 89)
         |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
-      val annotated = Validation.annotate(Tables.events(s, d), rules)
+      val annotated = Validation.annotate(
+        graft.Tables.spread(Tables.events(s, d), col("event_id")), rules)
       Validation.valid(annotated)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
