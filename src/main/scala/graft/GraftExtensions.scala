@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.FoldDotLong].getName, "fold_dot_long"),
       exprs => graft.functions.FoldDotLong(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.SpatialBboxRule)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
   }
 }
