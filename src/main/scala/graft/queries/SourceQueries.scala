@@ -18,6 +18,13 @@ object SourceQueries {
     s"${sys.props("java.io.tmpdir")}/graft_io/$h/$tag"
   }
 
+  /** Portable multiplicative byte fold over ASCII-safe text (byte values
+    * == code points): `h = (h*31 + byte) mod 1e9+7`, DuckDB formulation —
+    * the oracle twin of q105's JVM byte-checksum.
+    */
+  private def foldBytesSql(e: String): String =
+    s"CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> unicode(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007) END"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S7/S8: CSV sink + fixed-schema CSV source round trip ------------
@@ -154,6 +161,57 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_years"), sum(col("records")).as("records"))
         .withColumn("decade", col("decade").cast("long"))
         .orderBy("decade")
+    },
+
+    // ---- binaryFile source: the raw-payload on-ramp ----------------------
+    // How image/audio/video actually ARRIVES at a 100 TB pipeline: one
+    // opaque file per asset. The engine stages one .bin per selected doc
+    // (foreachPartition — executors write their own partitions' files,
+    // no driver funnel), then ingests the DIRECTORY with Spark's builtin
+    // `binaryFile` source (path, length, content) and recomputes each
+    // payload's length + portable fold checksum FROM THE BYTES READ
+    // BACK. The oracle computes the same from the source table's text
+    // (ASCII-safe: byte values == code points), so a lost, truncated, or
+    // corrupted file fails the gate — q73's roundtrip contract, binary
+    // edition.
+    QueryDef.sql(
+      "q105_binary_ingest",
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${foldBytesSql("text")} AS checksum
+         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""") { (s, d) =>
+      val dir = scratch(d, "blobs")
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(root)
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      val checksum = udf((b: Array[Byte]) =>
+        if (b == null) null.asInstanceOf[java.lang.Long]
+        else {
+          var h = 0L
+          var i = 0
+          while (i < b.length) { h = (h * 31 + (b(i) & 0xffL)) % 1000000007L; i += 1 }
+          java.lang.Long.valueOf(h)
+        })
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          checksum(col("content")).as("checksum"))
+        .orderBy("doc_id")
     },
 
     // ---- multimodal: binary payloads + mapPartitions feature extraction --
