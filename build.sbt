@@ -18,8 +18,10 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and drop the trailing "[success] Total time:" epilogue so the JSON
-// contract line is the LAST line of stdout.
+// contract line is the LAST line of stdout. (Consumed by the command
+// engine, not other settings — excluded from the unused-key lint.)
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
