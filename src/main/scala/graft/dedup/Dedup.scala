@@ -296,12 +296,12 @@ object Dedup {
     * oracle needs overflow-free arithmetic (`foldHash` < 2^30); this is
     * the variant a 100 TB run should block on — 4 16-bit bands give
     * 65,536 keys per band vs the byte-bands' 256, cutting expected
-    * bucket collisions ~256× for the same hamming-≤3 pigeonhole. Not
-    * oracle-mirrorable bit-for-bit (wrapping 64-bit multiply throws in
-    * both engines' checked SQL arithmetic), so it is spec-gated
-    * (determinism, locality, null contracts) like
-    * [[graft.text.TextAnalysis.fingerprint64]], and its query is
-    * registered rows-only.
+    * bucket collisions ~256× for the same hamming-≤3 pigeonhole. The
+    * wrapping multiply overflows BIGINT SQL, but the q78 oracle carries
+    * the hash as a DuckDB HUGEINT (int128) reduced mod 2^64 — exact,
+    * since the 64-bit state × 41-bit FNV prime product fits in 105
+    * bits — so this width is hash-gated bit-for-bit like the 24-bit
+    * form, plus DedupSimSpec's determinism/locality/null properties.
     */
   def fnv64Jvm(s: String): Long = {
     var h = 0xcbf29ce484222325L

@@ -129,18 +129,21 @@ object DedupQueries {
     // signatures/shingle-sets are reused by the self-join AND the
     // verification joins — materialize once (the standard LSH shape:
     // signatures are ~100× smaller than the corpus; at full scale this
-    // persist becomes a parquet checkpoint between stages)
+    // becomes a parquet checkpoint between stages). localCheckpoint, not
+    // persist(): blocks are freed by the ContextCleaner once the returned
+    // plan is unreferenced, so a query lambda leaves no session-lifetime
+    // cache entry behind (the geo/Geo.gridSpatialJoin contract).
     val sets = corpus(s, d)
       .select(col("doc_id"),
         Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
-      .persist()
+      .localCheckpoint()
     // fused JVM signature kernel (hash fold + 16 minima in one pass);
     // the expression pipeline allocates a fresh slot array per shingle
     val mh = sets
       .withColumn("mh", Dedup.minhashUdf(col("shd")))
     val bands = mh.select(col("doc_id"), col("mh"),
       posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
-      .persist()
+      .localCheckpoint()
     val cand = bands.as("l")
       .join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -184,7 +187,7 @@ object DedupQueries {
       maxHam: Int = 3): DataFrame = {
     val sig = corpus(s, d)
       .select(col("doc_id"), signature(col("text")).as("sh"))
-      .persist() // reused by both sides of the band self-join
+      .localCheckpoint() // both self-join sides; ContextCleaner-released
     val bands = sig.select(col("doc_id"), col("sh"),
       posexplode(array(bandsOf(col("sh")): _*)).as(Seq("band", "key")))
     bands.as("l")
@@ -290,7 +293,8 @@ object DedupQueries {
         .filter(col("doc_id") % 20 === 0)
         .transform(Tables.spread(_, col("doc_id"))) // gram extraction wants all cores
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
-        .persist() // prefix generation and verification reuse the gram sets
+        // prefix generation and verification reuse the gram sets
+        .localCheckpoint()
       PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
         .orderBy("d1", "d2")
     },
@@ -391,9 +395,10 @@ object DedupQueries {
       }) { (s, d) =>
       def sigBands(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
         val sets = df.select(col("doc_id"),
-          Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd")).persist()
+          Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
+          .localCheckpoint()
         val mh = sets.select(col("doc_id"), col("shd"),
-          Dedup.minhashUdf(col("shd")).as("mh")).persist()
+          Dedup.minhashUdf(col("shd")).as("mh")).localCheckpoint()
         val bands = mh.select(col("doc_id"),
           posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
         (sets, mh, bands)
@@ -434,14 +439,52 @@ object DedupQueries {
         .orderBy("delta_id")
     },
 
-    // ---- production-width simhash near-pairs (rows-only) -----------------
+    // ---- production-width simhash near-pairs -----------------------------
     // The 64-bit/16-bit-band scale variant of q28: same plan shape, 256×
     // more selective blocking keys. ScaleSmoke showed the 24-bit form's
     // byte-bands saturating on a 60k-doc corpus (quadratic candidate
     // growth inside hot buckets); this is the knob a real run turns.
-    // Wrapping 64-bit hashing is not expressible in checked SQL
-    // arithmetic, so the gate is rows-only + DedupSimSpec properties.
-    QueryDef.rowsOnly("q78_simhash64_pairs") { (s, d) =>
+    // The wrapping FNV-1a-64 multiply overflows checked BIGINT SQL, but
+    // DuckDB's HUGEINT (int128) holds the full 2^64 × 2^41 product, so
+    // the oracle carries the hash state as a HUGEINT in [0, 2^64):
+    // multiply then reduce mod 2^64 (exact — no limb split needed since
+    // the FNV prime is 41 bits), and xor via the low 16 bits only
+    // (char codes < 2^16 can't touch higher bits). Signatures stay
+    // unsigned HUGEINT end-to-end; hamming splits each into two 32-bit
+    // BIGINT halves for xor/bit_count. Bit-for-bit with
+    // [[Dedup.fnv64Jvm]]/[[Dedup.simhash64Jvm]].
+    QueryDef.sql(
+      "q78_simhash64_pairs", {
+        val fnvSql =
+          "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+            "list_transform(string_split(t, ''), ch -> unicode(ch)::HUGEINT)), " +
+            "(h, c) -> ((h - h % 65536 + xor((h % 65536)::BIGINT, c::BIGINT)::HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT)"
+        val bitsSql = (0 until 64).map { b =>
+          val bit = BigInt(1) << b
+          s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $bit::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN $bit::HUGEINT ELSE 0::HUGEINT END"
+        }.mkString("\n    + ")
+        val bandSql = (0 until 4).map { i =>
+          s"SELECT doc_id, shu, $i AS band, (shu // ${BigInt(1) << (16 * i)}::HUGEINT) % 65536 AS key FROM sig WHERE shu IS NOT NULL"
+        }.mkString("\n  UNION ALL ")
+        val hamSql =
+          "bit_count(xor((s1 // 4294967296)::BIGINT, (s2 // 4294967296)::BIGINT))" +
+            " + bit_count(xor((s1 % 4294967296)::BIGINT, (s2 % 4294967296)::BIGINT))"
+        // sig/bands are referenced 4×/2× downstream; DuckDB 1.0 inlines
+        // CTEs, so without MATERIALIZED the 64 bit-vote passes re-run
+        // up to 8× (measured: >4 min vs 28 s at sf0.1)
+        s"""WITH $CorpusSql,
+           |tok AS ($TokSql),
+           |tokhs AS (SELECT doc_id, list_transform(toks, t -> $fnvSql) AS hs FROM tok),
+           |sig AS MATERIALIZED (SELECT doc_id, CASE WHEN len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens} THEN NULL ELSE $bitsSql END AS shu FROM tokhs),
+           |bands AS MATERIALIZED (
+           |  $bandSql),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS d1, l.shu AS s1, r.doc_id AS d2, r.shu AS s2
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+           |SELECT d1, d2, CAST($hamSql AS BIGINT) AS ham
+           |FROM cand WHERE $hamSql <= 3
+           |ORDER BY d1, d2"""
+      }) { (s, d) =>
       simhashPairs(s, d,
         t => Dedup.simhash64Udf(graft.text.TextAnalysis.tokens(t)),
         Dedup.simhash64Bands)
