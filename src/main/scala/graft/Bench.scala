@@ -52,7 +52,11 @@ object Bench {
     val qs = jmap(byMedian.map { case (k, (med, _)) => k -> med })
     val mins = jmap(byMedian.map { case (k, (_, min)) => k -> min })
     val total = results.values.map(_._1).sum
-    println(s"""{"unit":"sec","reps":$Reps,"min":$mins,"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}""")
+    // value_min = sum of per-query minima: the contention-resistant series
+    // for cross-round trend comparison (medians inflate 1.5-4× when the
+    // driver machine is busy; the min-of-3 is far harder to inflate)
+    val totalMin = results.values.map(_._2).sum
+    println(s"""{"unit":"sec","reps":$Reps,"min":$mins,"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)},"value_min":${r3(totalMin)}}""")
     // The harness records only the LAST ~2000 chars of stdout and tries
     // to json-parse them; at 100+ queries the verbose line above is ~6k
     // chars, so a truncated fragment is all that would survive (r4's
@@ -62,7 +66,7 @@ object Bench {
     // verbose line in full logs).
     val slowest = byMedian.reverse.take(40).reverse
     println(s"""{"unit":"sec","reps":$Reps,"n_queries":${results.size},"queries":${
-      jmap(slowest.map { case (k, (med, _)) => k -> med })},"sf":"$sfDir","metric":"total","value":${r3(total)}}""")
+      jmap(slowest.map { case (k, (med, _)) => k -> med })},"sf":"$sfDir","metric":"total","value":${r3(total)},"value_min":${r3(totalMin)}}""")
     spark.stop()
   }
 }

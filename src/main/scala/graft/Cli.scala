@@ -231,6 +231,8 @@ object Cli {
     val nu = unrepairable.count()
     val nc = spark.read.parquet(s"$out/cleaned").count()
     raw.unpersist()
+    annotated.unpersist()
+    unrepairable.unpersist()
     Tallies(validated = nv, errorRows = ne, repaired = ne - nu,
       unrepairable = nu, cleaned = nc)
   }

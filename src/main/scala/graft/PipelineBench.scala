@@ -71,6 +71,7 @@ object PipelineBench {
       s""""rows_out":$outN,"dups_removed":$dupsRemoved,""" +
       s""""errors_repaired":${errorsN - unrepN},""" +
       s""""bounds":"$lo..$hi","reference_sec":131.4}""")
+    outP.unpersist()
     spark.stop()
   }
 }

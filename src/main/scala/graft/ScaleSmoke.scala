@@ -15,6 +15,16 @@ object ScaleSmoke {
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
       val df = spark.read.parquet(s"$base/$t.parquet")
+      // replica key ranges must stay disjoint: a base key >= shift would
+      // alias into the next replica's range, manufacturing duplicate keys
+      // that silently corrupt the 10x stateful-scaling measurement
+      // (dedup, sessionization) at a larger base SF
+      val maxes = df.agg(max(col(keyCols.head)).as("m0"),
+        keyCols.tail.zipWithIndex.map { case (k, i) => max(col(k)).as(s"m${i + 1}") }: _*).head()
+      keyCols.indices.foreach { i =>
+        require(maxes.getLong(i) < shift,
+          s"$t.${keyCols(i)} max ${maxes.getLong(i)} >= replica shift $shift — raise the shift")
+      }
       val u = reps.map { r =>
         keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * shift)))
       }.reduce(_ unionByName _)
@@ -33,6 +43,9 @@ object ScaleSmoke {
     // 24-bit simhash band saturation (q78 is the production width).
     locally {
       val df = spark.read.parquet(s"$base/documents.parquet")
+      val maxId = df.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 10000000L,
+        s"documents.doc_id max $maxId >= replica shift 10000000 — raise the shift")
       reps.map { r =>
         df.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
           .withColumn("text", concat(col("text"), lit(s" rep$r")))

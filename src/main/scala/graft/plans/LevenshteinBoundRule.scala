@@ -33,12 +33,21 @@ object LevenshteinBoundRule extends Rule[LogicalPlan] with PredicateHelper {
   private def diff(lev: Levenshtein): Expression =
     Abs(Subtract(Length(lev.left), Length(lev.right)))
 
+  // The bound k is DUPLICATED into the guard, so it must be safe to
+  // evaluate twice: a non-deterministic k (e.g. `levenshtein(a,b) <=
+  // rand()*10`) would take different values in the guard and the original
+  // predicate, silently dropping rows the predicate alone would keep —
+  // and this rule is installed session-wide via GraftExtensions, so any
+  // user filter/join of that shape would be miscompiled. Deterministic-
+  // but-expensive bounds pay one extra evaluation; the win is skipping
+  // the O(k·n) DP, which dominates any realistic bound expression.
   private def guardOf(conjunct: Expression): Option[Expression] = conjunct match {
-    case GreaterThanOrEqual(lev @ Levenshtein(_, _, Some(k)), Literal(0, IntegerType)) =>
+    case GreaterThanOrEqual(lev @ Levenshtein(_, _, Some(k)), Literal(0, IntegerType))
+        if k.deterministic =>
       Some(LessThanOrEqual(diff(lev), k))
-    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k) =>
+    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k) if k.deterministic =>
       Some(LessThanOrEqual(diff(lev), k))
-    case LessThan(lev @ Levenshtein(_, _, None), k) =>
+    case LessThan(lev @ Levenshtein(_, _, None), k) if k.deterministic =>
       Some(LessThan(diff(lev), k))
     case _ => None
   }

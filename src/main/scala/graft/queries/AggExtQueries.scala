@@ -74,7 +74,9 @@ object AggExtQueries {
         .groupBy(col("event_type"),
           (col("ts_ns") - col("ts_ns") % dayNs).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .persist() // the sketch table: built once at ingest, reused by reads
+        // the sketch table: built once at ingest, reused by reads
+        // (localCheckpoint → ContextCleaner-released, no leaked cache entry)
+        .localCheckpoint()
       val merged = daily.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       Tables.events(s, d)

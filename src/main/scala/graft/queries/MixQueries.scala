@@ -128,7 +128,9 @@ object MixQueries {
         .transform(graft.Tables.spread(_, col("doc_id"))) // shingle kernels want all cores
         .select(col("doc_id"), col("source"),
           Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
-        .persist() // probe and corpus sides share the shingle pass
+        // probe and corpus sides share the shingle pass (localCheckpoint →
+        // ContextCleaner-released, no leaked cache entry)
+        .localCheckpoint()
       val probes = sh.filter(col("doc_id") % 250 === 0)
         .select(explode(col("shd")).as("g")).distinct()
       sh.filter(col("doc_id") % 250 =!= 0)

@@ -109,7 +109,10 @@ object SimilarityQueries {
       val b = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding"),
           Similarity.rpLshBucket(col("embedding"), planes).as("bucket"))
-        .persist()
+        // query and corpus sides share the bucket pass; localCheckpoint so
+        // the blocks are ContextCleaner-released once the plan is dropped
+        // (no session-lifetime cache entry — geo/Geo.gridSpatialJoin)
+        .localCheckpoint()
       val q = b.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
       val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
@@ -145,10 +148,10 @@ object SimilarityQueries {
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
-      // cell assignment feeds both the query and corpus sides — persist
-      // (at scale: the IVF index is materialized once, queried many times)
+      // cell assignment feeds both the query and corpus sides — materialize
+      // once (at scale: the IVF index is a table, built once, queried many)
       val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") % 97 === 0))
-        .persist()
+        .localCheckpoint()
       Similarity.ivfSearch(assigned, col("vec_id") % 100 === 0, 3)
         .orderBy("q_id", "rank")
     },
@@ -180,7 +183,7 @@ object SimilarityQueries {
          |ORDER BY q_id, rank""") { (s, d) =>
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
       val cents = e.filter(col("vec_id") % 97 === 0)
-      val assigned = Similarity.ivfAssign(e, cents).persist()
+      val assigned = Similarity.ivfAssign(e, cents).localCheckpoint()
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfSearchProbes(assigned, probes, 3)
@@ -242,7 +245,8 @@ object SimilarityQueries {
         .withColumn("q", qCol)
         .withColumn("qn", sqrt(qdot(col("q"), col("q"))))
         .select("vec_id", "embedding", "q", "qn")
-        .persist() // probe AND broadcast sides read it — quantize once
+        // probe AND broadcast sides read it — quantize once
+        .localCheckpoint()
       val queries = n.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("q").as("qq"), col("qn").as("qqn"))
@@ -309,10 +313,10 @@ object SimilarityQueries {
       import graft.functions.Exact
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
       // the index (codes + decoded form, no raw vectors) is built once
-      // and persisted (like q32's cell index); the search re-joins the
+      // and materialized (like q32's cell index); the search re-joins the
       // original table for the true-cosine column
       val idx = Similarity.pqIndex(e, e.filter(col("vec_id") % 97 === 0), 8, 64)
-        .persist()
+        .localCheckpoint()
       val corpus = e.select(col("vec_id"), col("embedding").as("nv"))
         .join(idx, "vec_id")
       val q = e.filter(col("vec_id") % 100 === 0)

@@ -274,7 +274,10 @@ object SourceQueries {
             when(element_at(col("ps"), k + 1) * 32 >= col("s"), lit(1L << k))
               .otherwise(lit(0L))
           }.reduce(_ + _).as("ah"))
-        .persist() // both sides of the band self-join
+        // both sides of the band self-join; localCheckpoint so the blocks
+        // are ContextCleaner-released (no leaked cache entry — see
+        // geo/Geo.gridSpatialJoin)
+        .localCheckpoint()
       val bands = sig.select(col("doc_id"), col("ah"),
         posexplode(array((0 until 4).map(b =>
           pmod(shiftright(col("ah"), b * 8), lit(256L))): _*))

@@ -247,9 +247,12 @@ object Similarity {
   /** Product-quantization index: split each `dim`-wide embedding into `m`
     * subspaces of `dim/m` dims; per subspace, snap the subvector to its
     * nearest codeword (squared-L2 argmin, ties → lowest codeword id) from
-    * a shared codebook. Output: (vec_id, embedding, codes, dv) where
-    * `codes` is the m-byte PQ code (one codeword id per subspace) and
-    * `dv` the decoded (reconstructed) vector the approximate scores read.
+    * a shared codebook. Output: (vec_id, codes, dv) where `codes` is the
+    * m-byte PQ code (one codeword id per subspace) and `dv` the decoded
+    * (reconstructed) vector the approximate scores read — deliberately NO
+    * raw embedding column (the index would otherwise carry the very bytes
+    * it exists to avoid scanning); callers needing the true vector
+    * re-join the source table by vec_id (q100's true-cosine column).
     *
     * 100 TB shape: the codebook is a broadcast (codewords × m subvectors);
     * encoding is one broadcast join + per-subspace argmin — map-side per

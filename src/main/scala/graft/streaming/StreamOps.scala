@@ -45,8 +45,16 @@ object StreamOps {
     // a Spark-written table (ScaleSmoke's replicated dirs) is itself a
     // directory — use it as the basePath directly.
     val tableDir = s"$sfDir/events.parquet"
+    // resolved through the Hadoop FileSystem API, not java.io.File: the
+    // sf dir may live on any supported scheme (hdfs://, s3a://), where a
+    // driver-local filesystem probe would always answer false
+    val hPath = new org.apache.hadoop.fs.Path(tableDir)
+    val isDir =
+      try hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hPath).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     val src =
-      if (new java.io.File(tableDir).isDirectory)
+      if (isDir)
         spark.readStream.schema(EventsSchema).parquet(tableDir)
       else
         spark.readStream.schema(EventsSchema)

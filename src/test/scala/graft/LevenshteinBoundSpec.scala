@@ -56,6 +56,18 @@ class LevenshteinBoundSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("non-deterministic bound: no guard injected") {
+    // k is duplicated into the guard, so a rand()-derived bound would
+    // evaluate differently in guard and predicate — the rule must leave
+    // such filters alone rather than miscompile them
+    def q = pairs.filter(
+      levenshtein(col("t1"), col("t2")) <= (rand(42) * 10).cast("int"))
+    withRule {
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("abs((length("), s"guard injected for non-deterministic bound:\n$opt")
+    }
+  }
+
   test("q98 end-to-end result unchanged under the rule") {
     val run = SparkEntry.queries("q98_edit_distance")
     val without = run(spark, "/root/testdata/sf0.001").collect().toSeq
