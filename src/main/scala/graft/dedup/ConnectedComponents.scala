@@ -73,12 +73,18 @@ object ConnectedComponents {
     // iterative refinement: localCheckpoint each round so the plan does
     // not double in depth per iteration (lineage cut is what makes a
     // driver-side loop over DataFrames viable; blocks are reclaimed by
-    // the ContextCleaner when the previous round's frame is dropped)
+    // the ContextCleaner when the previous round's frame is dropped).
+    // LAZY: the stats aggregate below is the materializing action, so
+    // setup costs one job, not an eager-checkpoint job plus a stats job.
+    // no defensive distinct here: duplicate input edges cost one full
+    // shuffle to remove, survive at most one round (smallStar's own
+    // distinct clears them), and cannot fake convergence — a duplicated
+    // (u, v) makes |distinct u| < n, so the star-forest test stays
+    // conservative and the digest fallback compares unequal counts
     val first = clean.filter(col("u") > col("v"))
       .unionByName(clean.filter(col("v") > col("u"))
         .select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var cur = first
     // endpoints off the CHECKPOINT, not the raw input — the edge list is
     // often the tail of an expensive pipeline (LSH pairs), and reading it
@@ -86,20 +92,38 @@ object ConnectedComponents {
     val nodes = first.select(col("u").as("node"))
       .unionByName(first.select(col("v").as("node"))).distinct()
 
-    // convergence = canonical edge set unchanged; an order-independent
-    // (count, hash-xor) digest checks that with one tiny aggregate
-    // instead of two extra anti-joins per round (xor, not sum: ANSI mode
-    // throws on signed-long SUM overflow, and xor is overflow-free)
-    def digest(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
+    // Convergence: a (u > v)-oriented edge set is the star-contraction
+    // fixpoint exactly when it IS a star forest — every u appears once
+    // (one edge per non-root node) and no node is on both sides (roots
+    // never re-point). Both are checkable on the CURRENT round's output
+    // with one aggregate over a two-sided union (|U| = n and
+    // |U ∪ V| = |U| + |V| ⇔ disjoint), so the loop stops the round the
+    // forest appears instead of paying a full extra round to observe
+    // "nothing changed" (the profile showed exactly one such confirm
+    // round per run: ~6 shuffles + a digest for zero information). The
+    // (count, xor-hash) digest rides along as a no-progress fallback
+    // (xor, not sum: ANSI mode throws on signed-long SUM overflow).
+    final case class EdgeStats(n: Long, h: Long, du: Long, dn: Long, dv: Long) {
+      def starForest: Boolean = du == n && dn == du + dv
+      def digest: (Long, Long) = (n, h)
+    }
+    def stats(df: DataFrame): EdgeStats = {
+      val sided = df.select(col("u"), col("v"), lit(0).as("side"))
+        .unionByName(df.select(col("v").as("u"),
+          lit(null).cast("long").as("v"), lit(1).as("side")))
+      val r = sided.agg(
+        count(when(col("side") === 0, 1)).as("n"),
+        coalesce(bit_xor(when(col("side") === 0,
+          xxhash64(col("u"), col("v")))), lit(0L)).as("h"),
+        countDistinct(when(col("side") === 0, col("u"))).as("du"),
+        countDistinct(col("u")).as("dn"),
+        countDistinct(when(col("side") === 1, col("u"))).as("dv")).head()
+      EdgeStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     }
 
-    var prev = digest(cur)
+    var prev = stats(cur)
     var round = 0
-    var done = prev._1 == 0L
+    var done = prev.n == 0L || prev.starForest
     // each round runs ~6 shuffles; size them to the MEASURED edge count
     // (from the digest we already paid for), not the session default — a
     // 20k-edge graph at 32 partitions pays 6 × 32 empty-task overheads
@@ -115,7 +139,7 @@ object ConnectedComponents {
       "spark.sql.shuffle.partitions" -> math.max(8L, math.min(
         spark.conf.getOption("spark.sql.shuffle.partitions")
           .flatMap(_.toLongOption).getOrElse(200L),
-        prev._1 / 2000000L + 1L)).toString,
+        prev.n / 2000000L + 1L)).toString,
       "spark.sql.adaptive.enabled" -> "false")
     val prior = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -123,18 +147,18 @@ object ConnectedComponents {
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
         val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
-        // LAZY checkpoint: the digest below is the materializing action,
+        // LAZY checkpoint: the stats below are the materializing action,
         // so each round schedules one job instead of an eager-checkpoint
-        // job plus a digest job (same total work, half the job-submission
+        // job plus a stats job (same total work, half the job-submission
         // round-trips — which is what a busy 1000-executor driver queues on)
         val next = smallStar(largeStar(sym)).localCheckpoint(false)
         val t1 = System.nanoTime()
-        val d = digest(next)
+        val st = stats(next)
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(f"CCROUND $round%d edges=${d._1}%d star=${(t1 - t0) / 1e9}%.2f " +
-            f"digest=${(System.nanoTime() - t1) / 1e9}%.2f")
-        done = d == prev
-        prev = d
+          println(f"CCROUND $round%d edges=${st.n}%d star=${(t1 - t0) / 1e9}%.2f " +
+            f"stats=${(System.nanoTime() - t1) / 1e9}%.2f forest=${st.starForest}")
+        done = st.starForest || st.digest == prev.digest
+        prev = st
         cur = next
         round += 1
       }
@@ -145,10 +169,12 @@ object ConnectedComponents {
     // convergence is proven O(log n) rounds for star contraction, so 50
     // covers any physical graph — but if the loop DID exit on the cap,
     // `cur` is not a star forest and the labels below would be silently
-    // wrong. Fail loud instead.
-    require(done,
+    // wrong. Fail loud instead. (The no-progress digest exit requires the
+    // same proof: equal digests on a non-forest would mean the contraction
+    // is stuck, which the algorithm excludes — assert it anyway.)
+    require(done && prev.starForest,
       s"connected components did not converge within $maxRounds rounds " +
-        s"(${prev._1} edges remain) — raise maxRounds")
+        s"(${prev.n} edges remain, starForest=${prev.starForest}) — raise maxRounds")
 
     // star forest → assignment; roots (and nothing else) are absent from
     // the `u` side and label themselves
