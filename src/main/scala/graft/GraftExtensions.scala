@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PointInPolygon].getName, "st_contains"),
       exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectFunction((
+      new FunctionIdentifier("st_intersects"),
+      new ExpressionInfo(classOf[PointInPolygon].getName, "st_intersects"),
+      exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3),
+        inclusive = true)))
+    ext.injectFunction((
       new FunctionIdentifier("fold_dot"),
       new ExpressionInfo(classOf[graft.functions.FoldDot].getName, "fold_dot"),
       exprs => graft.functions.FoldDot(exprs(0), exprs(1))))

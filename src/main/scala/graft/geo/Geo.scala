@@ -46,18 +46,63 @@ object Geo {
     inside
   }
 
-  /** Register `st_contains` in an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** True when (x, y) lies exactly ON a polygon edge or vertex: zero
+    * cross product against the segment AND inside its bbox. Exact float
+    * comparisons — the parity target (shapely `intersects`) also treats
+    * boundary membership as an exact predicate; on real float data the
+    * boundary is measure-zero either way. NaN ring separators (Wkt)
+    * fail every comparison, so separator "segments" never match.
+    */
+  def onBoundary(xs: Array[Double], ys: Array[Double], x: Double, y: Double): Boolean = {
+    val n = xs.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val xi = xs(i); val yi = ys(i); val xj = xs(j); val yj = ys(j)
+      if ((xj - xi) * (y - yi) == (yj - yi) * (x - xi) &&
+        x >= math.min(xi, xj) && x <= math.max(xi, xj) &&
+        y >= math.min(yi, yj) && y <= math.max(yi, yj)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Boundary-INCLUSIVE containment — shapely-`intersects` parity (the
+    * reference's geopandas sjoin semantics, SURVEY §7.5): interior like
+    * [[rayCast]] plus the whole boundary. The half-open [[rayCast]] stays
+    * the default for dedup-safe partitioned assignment (a point shared by
+    * two adjacent tiles counts once); this mode exists for result parity
+    * with boundary-inclusive engines.
+    */
+  def rayCastInclusive(xs: Array[Double], ys: Array[Double], x: Double, y: Double): Boolean =
+    onBoundary(xs, ys, x, y) || rayCast(xs, ys, x, y)
+
+  /** Register `st_contains` (half-open) and `st_intersects`
+    * (boundary-inclusive) in an existing session (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "st_contains",
       exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "st_intersects",
+      exprs => PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3),
+        inclusive = true),
+      "built-in")
+  }
 
   /** `st_contains(xs, ys, x, y)` — requires [[register]] (or the
     * [[GraftExtensions]] session extension) to have run.
     */
   def stContains(xs: Column, ys: Column, x: Column, y: Column): Column =
     call_function("st_contains", xs, ys, x, y)
+
+  /** Boundary-inclusive `st_intersects(xs, ys, x, y)` (shapely parity);
+    * same registration requirement as [[stContains]].
+    */
+  def stIntersects(xs: Column, ys: Column, x: Column, y: Column): Column =
+    call_function("st_intersects", xs, ys, x, y)
 
   /** Grid-indexed spatial left join — the scale path when the polygon
     * table outgrows broadcast-BNLJ (SURVEY.md §7.5): polygons replicate
@@ -112,14 +157,17 @@ object Geo {
 
 /** `st_contains(xs: array<double>, ys: array<double>, x, y)` — true when
   * point (x, y) falls inside the polygon with vertex arrays xs/ys, by
-  * even-odd ray casting. Codegen emits the loop inline.
+  * even-odd ray casting. Codegen emits the loop inline. With
+  * `inclusive = true` (`st_intersects`) the loop also tests boundary
+  * membership, matching shapely's `intersects` — see
+  * [[Geo.rayCastInclusive]].
   */
 case class PointInPolygon(first: Expression, second: Expression,
-    third: Expression, fourth: Expression)
+    third: Expression, fourth: Expression, inclusive: Boolean = false)
   extends QuaternaryExpression {
 
   override def dataType: DataType = BooleanType
-  override def prettyName: String = "st_contains"
+  override def prettyName: String = if (inclusive) "st_intersects" else "st_contains"
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val got = children.map(_.dataType)
@@ -133,11 +181,14 @@ case class PointInPolygon(first: Expression, second: Expression,
       s"st_contains expects (array<double>, array<double>, double, double), got $got")
   }
 
-  override protected def nullSafeEval(xs: Any, ys: Any, x: Any, y: Any): Any =
-    Geo.rayCast(
-      xs.asInstanceOf[ArrayData].toDoubleArray(),
-      ys.asInstanceOf[ArrayData].toDoubleArray(),
-      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def nullSafeEval(xs: Any, ys: Any, x: Any, y: Any): Any = {
+    val xa = xs.asInstanceOf[ArrayData].toDoubleArray()
+    val ya = ys.asInstanceOf[ArrayData].toDoubleArray()
+    val px = x.asInstanceOf[Double]
+    val py = y.asInstanceOf[Double]
+    if (inclusive) Geo.rayCastInclusive(xa, ya, px, py)
+    else Geo.rayCast(xa, ya, px, py)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (xs, ys, x, y) => {
@@ -147,19 +198,29 @@ case class PointInPolygon(first: Expression, second: Expression,
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val in = ctx.freshName("inside")
+      val onb = ctx.freshName("onb")
+      // mirror of Geo.onBoundary, fused into the same vertex loop
+      val boundaryTest = if (!inclusive) "" else s"""
+         |  if ((($xa[$j] - $xa[$i]) * ($y - $ya[$i]) ==
+         |       ($ya[$j] - $ya[$i]) * ($x - $xa[$i])) &&
+         |      $x >= Math.min($xa[$i], $xa[$j]) && $x <= Math.max($xa[$i], $xa[$j]) &&
+         |      $y >= Math.min($ya[$i], $ya[$j]) && $y <= Math.max($ya[$i], $ya[$j])) {
+         |    $onb = true;
+         |  }""".stripMargin
       s"""
          |double[] $xa = $xs.toDoubleArray();
          |double[] $ya = $ys.toDoubleArray();
          |int $n = $xa.length;
          |boolean $in = false;
+         |boolean $onb = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  int $j = ($i + 1) % $n;
          |  if ((($ya[$i] > $y) != ($ya[$j] > $y)) &&
          |      ($x < ($xa[$j] - $xa[$i]) * ($y - $ya[$i]) / ($ya[$j] - $ya[$i]) + $xa[$i])) {
          |    $in = !$in;
-         |  }
+         |  }$boundaryTest
          |}
-         |${ev.value} = $in;
+         |${ev.value} = $in || $onb;
          |""".stripMargin
     })
 

@@ -87,6 +87,40 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("boundary-inclusive mode (st_intersects): shapely parity, codegen = JVM") {
+    // same ten probes as the half-open case; the inclusive mode must
+    // admit the ENTIRE boundary (what shapely's `intersects` — the
+    // reference's geopandas sjoin — answers), and agree between the
+    // JVM twin and the codegen expression
+    val sqX = Array(0.0, 4.0, 4.0, 0.0)
+    val sqY = Array(0.0, 0.0, 4.0, 4.0)
+    val expected = Seq(
+      ((2.0, 0.0), true), ((0.0, 2.0), true),   // bottom/left edge
+      ((2.0, 4.0), true), ((4.0, 2.0), true),   // top/right edge — now IN
+      ((0.0, 0.0), true), ((4.0, 0.0), true),   // all four vertices IN
+      ((4.0, 4.0), true), ((0.0, 4.0), true),
+      ((2.0, 2.0), true),                       // interior unchanged
+      ((5.0, 2.0), false),                      // exterior unchanged
+      ((5.0, 0.0), false))                      // collinear with the bottom
+                                                // edge but OUTSIDE its bbox
+    expected.foreach { case ((x, y), in) =>
+      assert(Geo.rayCastInclusive(sqX, sqY, x, y) == in, s"rayCastInclusive ($x, $y)")
+    }
+    // non-convex sanity: notch point stays out, arm point stays in
+    assert(!Geo.rayCastInclusive(lX, lY, 5.0, 8.0))
+    assert(Geo.rayCastInclusive(lX, lY, 1.0, 8.0))
+    // the codegen expression through a real plan
+    Geo.register(spark)
+    val pts = expected.map { case ((x, y), _) => (x, y) }.toDF("x", "y")
+    val got = pts
+      .withColumn("xs", typedlit(sqX)).withColumn("ys", typedlit(sqY))
+      .select(col("x"), col("y"),
+        Geo.stIntersects(col("xs"), col("ys"), col("x"), col("y")).as("in"))
+      .collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getBoolean(2))).toSet
+    assert(got == expected.toSet, "codegen st_intersects")
+  }
+
   test("SpatialBboxRule prepends a short-circuit bbox conjunct to spatial joins") {
     Geo.register(spark)
     spark.experimental.extraOptimizations =
