@@ -59,12 +59,22 @@ object PrefixFilter {
         explode(slice(col("_sorted"), lit(1), prefLen)).as("_tok"))
 
     // candidate pairs: equi-join on the prefix token (skew-bounded by the
-    // df ordering), canonicalized and deduped
+    // df ordering), canonicalized and deduped. The explicit-width
+    // repartition after the dedup is load-bearing: a candidate row is two
+    // bare ids, so the exchange is tiny in BYTES and AQE coalesces its
+    // read down to one task — but every surviving row then pays an
+    // O(|set|) exact-intersection verify in that same stage, so the stage
+    // is CPU-bound, not byte-bound (measured on q29 at sf0.1: coalesced =
+    // ~4 s of single-threaded verification; pinned = parallel, ~1.5 s
+    // total). A user-specified partition count is exempt from AQE
+    // coalescing, which is exactly the contract wanted here.
+    val width = sets.sparkSession.sessionState.conf.numShufflePartitions
     val cand = prefixes.as("a")
       .join(prefixes.as("b"), col("a._tok") === col("b._tok"))
       .filter(col("a._id") < col("b._id"))
       .select(col("a._id").as("d1"), col("b._id").as("d2"))
       .distinct()
+      .repartition(width, col("d1"), col("d2"))
 
     // exact verification on the original sets
     cand
