@@ -64,6 +64,25 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(5L -> 3L, 3L -> 3L, 1L -> 1L, 9L -> 1L))
   }
 
+  test("already-star-forest input exits before any contraction round") {
+    // two stars rooted at their component minima — the pre-loop stats
+    // check (every u unique, u/v sides disjoint) must declare convergence
+    // without running a largeStar/smallStar round, and labels must still
+    // be correct (roots label themselves via the left-join coalesce)
+    val edges = Seq((5L, 3L), (9L, 1L), (7L, 1L))
+    val got = ConnectedComponents.run(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 3L, 3L -> 3L, 9L -> 1L, 7L -> 1L, 1L -> 1L))
+  }
+
+  test("a chain is NOT mistaken for a star forest (u unique but sides overlap)") {
+    // (3,2),(2,1): every u unique, but 2 sits on both sides — the
+    // disjointness half of the convergence test must force a round
+    val got = ConnectedComponents.run(Seq((3L, 2L), (2L, 1L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("empty edge set yields an empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("u", "v")
     assert(ConnectedComponents.run(empty).collect().isEmpty)
