@@ -38,7 +38,10 @@ object Shapefile {
       s"shp has ${rings.size} records but dbf has ${names.size}")
     names.zip(rings).map { case (name, rs) =>
       val sep = Array((Double.NaN, Double.NaN))
-      val joined = if (rs.size == 1) rs.head else rs.reduce((a, b) => a ++ sep ++ b)
+      // trailing separator on multi-ring arrays kills the index-wrap
+      // phantom chord (see Wkt.toVertexArrays); .shp rings are closed
+      val joined =
+        if (rs.size == 1) rs.head else rs.reduce((a, b) => a ++ sep ++ b) ++ sep
       Feature(name, joined.map(_._1), joined.map(_._2))
     }
   }

@@ -36,13 +36,25 @@ object Wkt {
     }.toSeq
   }
 
-  /** NaN-separated (xs, ys) arrays for all rings of a WKT geometry. */
+  /** NaN-separated (xs, ys) arrays for all rings of a WKT geometry.
+    *
+    * Multi-ring arrays also END with a NaN separator: the ray-cast loop
+    * pairs index n−1 with index 0, and without the trailing separator
+    * that wrap segment is a PHANTOM CHORD from the last ring's closing
+    * vertex to the first ring's first vertex — a real segment (neither
+    * endpoint is NaN) that flips crossing parity for every point whose
+    * ray passes under it, misclassifying a whole region (measured: a
+    * point between two MULTIPOLYGON squares reported inside). WKT rings
+    * are explicitly closed (first vertex repeated last), so multi-ring
+    * arrays don't need the wrap edge; single-ring arrays may be unclosed
+    * and DO use the wrap as their closing edge, so they stay as-is.
+    */
   def toVertexArrays(wkt: String): (Array[Double], Array[Double]) = {
     val rings = parseRings(wkt)
     val sep = Array((Double.NaN, Double.NaN))
     val joined =
       if (rings.size == 1) rings.head
-      else rings.reduce((a, b) => a ++ sep ++ b)
+      else rings.reduce((a, b) => a ++ sep ++ b) ++ sep
     (joined.map(_._1), joined.map(_._2))
   }
 

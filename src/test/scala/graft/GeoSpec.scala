@@ -121,6 +121,32 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected.toSet, "codegen st_intersects")
   }
 
+  test("multi-ring arrays carry no phantom wrap chord (MULTIPOLYGON + hole)") {
+    // Two disjoint squares: without the trailing NaN separator the
+    // ray-cast loop's (n-1, 0) wrap pairs the last ring's closing vertex
+    // with the first ring's first vertex — a phantom chord that flipped
+    // parity for the whole region under it (a point between the squares
+    // reported INSIDE, a point in square1 reported OUTSIDE)
+    val (mx, my) = graft.geo.Wkt.toVertexArrays(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 5, 11 5, 11 6, 10 6, 10 5)))")
+    assert(Geo.rayCast(mx, my, 0.5, 0.5), "inside square1")
+    assert(Geo.rayCast(mx, my, 10.5, 5.5), "inside square2")
+    assert(!Geo.rayCast(mx, my, 5.0, 2.6), "between the squares (under the former chord)")
+    assert(!Geo.rayCast(mx, my, 5.0, 9.0), "clearly outside")
+    // Outer square with a hole: even-odd over both rings — annulus in,
+    // hole out; the inclusive mode admits BOTH rings' boundaries and
+    // must not see the (hole-closing -> outer-first) chord either
+    val (hx, hy) = graft.geo.Wkt.toVertexArrays(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(Geo.rayCast(hx, hy, 2.0, 2.0), "in the annulus")
+    assert(!Geo.rayCast(hx, hy, 5.0, 5.0), "in the hole")
+    assert(!Geo.rayCast(hx, hy, 11.0, 5.0), "outside")
+    assert(Geo.rayCastInclusive(hx, hy, 4.0, 5.0), "on the hole boundary")
+    assert(Geo.rayCastInclusive(hx, hy, 0.0, 5.0), "on the outer boundary")
+    assert(!Geo.onBoundary(hx, hy, 2.0, 2.2),
+      "annulus interior point is not boundary via any phantom segment")
+  }
+
   test("SpatialBboxRule prepends a short-circuit bbox conjunct to spatial joins") {
     Geo.register(spark)
     spark.experimental.extraOptimizations =
@@ -208,10 +234,16 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     val multi = Wkt.parseRings(
       "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
     assert(multi.size == 2)
-    // NaN separators: one per ring boundary
+    // NaN separators: one per ring boundary PLUS a trailing one on
+    // multi-ring arrays (kills the index-wrap phantom chord between the
+    // last ring's closing vertex and the first ring's first vertex)
     val (xs, _) = Wkt.toVertexArrays(
       "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
-    assert(xs.count(_.isNaN) == 1 && xs.length == 9)
+    assert(xs.count(_.isNaN) == 2 && xs.length == 10)
+    assert(xs.last.isNaN)
+    // single-ring arrays keep NO separator: the wrap edge IS the closure
+    val (sx, _) = Wkt.toVertexArrays("POLYGON ((0 0, 1 0, 1 1))")
+    assert(sx.count(_.isNaN) == 0 && sx.length == 3)
     intercept[IllegalArgumentException] {
       Wkt.parseRings("POINT (1 2)")
     }
