@@ -76,7 +76,7 @@ object AggExtQueries {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         // the sketch table: built once at ingest, reused by reads
         // (localCheckpoint → ContextCleaner-released, no leaked cache entry)
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       val merged = daily.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       Tables.events(s, d)

@@ -136,14 +136,14 @@ object DedupQueries {
     val sets = corpus(s, d)
       .select(col("doc_id"),
         Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
-      .localCheckpoint()
+      .transform(graft.Materialize.checkpoint)
     // fused JVM signature kernel (hash fold + 16 minima in one pass);
     // the expression pipeline allocates a fresh slot array per shingle
     val mh = sets
       .withColumn("mh", Dedup.minhashUdf(col("shd")))
     val bands = mh.select(col("doc_id"), col("mh"),
       posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
-      .localCheckpoint()
+      .transform(graft.Materialize.checkpoint)
     val cand = bands.as("l")
       .join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -187,7 +187,7 @@ object DedupQueries {
       maxHam: Int = 3): DataFrame = {
     val sig = corpus(s, d)
       .select(col("doc_id"), signature(col("text")).as("sh"))
-      .localCheckpoint() // both self-join sides; ContextCleaner-released
+      .transform(graft.Materialize.checkpoint) // both self-join sides; ContextCleaner-released
     val bands = sig.select(col("doc_id"), col("sh"),
       posexplode(array(bandsOf(col("sh")): _*)).as(Seq("band", "key")))
     bands.as("l")
@@ -229,10 +229,14 @@ object DedupQueries {
         val bitsSql = (0 until SimHashBits).map { b =>
           s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END"
         }.mkString("\n    + ")
+        // `hs IS NULL` guards NULL text explicitly: len(NULL) is NULL, the
+        // CASE would fall to ELSE, and the per-bit votes (list_sum over
+        // NULL → NULL ≥ 0 → NULL) would each resolve to 0 — yielding
+        // sh = 0 where the Spark side yields NULL (tokens(null) → null)
         s"""WITH $CorpusSql,
            |tok AS ($TokSql),
            |tokhs AS (SELECT doc_id, list_transform(toks, t -> ${foldSql("t")}) AS hs FROM tok)
-           |SELECT doc_id, CASE WHEN len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens}
+           |SELECT doc_id, CASE WHEN hs IS NULL OR len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens}
            |  THEN NULL ELSE CAST($bitsSql AS BIGINT) END AS sh
            |FROM tokhs ORDER BY doc_id"""
       }) { (s, d) =>
@@ -254,7 +258,7 @@ object DedupQueries {
         s"""WITH $CorpusSql,
            |tok AS ($TokSql),
            |tokhs AS (SELECT doc_id, list_transform(toks, t -> ${foldSql("t")}) AS hs FROM tok),
-           |sig AS (SELECT doc_id, CASE WHEN len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens}
+           |sig AS (SELECT doc_id, CASE WHEN hs IS NULL OR len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens}
            |  THEN NULL ELSE CAST($bitsSql AS BIGINT) END AS sh FROM tokhs),
            |bands AS (
            |  $byteBandsSql),
@@ -294,7 +298,7 @@ object DedupQueries {
         .transform(Tables.spread(_, col("doc_id"))) // gram extraction wants all cores
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
         // prefix generation and verification reuse the gram sets
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
         .orderBy("d1", "d2")
     },
@@ -396,9 +400,9 @@ object DedupQueries {
       def sigBands(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
         val sets = df.select(col("doc_id"),
           Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
-          .localCheckpoint()
+          .transform(graft.Materialize.checkpoint)
         val mh = sets.select(col("doc_id"), col("shd"),
-          Dedup.minhashUdf(col("shd")).as("mh")).localCheckpoint()
+          Dedup.minhashUdf(col("shd")).as("mh")).transform(graft.Materialize.checkpoint)
         val bands = mh.select(col("doc_id"),
           posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
         (sets, mh, bands)
@@ -452,7 +456,12 @@ object DedupQueries {
     // (char codes < 2^16 can't touch higher bits). Signatures stay
     // unsigned HUGEINT end-to-end; hamming splits each into two 32-bit
     // BIGINT halves for xor/bit_count. Bit-for-bit with
-    // [[Dedup.fnv64Jvm]]/[[Dedup.simhash64Jvm]].
+    // [[Dedup.fnv64Jvm]]/[[Dedup.simhash64Jvm]] on BMP text — the same
+    // scope as every char-fold oracle here (JVM hashes UTF-16 code
+    // units, DuckDB's unicode() yields codepoints; they agree below
+    // U+10000, and the testdata corpus is ASCII). The `hs IS NULL`
+    // guard mirrors Spark's null-text → null-signature contract (see
+    // the q27 oracle note).
     QueryDef.sql(
       "q78_simhash64_pairs", {
         val fnvSql =
@@ -475,7 +484,7 @@ object DedupQueries {
         s"""WITH $CorpusSql,
            |tok AS ($TokSql),
            |tokhs AS (SELECT doc_id, list_transform(toks, t -> $fnvSql) AS hs FROM tok),
-           |sig AS MATERIALIZED (SELECT doc_id, CASE WHEN len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens} THEN NULL ELSE $bitsSql END AS shu FROM tokhs),
+           |sig AS MATERIALIZED (SELECT doc_id, CASE WHEN hs IS NULL OR len(hs) = 0 OR len(hs) > ${Dedup.SimHashMaxTokens} THEN NULL ELSE $bitsSql END AS shu FROM tokhs),
            |bands AS MATERIALIZED (
            |  $bandSql),
            |cand AS (

@@ -130,7 +130,7 @@ object MixQueries {
           Dedup.distinctShinglesUdf(col("text"), lit(3)).as("shd"))
         // probe and corpus sides share the shingle pass (localCheckpoint →
         // ContextCleaner-released, no leaked cache entry)
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       val probes = sh.filter(col("doc_id") % 250 === 0)
         .select(explode(col("shd")).as("g")).distinct()
       sh.filter(col("doc_id") % 250 =!= 0)

@@ -112,7 +112,7 @@ object SimilarityQueries {
         // query and corpus sides share the bucket pass; localCheckpoint so
         // the blocks are ContextCleaner-released once the plan is dropped
         // (no session-lifetime cache entry — geo/Geo.gridSpatialJoin)
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       val q = b.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
       val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
@@ -151,7 +151,7 @@ object SimilarityQueries {
       // cell assignment feeds both the query and corpus sides — materialize
       // once (at scale: the IVF index is a table, built once, queried many)
       val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") % 97 === 0))
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       Similarity.ivfSearch(assigned, col("vec_id") % 100 === 0, 3)
         .orderBy("q_id", "rank")
     },
@@ -183,7 +183,7 @@ object SimilarityQueries {
          |ORDER BY q_id, rank""") { (s, d) =>
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
       val cents = e.filter(col("vec_id") % 97 === 0)
-      val assigned = Similarity.ivfAssign(e, cents).localCheckpoint()
+      val assigned = Similarity.ivfAssign(e, cents).transform(graft.Materialize.checkpoint)
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfSearchProbes(assigned, probes, 3)
@@ -246,7 +246,7 @@ object SimilarityQueries {
         .withColumn("qn", sqrt(qdot(col("q"), col("q"))))
         .select("vec_id", "embedding", "q", "qn")
         // probe AND broadcast sides read it — quantize once
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       val queries = n.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("q").as("qq"), col("qn").as("qqn"))
@@ -316,7 +316,7 @@ object SimilarityQueries {
       // and materialized (like q32's cell index); the search re-joins the
       // original table for the true-cosine column
       val idx = Similarity.pqIndex(e, e.filter(col("vec_id") % 97 === 0), 8, 64)
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       val corpus = e.select(col("vec_id"), col("embedding").as("nv"))
         .join(idx, "vec_id")
       val q = e.filter(col("vec_id") % 100 === 0)

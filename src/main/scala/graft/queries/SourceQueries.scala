@@ -277,7 +277,7 @@ object SourceQueries {
         // both sides of the band self-join; localCheckpoint so the blocks
         // are ContextCleaner-released (no leaked cache entry — see
         // geo/Geo.gridSpatialJoin)
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       val bands = sig.select(col("doc_id"), col("ah"),
         posexplode(array((0 until 4).map(b =>
           pmod(shiftright(col("ah"), b * 8), lit(256L))): _*))

@@ -15,6 +15,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val Sf = "/root/testdata/sf0.001"
 
+  /** Audits run with [[Materialize]] transparent: an eager localCheckpoint
+    * truncates the plan to an RDD scan, which would hide every join and
+    * exchange upstream of the registry's ~14 materialization points from
+    * this gate (a cartesian introduced inside a checkpointed subtree
+    * could never fail it). Transparent mode skips the checkpoints, so the
+    * audited plan is the FULL logical pipeline — the same visibility the
+    * audit had when those sites were persist()-based.
+    */
+  private def withWholePlans[A](body: => A): A = {
+    Materialize.transparent = true
+    try body finally Materialize.transparent = false
+  }
+
   /** Queries whose BroadcastNestedLoopJoin is the DESIGN, not a missed
     * equi-join: a small broadcast side streamed against the corpus with a
     * non-equi predicate (ANN query sets, point-in-polygon) — one corpus
@@ -25,8 +38,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q80_quantized_ann", // same shape, quantized scores
     "q100_ann_pq", // same shape, PQ-decoded corpus + codebook encode cross
     "q39_spatial_join", // broadcast polygons, PointInPolygon predicate
-    "q55_frame_sample", // broadcast frame index x payloads
-    "q58_resize", // broadcast target dims
     "q32_ann_ivf", // broadcast centroids x corpus: map-side cell argmin
     "q66_ann_ivf_nprobe", // same centroid-assignment cross
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
@@ -70,16 +81,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("no cartesian product in any registered plan; BNLJ only where deliberate") {
-    val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, Sf)
-      val plan = df.queryExecution.sparkPlan.toString
-      if (plan.contains("CartesianProduct"))
-        offenders += s"$name: CartesianProduct"
-      if (plan.contains("BroadcastNestedLoopJoin") && !deliberateBnlj(name))
-        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
-      spark.sharedState.cacheManager.clearCache()
+    withWholePlans {
+      val offenders = scala.collection.mutable.ArrayBuffer[String]()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val df = fn(spark, Sf)
+        val plan = df.queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !deliberateBnlj(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+        spark.sharedState.cacheManager.clearCache()
+      }
+      assert(offenders.isEmpty, s"plan regressions:\n${offenders.mkString("\n")}")
     }
-    assert(offenders.isEmpty, s"plan regressions:\n${offenders.mkString("\n")}")
+  }
+
+  test("the BNLJ whitelist is live: each whitelisted site is actually seen") {
+    // guards the audit itself: if materialization (or a refactor) hides a
+    // whitelisted deliberate-BNLJ site from the audited plan, the
+    // whitelist entry goes silently dead and a later regression at that
+    // site could never fail the gate — require every entry to be observed
+    withWholePlans {
+      val dead = deliberateBnlj.filterNot { name =>
+        SparkEntry.queries(name)(spark, Sf)
+          .queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin")
+      }
+      assert(dead.isEmpty,
+        s"whitelisted BNLJ sites not visible to the audit: ${dead.mkString(", ")}")
+    }
   }
 }
