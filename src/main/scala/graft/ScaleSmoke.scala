@@ -19,11 +19,14 @@ object ScaleSmoke {
       // alias into the next replica's range, manufacturing duplicate keys
       // that silently corrupt the 10x stateful-scaling measurement
       // (dedup, sessionization) at a larger base SF
-      val maxes = df.agg(max(col(keyCols.head)).as("m0"),
-        keyCols.tail.zipWithIndex.map { case (k, i) => max(col(k)).as(s"m${i + 1}") }: _*).head()
+      val maxes = df.agg(max(col(keyCols.head)).cast("long").as("m0"),
+        keyCols.tail.zipWithIndex.map { case (k, i) =>
+          max(col(k)).cast("long").as(s"m${i + 1}") }: _*).head()
       keyCols.indices.foreach { i =>
-        require(maxes.getLong(i) < shift,
-          s"$t.${keyCols(i)} max ${maxes.getLong(i)} >= replica shift $shift — raise the shift")
+        // max over an empty table is NULL — nothing to collide, skip
+        if (!maxes.isNullAt(i))
+          require(maxes.getLong(i) < shift,
+            s"$t.${keyCols(i)} max ${maxes.getLong(i)} >= replica shift $shift — raise the shift")
       }
       val u = reps.map { r =>
         keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * shift)))

@@ -33,21 +33,25 @@ object LevenshteinBoundRule extends Rule[LogicalPlan] with PredicateHelper {
   private def diff(lev: Levenshtein): Expression =
     Abs(Subtract(Length(lev.left), Length(lev.right)))
 
-  // The bound k is DUPLICATED into the guard, so it must be safe to
-  // evaluate twice: a non-deterministic k (e.g. `levenshtein(a,b) <=
-  // rand()*10`) would take different values in the guard and the original
-  // predicate, silently dropping rows the predicate alone would keep —
-  // and this rule is installed session-wide via GraftExtensions, so any
-  // user filter/join of that shape would be miscompiled. Deterministic-
-  // but-expensive bounds pay one extra evaluation; the win is skipping
-  // the O(k·n) DP, which dominates any realistic bound expression.
+  // The guard DUPLICATES subexpressions of the conjunct — the bound k and
+  // the levenshtein arguments (inside Length) — so every duplicated piece
+  // must be safe to evaluate twice: a non-deterministic input anywhere in
+  // the conjunct (`levenshtein(a, b) <= rand()*10`, or a rand()-mangled
+  // string argument) would take different values in the guard and the
+  // original predicate, silently dropping rows the predicate alone would
+  // keep — and this rule is installed session-wide via GraftExtensions,
+  // so any user filter/join of that shape would be miscompiled. Gate on
+  // the WHOLE conjunct's determinism (covers k and both string args in
+  // one check). Deterministic-but-expensive inputs pay one extra
+  // evaluation; the win is skipping the O(k·n) DP, which dominates any
+  // realistic bound or argument expression.
   private def guardOf(conjunct: Expression): Option[Expression] = conjunct match {
-    case GreaterThanOrEqual(lev @ Levenshtein(_, _, Some(k)), Literal(0, IntegerType))
-        if k.deterministic =>
+    case _ if !conjunct.deterministic => None
+    case GreaterThanOrEqual(lev @ Levenshtein(_, _, Some(k)), Literal(0, IntegerType)) =>
       Some(LessThanOrEqual(diff(lev), k))
-    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k) if k.deterministic =>
+    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k) =>
       Some(LessThanOrEqual(diff(lev), k))
-    case LessThan(lev @ Levenshtein(_, _, None), k) if k.deterministic =>
+    case LessThan(lev @ Levenshtein(_, _, None), k) =>
       Some(LessThan(diff(lev), k))
     case _ => None
   }

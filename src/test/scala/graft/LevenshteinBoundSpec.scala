@@ -68,6 +68,21 @@ class LevenshteinBoundSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("non-deterministic string argument: no guard injected") {
+    // the guard also duplicates the levenshtein ARGUMENTS (inside
+    // length), so a non-deterministic string input is just as unsafe as
+    // a non-deterministic bound — the whole conjunct must be deterministic
+    def q = pairs.filter(
+      levenshtein(
+        concat(col("t1"), when(rand(7) < 0.5, lit("x")).otherwise(lit(""))),
+        col("t2")) <= 3)
+    withRule {
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("abs((length("),
+        s"guard injected for non-deterministic levenshtein argument:\n$opt")
+    }
+  }
+
   test("q98 end-to-end result unchanged under the rule") {
     val run = SparkEntry.queries("q98_edit_distance")
     val without = run(spark, "/root/testdata/sf0.001").collect().toSeq
