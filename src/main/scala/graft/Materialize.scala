@@ -12,15 +12,29 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
 
-  /** PlanAuditSpec sets this for the duration of its audit: a
+  /** PlanAuditSpec enables this for the duration of its audit: a
     * localCheckpoint truncates the plan to an RDD scan, which would hide
     * every upstream join/exchange from the plan-shape gate (a cartesian
     * introduced inside a checkpointed subtree could never fail the
     * audit). Transparent mode skips the checkpoint so audits see the
-    * WHOLE plan; production behavior is unchanged (the flag is only set
-    * by the audit suite, which builds plans without executing them).
+    * WHOLE plan; production behavior is unchanged (only the audit suite
+    * enables it, and it builds plans without executing them).
+    *
+    * THREAD-LOCAL, not a process global: query lambdas built on other
+    * threads (graft.Verify's 4-thread submitter pool, any future
+    * parallel suite) must never observe another thread's audit window —
+    * the same scoping discipline the engine applies to session-conf
+    * mutation around streaming runs.
     */
-  @volatile var transparent: Boolean = false
+  private val transparentFlag: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  def transparent: Boolean = transparentFlag.get()
+
+  def withTransparent[A](body: => A): A = {
+    transparentFlag.set(java.lang.Boolean.TRUE)
+    try body finally transparentFlag.set(java.lang.Boolean.FALSE)
+  }
 
   def checkpoint(df: DataFrame): DataFrame =
     if (transparent) df else df.localCheckpoint()

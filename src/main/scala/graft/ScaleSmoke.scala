@@ -19,14 +19,18 @@ object ScaleSmoke {
       // alias into the next replica's range, manufacturing duplicate keys
       // that silently corrupt the 10x stateful-scaling measurement
       // (dedup, sessionization) at a larger base SF
-      val maxes = df.agg(max(col(keyCols.head)).cast("long").as("m0"),
-        keyCols.tail.zipWithIndex.map { case (k, i) =>
-          max(col(k)).cast("long").as(s"m${i + 1}") }: _*).head()
-      keyCols.indices.foreach { i =>
-        // max over an empty table is NULL — nothing to collide, skip
-        if (!maxes.isNullAt(i))
-          require(maxes.getLong(i) < shift,
-            s"$t.${keyCols(i)} max ${maxes.getLong(i)} >= replica shift $shift — raise the shift")
+      val maxes = df.agg(count(lit(1)).as("n"),
+        keyCols.zipWithIndex.map { case (k, i) =>
+          max(col(k)).cast("long").as(s"m$i") }: _*).head()
+      if (maxes.getLong(0) > 0) keyCols.indices.foreach { i =>
+        // non-empty table: a NULL max means the key column is all NULL
+        // (or not castable to long) — replicas would then share identical
+        // NULL keys, the very duplicate-key corruption the guard exists
+        // to catch. Fail loud rather than skip.
+        require(!maxes.isNullAt(i + 1),
+          s"$t.${keyCols(i)} has no numeric max (all NULL?) — cannot shift replicas safely")
+        require(maxes.getLong(i + 1) < shift,
+          s"$t.${keyCols(i)} max ${maxes.getLong(i + 1)} >= replica shift $shift — raise the shift")
       }
       val u = reps.map { r =>
         keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * shift)))

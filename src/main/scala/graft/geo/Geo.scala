@@ -135,16 +135,19 @@ object Geo {
     // a null name in ONE join — an all-columns left_anti here would cost
     // an extra full shuffle of the point set AND silently drop both
     // copies of a fully-duplicate point row when only one matched. The
-    // localCheckpoint pins monotonically_increasing_id to ONE evaluation
+    // checkpoint pins monotonically_increasing_id to ONE evaluation
     // (both join branches read the same materialized ids) without leaking
     // a cache-manager entry per call the way persist() would — checkpoint
     // blocks are released by the ContextCleaner once the returned plan is
-    // unreferenced, with no unpersist obligation on the caller.
+    // unreferenced, with no unpersist obligation on the caller. Routed
+    // through Materialize so PlanAuditSpec sees the whole upstream plan;
+    // the audit only BUILDS plans (never executes this join), so the
+    // unpinned-id hazard cannot bite under its transparent window.
     val pts = points
       .withColumn("_pt_id", monotonically_increasing_id())
       .withColumn("cellx", cellOf(col("x")))
       .withColumn("celly", cellOf(col("y")))
-      .localCheckpoint()
+      .transform(graft.Materialize.checkpoint)
     val matches = pts
       .join(polyCells, Seq("cellx", "celly"))
       .filter(stContains(col("xs"), col("ys"), col("x"), col("y")))

@@ -37,12 +37,11 @@ object Shapefile {
     require(names.size == rings.size,
       s"shp has ${rings.size} records but dbf has ${names.size}")
     names.zip(rings).map { case (name, rs) =>
-      val sep = Array((Double.NaN, Double.NaN))
-      // trailing separator on multi-ring arrays kills the index-wrap
-      // phantom chord (see Wkt.toVertexArrays); .shp rings are closed
-      val joined =
-        if (rs.size == 1) rs.head else rs.reduce((a, b) => a ++ sep ++ b) ++ sep
-      Feature(name, joined.map(_._1), joined.map(_._2))
+      // ONE ring-fold for both on-ramps (Wkt.foldRings): trailing
+      // separator on multi-ring arrays kills the index-wrap phantom
+      // chord, null-shape records (zero rings) fold to empty arrays
+      val (xs, ys) = Wkt.foldRings(rs)
+      Feature(name, xs, ys)
     }
   }
 

@@ -49,12 +49,20 @@ object Wkt {
     * arrays don't need the wrap edge; single-ring arrays may be unclosed
     * and DO use the wrap as their closing edge, so they stay as-is.
     */
-  def toVertexArrays(wkt: String): (Array[Double], Array[Double]) = {
-    val rings = parseRings(wkt)
+  def toVertexArrays(wkt: String): (Array[Double], Array[Double]) =
+    foldRings(parseRings(wkt))
+
+  /** THE ring-fold — shared by the WKT and shapefile on-ramps so the
+    * separator discipline above can never diverge between loaders.
+    * Zero rings (shapefile null-shape records) yield empty arrays.
+    */
+  def foldRings(rings: Seq[Array[(Double, Double)]]): (Array[Double], Array[Double]) = {
     val sep = Array((Double.NaN, Double.NaN))
-    val joined =
-      if (rings.size == 1) rings.head
-      else rings.reduce((a, b) => a ++ sep ++ b) ++ sep
+    val joined = rings match {
+      case Seq() => Array.empty[(Double, Double)]
+      case Seq(only) => only
+      case many => many.reduce((a, b) => a ++ sep ++ b) ++ sep
+    }
     (joined.map(_._1), joined.map(_._2))
   }
 

@@ -21,7 +21,8 @@ class CacheOwnershipSpec extends AnyFunSuite with SparkSpec {
 
   for (q <- Seq("q26_minhash_lsh", "q29_ngram_jaccard", "q32_ann_ivf",
     "q80_quantized_ann", "q100_ann_pq", "q104_hll_merge",
-    "q67_decontaminate", "q79_incremental_dedup")) {
+    "q67_decontaminate", "q79_incremental_dedup",
+    "q56_grid_spatial_join")) { // Geo.gridSpatialJoin's id-pinning checkpoint
     test(s"$q leaves no cache-manager entry behind") {
       spark.sharedState.cacheManager.clearCache() // isolate from other suites
       SparkEntry.queries(q)(spark, sf).queryExecution.toRdd.count()

@@ -23,10 +23,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * audited plan is the FULL logical pipeline — the same visibility the
     * audit had when those sites were persist()-based.
     */
-  private def withWholePlans[A](body: => A): A = {
-    Materialize.transparent = true
-    try body finally Materialize.transparent = false
-  }
+  private def withWholePlans[A](body: => A): A =
+    Materialize.withTransparent(body)
 
   /** Queries whose BroadcastNestedLoopJoin is the DESIGN, not a missed
     * equi-join: a small broadcast side streamed against the corpus with a
