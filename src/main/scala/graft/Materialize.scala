@@ -32,8 +32,12 @@ object Materialize {
   def transparent: Boolean = transparentFlag.get()
 
   def withTransparent[A](body: => A): A = {
+    // restore (not reset) on exit: a nested withTransparent — two audited
+    // helpers composed in one spec — must not end the outer transparent
+    // window early and let checkpoints truncate the rest of the audit
+    val prev = transparentFlag.get()
     transparentFlag.set(java.lang.Boolean.TRUE)
-    try body finally transparentFlag.set(java.lang.Boolean.FALSE)
+    try body finally transparentFlag.set(prev)
   }
 
   def checkpoint(df: DataFrame): DataFrame =

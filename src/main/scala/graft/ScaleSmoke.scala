@@ -19,18 +19,24 @@ object ScaleSmoke {
       // alias into the next replica's range, manufacturing duplicate keys
       // that silently corrupt the 10x stateful-scaling measurement
       // (dedup, sessionization) at a larger base SF
-      val maxes = df.agg(count(lit(1)).as("n"),
-        keyCols.zipWithIndex.map { case (k, i) =>
-          max(col(k)).cast("long").as(s"m$i") }: _*).head()
-      if (maxes.getLong(0) > 0) keyCols.indices.foreach { i =>
+      val bounds = df.agg(count(lit(1)).as("n"),
+        keyCols.zipWithIndex.flatMap { case (k, i) => Seq(
+          max(col(k)).cast("long").as(s"mx$i"),
+          min(col(k)).cast("long").as(s"mn$i")) }: _*).head()
+      if (bounds.getLong(0) > 0) keyCols.indices.foreach { i =>
         // non-empty table: a NULL max means the key column is all NULL
         // (or not castable to long) — replicas would then share identical
         // NULL keys, the very duplicate-key corruption the guard exists
         // to catch. Fail loud rather than skip.
-        require(!maxes.isNullAt(i + 1),
+        require(!bounds.isNullAt(2 * i + 1),
           s"$t.${keyCols(i)} has no numeric max (all NULL?) — cannot shift replicas safely")
-        require(maxes.getLong(i + 1) < shift,
-          s"$t.${keyCols(i)} max ${maxes.getLong(i + 1)} >= replica shift $shift — raise the shift")
+        val (mx, mn) = (bounds.getLong(2 * i + 1), bounds.getLong(2 * i + 2))
+        // disjointness needs BOTH bounds: replica r spans [mn+r*shift,
+        // mx+r*shift], so ranges stay disjoint iff mx - mn < shift — a
+        // max-only check misses negative mins (mx < shift but the span
+        // still wider than shift)
+        require(mx - mn < shift,
+          s"$t.${keyCols(i)} range [$mn,$mx] spans >= replica shift $shift — raise the shift")
       }
       val u = reps.map { r =>
         keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * shift)))
@@ -50,9 +56,13 @@ object ScaleSmoke {
     // 24-bit simhash band saturation (q78 is the production width).
     locally {
       val df = spark.read.parquet(s"$base/documents.parquet")
-      val maxId = df.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId < 10000000L,
-        s"documents.doc_id max $maxId >= replica shift 10000000 — raise the shift")
+      val b = df.agg(count(lit(1)), max(col("doc_id")), min(col("doc_id"))).head()
+      if (b.getLong(0) > 0) {
+        require(!b.isNullAt(1), "documents.doc_id has no max (all NULL?) — cannot shift replicas safely")
+        val (mx, mn) = (b.getLong(1), b.getLong(2))
+        require(mx - mn < 10000000L,
+          s"documents.doc_id range [$mn,$mx] spans >= replica shift 10000000 — raise the shift")
+      }
       reps.map { r =>
         df.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
           .withColumn("text", concat(col("text"), lit(s" rep$r")))

@@ -464,10 +464,16 @@ object DedupQueries {
     // the q27 oracle note).
     QueryDef.sql(
       "q78_simhash64_pairs", {
+        // same empty-string guard as foldSql: DuckDB's string_split('','')
+        // = [''] and unicode('') = -1, which would feed c = -1 into the
+        // fold and drive the HUGEINT state negative — fnv64Jvm('') is the
+        // untouched offset basis. TokSql never emits empty tokens today,
+        // but the fold must stay self-contained for reuse on shingles.
         val fnvSql =
-          "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+          "CASE WHEN length(t) = 0 THEN 14695981039346656037::HUGEINT ELSE " +
+            "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
             "list_transform(string_split(t, ''), ch -> unicode(ch)::HUGEINT)), " +
-            "(h, c) -> ((h - h % 65536 + xor((h % 65536)::BIGINT, c::BIGINT)::HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT)"
+            "(h, c) -> ((h - h % 65536 + xor((h % 65536)::BIGINT, c::BIGINT)::HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT) END"
         val bitsSql = (0 until 64).map { b =>
           val bit = BigInt(1) << b
           s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $bit::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN $bit::HUGEINT ELSE 0::HUGEINT END"
