@@ -68,11 +68,17 @@ object Bench {
     // chars, so a truncated fragment is all that would survive (r4's
     // BENCH records parsed: null for exactly this reason). Emit a final
     // COMPACT line, sized to fit the tail window whole, carrying the
-    // total + the slowest medians (the cheap head is derivable from the
-    // verbose line in full logs).
-    val slowest = byMedian.reverse.take(40).reverse
+    // total + the slowest medians AND their minima — the per-query min
+    // is the contention detector (median >> min = noisy machine, not a
+    // regression), and without it in the surviving tail each busy-box
+    // round re-litigates phantom per-query inflations. Both maps over
+    // the SAME slowest-34-by-median keys: 34 is the largest symmetric
+    // pair that fits — 2 × 34 × ~27 chars + ~140 fixed ≈ 1.9k < 2k
+    // (40 keys would be ~2.2k and the head of the line gets truncated).
+    val slowest = byMedian.reverse.take(34).reverse
     println(s"""{"unit":"sec","reps":$Reps,"n_queries":${results.size},"queries":${
-      jmap(slowest.map { case (k, (med, _)) => k -> med })},"sf":"$sfDir","metric":"total","value":${r3(total)},"value_min":${r3(totalMin)}}""")
+      jmap(slowest.map { case (k, (med, _)) => k -> med })},"queries_min":${
+      jmap(slowest.map { case (k, (_, min)) => k -> min })},"sf":"$sfDir","metric":"total","value":${r3(total)},"value_min":${r3(totalMin)}}""")
     spark.stop()
   }
 }

@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Exact, VectorFold}
 
+/** The PQ argmin result: squared L2 to the winning codeword, its id, and
+  * its subvector. (Top-level, not nested in the object: Catalyst's
+  * encoder codegen can't resolve object-nested case classes.)
+  */
+private[sim] case class PqBest(dist: Double, cent_id: Long, cv: Seq[Double])
+
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`array<float>`). (Driver extension surface.)
   *
@@ -244,15 +250,201 @@ object Similarity {
       .agg(max(col("sim")).as("max_sim"))
   }
 
+  /** Long-form PQ codebook from explicit codeword source vectors: one row
+    * per (subspace `j`, codeword `cent_id`) carrying that codeword's
+    * subvector `cv` as `array<double>` — the shape [[pqTrain]] refines and
+    * [[pqIndex]] encodes against. Doubles from here on: Lloyd means are
+    * doubles, and the float→double cast of an untrained (subset) codeword
+    * is exact, so subset-codebook scores are bit-identical to slicing the
+    * float source directly.
+    */
+  def pqCodebook(src: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    src.select(col("vec_id").as("cent_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
+      .select(col("j"), col("cent_id"),
+        transform(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
+          x => x.cast("double")).as("cv"))
+  }
+
+  /** Map-side per-subspace nearest-codeword assignment. The codebook is
+    * regrouped to ONE ROW PER SUBSPACE carrying its codewords as an array
+    * sorted by cent_id, so after an 8-row broadcast hash join each vector
+    * row runs its own candidate loop as a single `aggregate` fold — the
+    * candidates never become rows, which matters twice: no k× row blowup
+    * before a shuffle, and no `min(struct)` aggregation (struct aggregation
+    * buffers aren't hash-aggregable, so that form degrades to a
+    * SortAggregate over corpus × codewords rows — measured 3× slower here).
+    *
+    * Squared L2 is `dot(a,a) − 2·dot(a,b) + dot(b,b)` with [[Exact.foldDot]]
+    * sequential folds, the exact op order the DuckDB oracle mirrors; the
+    * strict `<` fold over the cent_id-ordered array keeps the FIRST
+    * minimum — (dist asc, cent_id asc), the oracle's row_number order.
+    * Output: (vec_id, j, va, best struct(dist, cent_id, cv)).
+    */
+  private def pqAssign(vectors: DataFrame, codebook: DataFrame,
+      m: Int, sub: Int): DataFrame =
+    pqAssignByJ(vectors,
+      codebook.groupBy("j")
+        .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
+          .as("cands"))
+        .select(col("j"),
+          transform(col("cands"), c => c.getField("cent_id")).as("cent_ids"),
+          transform(col("cands"), c => c.getField("cv")).as("cvs")),
+      m, sub)
+
+  /** JVM twin of the candidate loop: first strict minimum over the
+    * cent_id-ordered codewords — (dist asc, cent_id asc), the oracle's
+    * row_number order — with each squared L2 the same
+    * `dot(a,a) − 2·dot(a,b) + dot(b,b)` decomposition of sequential
+    * per-accumulator folds as [[Exact.foldDotJvm]], so doubles are
+    * bit-identical to the expression form and the DuckDB oracle. A UDF
+    * rather than an `aggregate` HOF fold because higher-order functions
+    * are CodegenFallback — per-candidate interpreted struct churn was the
+    * bulk of measured training AND encode time, the same reason
+    * [[Exact.foldHashJvm]] exists next to [[Exact.foldHash]]. PqIndexSpec
+    * pins the argmin against an independent recompute, and the q100
+    * oracle re-derives every assignment in SQL.
+    */
+  private val pqArgminUdf = udf((va: Seq[Double], cids: Seq[Long], cvs: Seq[Seq[Double]]) => {
+    var bd = Double.PositiveInfinity
+    var bc = -1L
+    var bv: Seq[Double] = Nil
+    var i = 0
+    while (i < cids.length) {
+      val cv = cvs(i)
+      var aa = 0.0d; var ab = 0.0d; var bb = 0.0d
+      var k = 0
+      while (k < va.length) {
+        val x = va(k); val y = cv(k)
+        aa = aa + x * x; ab = ab + x * y; bb = bb + y * y
+        k += 1
+      }
+      val d = aa - 2.0d * ab + bb
+      if (d < bd) { bd = d; bc = cids(i); bv = cv }
+      i += 1
+    }
+    PqBest(bd, bc, bv)
+  })
+
+  /** Per-subspace nearest-codeword assignment. `byJ` carries ONE ROW PER
+    * SUBSPACE with its codewords as parallel cent_id-sorted arrays —
+    * [[pqTrain]] builds that form on the driver (its codebook already
+    * lives there between rounds), so the broadcast side is a bare m-row
+    * local relation and each Lloyd round is ONE job; after the broadcast
+    * hash join each vector row runs its own candidate loop
+    * ([[pqArgminUdf]]) — the candidates never become rows, which matters
+    * twice: no k× row blowup before a shuffle, and no `min(struct)`
+    * aggregation (struct aggregation buffers aren't hash-aggregable, so
+    * that form degrades to a SortAggregate over corpus × codewords rows —
+    * measured 3× slower here).
+    * Output: (vec_id, j, va, best struct(dist, cent_id, cv)).
+    */
+  private def pqAssignByJ(vectors: DataFrame, byJ: DataFrame,
+      m: Int, sub: Int): DataFrame = {
+    val va = transform(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
+      x => x.cast("double"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("embedding"))
+      .select(col("vec_id"), col("j"), va.as("va"))
+      .join(broadcast(byJ), Seq("j"))
+      .select(col("vec_id"), col("j"), col("va"),
+        pqArgminUdf(col("va"), col("cent_ids"), col("cvs")).as("best"))
+  }
+
+  /** Lloyd's k-means refinement of a PQ codebook, as DataFrame ops — the
+    * production ingredient the `vec_id % 97` subset device stood in for:
+    * `iters` rounds of (assign every training subvector to its nearest
+    * codeword) → (recenter each codeword on the mean of its assignees),
+    * per subspace. Codewords that attract no assignees keep their previous
+    * position (the deterministic empty-cluster rule, mirrored in the
+    * oracle's left-join/coalesce).
+    *
+    * 100 TB shape: assignment is the same broadcast-probe-over-the-scan as
+    * encoding ([[pqCands]]); the recenter groups on (j, cent_id) — at most
+    * m × |codebook| groups, partial-aggregated map-side — so per-iteration
+    * cost is one training scan plus a codebook-sized shuffle. PQ codebooks
+    * train on a SAMPLE by standard practice (the classic PQ paper trains
+    * 256-codeword books on ~100k vectors); callers pass that sample as
+    * `train`, never 100 TB — the corpus here is already sample-sized.
+    * Between rounds the codebook lives ON THE DRIVER (the MLlib KMeans
+    * shape): it is k×m rows by construction, so the per-round collect is
+    * small-by-construction — same class as the CC convergence stats — and
+    * the next round broadcasts a local relation instead of paying a
+    * materialize + join per iteration (measured: the join/checkpoint form
+    * cost ~1 s/round of pure scheduling overhead on a 168-row codebook).
+    * The training-assignment plan shape stays audited through the shared
+    * [[pqCands]] the q100 ENCODE path exposes to PlanAuditSpec.
+    *
+    * Bit-exact contract (how a DuckDB oracle reproduces trained doubles):
+    * assignment ties break on lowest cent_id; each mean sums its members'
+    * subvectors ELEMENTWISE IN vec_id ORDER via one sequential
+    * `aggregate`+`zip_with` fold from a zero vector, then divides by the
+    * member count — `list_reduce(list_prepend(0.0, list(… ORDER BY
+    * vec_id)))` per dimension on the oracle side, the same IEEE op
+    * sequence; codewords no member picked keep their position (the
+    * driver-side merge ≡ the oracle's left-join/coalesce). PqIndexSpec
+    * pins the whole loop against a JVM twin.
+    */
+  def pqTrain(train: DataFrame, init: DataFrame, m: Int, dim: Int,
+      iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    VectorFold.register(train.sparkSession)
+    val sub = dim / m
+    val session = train.sparkSession
+    import session.implicits._
+    // grouped-by-subspace form built on the DRIVER (codewords sorted by
+    // cent_id, the argmin tie order), so the broadcast side is a bare
+    // m-row local relation and each round is one job
+    def toByJ(cb: Map[(Int, Long), Seq[Double]]): DataFrame =
+      cb.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (j, cws) =>
+          val sorted = cws.sortBy(_._1._2)
+          (j, sorted.map(_._1._2), sorted.map(_._2))
+        }
+        .toDF("j", "cent_ids", "cvs")
+    var cb: Map[(Int, Long), Seq[Double]] =
+      init.select("j", "cent_id", "cv").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    for (_ <- 0 until iters) {
+      val upd = pqAssignByJ(train, toByJ(cb), m, sub)
+        .select(col("j"), col("best.cent_id").as("cent_id"),
+          col("vec_id"), col("va"))
+        .groupBy("j", "cent_id")
+        // vec_id leads the struct, so array_sort pins member order; the
+        // per-group list is bounded by the TRAINING SAMPLE size, the same
+        // small-by-construction bound the two-pass deciles rely on
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("va"))))
+          .as("rows"))
+        .select(col("j"), col("cent_id"),
+          transform(
+            aggregate(transform(col("rows"), r => r.getField("va")),
+              typedlit(Seq.fill(sub)(0.0d)),
+              (acc, x) => zip_with(acc, x, (a, b) => a + b)),
+            s => s / size(col("rows"))).as("ncv"))
+        .collect()
+      cb = cb ++ upd.map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+    }
+    // return the long form pqIndex/pqCodebook speak
+    cb.toSeq.sortBy(_._1)
+      .map { case ((j, cid), cv) => (j, cid, cv) }
+      .toDF("j", "cent_id", "cv")
+  }
+
   /** Product-quantization index: split each `dim`-wide embedding into `m`
     * subspaces of `dim/m` dims; per subspace, snap the subvector to its
     * nearest codeword (squared-L2 argmin, ties → lowest codeword id) from
-    * a shared codebook. Output: (vec_id, codes, dv) where `codes` is the
-    * m-byte PQ code (one codeword id per subspace) and `dv` the decoded
-    * (reconstructed) vector the approximate scores read — deliberately NO
-    * raw embedding column (the index would otherwise carry the very bytes
-    * it exists to avoid scanning); callers needing the true vector
-    * re-join the source table by vec_id (q100's true-cosine column).
+    * the given long-form `codebook` ([[pqCodebook]] subset or [[pqTrain]]
+    * trained — same plan either way, only reconstruction error differs).
+    * Output: (vec_id, codes, dv) where `codes` is the m-byte PQ code (one
+    * codeword id per subspace) and `dv` the decoded (reconstructed) vector
+    * the approximate scores read — deliberately NO raw embedding column
+    * (the index would otherwise carry the very bytes it exists to avoid
+    * scanning); callers needing the true vector re-join the source table
+    * by vec_id (q100's true-cosine column).
     *
     * 100 TB shape: the codebook is a broadcast (codewords × m subvectors);
     * encoding is one broadcast join + per-subspace argmin — map-side per
@@ -262,46 +454,26 @@ object Similarity {
     * vector's dim×4 (16 B vs 256 B here, 16×) — and `dv` is decode-on-read
     * from the broadcast codebook at scan time, which is how the scan gets
     * its 16× bandwidth cut. Like the IVF index, built once, queried many
-    * times. The codebook source is a deterministic corpus subset (the
-    * same `vec_id % 97` device as q32's centroids) so the whole index is
-    * reproducible in checked SQL; a production build k-means-trains each
-    * subspace's codebook instead — swapping codebooks changes no plan
-    * shape, only reconstruction error.
+    * times.
     *
     * Distance/ranking floats stay bit-exact across engines: squared L2 is
-    * evaluated as `dot(a,a) − 2·dot(a,b) + dot(b,b)` with [[Exact.foldDot]]
-    * sequential folds on both sides, and reconstruction concatenates
+    * the [[pqCands]] fold decomposition, and reconstruction concatenates
     * codewords in subspace order, so the approximate cosine is ONE 64-wide
     * fold — ADC by construction, with no float-sum reorder anywhere.
     */
-  def pqIndex(vectors: DataFrame, codebookSrc: DataFrame, m: Int, dim: Int): DataFrame = {
+  def pqIndex(vectors: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val sub = dim / m
     VectorFold.register(vectors.sparkSession)
-    val cb = codebookSrc.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    def part(v: Column): Column = slice(v, col("j") * sub + 1, lit(sub))
-    val va = part(col("embedding"))
-    val ca = part(col("cv"))
-    val dist = Exact.foldDot(va, va) - lit(2.0d) * Exact.foldDot(va, ca) +
-      Exact.foldDot(ca, ca)
-    // argmin as min(struct(dist, cent_id, sub)) — struct ordering is
-    // (dist asc, cent_id asc), exactly the oracle's row_number order, and
-    // unlike a rank window it partial-aggregates MAP-SIDE: the exchange
-    // carries one best-so-far row per (vec_id, j) per map partition, not
-    // the full corpus × codewords × subspaces stream. The raw embedding
-    // never enters the shuffle at all (only id, j, dist, codeword) —
-    // callers re-join the original table by vec_id when they need it.
-    val best = vectors.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cb))
-      .select(col("vec_id"), col("embedding"), col("cent_id"), col("cv"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"))
-      .select(col("vec_id"), col("j"),
-        struct(dist.as("dist"), col("cent_id"), ca.as("sub")).as("cand"))
-      .groupBy("vec_id", "j")
-      .agg(min(col("cand")).as("best"))
-    best.groupBy("vec_id")
+    val sub = dim / m
+    // the argmin happens map-side inside pqAssign; the only shuffle is
+    // the groupBy(vec_id) re-assembling the m subspace codes per vector
+    // (m rows per key, partial-aggregated map-side). The raw embedding
+    // never enters the shuffle at all (only id, j, codeword) — callers
+    // re-join the original table by vec_id when they need it.
+    pqAssign(vectors, codebook, m, sub)
+      .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("j"),
-          col("best.cent_id").as("cent_id"), col("best.sub").as("sub"))))
+          col("best.cent_id").as("cent_id"), col("best.cv").as("sub"))))
         .as("parts"))
       .select(col("vec_id"),
         transform(col("parts"), p => p.getField("cent_id")).as("codes"),

@@ -7,32 +7,82 @@ import graft.sim.Similarity
 
 /** Properties of the PQ index q100's oracle can't see directly: code
   * vector shape/range, exact per-subspace argmin (vs an independent JVM
-  * recompute), and zero reconstruction error for vectors that ARE
-  * codebook members.
+  * recompute), zero reconstruction error for vectors that ARE codebook
+  * members, and the k-means training loop — pinned bit-for-bit against a
+  * JVM twin of its declared fold contract, with the trained codebook
+  * required to actually beat the subset init it starts from.
   */
 class PqIndexSpec extends AnyFunSuite with SparkSpec {
 
   private val M = 8
   private val Dim = 64
+  private val Sub = Dim / M
 
-  private def l2(a: Array[Float], b: Array[Float]): Double = {
-    // the same dot-product decomposition pqIndex evaluates, so float
-    // comparisons agree bit-for-bit
-    def dot(x: Array[Float], y: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-      s
-    }
-    dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+  // the same sequential double folds pqCands evaluates, so float
+  // comparisons agree bit-for-bit
+  private def dot(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
   }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double =
+    dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+  private def subVec(emb: Array[Float], j: Int): Array[Double] =
+    emb.slice(j * Sub, (j + 1) * Sub).map(_.toDouble)
+
+  private def loadTrain(): Seq[(Long, Array[Float])] =
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+
+  /** (j, cent_id) → codeword, from the vec_id%97 subset — the init
+    * pqCodebook builds.
+    */
+  private def subsetCb(train: Seq[(Long, Array[Float])]): Map[(Int, Long), Array[Double]] =
+    (for ((vid, emb) <- train if vid % 97 == 0; j <- 0 until M)
+      yield (j, vid) -> subVec(emb, j)).toMap
+
+  /** JVM twin of [[Similarity.pqTrain]]'s declared contract: argmin ties
+    * to the lowest cent_id; recenter = elementwise sum of members in
+    * vec_id order from 0.0, divided by the member count; empty codewords
+    * keep their position.
+    */
+  private def jvmTrain(train: Seq[(Long, Array[Float])],
+      init: Map[(Int, Long), Array[Double]],
+      iters: Int): Map[(Int, Long), Array[Double]] = {
+    var cb = init
+    for (_ <- 0 until iters) {
+      val asg = collection.mutable.Map.empty[(Int, Long), List[(Long, Array[Double])]]
+      for ((vid, emb) <- train; j <- 0 until M) {
+        val va = subVec(emb, j)
+        val best = cb.collect { case ((jj, cid), cv) if jj == j => (l2(va, cv), cid) }.min
+        asg((j, best._2)) = (vid, va) :: asg.getOrElse((j, best._2), Nil)
+      }
+      cb = cb ++ asg.map { case (k, members) =>
+        val ordered = members.sortBy(_._1).map(_._2)
+        val acc = Array.fill(Sub)(0.0)
+        for (va <- ordered; d <- 0 until Sub) acc(d) = acc(d) + va(d)
+        k -> acc.map(_ / ordered.size)
+      }
+    }
+    cb
+  }
+
+  private def encodeErr(train: Seq[(Long, Array[Float])],
+      cb: Map[(Int, Long), Array[Double]]): Double =
+    (for ((_, emb) <- train; j <- 0 until M) yield {
+      val va = subVec(emb, j)
+      cb.collect { case ((jj, _), cv) if jj == j => l2(va, cv) }.min
+    }).sum
 
   test("codes are m codebook ids; decode matches the independent argmin") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val cbSrc = e.filter(col("vec_id") % 97 === 0)
-    val idx = Similarity.pqIndex(e, cbSrc, M, Dim)
+    val cb = Similarity.pqCodebook(e.filter(col("vec_id") % 97 === 0), M, Dim)
+    val idx = Similarity.pqIndex(e, cb, M, Dim)
 
-    val codebook = cbSrc.select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val codebook = subsetCb(loadTrain())
     assert(codebook.nonEmpty)
 
     val rows = idx.join(e.select("vec_id", "embedding"), "vec_id")
@@ -42,30 +92,60 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     rows.foreach { r =>
       val emb = r.getSeq[Float](1).toArray
       val codes = r.getSeq[Long](2)
-      val dv = r.getSeq[Float](3).toArray
+      val dv = r.getSeq[Double](3).toArray
       assert(codes.length == M)
       assert(dv.length == Dim)
-      val sub = Dim / M
       for (j <- 0 until M) {
-        assert(codebook.contains(codes(j)), s"code ${codes(j)} not a codebook id")
-        val va = emb.slice(j * sub, (j + 1) * sub)
+        assert(codebook.contains((j, codes(j))), s"code ${codes(j)} not a codebook id")
+        val va = subVec(emb, j)
         // independent argmin recompute (dist asc, cent_id asc)
-        val best = codebook.toSeq
-          .map { case (id, cv) => (l2(va, cv.slice(j * sub, (j + 1) * sub)), id) }
-          .minBy(identity)
+        val best = codebook.collect {
+          case ((jj, id), cv) if jj == j => (l2(va, cv), id)
+        }.min
         assert(codes(j) == best._2,
           s"vec ${r.getLong(0)} subspace $j: got ${codes(j)}, argmin ${best._2}")
         // decoded slice IS the chosen codeword's slice
-        assert(dv.slice(j * sub, (j + 1) * sub).toSeq ==
-          codebook(codes(j)).slice(j * sub, (j + 1) * sub).toSeq)
+        assert(dv.slice(j * Sub, (j + 1) * Sub).toSeq ==
+          codebook((j, codes(j))).toSeq)
       }
     }
 
     // codebook members reconstruct with zero error in every subspace
-    rows.filter(r => codebook.contains(r.getLong(0))).foreach { r =>
-      val emb = r.getSeq[Float](1).toArray
-      val dv = r.getSeq[Float](3).toArray
+    val memberIds = codebook.keySet.map(_._2)
+    rows.filter(r => memberIds.contains(r.getLong(0))).foreach { r =>
+      val emb = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val dv = r.getSeq[Double](3).toArray
       assert(l2(emb, dv) == 0.0, s"codebook vector ${r.getLong(0)} not exact")
     }
+  }
+
+  test("pqTrain matches the JVM Lloyd twin bit-for-bit and beats the subset init") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val init = Similarity.pqCodebook(e.filter(col("vec_id") % 97 === 0), M, Dim)
+    val iters = 3
+    // q100's sample rule: train on the deterministic vec_id%4 quarter
+    val got = Similarity.pqTrain(e.filter(col("vec_id") % 4 === 0), init,
+        M, Dim, iters)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+
+    val corpus = loadTrain()
+    val sample = corpus.filter(_._1 % 4 == 0)
+    val want = jvmTrain(sample, subsetCb(corpus), iters)
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet; d <- 0 until Sub)
+      // == on doubles: the contract is BIT-exact, not approximate — this
+      // is what lets the DuckDB oracle replay training and still hash-match
+      assert(got(k)(d) == want(k)(d),
+        s"codeword $k dim $d: got ${got(k)(d)}, twin ${want(k)(d)}")
+
+    // training must actually help: total squared reconstruction error on
+    // the FULL corpus (not just the sample it trained on) strictly below
+    // the subset codebook's
+    val errSubset = encodeErr(corpus, subsetCb(corpus))
+    val errTrained = encodeErr(corpus, want)
+    assert(errTrained < errSubset,
+      s"trained err $errTrained not below subset err $errSubset")
   }
 }
