@@ -91,6 +91,31 @@ object StreamOps {
     * 100 TB with billions of keys you raise it, and the setting is baked
     * into the checkpoint either way. None inherits the session conf.
     */
+  /** Scratch checkpoint root for finite drains: RAM-backed when the
+    * platform offers it. A [[runToBatch]] checkpoint is a SCRATCH AREA —
+    * the drain force-deletes it on completion, so the durability the
+    * checkpoint format exists for (driver restart) can never be exercised
+    * — yet on a disk-backed java.io.tmpdir every state-store delta and
+    * offsets/commits WAL write pays an fsync'd rename (measured on the
+    * q99 outer-join drain: state commits are most of the wall time).
+    * Restart-on-checkpoint semantics are pinned by CheckpointRecoverySpec
+    * and JdbcStreamSinkSpec against real, durable directories — this
+    * shortcut applies only to the discard-on-exit drain harness.
+    */
+  private val scratchRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) Some(shm) else None
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def runToBatch(stream: DataFrame, mode: String = "complete",
       noDataBatches: Boolean = true,
       statePartitions: Option[Int] = None,
@@ -102,18 +127,24 @@ object StreamOps {
       extraConfs
     val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    val scratch = scratchRoot.map(r =>
+      java.nio.file.Files.createTempDirectory(r, "graft_drain_"))
     try {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val q = stream.writeStream
+      val writer = stream.writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      scratch.foreach(p => writer.option("checkpointLocation", p.toString))
+      val q = writer.start()
       q.awaitTermination()
       spark.table(name)
-    } finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    } finally {
+      scratch.foreach(deleteRecursively)
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 
