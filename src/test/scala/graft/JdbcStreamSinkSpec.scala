@@ -62,6 +62,49 @@ class JdbcStreamSinkSpec extends AnyFunSuite with SparkSpec {
     assert(JdbcStreamSink.committedBatches(url, "facts2", "s2") == Seq(0L))
   }
 
+  test("driver restart on the same checkpoint: replayed batch short-circuits, ledger completes") {
+    import spark.implicits._
+    exec("CREATE TABLE facts4 (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_jdbc_restart_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jdbc_restart_ck")
+    // three single-row files; maxFilesPerTrigger=1 → one file per batch
+    for ((n, i) <- Seq("a", "b", "c").zipWithIndex)
+      java.nio.file.Files.write(inDir.resolve(s"f$i.json"),
+        s"""{"id": ${i + 1}, "v": "$n"}""".getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(inDir.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          JdbcStreamSink.writeBatch(df, url, "facts4", Seq("id"), "s4", id)
+          // die in the exactly-once protocol's hard window: AFTER the
+          // sink committed its ledger row, BEFORE the streaming
+          // checkpoint commits batch 0 — the restart MUST replay batch 0
+          if (id == 0 && !crashed.getAndSet(true))
+            throw new RuntimeException("injected crash after sink commit")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(e.getMessage.contains("injected crash"), e.getMessage)
+    // the sink committed batch 0 even though the CHECKPOINT didn't
+    assert(JdbcStreamSink.committedBatches(url, "facts4", "s4") == Seq(0L))
+    // poison the landed row: if the restart re-ran batch 0's DATA path
+    // the upsert would silently restore "a" — the ledger short-circuit
+    // must keep this marker untouched
+    exec("UPDATE facts4 SET v = 'KEEP' WHERE id = 1")
+    run() // restart on the same checkpoint: replays batch 0, then 1 and 2
+    assert(rows("facts4") == Seq((1L, "KEEP"), (2L, "b"), (3L, "c")))
+    assert(JdbcStreamSink.committedBatches(url, "facts4", "s4") == Seq(0L, 1L, 2L))
+  }
+
   test("end-to-end: multi-batch stream lands exactly once, updates win") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
