@@ -74,7 +74,28 @@ object ScaleSmoke {
     // 10x while the watermark horizon stays put, which is exactly how a
     // larger deployment's stateful load scales
     rep("events", Seq("event_id", "user_id"), 10000000L)
-    for (t <- Seq("customer", "supplier", "part", "nation", "region", "embeddings"))
+    // embeddings: shifted ids AND a per-replica float nudge on dimension
+    // 0 — identical replicas would park 10 copies of every vector in the
+    // same LSH/IVF bucket and the ANN smokes would measure duplicate
+    // pathology, not corpus growth (the documents rule, vector edition)
+    locally {
+      val df = spark.read.parquet(s"$base/embeddings.parquet")
+      val b = df.agg(count(lit(1)), max(col("vec_id")), min(col("vec_id"))).head()
+      if (b.getLong(0) > 0) {
+        require(!b.isNullAt(1), "embeddings.vec_id has no max — cannot shift replicas")
+        require(b.getLong(1) - b.getLong(2) < 10000L,
+          s"embeddings.vec_id range >= replica shift 10000 — raise the shift")
+      }
+      reps.map { r =>
+        df.withColumn("vec_id", col("vec_id") + lit(r * 10000L))
+          .withColumn("embedding",
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, (x + lit((r * 0.01).toFloat)).cast("float"))
+                .otherwise(x)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     println("rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
     // time key queries at 1x vs 10x
@@ -86,11 +107,39 @@ object ScaleSmoke {
       "q93_global_deciles", "q96_bucketed_join", "q98_edit_distance",
       "q35_sessionize", "q38_stateful_sessionize", "q103_tws_sessionize",
       "q84_funnel", "q90_ewma_smooth", "q36_stream_tumbling",
-      "q65_stream_dedup", "q39b_stream_stream_join", "q99_stream_outer_join")) {
+      "q65_stream_dedup", "q39b_stream_stream_join", "q99_stream_outer_join",
+      "q100_ann_pq", "q101_embed_decontaminate", "q104_hll_merge",
+      "q105_binary_ingest")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         println(f"$q%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    // grid spatial at a 10x POLYGON table (the points side stays 1x:
+    // replicating both sides would grow per-cell pair work 100x and
+    // measure quadratic pathology, not polygon-table scaling). Replicas
+    // are offset WITHIN the [0,100)^2 point box so every replica still
+    // overlays real points — grid cells carry 10x polygon entries.
+    locally {
+      import spark.implicits._
+      graft.geo.Geo.register(spark)
+      def polyDf(nReps: Int) =
+        (0 until nReps).flatMap { r =>
+          graft.queries.GeoQueries.Polygons.map { case (nm, vs) =>
+            (s"$nm-r$r", vs.map(_._1 + r * 0.37).toArray, vs.map(_._2 + r * 0.53).toArray)
+          }
+        }.toDF("name", "xs", "ys")
+      val pts = spark.read.parquet(s"$out/customer.parquet").select(
+        col("c_custkey"),
+        (((col("c_custkey") * 7) % 1000).cast("double") / 10.0).as("x"),
+        (((col("c_custkey") * 13) % 1000).cast("double") / 10.0).as("y"))
+      for ((tag, n) <- Seq("1x" -> 1, "10x" -> 10)) {
+        val t0 = System.nanoTime()
+        graft.geo.Geo.gridSpatialJoin(pts, polyDf(n), cellSize = 10.0)
+          .groupBy("name").agg(count(lit(1)))
+          .queryExecution.toRdd.count()
+        println(f"${"grid_spatial_polys"}%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
     spark.stop()
