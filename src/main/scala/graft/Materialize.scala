@@ -18,7 +18,9 @@ object Materialize {
     * introduced inside a checkpointed subtree could never fail the
     * audit). Transparent mode skips the checkpoint so audits see the
     * WHOLE plan; production behavior is unchanged (only the audit suite
-    * enables it, and it builds plans without executing them).
+    * enables it; plan construction stays cheap — q100's lambda does run
+    * its driver-side k-means collects at build time, but those are the
+    * query's own small jobs, not checkpoint materializations).
     *
     * THREAD-LOCAL, not a process global: query lambdas built on other
     * threads (graft.Verify's 4-thread submitter pool, any future

@@ -271,7 +271,7 @@ object Similarity {
   /** Map-side per-subspace nearest-codeword assignment. The codebook is
     * regrouped to ONE ROW PER SUBSPACE carrying its codewords as an array
     * sorted by cent_id, so after an 8-row broadcast hash join each vector
-    * row runs its own candidate loop as a single `aggregate` fold — the
+    * row runs its own candidate loop ([[pqArgminUdf]]) — the
     * candidates never become rows, which matters twice: no k× row blowup
     * before a shuffle, and no `min(struct)` aggregation (struct aggregation
     * buffers aren't hash-aggregable, so that form degrades to a
@@ -363,7 +363,7 @@ object Similarity {
     * oracle's left-join/coalesce).
     *
     * 100 TB shape: assignment is the same broadcast-probe-over-the-scan as
-    * encoding ([[pqCands]]); the recenter groups on (j, cent_id) — at most
+    * encoding ([[pqAssignByJ]]); the recenter groups on (j, cent_id) — at most
     * m × |codebook| groups, partial-aggregated map-side — so per-iteration
     * cost is one training scan plus a codebook-sized shuffle. PQ codebooks
     * train on a SAMPLE by standard practice (the classic PQ paper trains
@@ -376,7 +376,7 @@ object Similarity {
     * materialize + join per iteration (measured: the join/checkpoint form
     * cost ~1 s/round of pure scheduling overhead on a 168-row codebook).
     * The training-assignment plan shape stays audited through the shared
-    * [[pqCands]] the q100 ENCODE path exposes to PlanAuditSpec.
+    * [[pqAssignByJ]] the q100 ENCODE path exposes to PlanAuditSpec.
     *
     * Bit-exact contract (how a DuckDB oracle reproduces trained doubles):
     * assignment ties break on lowest cent_id; each mean sums its members'
@@ -457,7 +457,7 @@ object Similarity {
     * times.
     *
     * Distance/ranking floats stay bit-exact across engines: squared L2 is
-    * the [[pqCands]] fold decomposition, and reconstruction concatenates
+    * the [[pqArgminUdf]] fold decomposition, and reconstruction concatenates
     * codewords in subspace order, so the approximate cosine is ONE 64-wide
     * fold — ADC by construction, with no float-sum reorder anywhere.
     */

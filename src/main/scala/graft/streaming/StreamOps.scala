@@ -110,9 +110,22 @@ object StreamOps {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+    // close the walk stream (it holds directory handles), and retry once:
+    // the async state-store maintenance thread can drop a snapshot file
+    // into the checkpoint between the walk snapshot and the directory
+    // delete — a best-effort scratch cleanup must not let that race turn
+    // a successful drain into DirectoryNotEmptyException from `finally`
+    def sweep(): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    if (java.nio.file.Files.exists(p)) {
+      try sweep()
+      catch { case _: java.io.IOException => try sweep() catch {
+        case _: java.io.IOException => () // leftover scratch, never wrong results
+      } }
     }
   }
 

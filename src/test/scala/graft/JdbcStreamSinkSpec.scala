@@ -67,10 +67,17 @@ class JdbcStreamSinkSpec extends AnyFunSuite with SparkSpec {
     exec("CREATE TABLE facts4 (id BIGINT PRIMARY KEY, v VARCHAR(20))")
     val inDir = java.nio.file.Files.createTempDirectory("graft_jdbc_restart_in")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_jdbc_restart_ck")
-    // three single-row files; maxFilesPerTrigger=1 → one file per batch
-    for ((n, i) <- Seq("a", "b", "c").zipWithIndex)
-      java.nio.file.Files.write(inDir.resolve(s"f$i.json"),
-        s"""{"id": ${i + 1}, "v": "$n"}""".getBytes)
+    // three single-row files; maxFilesPerTrigger=1 → one file per batch.
+    // Distinct mtimes (seconds apart) pin the source's processing order:
+    // FileStreamSource sorts by modification time, and same-ms files
+    // would tie-break by FS listing order — the batch-0-contains-id-1
+    // assumption below would then be filesystem-dependent
+    for ((n, i) <- Seq("a", "b", "c").zipWithIndex) {
+      val f = inDir.resolve(s"f$i.json")
+      java.nio.file.Files.write(f, s"""{"id": ${i + 1}, "v": "$n"}""".getBytes)
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))

@@ -18,7 +18,7 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
   private val Dim = 64
   private val Sub = Dim / M
 
-  // the same sequential double folds pqCands evaluates, so float
+  // the same sequential double folds pqArgminUdf evaluates, so float
   // comparisons agree bit-for-bit
   private def dot(x: Array[Double], y: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -57,7 +57,12 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       val asg = collection.mutable.Map.empty[(Int, Long), List[(Long, Array[Double])]]
       for ((vid, emb) <- train; j <- 0 until M) {
         val va = subVec(emb, j)
-        val best = cb.collect { case ((jj, cid), cv) if jj == j => (l2(va, cv), cid) }.min
+        // .toSeq first: collecting pairs straight off the Map would key
+        // the result BY DISTANCE and collapse equal-distance codewords,
+        // losing the lowest-cent_id tie-break this twin exists to pin
+        val best = cb.toSeq.collect {
+          case ((jj, cid), cv) if jj == j => (l2(va, cv), cid)
+        }.min
         asg((j, best._2)) = (vid, va) :: asg.getOrElse((j, best._2), Nil)
       }
       cb = cb ++ asg.map { case (k, members) =>
@@ -74,7 +79,7 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       cb: Map[(Int, Long), Array[Double]]): Double =
     (for ((_, emb) <- train; j <- 0 until M) yield {
       val va = subVec(emb, j)
-      cb.collect { case ((jj, _), cv) if jj == j => l2(va, cv) }.min
+      cb.toSeq.collect { case ((jj, _), cv) if jj == j => l2(va, cv) }.min
     }).sum
 
   test("codes are m codebook ids; decode matches the independent argmin") {
@@ -98,8 +103,9 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       for (j <- 0 until M) {
         assert(codebook.contains((j, codes(j))), s"code ${codes(j)} not a codebook id")
         val va = subVec(emb, j)
-        // independent argmin recompute (dist asc, cent_id asc)
-        val best = codebook.collect {
+        // independent argmin recompute (dist asc, cent_id asc) — .toSeq
+        // keeps equal-distance candidates distinct (see jvmTrain note)
+        val best = codebook.toSeq.collect {
           case ((jj, id), cv) if jj == j => (l2(va, cv), id)
         }.min
         assert(codes(j) == best._2,
