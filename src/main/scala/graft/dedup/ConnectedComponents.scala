@@ -136,7 +136,12 @@ object ConnectedComponents {
     // loop, restored after.
     val spark = edges.sparkSession
     val scoped = Seq(
-      "spark.sql.shuffle.partitions" -> math.max(8L, math.min(
+      // floor of 2, not a "reasonable parallelism" 8: the loop runs ~6
+      // shuffle stages per round, and on a converged-in-one-round small
+      // graph (the bench's 1.2k edges) a floor of 8 is 6 × 8 mostly-empty
+      // tasks per round of pure launch overhead. The measured-size term
+      // dominates on any graph that actually needs parallelism.
+      "spark.sql.shuffle.partitions" -> math.max(2L, math.min(
         spark.conf.getOption("spark.sql.shuffle.partitions")
           .flatMap(_.toLongOption).getOrElse(200L),
         prev.n / 2000000L + 1L)).toString,
