@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fold_dot_long"),
       new ExpressionInfo(classOf[graft.functions.FoldDotLong].getName, "fold_dot_long"),
       exprs => graft.functions.FoldDotLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_argmin"),
+      new ExpressionInfo(classOf[graft.functions.PqArgmin].getName, "pq_argmin"),
+      exprs => graft.functions.PqArgmin(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.SpatialBboxRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
   }

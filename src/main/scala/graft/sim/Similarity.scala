@@ -6,12 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Exact, VectorFold}
 
-/** The PQ argmin result: squared L2 to the winning codeword, its id, and
-  * its subvector. (Top-level, not nested in the object: Catalyst's
-  * encoder codegen can't resolve object-nested case classes.)
-  */
-private[sim] case class PqBest(dist: Double, cent_id: Long, cv: Seq[Double])
-
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`array<float>`). (Driver extension surface.)
   *
@@ -271,7 +265,7 @@ object Similarity {
   /** Map-side per-subspace nearest-codeword assignment. The codebook is
     * regrouped to ONE ROW PER SUBSPACE carrying its codewords as an array
     * sorted by cent_id, so after an 8-row broadcast hash join each vector
-    * row runs its own candidate loop ([[pqArgminUdf]]) — the
+    * row runs its own candidate loop ([[graft.functions.PqArgmin]]) — the
     * candidates never become rows, which matters twice: no k× row blowup
     * before a shuffle, and no `min(struct)` aggregation (struct aggregation
     * buffers aren't hash-aggregable, so that form degrades to a
@@ -294,55 +288,26 @@ object Similarity {
           transform(col("cands"), c => c.getField("cv")).as("cvs")),
       m, sub)
 
-  /** JVM twin of the candidate loop: first strict minimum over the
-    * cent_id-ordered codewords — (dist asc, cent_id asc), the oracle's
-    * row_number order — with each squared L2 the same
-    * `dot(a,a) − 2·dot(a,b) + dot(b,b)` decomposition of sequential
-    * per-accumulator folds as [[Exact.foldDotJvm]], so doubles are
-    * bit-identical to the expression form and the DuckDB oracle. A UDF
-    * rather than an `aggregate` HOF fold because higher-order functions
-    * are CodegenFallback — per-candidate interpreted struct churn was the
-    * bulk of measured training AND encode time, the same reason
-    * [[Exact.foldHashJvm]] exists next to [[Exact.foldHash]]. PqIndexSpec
-    * pins the argmin against an independent recompute, and the q100
-    * oracle re-derives every assignment in SQL.
-    */
-  private val pqArgminUdf = udf((va: Seq[Double], cids: Seq[Long], cvs: Seq[Seq[Double]]) => {
-    var bd = Double.PositiveInfinity
-    var bc = -1L
-    var bv: Seq[Double] = Nil
-    var i = 0
-    while (i < cids.length) {
-      val cv = cvs(i)
-      var aa = 0.0d; var ab = 0.0d; var bb = 0.0d
-      var k = 0
-      while (k < va.length) {
-        val x = va(k); val y = cv(k)
-        aa = aa + x * x; ab = ab + x * y; bb = bb + y * y
-        k += 1
-      }
-      val d = aa - 2.0d * ab + bb
-      if (d < bd) { bd = d; bc = cids(i); bv = cv }
-      i += 1
-    }
-    PqBest(bd, bc, bv)
-  })
-
   /** Per-subspace nearest-codeword assignment. `byJ` carries ONE ROW PER
     * SUBSPACE with its codewords as parallel cent_id-sorted arrays —
     * [[pqTrain]] builds that form on the driver (its codebook already
     * lives there between rounds), so the broadcast side is a bare m-row
     * local relation and each Lloyd round is ONE job; after the broadcast
-    * hash join each vector row runs its own candidate loop
-    * ([[pqArgminUdf]]) — the candidates never become rows, which matters
-    * twice: no k× row blowup before a shuffle, and no `min(struct)`
-    * aggregation (struct aggregation buffers aren't hash-aggregable, so
-    * that form degrades to a SortAggregate over corpus × codewords rows —
-    * measured 3× slower here).
-    * Output: (vec_id, j, va, best struct(dist, cent_id, cv)).
+    * hash join each vector row runs its own candidate loop — the native
+    * codegen [[graft.functions.PqArgmin]] expression, which reads the
+    * broadcast codeword ArrayData in place (a Scala UDF re-boxed the
+    * identical nested array per row) and returns the winning INDEX; the
+    * winner's id and subvector are plain `element_at` picks. The
+    * candidates never become rows, which matters twice: no k× row blowup
+    * before a shuffle, and no `min(struct)` aggregation (struct
+    * aggregation buffers aren't hash-aggregable, so that form degrades
+    * to a SortAggregate over corpus × codewords rows — measured 3×
+    * slower here).
+    * Output: (vec_id, j, va, best struct(cent_id, cv)).
     */
   private def pqAssignByJ(vectors: DataFrame, byJ: DataFrame,
       m: Int, sub: Int): DataFrame = {
+    VectorFold.register(vectors.sparkSession)
     val va = transform(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
       x => x.cast("double"))
     vectors.select(col("vec_id"), col("embedding"))
@@ -350,8 +315,10 @@ object Similarity {
         col("embedding"))
       .select(col("vec_id"), col("j"), va.as("va"))
       .join(broadcast(byJ), Seq("j"))
+      .withColumn("bi", VectorFold.pqArgmin(col("va"), col("cvs")) + 1)
       .select(col("vec_id"), col("j"), col("va"),
-        pqArgminUdf(col("va"), col("cent_ids"), col("cvs")).as("best"))
+        struct(element_at(col("cent_ids"), col("bi")).as("cent_id"),
+          element_at(col("cvs"), col("bi")).as("cv")).as("best"))
   }
 
   /** Lloyd's k-means refinement of a PQ codebook, as DataFrame ops — the
@@ -457,7 +424,7 @@ object Similarity {
     * times.
     *
     * Distance/ranking floats stay bit-exact across engines: squared L2 is
-    * the [[pqArgminUdf]] fold decomposition, and reconstruction concatenates
+    * the [[graft.functions.PqArgmin]] fold decomposition, and reconstruction concatenates
     * codewords in subspace order, so the approximate cosine is ONE 64-wide
     * fold — ADC by construction, with no float-sum reorder anywhere.
     */

@@ -18,7 +18,7 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
   private val Dim = 64
   private val Sub = Dim / M
 
-  // the same sequential double folds pqArgminUdf evaluates, so float
+  // the same sequential double folds PqArgmin evaluates, so float
   // comparisons agree bit-for-bit
   private def dot(x: Array[Double], y: Array[Double]): Double = {
     var s = 0.0; var i = 0

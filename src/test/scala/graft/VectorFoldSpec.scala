@@ -90,6 +90,60 @@ class VectorFoldSpec extends AnyFunSuite with SparkSpec {
     assert(el.select(Exact.foldDot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("pq_argmin matches a JVM recompute, ties to the lowest index, nulls null") {
+    VectorFold.register(spark)
+    def dbls(seed: Int, n: Int = 8): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)(r.nextDouble() * 2 - 1)
+    }
+    val cands = (0 until 21).map(c => dbls(c + 500))
+    val df = (1 to 60).map(i => (i, dbls(i)))
+      .toDF("id", "va").withColumn("cvs", typedlit(cands))
+    val got = df.select(col("id"), VectorFold.pqArgmin(col("va"), col("cvs")))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      for (k <- a.indices) { aa += a(k) * a(k); ab += a(k) * b(k); bb += b(k) * b(k) }
+      aa - 2.0 * ab + bb
+    }
+    for (i <- 1 to 60) {
+      val va = dbls(i)
+      val want = cands.zipWithIndex.map { case (cv, c) => (l2(va, cv), c) }.min._2
+      assert(got(i) == want, s"row $i: got ${got(i)}, want $want")
+    }
+    // exact tie (duplicate codeword): strict `<` keeps the FIRST index —
+    // with cvs sorted by cent_id that IS the lowest-cent_id tie-break
+    val tied = Seq(Tuple1(dbls(7)))
+      .toDF("va").withColumn("cvs", typedlit(Seq(dbls(7), dbls(7))))
+    assert(tied.select(VectorFold.pqArgmin(col("va"), col("cvs")))
+      .collect()(0).getInt(0) == 0)
+    // null contract: empty candidate list, null array, length mismatch
+    val edge = Seq(
+      (Some(dbls(1)), Some(Seq.empty[Seq[Double]])),
+      (None: Option[Seq[Double]], Some(Seq(dbls(2)))),
+      (Some(dbls(1)), Some(Seq(dbls(2).take(4)))))
+      .toDF("va", "cvs")
+    val gn = edge.select(VectorFold.pqArgmin(col("va"), col("cvs"))).collect()
+    assert(gn.forall(_.isNullAt(0)))
+  }
+
+  test("pq_argmin stays inside whole-stage codegen") {
+    VectorFold.register(spark)
+    val cands = (0 until 4).map(c => (0 until 8).map(i => (c * 8 + i) / 10.0))
+    val df = spark.range(100)
+      .select(transform(sequence(lit(0), lit(7)),
+        i => (i + col("id")).cast("double")).as("va"))
+      // reference va twice: CollapseProject would otherwise inline the
+      // (CodegenFallback) transform into this project and take pq_argmin
+      // out of codegen with it — the fold_dot test relies on dot(v, v)'s
+      // double reference for the same reason
+      .select(VectorFold.pqArgmin(col("va"), typedlit(cands)).as("b"),
+        size(col("va")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("pq_argmin")).getOrElse("")
+    assert(line.trim.startsWith("*("), plan)
+  }
+
   test("the dot stays inside whole-stage codegen (no CodegenFallback)") {
     VectorFold.register(spark)
     // build from range, not toDF: a projection over a LocalRelation is
