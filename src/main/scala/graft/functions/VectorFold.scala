@@ -180,7 +180,9 @@ case class FoldDotLong(left: Expression, right: Expression)
   * per row. This expression reads the ArrayData in place and codegens the
   * nested loop into the enclosing span. Null contract mirrors
   * [[FoldDot]]: null arrays, null elements, empty cvs, or a length
-  * mismatch → null.
+  * mismatch → null. A NaN in any operand makes every distance NaN
+  * (strict `<` never fires) — that degenerate case is also null, never
+  * a leaked `-1` index.
   */
 case class PqArgmin(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -223,7 +225,7 @@ case class PqArgmin(left: Expression, right: Expression)
       if (d < bd) { bd = d; best = c }
       c += 1
     }
-    best
+    if (best < 0) null else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -263,7 +265,9 @@ case class PqArgmin(left: Expression, right: Expression)
          |    double $d = $aa - 2.0 * $ab + $bb;
          |    if (!${ev.isNull} && $d < $bd) { $bd = $d; $best = $c; }
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = $best;
+         |  if (!${ev.isNull}) {
+         |    if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+         |  }
          |}
          |""".stripMargin
     })

@@ -275,7 +275,7 @@ object Similarity {
     * sequential folds, the exact op order the DuckDB oracle mirrors; the
     * strict `<` fold over the cent_id-ordered array keeps the FIRST
     * minimum — (dist asc, cent_id asc), the oracle's row_number order.
-    * Output: (vec_id, j, va, best struct(dist, cent_id, cv)).
+    * Output: (vec_id, j, va, best struct(cent_id, cv)).
     */
   private def pqAssign(vectors: DataFrame, codebook: DataFrame,
       m: Int, sub: Int): DataFrame =
@@ -307,7 +307,6 @@ object Similarity {
     */
   private def pqAssignByJ(vectors: DataFrame, byJ: DataFrame,
       m: Int, sub: Int): DataFrame = {
-    VectorFold.register(vectors.sparkSession)
     val va = transform(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
       x => x.cast("double"))
     vectors.select(col("vec_id"), col("embedding"))

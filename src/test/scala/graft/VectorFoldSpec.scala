@@ -125,6 +125,17 @@ class VectorFoldSpec extends AnyFunSuite with SparkSpec {
       .toDF("va", "cvs")
     val gn = edge.select(VectorFold.pqArgmin(col("va"), col("cvs"))).collect()
     assert(gn.forall(_.isNullAt(0)))
+    // all-NaN distances (dirty vector): strict `<` never fires, so no
+    // winner exists — must be null, NOT a leaked -1 index (which a
+    // downstream element_at(cvs, bi + 1) would turn into a job-killing
+    // INVALID_INDEX_OF_ZERO). ±Inf hits the same path: Inf−Inf = NaN in
+    // the aa − 2ab + bb decomposition.
+    val dirty = Seq(
+      (Seq(Double.NaN, 1.0), Seq(dbls(3, 2), dbls(4, 2))),
+      (Seq(Double.PositiveInfinity, 1.0), Seq(dbls(5, 2), dbls(6, 2))))
+      .toDF("va", "cvs")
+    assert(dirty.select(VectorFold.pqArgmin(col("va"), col("cvs")))
+      .collect().forall(_.isNullAt(0)))
   }
 
   test("pq_argmin stays inside whole-stage codegen") {
