@@ -145,12 +145,18 @@ object StreamQueries {
          |ORDER BY purchase_id, click_id NULLS FIRST""") { (s, d) =>
       import s.implicits._
       // joint-watermark horizon: µs-truncated to match the join's time
-      // domain (see q39b's truncation note)
-      val cut = graft.Tables.events(s, d)
+      // domain (see q39b's truncation note). The same one-pass scan also
+      // counts the join-state rows (an AvailableNow drain holds every
+      // purchase+click in state until the eviction batch), so the
+      // stateful shuffle below is sized from MEASURED volume.
+      val h = graft.Tables.events(s, d)
         .filter(col("event_type").isin("purchase", "click"))
         .groupBy("event_type")
-        .agg(max(col("ts_ns") - col("ts_ns") % 1000).as("mx"))
-        .agg(min("mx")).as[Long].head() - 31L * 60 * 1000 * 1000 * 1000
+        .agg(max(col("ts_ns") - col("ts_ns") % 1000).as("mx"),
+          count(lit(1)).as("n"))
+        .agg(min("mx").as("mx"), sum("n").as("n")).head()
+      val cut = h.getLong(0) - 31L * 60 * 1000 * 1000 * 1000
+      val stateRows = h.getLong(1)
       val purchases = StreamOps.eventsStream(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -169,15 +175,21 @@ object StreamQueries {
           col("c_t") <= col("p_t") &&
           col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES"),
         "leftOuter")
-      // 4, not the inner join's 8: the outer join pays TWO stateful
-      // batches (data + watermark-advance eviction, which must run here —
-      // the null rows emit from eviction), so per-store commit fixed
-      // costs count double. Measured at sf0.1, summed commit times per
-      // batch: ~3.0 s at 8 partitions, ~1.1 s at 4, ~0.5 s at 2, for the
-      // same 39,947 state rows; 4 keeps the drain distributed while
-      // halving the commit bill (state volume rule: StreamOps scaladoc)
+      // State-volume-sized, not a constant (the CC loop's measured-size
+      // rule, stateful edition): the outer join pays TWO stateful batches
+      // (data + watermark-advance eviction, which must run here — the
+      // null rows emit from eviction), so per-store commit fixed costs
+      // count double. Measured at sf0.1, summed commit times per batch:
+      // ~3.0 s at 8 partitions, ~1.1 s at 4, ~0.5 s at 2, for the same
+      // 39,947 state rows — ~20k state rows per store amortizes the
+      // commit without starving the join (2.80 -> 2.54 s quiet at sf0.1),
+      // and a 10x corpus gets 10x stores instead of 10x-deeper ones,
+      // capped at the session's (cluster-sized) shuffle width.
+      val session = s.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(_.toLongOption).getOrElse(200L)
       StreamOps.runToBatch(joined, mode = "append",
-          statePartitions = Some(4))
+          statePartitions = Some(
+            math.max(2L, math.min(session, stateRows / 20000L)).toInt))
         .filter(col("p_ts") <= cut)
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))
