@@ -378,6 +378,14 @@ object Similarity {
       val upd = pqAssignByJ(train, toByJ(cb), m, sub)
         .select(col("j"), col("best.cent_id").as("cent_id"),
           col("vec_id"), col("va"))
+        // a degenerate training subvector (NaN/Inf component) has no
+        // nearest codeword (pq_argmin → null): exclude it from the
+        // recenter — its "mean" would poison a codeword, and the row
+        // collector below reads a null cent_id as codeword 0 (primitive
+        // getLong), silently corrupting that cell. Encoding (pqIndex)
+        // PROPAGATES the null instead: the dirty vector's dv nulls out
+        // and it ranks nowhere, but it is never dropped from the index.
+        .filter(col("cent_id").isNotNull)
         .groupBy("j", "cent_id")
         // vec_id leads the struct, so array_sort pins member order; the
         // per-group list is bounded by the TRAINING SAMPLE size, the same

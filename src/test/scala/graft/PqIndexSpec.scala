@@ -154,4 +154,24 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(errTrained < errSubset,
       s"trained err $errTrained not below subset err $errSubset")
   }
+
+  test("a NaN training vector is excluded from the recenter, not poisoning it") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val init = Similarity.pqCodebook(e.filter(col("vec_id") % 97 === 0), M, Dim)
+    val sample = e.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+    // one dirty row: every distance from it is NaN, so pq_argmin → null.
+    // Pre-guard, the row collector read that null cent_id as codeword 0
+    // (primitive getLong) and silently dragged cell (j, 0)'s mean.
+    val dirty = sample.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => lit(Float.NaN) + x * lit(0.0f)).as("embedding"))
+    val clean = Similarity.pqTrain(sample, init, M, Dim, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val withNaN = Similarity.pqTrain(sample.unionByName(dirty), init, M, Dim, 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(withNaN == clean,
+      "codebook trained with a NaN vector differs from the clean codebook")
+  }
 }
