@@ -170,6 +170,12 @@ case class PointInPolygon(first: Expression, second: Expression,
   extends QuaternaryExpression {
 
   override def dataType: DataType = BooleanType
+  // nullable beyond the children: mismatched xs/ys vertex arrays are a
+  // malformed polygon → null (the FoldDot/PqArgmin degenerate-input
+  // contract), not an ArrayIndexOutOfBounds that kills the job — the
+  // registered st_contains/st_intersects surface accepts user arrays,
+  // not just the library's own paired polygon tables
+  override def nullable: Boolean = true
   override def prettyName: String = if (inclusive) "st_intersects" else "st_contains"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -187,6 +193,7 @@ case class PointInPolygon(first: Expression, second: Expression,
   override protected def nullSafeEval(xs: Any, ys: Any, x: Any, y: Any): Any = {
     val xa = xs.asInstanceOf[ArrayData].toDoubleArray()
     val ya = ys.asInstanceOf[ArrayData].toDoubleArray()
+    if (xa.length != ya.length) return null
     val px = x.asInstanceOf[Double]
     val py = y.asInstanceOf[Double]
     if (inclusive) Geo.rayCastInclusive(xa, ya, px, py)
@@ -213,17 +220,21 @@ case class PointInPolygon(first: Expression, second: Expression,
       s"""
          |double[] $xa = $xs.toDoubleArray();
          |double[] $ya = $ys.toDoubleArray();
-         |int $n = $xa.length;
-         |boolean $in = false;
-         |boolean $onb = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  int $j = ($i + 1) % $n;
-         |  if ((($ya[$i] > $y) != ($ya[$j] > $y)) &&
-         |      ($x < ($xa[$j] - $xa[$i]) * ($y - $ya[$i]) / ($ya[$j] - $ya[$i]) + $xa[$i])) {
-         |    $in = !$in;
-         |  }$boundaryTest
+         |if ($xa.length != $ya.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $xa.length;
+         |  boolean $in = false;
+         |  boolean $onb = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    int $j = ($i + 1) % $n;
+         |    if ((($ya[$i] > $y) != ($ya[$j] > $y)) &&
+         |        ($x < ($xa[$j] - $xa[$i]) * ($y - $ya[$i]) / ($ya[$j] - $ya[$i]) + $xa[$i])) {
+         |      $in = !$in;
+         |    }$boundaryTest
+         |  }
+         |  ${ev.value} = $in || $onb;
          |}
-         |${ev.value} = $in || $onb;
          |""".stripMargin
     })
 

@@ -38,6 +38,22 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mismatched xs/ys vertex arrays yield null, not an index crash") {
+    Geo.register(spark)
+    // a malformed polygon (xs longer than ys) used to throw
+    // ArrayIndexOutOfBounds from the ray-cast loop (both paths index ya
+    // by xa.length); the degenerate-input contract is null, like the
+    // fold expressions
+    val df = Seq((Seq(0.0, 4.0, 4.0, 0.0), Seq(0.0, 0.0, 4.0), 2.0, 2.0),
+      (Seq(0.0, 4.0, 4.0, 0.0), Seq(0.0, 0.0, 4.0, 4.0), 2.0, 2.0))
+      .toDF("xs", "ys", "x", "y")
+    for (f <- Seq(Geo.stContains _, Geo.stIntersects _)) {
+      val r = df.select(f(col("xs"), col("ys"), col("x"), col("y"))).collect()
+      assert(r(0).isNullAt(0), "mismatched arrays must be null")
+      assert(r(1).getBoolean(0), "well-formed row unaffected")
+    }
+  }
+
   test("boundary points: half-open PNPOLY convention, identical in every plan") {
     // Pinned semantics (SURVEY §7.5): the even-odd ray cast with strict
     // comparisons classifies an axis-aligned square as the half-open tile
