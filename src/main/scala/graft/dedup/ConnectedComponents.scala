@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Sizing
+
 /** Distributed connected components over an edge list — the step a dedup
   * pipeline needs between near-dup PAIRS (q26/q28/q29/q31 emit them) and a
   * deletion decision: transitively-connected documents form one duplicate
@@ -136,15 +138,12 @@ object ConnectedComponents {
     // loop, restored after.
     val spark = edges.sparkSession
     val scoped = Seq(
-      // floor of 2, not a "reasonable parallelism" 8: the loop runs ~6
-      // shuffle stages per round, and on a converged-in-one-round small
-      // graph (the bench's 1.2k edges) a floor of 8 is 6 × 8 mostly-empty
-      // tasks per round of pure launch overhead. The measured-size term
-      // dominates on any graph that actually needs parallelism.
-      "spark.sql.shuffle.partitions" -> math.max(2L, math.min(
-        spark.conf.getOption("spark.sql.shuffle.partitions")
-          .flatMap(_.toLongOption).getOrElse(200L),
-        prev.n / 2000000L + 1L)).toString,
+      // the loop runs ~6 shuffle stages per round, so on a
+      // converged-in-one-round small graph (the bench's 1.2k edges) every
+      // excess partition is 6 mostly-empty tasks per round of pure launch
+      // overhead; [[graft.Sizing.measuredWidth]] is the shared rule
+      "spark.sql.shuffle.partitions" ->
+        Sizing.measuredWidth(spark, prev.n, 2000000L).toString,
       "spark.sql.adaptive.enabled" -> "false")
     val prior = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -180,9 +180,12 @@ case class FoldDotLong(left: Expression, right: Expression)
   * per row. This expression reads the ArrayData in place and codegens the
   * nested loop into the enclosing span. Null contract mirrors
   * [[FoldDot]]: null arrays, null elements, empty cvs, or a length
-  * mismatch → null. A NaN in any operand makes every distance NaN
-  * (strict `<` never fires) — that degenerate case is also null, never
-  * a leaked `-1` index.
+  * mismatch → null. A candidate whose distance is NaN never wins the
+  * strict `<` (it is skipped — a NaN confined to one codeword just
+  * eliminates that codeword, matching the oracle's NaN-sorts-last
+  * order); only when EVERY distance is NaN (e.g. a NaN query subvector)
+  * does no candidate win, and that degenerate case is null, never a
+  * leaked `-1` index.
   */
 case class PqArgmin(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -279,8 +279,13 @@ object SimilarityQueries {
     // assignment ties break on lowest cent_id, each recenter sums members
     // elementwise in vec_id order from 0.0 and divides by the member
     // count, and empty codewords keep their position (left-join/coalesce),
-    // so trained doubles land bit-identical. True cosine rides along per
-    // row, so quantization error is visible inside the gated output.
+    // so trained doubles land bit-identical. A degenerate (NaN) training
+    // subvector has no nearest codeword (pq_argmin → null) and is
+    // excluded from the recenter; the oracle mirrors that with NOT
+    // isnan(dist) before the rank — without it DuckDB would rank the
+    // all-NaN group on cent_id alone and poison the lowest codeword's
+    // mean. True cosine rides along per row, so quantization error is
+    // visible inside the gated output.
     QueryDef.sql(
       "q100_ann_pq", {
         def l2Sql(a: String, b: String): String =
@@ -304,7 +309,7 @@ object SimilarityQueries {
                |  SELECT vec_id, j, cent_id, va FROM (
                |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
                |                                 ORDER BY dist, cent_id) AS rn
-               |    FROM asg$i) WHERE rn = 1)""".stripMargin,
+               |    FROM asg$i WHERE NOT isnan(dist)) WHERE rn = 1)""".stripMargin,
             s"""upd$i AS (
                |  SELECT j, cent_id, list(va ORDER BY vec_id) AS subs, count(*) AS n
                |  FROM ch$i GROUP BY j, cent_id)""".stripMargin,

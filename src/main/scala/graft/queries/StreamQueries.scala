@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.Sizing
 import graft.functions.Exact
 import graft.streaming.{Ev, SessionRow, StatefulSessionize, StreamOps, TwsSessionize}
 
@@ -175,21 +176,19 @@ object StreamQueries {
           col("c_t") <= col("p_t") &&
           col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES"),
         "leftOuter")
-      // State-volume-sized, not a constant (the CC loop's measured-size
-      // rule, stateful edition): the outer join pays TWO stateful batches
-      // (data + watermark-advance eviction, which must run here — the
-      // null rows emit from eviction), so per-store commit fixed costs
-      // count double. Measured at sf0.1, summed commit times per batch:
-      // ~3.0 s at 8 partitions, ~1.1 s at 4, ~0.5 s at 2, for the same
-      // 39,947 state rows — ~20k state rows per store amortizes the
-      // commit without starving the join (2.80 -> 2.54 s quiet at sf0.1),
-      // and a 10x corpus gets 10x stores instead of 10x-deeper ones,
-      // capped at the session's (cluster-sized) shuffle width.
-      val session = s.conf.getOption("spark.sql.shuffle.partitions")
-        .flatMap(_.toLongOption).getOrElse(200L)
+      // State-volume-sized via the shared graft.Sizing.measuredWidth rule
+      // (the CC loop's measured-size rule, stateful edition): the outer
+      // join pays TWO stateful batches (data + watermark-advance
+      // eviction, which must run here — the null rows emit from
+      // eviction), so per-store commit fixed costs count double.
+      // Measured at sf0.1, summed commit times per batch: ~3.0 s at 8
+      // partitions, ~1.1 s at 4, ~0.5 s at 2, for the same 39,947 state
+      // rows — ~20k state rows per store amortizes the commit without
+      // starving the join (2.80 -> 2.54 s quiet at sf0.1), and a 10x
+      // corpus gets 10x stores instead of 10x-deeper ones, capped at the
+      // session's (cluster-sized) shuffle width.
       StreamOps.runToBatch(joined, mode = "append",
-          statePartitions = Some(
-            math.max(2L, math.min(session, stateRows / 20000L)).toInt))
+          statePartitions = Some(Sizing.measuredWidth(s, stateRows, 20000L)))
         .filter(col("p_ts") <= cut)
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           col("p_ts").as("p_tus"), col("c_ts").as("c_tus"))

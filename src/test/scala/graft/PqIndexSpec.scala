@@ -59,11 +59,16 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
         val va = subVec(emb, j)
         // .toSeq first: collecting pairs straight off the Map would key
         // the result BY DISTANCE and collapse equal-distance codewords,
-        // losing the lowest-cent_id tie-break this twin exists to pin
-        val best = cb.toSeq.collect {
+        // losing the lowest-cent_id tie-break this twin exists to pin.
+        // NaN distances mirror pq_argmin's strict `<`: a NaN candidate
+        // never wins, and a subvector whose EVERY distance is NaN has no
+        // nearest codeword — excluded from the recenter, like pqTrain's
+        // cent_id.isNotNull filter and the oracle's NOT isnan(dist).
+        val cands = cb.toSeq.collect {
           case ((jj, cid), cv) if jj == j => (l2(va, cv), cid)
-        }.min
-        asg((j, best._2)) = (vid, va) :: asg.getOrElse((j, best._2), Nil)
+        }.filterNot(_._1.isNaN)
+        for (best <- cands.minOption)
+          asg((j, best._2)) = (vid, va) :: asg.getOrElse((j, best._2), Nil)
       }
       cb = cb ++ asg.map { case (k, members) =>
         val ordered = members.sortBy(_._1).map(_._2)
@@ -173,5 +178,19 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
     assert(withNaN == clean,
       "codebook trained with a NaN vector differs from the clean codebook")
+
+    // the JVM twin mirrors the exclusion: dirty-trained twin doubles land
+    // bit-identical to the engine's dirty-trained codebook (so the twin —
+    // and the oracle fold it pins — can't silently assign the NaN vector
+    // to the lowest codeword and fork from the engine)
+    val corpus = loadTrain()
+    val twinDirty = jvmTrain(
+      corpus.filter(_._1 % 4 == 0) :+
+        (9999999L, Array.fill(Dim)(Float.NaN)),
+      subsetCb(corpus), 2)
+    assert(twinDirty.keySet == withNaN.keySet)
+    for (k <- twinDirty.keySet; d <- 0 until Sub)
+      assert(twinDirty(k)(d) == withNaN(k)(d),
+        s"codeword $k dim $d: twin ${twinDirty(k)(d)}, engine ${withNaN(k)(d)}")
   }
 }

@@ -136,6 +136,16 @@ class VectorFoldSpec extends AnyFunSuite with SparkSpec {
       .toDF("va", "cvs")
     assert(dirty.select(VectorFold.pqArgmin(col("va"), col("cvs")))
       .collect().forall(_.isNullAt(0)))
+    // NaN confined to ONE codeword only eliminates that codeword (its
+    // distance is NaN, never winning the strict `<`) — the clean
+    // candidate wins regardless of position, matching the oracle's
+    // NaN-sorts-last ORDER BY dist
+    val oneBad = Seq(
+      (dbls(8, 2), Seq(Seq(Double.NaN, 0.5), dbls(9, 2))),
+      (dbls(8, 2), Seq(dbls(9, 2), Seq(Double.NaN, 0.5))))
+      .toDF("va", "cvs")
+    val ob = oneBad.select(VectorFold.pqArgmin(col("va"), col("cvs"))).collect()
+    assert(ob(0).getInt(0) == 1 && ob(1).getInt(0) == 0)
   }
 
   test("pq_argmin stays inside whole-stage codegen") {
