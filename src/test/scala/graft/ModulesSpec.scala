@@ -136,4 +136,19 @@ class ModulesSpec extends AnyFunSuite with SparkSpec {
     val f = Multimodal.extractFeatures(media).head()
     assert(f.n_bytes == 2 && f.b0 == 'a'.toInt && f.b2 == -1) // -1 = absent
   }
+
+  test("Sizing.measuredWidth: floor 2, session cap, ~rowsPerPartition each") {
+    // session width in tests is small; pin it explicitly for the cap case
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // tiny measured input floors at 2, never 0/1 partitions
+      assert(Sizing.measuredWidth(spark, 0L, 20000L) == 2)
+      assert(Sizing.measuredWidth(spark, 1000L, 20000L) == 2)
+      // measured term: ~rowsPerPartition rows per partition (ceil-ish)
+      assert(Sizing.measuredWidth(spark, 100000L, 20000L) == 6)
+      // a 100 TB-sized measurement keeps the session's cluster width
+      assert(Sizing.measuredWidth(spark, 10000000000L, 20000L) == 32)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
 }
