@@ -6,14 +6,17 @@ import org.apache.spark.sql.SparkSession
   * re-partitions to data it has already counted (the CC loop's edge
   * count, q99's state-row count), instead of the session default.
   *
-  * The shape: `max(2, min(session, measured / rowsPerPartition + 1))`.
-  * The session width (the cluster-sized setting) is the CAP, so a 100 TB
-  * input keeps its parallelism; the measured term keeps a small input
-  * from paying per-task launch / per-store commit overhead across
-  * mostly-empty partitions; the floor of 2 (not a "reasonable
-  * parallelism" 8) keeps converged-in-one-round loops and tiny state
-  * stores from multiplying fixed costs — the measured term dominates on
-  * any input that actually needs width.
+  * The shape: `min(session, max(2, measured / rowsPerPartition + 1))`.
+  * The session width (the cluster-sized setting) is the HARD CAP — it
+  * binds even below the floor, so a deliberately single-partition
+  * session (shuffle.partitions=1 in a tiny local test) is never
+  * silently widened past its configured width; a 100 TB input keeps
+  * its parallelism. Inside the cap, the measured term keeps a small
+  * input from paying per-task launch / per-store commit overhead
+  * across mostly-empty partitions, and the floor of 2 (not a
+  * "reasonable parallelism" 8) keeps converged-in-one-round loops and
+  * tiny state stores from multiplying fixed costs — the measured term
+  * dominates on any input that actually needs width.
   *
   * Callers pick `rowsPerPartition` from what a partition pays for: ~2M
   * edges keeps a CC round's groupBy hash map in executor memory; ~20k
@@ -23,8 +26,8 @@ import org.apache.spark.sql.SparkSession
 object Sizing {
   def measuredWidth(spark: SparkSession, measuredRows: Long,
       rowsPerPartition: Long): Int =
-    math.max(2L, math.min(
+    math.min(
       spark.conf.getOption("spark.sql.shuffle.partitions")
         .flatMap(_.toLongOption).getOrElse(200L),
-      measuredRows / rowsPerPartition + 1L)).toInt
+      math.max(2L, measuredRows / rowsPerPartition + 1L)).toInt
 }

@@ -21,6 +21,60 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** DuckDB replay of [[graft.sim.Similarity.pqTrain]]'s Lloyd loop —
+    * the bit-exact training contract (assignment ties → lowest cent_id;
+    * NaN-dist rows excluded before the rank; each recenter sums members
+    * elementwise in vec_id order from 0.0 then divides by the member
+    * count; empty codewords keep position via left-join/coalesce).
+    * Emits the CTE chain `{p}cb0 … {p}cb{iters}`: codewords init from
+    * the vec_id%97 subset sliced into `m` `sub`-wide pieces; training
+    * rows come from `trainRel(vec_id, embedding)`. Full-width k-means
+    * ([[graft.sim.Similarity.ivfTrain]]) is the m=1 instance — same
+    * loop, one subspace spanning the vector. The prefix `p` keeps two
+    * trainings (IVF cells + PQ codebook, q106) in one WITH list.
+    */
+  private def trainCtesSql(p: String, m: Int, sub: Int, iters: Int,
+      trainRel: String): String = {
+    def l2Sql(a: String, b: String): String =
+      s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+    // one literal fold per dimension: inner lambdas don't capture an
+    // outer lambda's variable, so the per-dim index is baked in
+    val meanDims = (1 to sub).map { dd =>
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(u.subs, s -> s[$dd])), (a, b) -> a + b) / u.n"
+    }.mkString(",\n      ")
+    val vaSql =
+      s"list_transform(e.embedding[(c.j*$sub+1):(c.j*$sub+$sub)], x -> CAST(x AS DOUBLE))"
+    val cb0 =
+      s"""${p}cb0 AS MATERIALIZED (
+         |  SELECT j, vec_id AS cent_id,
+         |    list_transform(embedding[(j*$sub+1):(j*$sub+$sub)], x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings CROSS JOIN range($m) t(j)
+         |  WHERE vec_id % 97 = 0)""".stripMargin
+    val rounds = (1 to iters).flatMap { i =>
+      val prev = s"${p}cb${i - 1}"
+      Seq(
+        s"""${p}asg$i AS (
+           |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist, va FROM (
+           |    SELECT e.vec_id, c.j, c.cent_id, c.cv, $vaSql AS va
+           |    FROM $trainRel e CROSS JOIN $prev c) t)""".stripMargin,
+        s"""${p}ch$i AS (
+           |  SELECT vec_id, j, cent_id, va FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |                                 ORDER BY dist, cent_id) AS rn
+           |    FROM ${p}asg$i WHERE NOT isnan(dist)) WHERE rn = 1)""".stripMargin,
+        s"""${p}upd$i AS (
+           |  SELECT j, cent_id, list(va ORDER BY vec_id) AS subs, count(*) AS n
+           |  FROM ${p}ch$i GROUP BY j, cent_id)""".stripMargin,
+        s"""${p}cb$i AS MATERIALIZED (
+           |  SELECT c.j, c.cent_id,
+           |    CASE WHEN u.n IS NULL THEN c.cv ELSE list_value(
+           |      $meanDims) END AS cv
+           |  FROM ${p}cb${i - 1} c LEFT JOIN ${p}upd$i u
+           |    ON c.j = u.j AND c.cent_id = u.cent_id)""".stripMargin)
+    }
+    (cb0 +: rounds).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (exact ANN baseline) -------------------
@@ -128,10 +182,21 @@ object SimilarityQueries {
     },
 
     // ---- IVF (inverted-file) ANN: assign to centroid cells, search own cell
+    // Cells are k-means-TRAINED (Similarity.ivfTrain — pqTrain's Lloyd
+    // loop at full vector width, m=1): 2 rounds from the deterministic
+    // vec_id%97 subset init, training on the vec_id%4 quarter-sample (the
+    // q100 sample rule — IVF cells train on a sample by standard
+    // practice). The oracle replays the whole training bit-exactly via
+    // the shared CTE builder, then assigns every vector to its best
+    // trained cell by cosine (ties → lowest cent_id), exactly like the
+    // engine's ivfAssign. IvfTrainSpec asserts trained cells strictly
+    // beat the subset init on full-corpus assignment distortion.
     QueryDef.sql(
       "q32_ann_ivf",
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 97 = 0),
+      s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+         |               WHERE vec_id % 4 = 0),
+         |${trainCtesSql("", 1, 64, 2, "train")},
+         |cents AS (SELECT cent_id, cv FROM cb2),
          |asg AS (SELECT e.vec_id, e.embedding, cent_id,
          |          ${cosSql("e.embedding", "cv")} AS csim
          |        FROM embeddings e CROSS JOIN cents),
@@ -147,10 +212,15 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
+      // training (one pass per Lloyd round), assignment, and the search's
+      // two sides all re-read the spread scan — checkpoint it once
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val cents = Similarity.ivfTrain(e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 97 === 0), 64, 2)
       // cell assignment feeds both the query and corpus sides — materialize
       // once (at scale: the IVF index is a table, built once, queried many)
-      val assigned = Similarity.ivfAssign(e, e.filter(col("vec_id") % 97 === 0))
+      val assigned = Similarity.ivfAssign(e, cents)
         .transform(graft.Materialize.checkpoint)
       Similarity.ivfSearch(assigned, col("vec_id") % 100 === 0, 3)
         .orderBy("q_id", "rank")
@@ -162,8 +232,10 @@ object SimilarityQueries {
     // vector has one home cell.
     QueryDef.sql(
       "q66_ann_ivf_nprobe",
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
-         |               FROM embeddings WHERE vec_id % 97 = 0),
+      s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+         |               WHERE vec_id % 4 = 0),
+         |${trainCtesSql("", 1, 64, 2, "train")},
+         |cents AS (SELECT cent_id, cv FROM cb2),
          |asg AS (SELECT e.vec_id, e.embedding, cent_id,
          |          ${cosSql("e.embedding", "cv")} AS csim
          |        FROM embeddings e CROSS JOIN cents),
@@ -182,7 +254,10 @@ object SimilarityQueries {
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""") { (s, d) =>
       val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
-      val cents = e.filter(col("vec_id") % 97 === 0)
+        .transform(graft.Materialize.checkpoint)
+      // same trained cells as q32 (2 Lloyd rounds, %4 sample, %97 init)
+      val cents = Similarity.ivfTrain(e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 97 === 0), 64, 2)
       val assigned = Similarity.ivfAssign(e, cents).transform(graft.Materialize.checkpoint)
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
@@ -284,59 +359,34 @@ object SimilarityQueries {
     // excluded from the recenter; the oracle mirrors that with NOT
     // isnan(dist) before the rank — without it DuckDB would rank the
     // all-NaN group on cent_id alone and poison the lowest codeword's
-    // mean. True cosine rides along per row, so quantization error is
-    // visible inside the gated output.
+    // mean. ENCODING instead PROPAGATES the null (the vector stays in
+    // the index, its dv nulls out, psim NULL ranks last under DESC in
+    // both engines): the oracle's final encode mirrors that too — a
+    // NaN-dist winner nulls its cv, and any null subspace nulls the
+    // whole dv (Spark `flatten` of a null element is null, = the
+    // count(cv) < count(*) CASE). True cosine rides along per row, so
+    // quantization error is visible inside the gated output.
     QueryDef.sql(
       "q100_ann_pq", {
         def l2Sql(a: String, b: String): String =
           s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
         val iters = 3
-        // one literal fold per dimension: inner lambdas don't capture an
-        // outer lambda's variable, so the per-dim index is baked in
-        val meanDims = (1 to 8).map { dd =>
-          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(u.subs, s -> s[$dd])), (a, b) -> a + b) / u.n"
-        }.mkString(",\n      ")
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
-        val trainCtes = (1 to iters).flatMap { i =>
-          val prev = s"cb${i - 1}"
-          Seq(
-            s"""asg$i AS (
-               |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist, va FROM (
-               |    SELECT e.vec_id, c.j, c.cent_id, c.cv, $vaSql AS va
-               |    FROM train e CROSS JOIN $prev c) t)""".stripMargin,
-            s"""ch$i AS (
-               |  SELECT vec_id, j, cent_id, va FROM (
-               |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-               |                                 ORDER BY dist, cent_id) AS rn
-               |    FROM asg$i WHERE NOT isnan(dist)) WHERE rn = 1)""".stripMargin,
-            s"""upd$i AS (
-               |  SELECT j, cent_id, list(va ORDER BY vec_id) AS subs, count(*) AS n
-               |  FROM ch$i GROUP BY j, cent_id)""".stripMargin,
-            s"""cb$i AS MATERIALIZED (
-               |  SELECT c.j, c.cent_id,
-               |    CASE WHEN u.n IS NULL THEN c.cv ELSE list_value(
-               |      $meanDims) END AS cv
-               |  FROM cb${i - 1} c LEFT JOIN upd$i u
-               |    ON c.j = u.j AND c.cent_id = u.cent_id)""".stripMargin)
-        }.mkString(",\n")
         s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
            |               WHERE vec_id % 4 = 0),
-           |cb0 AS MATERIALIZED (
-           |  SELECT j, vec_id AS cent_id,
-           |    list_transform(embedding[(j*8+1):(j*8+8)], x -> CAST(x AS DOUBLE)) AS cv
-           |  FROM embeddings CROSS JOIN range(8) t(j)
-           |  WHERE vec_id % 97 = 0),
-           |$trainCtes,
+           |${trainCtesSql("", 8, 8, iters, "train")},
            |asg AS (
            |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist, cv FROM (
            |    SELECT e.vec_id, c.j, c.cent_id, c.cv, $vaSql AS va
            |    FROM embeddings e CROSS JOIN cb$iters c) t),
-           |chosen AS (SELECT vec_id, j, cv FROM (
+           |chosen AS (SELECT vec_id, j,
+           |    CASE WHEN isnan(dist) THEN NULL ELSE cv END AS cv FROM (
            |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
            |                                 ORDER BY dist, cent_id) AS rn
            |    FROM asg) WHERE rn = 1),
-           |dec AS (SELECT vec_id, flatten(list(cv ORDER BY j)) AS dv
+           |dec AS (SELECT vec_id, CASE WHEN count(cv) < count(*) THEN NULL
+           |          ELSE flatten(list(cv ORDER BY j)) END AS dv
            |        FROM chosen GROUP BY vec_id),
            |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
            |      WHERE vec_id % 100 = 0),
@@ -432,6 +482,87 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 50 === 0),
         Similarity.rpPlanes(16, 64), 4, 0.3)
         .orderBy("vec_id")
+    },
+
+    // ---- composed IVF+PQ: the corpus-scale ANN tier ----------------------
+    // q66 and q100 each prove half of the shape every production vector
+    // store ships; this composes them: k-means-trained IVF cells bound
+    // the candidate set (nprobe=2 query-side fan-out), PQ codes rank it
+    // (psim = one fold against the decoded vector — ADC-equivalent), and
+    // only the top-k WINNERS re-join the source table for the true
+    // cosine. Both trainings (full-width cells, m=1; 8×8 codebook) run
+    // 2 Lloyd rounds from the %97 subset init on the %4 quarter-sample,
+    // and the oracle replays BOTH bit-exactly through the shared CTE
+    // builder (iv/pq prefixes), then mirrors cell assignment, NaN-null
+    // encode propagation, psim ranking, and the winners-only true-cosine
+    // join. The candidate stage never touches a raw embedding — it scans
+    // (cell, dv) only, the persisted-index contract pqIndex documents.
+    QueryDef.sql(
+      "q106_ann_ivf_pq", {
+        def l2Sql(a: String, b: String): String =
+          s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+        val vaSql =
+          "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
+        s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+           |               WHERE vec_id % 4 = 0),
+           |${trainCtesSql("iv", 1, 64, 2, "train")},
+           |${trainCtesSql("pq", 8, 8, 2, "train")},
+           |cents AS (SELECT cent_id, cv FROM ivcb2),
+           |casg AS (SELECT e.vec_id, e.embedding, cent_id,
+           |          ${cosSql("e.embedding", "cv")} AS csim
+           |        FROM embeddings e CROSS JOIN cents),
+           |cell AS (SELECT vec_id, cent_id AS cell FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+           |           FROM casg) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS q_id, embedding AS qv, cent_id AS cell FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+           |           FROM casg WHERE vec_id % 100 = 0) WHERE rn <= 2),
+           |easg AS (
+           |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist, cv FROM (
+           |    SELECT e.vec_id, c.j, c.cent_id, c.cv, $vaSql AS va
+           |    FROM embeddings e CROSS JOIN pqcb2 c) t),
+           |chosen AS (SELECT vec_id, j,
+           |    CASE WHEN isnan(dist) THEN NULL ELSE cv END AS cv FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |                                 ORDER BY dist, cent_id) AS rn
+           |    FROM easg) WHERE rn = 1),
+           |dec AS (SELECT vec_id, CASE WHEN count(cv) < count(*) THEN NULL
+           |          ELSE flatten(list(cv ORDER BY j)) END AS dv
+           |        FROM chosen GROUP BY vec_id),
+           |idx AS (SELECT l.vec_id AS n_id, l.cell, d.dv
+           |        FROM cell l JOIN dec d ON l.vec_id = d.vec_id),
+           |s AS (SELECT q_id, n_id, qv, ${cosSql("qv", "dv")} AS psim
+           |      FROM idx JOIN probe USING (cell) WHERE q_id <> n_id),
+           |r AS (SELECT q_id, n_id, qv, psim,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY psim DESC, n_id) AS BIGINT) AS rank
+           |      FROM s)
+           |SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim, rank
+           |FROM r JOIN embeddings e ON r.n_id = e.vec_id
+           |WHERE rank <= 3 ORDER BY q_id, rank"""
+      }) { (s, d) =>
+      // trainings (2 rounds × 2 books), cell assignment, encode, probes,
+      // and the winner re-join all re-read the spread scan — checkpoint it
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val init = e.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      // the persisted production index: home cell + decoded codes per
+      // vector, NO raw embedding — built once, queried many (at scale
+      // this join is the one-time index build, both sides keyed and
+      // co-sized by vec_id)
+      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("dv")),
+          "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
+        .transform(graft.Materialize.checkpoint)
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(idx, probes, e, 3)
+        .orderBy("q_id", "rank")
     }
   )
 }

@@ -408,6 +408,71 @@ object Similarity {
       .toDF("j", "cent_id", "cv")
   }
 
+  /** Composed IVF+PQ search — the corpus-scale ANN tier every production
+    * vector store ships, assembled from the two halves q66 and q100 prove
+    * separately: IVF cell probing BOUNDS the candidate set (query-side
+    * nprobe fan-out only — the corpus keeps its single home cell, so
+    * candidates stay unique and the corpus never replicates), and PQ
+    * reconstructed codes RANK it (one 64-wide fold against the decoded
+    * vector ≡ ADC's per-subspace table-sum in the same IEEE op order, so
+    * a DuckDB oracle reproduces every psim bit).
+    *
+    * `index` is the PERSISTED form — (n_id, cell, dv): home cell from
+    * [[ivfAssign]], decode-on-read `dv` from [[pqIndex]], and NO raw
+    * embedding (the whole point: the search scans cells × m-byte codes,
+    * never the dim×4-byte vectors). The top-k selection runs entirely on
+    * that compressed index; only the k×|queries| WINNERS then re-join
+    * `source` (broadcast of the tiny winner set, hash probe over the
+    * source scan) to surface the true cosine — so quantization error is
+    * visible in the output without the candidate stage ever touching raw
+    * vectors. Output: (q_id, n_id, psim, sim, rank).
+    */
+  def ivfPqSearch(index: DataFrame, probes: DataFrame, source: DataFrame,
+      k: Int): DataFrame = {
+    VectorFold.register(index.sparkSession)
+    val q = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
+    val top = index.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("qv"),
+        Exact.foldCosine(col("qv"), col("dv")).as("psim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    broadcast(top)
+      .join(source.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+        "n_id")
+      .select(col("q_id"), col("n_id"), col("psim"),
+        Exact.foldCosine(col("qv"), col("nv")).as("sim"), col("rank"))
+  }
+
+  /** K-means-trained IVF centroids — [[pqTrain]] generalized to FULL-WIDTH
+    * vectors: one subspace spanning the whole embedding (m=1), so the
+    * identical Lloyd loop, tie-break (lowest cent_id), vec_id-ordered
+    * sequential recenter fold, empty-cell keep-position rule, and NaN
+    * exclusion all carry over — and so does the bit-exact DuckDB replay
+    * contract PqIndexSpec pins. This replaces the `vec_id % 97` subset
+    * device as the CELL QUALITY ingredient: Lloyd's descends the
+    * squared-L2 assignment distortion the subset init merely samples
+    * (IvfTrainSpec asserts trained cells strictly beat the subset on
+    * full-corpus distortion).
+    *
+    * Like the PQ codebook, IVF centroids train on a SAMPLE by standard
+    * practice (the IVF literature trains k cells on O(k·100) vectors);
+    * each Lloyd round is one broadcast-probe job over the sample plus a
+    * k-row driver collect — the [[pqTrain]] shape unchanged.
+    *
+    * Output: (vec_id, embedding) centroid rows — the exact shape
+    * [[ivfAssign]]/[[ivfProbes]] take, with `embedding` as
+    * `array<double>` (the cosine fold casts float→double per element
+    * either way, so an UNTRAINED centroid passed through here scores
+    * bit-identically to its float source).
+    */
+  def ivfTrain(train: DataFrame, init: DataFrame, dim: Int,
+      iters: Int): DataFrame =
+    pqTrain(train, pqCodebook(init, 1, dim), 1, dim, iters)
+      .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
+
   /** Product-quantization index: split each `dim`-wide embedding into `m`
     * subspaces of `dim/m` dims; per subspace, snap the subvector to its
     * nearest codeword (squared-L2 argmin, ties → lowest codeword id) from

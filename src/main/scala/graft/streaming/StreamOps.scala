@@ -101,11 +101,20 @@ object StreamOps {
     * Restart-on-checkpoint semantics are pinned by CheckpointRecoverySpec
     * and JdbcStreamSinkSpec against real, durable directories — this
     * shortcut applies only to the discard-on-exit drain harness.
+    *
+    * Checked PER DRAIN, not once: tmpfs is typically capped at RAM/2 and
+    * shared with whatever else the box stages there, so a state-heavy
+    * drain (large stream-stream join state) could hit ENOSPC where the
+    * disk-backed default would have succeeded. Below [[MinScratchFree]]
+    * usable bytes the drain falls back to the engine's disk-backed temp
+    * checkpoint — slower, never wrong.
     */
-  private val scratchRoot: Option[java.nio.file.Path] = {
+  private val MinScratchFree: Long = 4L << 30
+  private def scratchRoot: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) &&
-      java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      java.nio.file.Files.isWritable(shm) &&
+      shm.toFile.getUsableSpace >= MinScratchFree) Some(shm) else None
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
