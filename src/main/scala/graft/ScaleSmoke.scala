@@ -43,6 +43,8 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
       u.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // `skew` arg → run only the skew-shaped stress below (dev loop)
+    if (!args.contains("skew")) {
     rep("lineitem", Seq("l_orderkey"), 100000000L)
     rep("orders", Seq("o_orderkey"), 100000000L)
     // documents: shifted ids AND per-replica text perturbation, so the
@@ -141,6 +143,113 @@ object ScaleSmoke {
           .queryExecution.toRdd.count()
         println(f"${"grid_spatial_polys"}%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
+    }
+    }
+    // ---- skew-shaped stress (dedup/CC family) --------------------------
+    // Everything above replicates UNIFORM testdata; the scale claims for
+    // q26/q28/q71 rest on SKEW behavior no uniform smoke exercises. Three
+    // asserts on a synthesized power-law workload:
+    //  (1) CC round count stays O(log n) — never O(diameter) — on a graph
+    //      with both hub clusters and a deep chain component;
+    //  (2) no task of the contraction's shuffle-heavy stages reads more
+    //      than 2x the stage mean (hub keys must be absorbed by map-side
+    //      combine / stay within join balance at this degree);
+    //  (3) the LSH band-bucket histogram tracks PLANTED cluster sizes
+    //      under power-law duplicate clusters — buckets never merge
+    //      across clusters, so candidate-pair work is the true-dup work.
+    locally {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      // ~10M-edge power-law graph over 4M nodes: endpoint v drawn from a
+      // cubic-skew law via a deterministic hash (P(v=0) ≈ 2.2% → top hub
+      // degree ≈ 220k), plus a 65,536-node CHAIN — hub stars alone
+      // contract in 2 rounds and would not exercise depth at all
+      val nNodes = 4000000L
+      val nEdges = 10000000L
+      val chainLen = 65536L
+      def skew01(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(1 << 20)).cast("double") / (1 << 20).toDouble
+      val powerLaw = spark.range(nEdges).select(
+        (col("id") % nNodes).as("u"),
+        floor(lit(nNodes.toDouble) * pow(skew01(col("id")), 3.0))
+          .cast("long").as("v"))
+      val chain = spark.range(chainLen - 1).select(
+        (col("id") + nNodes).as("u"), (col("id") + nNodes + 1).as("v"))
+      val edges = powerLaw.unionByName(chain)
+
+      val stageReads = scala.collection.concurrent.TrieMap.empty[Int, List[Long]]
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null && te.taskInfo != null && te.taskInfo.successful) {
+            val bytes = m.shuffleReadMetrics.totalBytesRead
+            stageReads.updateWith(te.stageId) {
+              case Some(l) => Some(bytes :: l)
+              case None => Some(bytes :: Nil)
+            }
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        graft.dedup.ConnectedComponents.runWithRounds(edges)
+      val nComponents = labels.select("label").distinct().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(3000) // let the listener bus drain before reading
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"cc_powerlaw rounds=$rounds components=$nComponents $dt%8.2f s")
+      // (1) log2(4.3M nodes) = 22, chain depth 65k → log-order rounds
+      require(rounds <= 30,
+        s"CC took $rounds rounds on a 65k chain — not O(log n)")
+      // (2) per-task shuffle-read balance inside every heavy stage. Mean
+      // over tasks that READ anything: a stage unioning two shuffle
+      // dependencies schedules one task set per side, and the empty
+      // side's zero-read tasks would halve the mean and flag a perfectly
+      // balanced stage at exactly 2.0x.
+      val offenders = stageReads.toSeq.flatMap { case (sid, reads) =>
+        val live = reads.filter(_ > 0)
+        if (live.size >= 4 && live.sum > (64L << 20)) {
+          val mean = live.sum.toDouble / live.size
+          if (live.max > 2.0 * mean)
+            Some(f"stage $sid: max=${live.max} mean=$mean%.0f over ${live.size} live tasks")
+          else None
+        } else None
+      }
+      require(offenders.isEmpty, "skewed stages:\n" + offenders.mkString("\n"))
+
+      // (3) band buckets under power-law duplicate clusters: 1M docs in
+      // zipf-sized identical-text clusters (top cluster ~21k docs; texts
+      // of DIFFERENT clusters share no tokens, so only planted dups
+      // should bucket together). Identical docs share every band, so the
+      // max bucket must equal the top planted cluster — any excess means
+      // banding merged clusters and candidate work stopped tracking true
+      // duplicate mass.
+      val nDocs = 1000000L
+      val nClusters = 100000L
+      val toks = (0 until 8).map(j =>
+        pmod(col("cluster") * lit(31 + 2 * j) + lit(j), lit(999983L)))
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        floor(lit(nClusters.toDouble) * pow(skew01(col("id") + 7777777L), 3.0))
+          .cast("long").as("cluster"))
+        .withColumn("text", concat_ws(" ", toks: _*))
+      val bands = docs
+        .select(col("doc_id"), col("cluster"),
+          graft.dedup.Dedup.minhashUdf(
+            graft.dedup.Dedup.distinctShinglesUdf(col("text"), lit(3))).as("mh"))
+        .select(col("doc_id"), col("cluster"),
+          posexplode(graft.dedup.Dedup.bandKeys(col("mh"))).as(Seq("band", "key")))
+      val hist = bands.groupBy("band", "key")
+        .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("nc"))
+        .agg(max(col("n")).as("maxBucket"), max(col("nc")).as("maxClusters"))
+        .head()
+      val topCluster = docs.groupBy("cluster").count()
+        .agg(max(col("count"))).head().getLong(0)
+      println(s"lsh_bucket_histogram maxBucket=${hist.getLong(0)} " +
+        s"maxClustersPerBucket=${hist.getLong(1)} topPlantedCluster=$topCluster")
+      require(hist.getLong(0) <= topCluster,
+        s"band bucket ${hist.getLong(0)} exceeds top planted cluster $topCluster — clusters merged")
+      require(hist.getLong(1) <= 2,
+        s"${hist.getLong(1)} distinct clusters share one band bucket")
     }
     spark.stop()
   }

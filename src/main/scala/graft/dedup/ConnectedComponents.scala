@@ -68,7 +68,15 @@ object ConnectedComponents {
     * Returns (`node`, `label`) where label = the component's minimum node
     * id — the canonical cluster id both engines can agree on.
     */
-  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    runWithRounds(edges, maxRounds)._1
+
+  /** As [[run]], additionally returning the contraction round count —
+    * the observable the skew smoke asserts O(log n) on (ScaleSmoke's
+    * power-law section; a chain component of length L must converge in
+    * ~log L alternating rounds, not L).
+    */
+  def runWithRounds(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val clean = edges.select(col("u").cast("long"), col("v").cast("long"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
 
@@ -182,7 +190,8 @@ object ConnectedComponents {
 
     // star forest → assignment; roots (and nothing else) are absent from
     // the `u` side and label themselves
-    nodes.join(cur.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    (nodes.join(cur.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label")),
+      round)
   }
 }

@@ -12,13 +12,31 @@ import graft.sinks.IdempotentFileSink
   * input files and (b) resume its AGGREGATION STATE, not recount from
   * zero. This is the contract that makes every stateful operator here
   * operable — a 100 TB stream WILL lose its driver mid-run.
+  *
+  * Exercised on BOTH state store providers: the default heap-backed one,
+  * and RocksDB — native memory + local disk + incremental checkpoint,
+  * the production provider at scale. RocksDbStateSpec pins provider-swap
+  * output equality on uninterrupted runs; the RocksDB case here is the
+  * missing composition — restart-on-checkpoint WITH the provider whose
+  * recovery path (snapshot + changelog replay into a fresh native store)
+  * is entirely different code from the heap provider's, which is exactly
+  * the 100 TB operational path.
   */
 class CheckpointRecoverySpec extends AnyFunSuite with SparkSpec {
 
   private val schema = StructType(Seq(
     StructField("k", StringType), StructField("v", LongType)))
 
-  test("restart from checkpoint: offsets skip done files, state carries over") {
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val Rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Stop/restart a stateful counting stream on one checkpoint; assert
+    * no input replay, recovered (not rebuilt) state, and correct final
+    * counts. The provider in force is whatever the session conf says at
+    * each stream start — both runs inside see the same one.
+    */
+  private def restartCase(): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
@@ -63,5 +81,19 @@ class CheckpointRecoverySpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect().toMap
     val finalCounts = b0 ++ b1
     assert(finalCounts == Map("k1" -> 2L, "k2" -> 2L, "k3" -> 1L))
+  }
+
+  test("restart from checkpoint: offsets skip done files, state carries over") {
+    restartCase()
+  }
+
+  test("restart from checkpoint ON RocksDB: state recovers into a fresh native store") {
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, Rocks)
+    try restartCase()
+    finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
   }
 }
