@@ -7,10 +7,11 @@ object QTime {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { name =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         dt

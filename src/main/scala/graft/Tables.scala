@@ -51,9 +51,28 @@ object Tables {
     * (`spark.sql.execution.sortBeforeRepartition`) — measured on q29 a
     * full sort of document text, 2.1 s → 6.9 s. Hash-by-key exchanges
     * without sorting.
+    *
+    * Call-site audit (r9, A/B via the `GRAFT_NO_SPREAD` knob below;
+    * QTime medians at sf0.1 single-file tables and at a 10x directory
+    * with 9 scan splits, spread ON vs OFF):
+    *   - events (q19 validate):     1.37/1.68 at 1x, 1.87/2.34 at 10x —
+    *     spread wins ~20% at both scales; KEPT (ValidationQueries).
+    *   - embeddings (q30 cosine):   1.38/0.80 at 1x, 1.61/1.84 at 10x —
+    *     ~0.5 s exchange overhead at 1x flips to a +12% win once the
+    *     kernel work grows; KEPT (SimilarityQueries) — the overhead is
+    *     bounded, the win scales until the scan yields >= cores splits
+    *     and spread becomes the identity.
+    *   - documents (q26/q29):       wash at 10x (1.18/1.10, 4.29/4.40;
+    *     q29 51.97/53.33) — the 10x layout already gives 9 splits and
+    *     AQE balances the rest; KEPT only on the kernel-bound sites
+    *     (Dedup/Mix/Source queries) where 1x starvation is measurable.
+    *   - orders (q17/q18 dates):    0.82/0.84 at 1x, 1.20/1.14 at 10x —
+    *     spread never wins on the row-cheap date parse; RETIRED
+    *     (DateQueries reads the scan as-is).
     */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+    if (sys.env.contains("GRAFT_NO_SPREAD")) df // A/B audit knob (QTime)
+    else if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
   }
 }

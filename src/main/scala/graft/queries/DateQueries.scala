@@ -58,7 +58,7 @@ object DateQueries {
           (year(d) + 3).cast("string")))
         .when(k === 6, date_format(d, "MMM yyyy"))
         .otherwise(concat(lit("bad-"), (col("o_orderkey") % 10).cast("string")))
-      Tables.spread(Tables.orders(s, dir), col("o_orderkey")) // regex-heavy parse
+      Tables.orders(s, dir) // spread retired: measured loss at 1x AND 10x (Tables.spread scaladoc)
         .select(col("o_orderkey"), raw.as("raw"))
         // the UDF twin parses once per row; the expression form re-runs
         // its CASE chain per extracted field (see SplitDatesFn scaladoc)
@@ -106,7 +106,7 @@ object DateQueries {
         .when(k === 8, concat(date_format(d, "yyyy-MM-dd"), lit("/"),
           date_format(date_add(d, 4), "yyyy-MM-dd")))
         .otherwise(concat(lit("Foo "), day, lit(", "), date_format(d, "yyyy")))
-      Tables.spread(Tables.orders(s, dir), col("o_orderkey")) // regex-heavy gate
+      Tables.orders(s, dir) // spread retired: measured loss at 1x AND 10x (Tables.spread scaladoc)
         .select(col("o_orderkey"), raw.as("raw"))
         // the JVM twin parses once per row; the expression form re-runs
         // its regex CASE chain per derived column (see SplitDatesFn)
