@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("pq_argmin"),
       new ExpressionInfo(classOf[graft.functions.PqArgmin].getName, "pq_argmin"),
       exprs => graft.functions.PqArgmin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.SpatialBboxRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
   }

@@ -299,7 +299,11 @@ object DedupQueries {
         .select(col("doc_id"), charNgrams(col("text")).as("gs"))
         // prefix generation and verification reuse the gram sets
         .transform(graft.Materialize.checkpoint)
-      PrefixFilter.jaccardSelfJoin(g, "doc_id", "gs", 0.5)
+      // cost-based: prefix filtering on a Zipfian alphabet, grid-blocked
+      // all-pairs when the corpus alphabet is provably too small for
+      // prefixes to select (the synthetic documents table: 389 distinct
+      // 3-grams → every pair is a candidate anyway — see PrefixFilter)
+      PrefixFilter.jaccardSelfJoinAdaptive(g, "doc_id", "gs", 0.5)
         .orderBy("d1", "d2")
     },
 
