@@ -34,7 +34,7 @@ object SimilarityQueries {
     * trainings (IVF cells + PQ codebook, q106) in one WITH list.
     */
   private def trainCtesSql(p: String, m: Int, sub: Int, iters: Int,
-      trainRel: String): String = {
+      trainRel: String, initWhere: String = "vec_id % 97 = 0"): String = {
     def l2Sql(a: String, b: String): String =
       s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
     // one literal fold per dimension: inner lambdas don't capture an
@@ -49,7 +49,7 @@ object SimilarityQueries {
          |  SELECT j, vec_id AS cent_id,
          |    list_transform(embedding[(j*$sub+1):(j*$sub+$sub)], x -> CAST(x AS DOUBLE)) AS cv
          |  FROM embeddings CROSS JOIN range($m) t(j)
-         |  WHERE vec_id % 97 = 0)""".stripMargin
+         |  WHERE $initWhere)""".stripMargin
     val rounds = (1 to iters).flatMap { i =>
       val prev = s"${p}cb${i - 1}"
       Seq(
@@ -498,15 +498,90 @@ object SimilarityQueries {
     // join. The candidate stage never touches a raw embedding — it scans
     // (cell, dv) only, the persisted-index contract pqIndex documents.
     QueryDef.sql(
-      "q106_ann_ivf_pq", {
+      "q106_ann_ivf_pq",
+      ivfPqSql("vec_id % 4 = 0", "vec_id % 97 = 0")) { (s, d) =>
+      // trainings (2 rounds × 2 books), cell assignment, encode, probes,
+      // and the winner re-join all re-read the spread scan — checkpoint it
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val init = e.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      // the persisted production index: home cell + decoded codes per
+      // vector, NO raw embedding — built once, queried many (at scale
+      // this join is the one-time index build, both sides keyed and
+      // co-sized by vec_id)
+      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("dv")),
+          "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
+        .transform(graft.Materialize.checkpoint)
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(idx, probes, e, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- incremental ANN index maintenance -------------------------------
+    // q79's contract, vector edition: once the corpus is too big to
+    // re-index, the trained books (IVF cells + PQ codebook) and the base
+    // index are persisted STATE; a delta batch is assigned and encoded
+    // with the STALE books — delta-sized jobs only, the base corpus's
+    // raw vectors never re-read, no retrain — and the union serves
+    // queries. Training (and its %97 init) sees ONLY the base corpus, so
+    // the oracle's replay filters both; encode-then-union equals
+    // union-then-encode given the same books (IncrementalAnnSpec asserts
+    // that rebuild equivalence row-for-row), which is why the oracle can
+    // encode the full corpus in one pass.
+    QueryDef.sql(
+      "q107_incremental_ann",
+      ivfPqSql("vec_id % 10 <> 9 AND vec_id % 4 = 0",
+        "vec_id % 97 = 0 AND vec_id % 10 <> 9")) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val existing = e.filter(col("vec_id") % 10 =!= 9)
+      val delta = e.filter(col("vec_id") % 10 === 9)
+      val train = existing.filter(col("vec_id") % 4 === 0)
+      val init = existing.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      def indexOf(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+          .join(Similarity.pqIndex(part, cb, 8, 64)
+            .select(col("vec_id"), col("dv")), "vec_id")
+          .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
+      // base index = persisted state (checkpoint stands in for the index
+      // table a production run reads back); the delta encode is the ONLY
+      // job sized to new data
+      val baseIdx = indexOf(existing).transform(graft.Materialize.checkpoint)
+      val idx = baseIdx.unionByName(indexOf(delta))
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(idx, probes, e, 3)
+        .orderBy("q_id", "rank")
+    }
+  )
+
+  /** The composed IVF+PQ pipeline as DuckDB SQL, shared by q106 (books
+    * trained on the full corpus) and q107 (books trained on the base
+    * corpus only, delta excluded): `trainWhere` filters the Lloyd
+    * training rows, `initWhere` the codeword init subset. Assignment,
+    * encode, probing, and the winners-only true-cosine join always run
+    * over the FULL corpus — with fixed books, encoding distributes over
+    * union, so one full-corpus pass equals the engine's base ∪ delta.
+    */
+  private def ivfPqSql(trainWhere: String, initWhere: String): String = {
         def l2Sql(a: String, b: String): String =
           s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
         s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
-           |               WHERE vec_id % 4 = 0),
-           |${trainCtesSql("iv", 1, 64, 2, "train")},
-           |${trainCtesSql("pq", 8, 8, 2, "train")},
+           |               WHERE $trainWhere),
+           |${trainCtesSql("iv", 1, 64, 2, "train", initWhere)},
+           |${trainCtesSql("pq", 8, 8, 2, "train", initWhere)},
            |cents AS (SELECT cent_id, cv FROM ivcb2),
            |casg AS (SELECT e.vec_id, e.embedding, cent_id,
            |          ${cosSql("e.embedding", "cv")} AS csim
@@ -540,29 +615,5 @@ object SimilarityQueries {
            |SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim, rank
            |FROM r JOIN embeddings e ON r.n_id = e.vec_id
            |WHERE rank <= 3 ORDER BY q_id, rank"""
-      }) { (s, d) =>
-      // trainings (2 rounds × 2 books), cell assignment, encode, probes,
-      // and the winner re-join all re-read the spread scan — checkpoint it
-      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
-        .transform(graft.Materialize.checkpoint)
-      val train = e.filter(col("vec_id") % 4 === 0)
-      val init = e.filter(col("vec_id") % 97 === 0)
-      val cents = Similarity.ivfTrain(train, init, 64, 2)
-      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
-        8, 64, 2)
-      // the persisted production index: home cell + decoded codes per
-      // vector, NO raw embedding — built once, queried many (at scale
-      // this join is the one-time index build, both sides keyed and
-      // co-sized by vec_id)
-      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("dv")),
-          "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
-        .transform(graft.Materialize.checkpoint)
-      val probes = Similarity.ivfProbes(
-        e.filter(col("vec_id") % 100 === 0), cents, 2)
-      Similarity.ivfPqSearch(idx, probes, e, 3)
-        .orderBy("q_id", "rank")
-    }
-  )
+  }
 }
