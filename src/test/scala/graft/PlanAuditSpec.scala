@@ -39,6 +39,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q32_ann_ivf", // broadcast centroids x corpus: map-side cell argmin
     "q66_ann_ivf_nprobe", // same centroid-assignment cross
     "q106_ann_ivf_pq", // same cross at index build/probe; search is equi-on-cell
+    "q107_incremental_ann", // q106's cross, split base/delta index builds
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
     "q87_gap_fill_daily" // calendar x event-type frame: both sides tiny
   )
