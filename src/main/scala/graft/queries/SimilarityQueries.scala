@@ -346,9 +346,9 @@ object SimilarityQueries {
     // 8 codeword ids (≈16 B) instead of 64 floats (256 B) — the 16×
     // scan-bandwidth lever for corpus-scale vector search. Ranking uses
     // the RECONSTRUCTED vector (decode-on-read from the broadcast
-    // codebook): one 64-wide exact fold ≡ ADC's per-subspace table-sum
-    // in the same op order, which keeps the whole ranking bit-exact in
-    // DuckDB. The codebook is k-means-TRAINED (Similarity.pqTrain: 3 Lloyd
+    // codebook): one 64-wide exact fold, bit-exact in DuckDB. (The
+    // composed tier q106/q107 ranks by true table-ADC instead — same
+    // algebra, per-subspace summation grouping, its own oracle order.) The codebook is k-means-TRAINED (Similarity.pqTrain: 3 Lloyd
     // rounds from the deterministic vec_id%97 subset init, the q32
     // centroid device) — the oracle replays the whole training loop:
     // assignment ties break on lowest cent_id, each recenter sums members
@@ -488,15 +488,18 @@ object SimilarityQueries {
     // q66 and q100 each prove half of the shape every production vector
     // store ships; this composes them: k-means-trained IVF cells bound
     // the candidate set (nprobe=2 query-side fan-out), PQ codes rank it
-    // (psim = one fold against the decoded vector — ADC-equivalent), and
-    // only the top-k WINNERS re-join the source table for the true
-    // cosine. Both trainings (full-width cells, m=1; 8×8 codebook) run
-    // 2 Lloyd rounds from the %97 subset init on the %4 quarter-sample,
-    // and the oracle replays BOTH bit-exactly through the shared CTE
-    // builder (iv/pq prefixes), then mirrors cell assignment, NaN-null
-    // encode propagation, psim ranking, and the winners-only true-cosine
-    // join. The candidate stage never touches a raw embedding — it scans
-    // (cell, dv) only, the persisted-index contract pqIndex documents.
+    // by TABLE-ADC (per-probe lookup tables against the broadcast
+    // codebook; scoring a candidate is m derefs + m adds over m×4-byte
+    // positional codes), and only the top-k WINNERS re-join the source
+    // table for the true cosine. Both trainings (full-width cells, m=1;
+    // 8×8 codebook) run 2 Lloyd rounds from the %97 subset init on the
+    // %4 quarter-sample, and the oracle replays BOTH bit-exactly through
+    // the shared CTE builder (iv/pq prefixes), then mirrors cell
+    // assignment, NaN-null encode propagation, the ADC summation
+    // grouping (per-subspace folds summed in j order — see ivfPqSearch),
+    // and the winners-only true-cosine join. The candidate stage never
+    // touches a raw embedding or decoded vector — it scans (cell, pcode)
+    // only, the persisted-index contract pqIndex documents.
     QueryDef.sql(
       "q106_ann_ivf_pq",
       ivfPqSql("vec_id % 4 = 0", "vec_id % 97 = 0")) { (s, d) =>
@@ -509,18 +512,19 @@ object SimilarityQueries {
       val cents = Similarity.ivfTrain(train, init, 64, 2)
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
-      // the persisted production index: home cell + decoded codes per
-      // vector, NO raw embedding — built once, queried many (at scale
+      // the persisted production index: home cell + m positional codes
+      // per vector — 8×4 B against the raw vector's 256 B — NO raw
+      // embedding, no decoded vector; built once, queried many (at scale
       // this join is the one-time index build, both sides keyed and
       // co-sized by vec_id)
       val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("dv")),
+        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
           "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
         .transform(graft.Materialize.checkpoint)
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
-      Similarity.ivfPqSearch(idx, probes, e, 3)
+      Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3)
         .orderBy("q_id", "rank")
     },
 
@@ -551,8 +555,8 @@ object SimilarityQueries {
       def indexOf(part: org.apache.spark.sql.DataFrame) =
         Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
           .join(Similarity.pqIndex(part, cb, 8, 64)
-            .select(col("vec_id"), col("dv")), "vec_id")
-          .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
+            .select(col("vec_id"), col("pcode")), "vec_id")
+          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
       // base index = persisted state (checkpoint stands in for the index
       // table a production run reads back); the delta encode is the ONLY
       // job sized to new data
@@ -560,7 +564,7 @@ object SimilarityQueries {
       val idx = baseIdx.unionByName(indexOf(delta))
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
-      Similarity.ivfPqSearch(idx, probes, e, 3)
+      Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3)
         .orderBy("q_id", "rank")
     }
   )
@@ -578,6 +582,12 @@ object SimilarityQueries {
           s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
+        // the query subvector for subspace ch.j — one ADC table entry is
+        // its sub-wide fold against the chosen codeword, and psim sums
+        // those entries IN j ORDER from 0.0 (the engine's table-lookup
+        // grouping, NOT a flat 64-wide fold)
+        val qSliceSql =
+          "list_transform(cand.qv[(ch.j*8+1):(ch.j*8+8)], x -> CAST(x AS DOUBLE))"
         s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
            |               WHERE $trainWhere),
            |${trainCtesSql("iv", 1, 64, 2, "train", initWhere)},
@@ -593,21 +603,36 @@ object SimilarityQueries {
            |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
            |           FROM casg WHERE vec_id % 100 = 0) WHERE rn <= 2),
            |easg AS (
-           |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist, cv FROM (
+           |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist FROM (
            |    SELECT e.vec_id, c.j, c.cent_id, c.cv, $vaSql AS va
            |    FROM embeddings e CROSS JOIN pqcb2 c) t),
            |chosen AS (SELECT vec_id, j,
-           |    CASE WHEN isnan(dist) THEN NULL ELSE cv END AS cv FROM (
+           |    CASE WHEN isnan(dist) THEN NULL ELSE cent_id END AS cent_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
            |                                 ORDER BY dist, cent_id) AS rn
            |    FROM easg) WHERE rn = 1),
-           |dec AS (SELECT vec_id, CASE WHEN count(cv) < count(*) THEN NULL
-           |          ELSE flatten(list(cv ORDER BY j)) END AS dv
-           |        FROM chosen GROUP BY vec_id),
-           |idx AS (SELECT l.vec_id AS n_id, l.cell, d.dv
-           |        FROM cell l JOIN dec d ON l.vec_id = d.vec_id),
-           |s AS (SELECT q_id, n_id, qv, ${cosSql("qv", "dv")} AS psim
-           |      FROM idx JOIN probe USING (cell) WHERE q_id <> n_id),
+           |cand AS (SELECT p.q_id, p.qv, l.vec_id AS n_id
+           |         FROM cell l JOIN probe p USING (cell)
+           |         WHERE p.q_id <> l.vec_id),
+           |parts AS (
+           |  SELECT cand.q_id, cand.n_id, ch.j,
+           |    CASE WHEN ch.cent_id IS NULL THEN NULL
+           |         ELSE ${dotSql(qSliceSql, "cb.cv")} END AS dj,
+           |    CASE WHEN ch.cent_id IS NULL THEN NULL
+           |         ELSE ${dotSql("cb.cv", "cb.cv")} END AS nj
+           |  FROM cand JOIN chosen ch ON cand.n_id = ch.vec_id
+           |       LEFT JOIN pqcb2 cb ON ch.j = cb.j AND ch.cent_id = cb.cent_id),
+           |ssum AS (SELECT q_id, n_id,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list(dj ORDER BY j)),
+           |                (x, y) -> x + y) AS num,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list(nj ORDER BY j)),
+           |                (x, y) -> x + y) AS den2
+           |  FROM parts GROUP BY q_id, n_id),
+           |pq AS (SELECT DISTINCT q_id, qv FROM probe),
+           |s AS (SELECT ssum.q_id, ssum.n_id, pq.qv,
+           |        ssum.num / (sqrt(${dotSql("pq.qv", "pq.qv")}) *
+           |                    sqrt(ssum.den2)) AS psim
+           |      FROM ssum JOIN pq ON ssum.q_id = pq.q_id),
            |r AS (SELECT q_id, n_id, qv, psim,
            |        CAST(row_number() OVER (PARTITION BY q_id
            |               ORDER BY psim DESC, n_id) AS BIGINT) AS rank

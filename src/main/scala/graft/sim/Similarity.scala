@@ -315,7 +315,7 @@ object Similarity {
       .select(col("vec_id"), col("j"), va.as("va"))
       .join(broadcast(byJ), Seq("j"))
       .withColumn("bi", VectorFold.pqArgmin(col("va"), col("cvs")) + 1)
-      .select(col("vec_id"), col("j"), col("va"),
+      .select(col("vec_id"), col("j"), col("va"), col("bi"),
         struct(element_at(col("cent_ids"), col("bi")).as("cent_id"),
           element_at(col("cvs"), col("bi")).as("cv")).as("best"))
   }
@@ -413,30 +413,74 @@ object Similarity {
     * separately: IVF cell probing BOUNDS the candidate set (query-side
     * nprobe fan-out only — the corpus keeps its single home cell, so
     * candidates stay unique and the corpus never replicates), and PQ
-    * reconstructed codes RANK it (one 64-wide fold against the decoded
-    * vector ≡ ADC's per-subspace table-sum in the same IEEE op order, so
-    * a DuckDB oracle reproduces every psim bit).
+    * codes RANK it via true table-ADC (asymmetric distance computation):
+    * each probe precomputes a flat lookup table `tdot[j·K + p] =
+    * dot(query subvector j, codeword p)` against the broadcast codebook,
+    * the codebook side contributes the query-independent codeword norms
+    * `tn2` once, and scoring a candidate is then m array derefs + m adds
+    * — O(m) per candidate instead of O(dim) multiplies, against an index
+    * row of m small ints instead of dim doubles. psim is algebraically
+    * cosine(query, decoded vector), and the IEEE op order is pinned for
+    * the oracle: each table entry is one sub-wide sequential fold, the m
+    * looked-up entries sum in subspace order from 0.0 (NOT one flat
+    * dim-wide fold — the grouping differs in the last bits, and the
+    * oracle mirrors the grouped order).
     *
-    * `index` is the PERSISTED form — (n_id, cell, dv): home cell from
-    * [[ivfAssign]], decode-on-read `dv` from [[pqIndex]], and NO raw
-    * embedding (the whole point: the search scans cells × m-byte codes,
-    * never the dim×4-byte vectors). The top-k selection runs entirely on
-    * that compressed index; only the k×|queries| WINNERS then re-join
-    * `source` (broadcast of the tiny winner set, hash probe over the
-    * source scan) to surface the true cosine — so quantization error is
-    * visible in the output without the candidate stage ever touching raw
-    * vectors. Output: (q_id, n_id, psim, sim, rank).
+    * `index` is the PERSISTED form — (n_id, cell, pcode): home cell from
+    * [[ivfAssign]], positional codes from [[pqIndex]], and NO raw
+    * embedding and no decoded vector either (the whole point: the
+    * candidate scan carries m×4 bytes per vector, a 64× cut vs the
+    * dim×8-byte decoded form, which is why PQ indexes fit in memory at
+    * corpus scale). The top-k selection runs entirely on that compressed
+    * index; only the k×|queries| WINNERS then re-join `source`
+    * (broadcast of the tiny winner set, hash probe over the source scan)
+    * to surface the true cosine — so quantization error is visible in
+    * the output without the candidate stage ever touching raw vectors.
+    * A null pcode entry (degenerate NaN subvector) propagates: its
+    * lookup nulls the fold, psim nulls, the row ranks nowhere — the
+    * [[pqIndex]] encode contract unchanged. Output:
+    * (q_id, n_id, psim, sim, rank).
     */
-  def ivfPqSearch(index: DataFrame, probes: DataFrame, source: DataFrame,
-      k: Int): DataFrame = {
+  def ivfPqSearch(index: DataFrame, probes: DataFrame, codebook: DataFrame,
+      source: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     VectorFold.register(index.sparkSession)
-    val q = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-      col("cell"))
+    val sub = dim / m
+    // one-row broadcast form of the codebook: codewords grouped per
+    // subspace, cent_id-sorted (the pqAssign POSITION order pcode indexes
+    // into), flattened so entry j·K+p is subspace j's codeword p
+    val flat = codebook.groupBy("j")
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("cands"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cands")))).as("js"))
+      .select(transform(col("js"),
+        x => transform(x.getField("cands"), c => c.getField("cv")))
+        .as("allCvs"))
+      .select(col("allCvs"),
+        flatten(transform(col("allCvs"),
+          cvsJ => transform(cvsJ, cv => Exact.foldDot(cv, cv)))).as("tn2"),
+        size(element_at(col("allCvs"), 1)).as("kk"))
+    // per-probe ADC tables: one sub-wide fold per (j, codeword), flat in
+    // (j, position) order; qn once per probe — all on the tiny query side
+    val q = probes
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
+      .crossJoin(broadcast(flat))
+      .select(col("q_id"), col("qv"), col("cell"),
+        flatten(transform(col("allCvs"), (cvsJ, j) =>
+          transform(cvsJ, cv => Exact.foldDot(
+            transform(slice(col("qv"), j * sub + 1, lit(sub)),
+              x => x.cast("double")), cv)))).as("tdot"),
+        col("tn2"), col("kk"), Exact.foldNorm(col("qv")).as("qn"))
+    def lookupSum(tbl: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) =>
+        acc + element_at(tbl, j * col("kk") + element_at(col("pcode"), j + 1)))
     val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
     val top = index.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("qv"),
-        Exact.foldCosine(col("qv"), col("dv")).as("psim"))
+        (lookupSum(col("tdot")) / (col("qn") * sqrt(lookupSum(col("tn2")))))
+          .as("psim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
     broadcast(top)
@@ -478,12 +522,15 @@ object Similarity {
     * nearest codeword (squared-L2 argmin, ties → lowest codeword id) from
     * the given long-form `codebook` ([[pqCodebook]] subset or [[pqTrain]]
     * trained — same plan either way, only reconstruction error differs).
-    * Output: (vec_id, codes, dv) where `codes` is the m-byte PQ code (one
-    * codeword id per subspace) and `dv` the decoded (reconstructed) vector
-    * the approximate scores read — deliberately NO raw embedding column
-    * (the index would otherwise carry the very bytes it exists to avoid
-    * scanning); callers needing the true vector re-join the source table
-    * by vec_id (q100's true-cosine column).
+    * Output: (vec_id, codes, pcode, dv) where `codes` is the m-byte PQ
+    * code (one codeword id per subspace), `pcode` its POSITIONAL form
+    * (1-based index into the cent_id-sorted codewords — the form
+    * [[ivfPqSearch]]'s ADC tables index by), and `dv` the decoded
+    * (reconstructed) vector for decode-on-read consumers (q100) —
+    * deliberately NO raw embedding column (the index would otherwise
+    * carry the very bytes it exists to avoid scanning); callers needing
+    * the true vector re-join the source table by vec_id (the
+    * true-cosine column).
     *
     * 100 TB shape: the codebook is a broadcast (codewords × m subvectors);
     * encoding is one broadcast join + per-subspace argmin — map-side per
@@ -496,9 +543,11 @@ object Similarity {
     * times.
     *
     * Distance/ranking floats stay bit-exact across engines: squared L2 is
-    * the [[graft.functions.PqArgmin]] fold decomposition, and reconstruction concatenates
-    * codewords in subspace order, so the approximate cosine is ONE 64-wide
-    * fold — ADC by construction, with no float-sum reorder anywhere.
+    * the [[graft.functions.PqArgmin]] fold decomposition; q100's
+    * decode-on-read cosine is ONE dim-wide fold over `dv`, while
+    * [[ivfPqSearch]]'s table-ADC sums per-subspace folds in j order —
+    * two different (both pinned) IEEE groupings, each mirrored by its
+    * oracle.
     */
   def pqIndex(vectors: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
@@ -512,10 +561,14 @@ object Similarity {
     pqAssign(vectors, codebook, m, sub)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("j"),
-          col("best.cent_id").as("cent_id"), col("best.cv").as("sub"))))
+          col("best.cent_id").as("cent_id"), col("bi"),
+          col("best.cv").as("sub"))))
         .as("parts"))
       .select(col("vec_id"),
         transform(col("parts"), p => p.getField("cent_id")).as("codes"),
+        // positional form: 1-based index into the cent_id-sorted codeword
+        // array per subspace — what [[ivfPqSearch]]'s ADC tables index by
+        transform(col("parts"), p => p.getField("bi")).as("pcode"),
         flatten(transform(col("parts"), p => p.getField("sub"))).as("dv"))
   }
 }

@@ -28,12 +28,12 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkSpec {
     // monolithic rebuild: one assignment+encode pass over the FULL corpus
     val rebuilt = Similarity.ivfAssign(e, cents)
       .select(col("vec_id"), col("cell"))
-      .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("dv")),
+      .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
         "vec_id")
-      .select(col("vec_id").as("n_id"), col("cell"), col("dv"))
+      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
     val probes = Similarity.ivfProbes(
       e.filter(col("vec_id") % 100 === 0), cents, 2)
-    val fromRebuild = Similarity.ivfPqSearch(rebuilt, probes, e, 3)
+    val fromRebuild = Similarity.ivfPqSearch(rebuilt, probes, cb, e, 8, 64, 3)
       .orderBy("q_id", "rank").collect().map(_.toSeq)
 
     val incremental = SparkEntry.queries("q107_incremental_ann")(spark, sf)
