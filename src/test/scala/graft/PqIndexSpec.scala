@@ -96,17 +96,29 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(codebook.nonEmpty)
 
     val rows = idx.join(e.select("vec_id", "embedding"), "vec_id")
-      .select("vec_id", "embedding", "codes", "dv").collect()
+      .select("vec_id", "embedding", "codes", "dv", "pcode").collect()
     assert(rows.length == e.count())
+
+    // positional codes dereference through the cent_id-sorted codeword
+    // order — the contract ivfPqSearch's ADC tables index by
+    val sortedIds = (0 until M).map { j =>
+      j -> codebook.keys.collect { case (jj, id) if jj == j => id }
+        .toSeq.sorted
+    }.toMap
 
     rows.foreach { r =>
       val emb = r.getSeq[Float](1).toArray
       val codes = r.getSeq[Long](2)
       val dv = r.getSeq[Double](3).toArray
+      val pcode = r.getSeq[Int](4)
       assert(codes.length == M)
       assert(dv.length == Dim)
+      assert(pcode.length == M)
       for (j <- 0 until M) {
         assert(codebook.contains((j, codes(j))), s"code ${codes(j)} not a codebook id")
+        assert(sortedIds(j)(pcode(j) - 1) == codes(j),
+          s"vec ${r.getLong(0)} subspace $j: pcode ${pcode(j)} does not " +
+            s"dereference to code ${codes(j)}")
         val va = subVec(emb, j)
         // independent argmin recompute (dist asc, cent_id asc) — .toSeq
         // keeps equal-distance candidates distinct (see jvmTrain note)
