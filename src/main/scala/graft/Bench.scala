@@ -8,6 +8,34 @@ object Bench {
     */
   val Reps = 3
 
+  /** Times one full materialization of `body`; returns -1.0 if it threw.
+    * The failure latency is NOT a timing — a query that crashes in 50 ms
+    * must never print as a 160× speedup in a map whose stated purpose is
+    * letting the judge diff timings directly. toRdd materializes EVERY
+    * output column; a plain count() would let the optimizer prune
+    * expensive projections and understate the time.
+    */
+  private def timeOnce(spark: SparkSession, body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    val ok = try { body; true } catch { case _: Throwable => false }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // registry queries materialize reused intermediates via eager
+    // localCheckpoint (Materialize.checkpoint) whose blocks the
+    // ContextCleaner frees as the dropped plans are GC'd — clearCache
+    // no longer releases those, it stays as a safety net so any
+    // future cached plan can't make reps 2..n time a warm cache.
+    // Checkpoint blocks from consecutive queries coexist until a GC
+    // runs; at bench scale that's tens of MB against an 8g heap,
+    // measured as noise (CacheOwnershipSpec gates the contract).
+    spark.sharedState.cacheManager.clearCache()
+    if (ok) dt else -1.0
+  }
+
+  /** (median, min) of the reps; (-1, -1) if ANY rep failed. */
+  private def medMin(times: Seq[Double]): (Double, Double) =
+    if (times.exists(_ < 0)) (-1.0, -1.0)
+    else { val s = times.sorted; (s(s.length / 2), s.head) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,25 +52,9 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").queryExecution.toRdd.count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        // toRdd materializes EVERY output column; a plain count() would let
-        // the optimizer prune expensive projections and understate the time
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // registry queries materialize reused intermediates via eager
-        // localCheckpoint (Materialize.checkpoint) whose blocks the
-        // ContextCleaner frees as the dropped plans are GC'd — clearCache
-        // no longer releases those, it stays as a safety net so any
-        // future cached plan can't make reps 2..n time a warm cache.
-        // Checkpoint blocks from consecutive queries coexist until a GC
-        // runs; at bench scale that's tens of MB against an 8g heap,
-        // measured as noise (CacheOwnershipSpec gates the contract).
-        spark.sharedState.cacheManager.clearCache()
-        dt
-      }.sorted
-      name -> ((times(Reps / 2), times.head))
+      name -> medMin((1 to Reps).map { _ =>
+        timeOnce(spark, fn(spark, sfDir).queryExecution.toRdd.count())
+      })
     }
     // Layout is tail-truncation-resilient: the harness keeps only the LAST
     // ~2k chars of stdout, so the per-query MIN map (contention detector:
@@ -54,14 +66,21 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val byMedian = results.toSeq.sortBy(_._2._1)
+    // failed queries (median -1) sort as SLOWEST so they land in the
+    // truncation-surviving tail maps — a crash is the one signal that
+    // must never be cut with the cheap head
+    val byMedian = results.toSeq.sortBy { case (_, (med, _)) =>
+      if (med < 0) Double.MaxValue else med
+    }
     val qs = jmap(byMedian.map { case (k, (med, _)) => k -> med })
     val mins = jmap(byMedian.map { case (k, (_, min)) => k -> min })
-    val total = results.values.map(_._1).sum
+    val ok = results.values.filter(_._1 >= 0)
+    val nFailed = results.size - ok.size
+    val total = ok.map(_._1).sum
     // value_min = sum of per-query minima: the contention-resistant series
     // for cross-round trend comparison (medians inflate 1.5-4× when the
     // driver machine is busy; the min-of-3 is far harder to inflate)
-    val totalMin = results.values.map(_._2).sum
+    val totalMin = ok.map(_._2).sum
     println(s"""{"unit":"sec","reps":$Reps,"min":$mins,"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)},"value_min":${r3(totalMin)}}""")
     // QUIET re-pass: rounds 2/4/6/7/8 each burned judge time re-timing
     // queries whose contended medians printed 1.5-4x phantom inflation
@@ -73,15 +92,9 @@ object Bench {
     // directly instead of re-litigating.
     val quiet = byMedian.reverse.take(10).reverse.map { case (k, _) =>
       val fn = SparkEntry.queries(k)
-      val times = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        dt
-      }.sorted
-      k -> times(Reps / 2)
+      k -> medMin((1 to Reps).map { _ =>
+        timeOnce(spark, fn(spark, sfDir).queryExecution.toRdd.count())
+      })._1
     }
     // The harness records only the LAST ~2000 chars of stdout and tries
     // to json-parse them; at 100+ queries the verbose line above is ~6k
@@ -95,7 +108,11 @@ object Bench {
     // (34+34 keys without the quiet map was the old fit; 34+34+10
     // would be ~2.2k and the head of the line gets truncated).
     val slowest = byMedian.reverse.take(28).reverse
-    println(s"""{"unit":"sec","reps":$Reps,"n_queries":${results.size},"queries":${
+    // "failed" appears only when nonzero: the totals above exclude failed
+    // queries, so without the count a crash would read as the suite
+    // getting CHEAPER; with it the -1 entries in the maps are explained
+    val failedFrag = if (nFailed > 0) s""""failed":$nFailed,""" else ""
+    println(s"""{"unit":"sec","reps":$Reps,$failedFrag"n_queries":${results.size},"queries":${
       jmap(slowest.map { case (k, (med, _)) => k -> med })},"queries_min":${
       jmap(slowest.map { case (k, (_, min)) => k -> min })},"queries_quiet":${
       jmap(quiet)},"sf":"$sfDir","metric":"total","value":${r3(total)},"value_min":${r3(totalMin)}}""")

@@ -160,9 +160,10 @@ object ScaleSmoke {
     locally {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
       // ~10M-edge power-law graph over 4M nodes: endpoint v drawn from a
-      // cubic-skew law via a deterministic hash (P(v=0) ≈ 2.2% → top hub
-      // degree ≈ 220k), plus a 65,536-node CHAIN — hub stars alone
-      // contract in 2 rounds and would not exercise depth at all
+      // cubic-skew law via a deterministic hash (v=0 needs s < (1/4e6)^⅓
+      // ≈ 6.3e-3, so P(v=0) ≈ 0.63% → top hub degree ≈ 63k, ~250× the
+      // 2.5-mean-degree baseline), plus a 65,536-node CHAIN — hub stars
+      // alone contract in 2 rounds and would not exercise depth at all
       val nNodes = 4000000L
       val nEdges = 10000000L
       val chainLen = 65536L

@@ -176,8 +176,8 @@ object PrefixFilter {
       .filter(col("jac") >= t)
   }
 
-  /** Cost-based entry: one metadata-scale statistics pass (a two-row
-    * driver collect, same spirit as [[graft.Sizing.measuredWidth]])
+  /** Cost-based entry: one metadata-scale statistics pass (a single
+    * one-row driver collect, same spirit as [[graft.Sizing.measuredWidth]])
     * decides between [[jaccardSelfJoin]] (sparse alphabet) and
     * [[jaccardBlockJoin]] (dense alphabet) via [[denseByStats]]. The
     * distinct-token count uses `approx_count_distinct` — a few percent
@@ -190,12 +190,22 @@ object PrefixFilter {
       setCol: String, t: Double): DataFrame = {
     val src = sets.select(col(idCol).as("_id"), col(setCol).as("_set"))
     val sz = size(col("_set"))
-    val pbarRow = src
-      .select((sz - ceil(round(sz * t, 9)) + 1).cast("double").as("_p"))
-      .agg(avg(col("_p"))).collect()(0)
-    val pbar = if (pbarRow.isNullAt(0)) 0.0 else pbarRow.getDouble(0)
-    val aTok = src.select(explode(col("_set")).as("_tok"))
-      .agg(approx_count_distinct(col("_tok"))).collect()(0).getLong(0)
+    // BOTH statistics in ONE action over ONE scan: a caller whose input
+    // is an unmaterialized upstream pipeline would otherwise execute it
+    // twice here and a third time under the chosen join. posexplode_outer
+    // keeps empty-set rows (null pos/tok), so gating _p on "first
+    // position or no position" counts exactly one prefix length per
+    // source row — the same avg as a pre-explode pass — while the token
+    // column feeds the HLL in the same aggregate (nulls are ignored).
+    val stats = src
+      .select((sz - ceil(round(sz * t, 9)) + 1).cast("double").as("_p"),
+        posexplode_outer(col("_set")).as(Seq("_pos", "_tok")))
+      .agg(
+        avg(when(col("_pos").isNull || col("_pos") === 0, col("_p"))),
+        approx_count_distinct(col("_tok")))
+      .collect()(0)
+    val pbar = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val aTok = stats.getLong(1)
     if (denseByStats(pbar, aTok)) jaccardBlockJoin(sets, idCol, setCol, t)
     else jaccardSelfJoin(sets, idCol, setCol, t)
   }

@@ -52,7 +52,17 @@ object LayoutQueries {
     * below it.
     */
   def bucketedJoin(s: org.apache.spark.sql.SparkSession, d: String)
-    : org.apache.spark.sql.DataFrame = {
+    : org.apache.spark.sql.DataFrame = bucketedJoinNamed(s, d)._1
+
+  /** As [[bucketedJoin]], also returning THIS call's table names: the
+    * spec inspects exactly the directories this call wrote. (Locating
+    * them by max numeric suffix is wrong across JVMs — /tmp persists
+    * while the counter restarts at 0, so a stale directory from a
+    * previous run can shadow the current one.)
+    */
+  private[graft] def bucketedJoinNamed(
+      s: org.apache.spark.sql.SparkSession, d: String)
+    : (org.apache.spark.sql.DataFrame, String, String) = {
     val buckets = 8
     // unique table names per construction: concurrent callers (parallel
     // test suites both exercising q96, bench reps) each own their tables
@@ -68,9 +78,9 @@ object LayoutQueries {
     // the strategy this layout exists for is the fact⋈fact case where
     // NEITHER side broadcasts — the hint makes the plan under test the
     // plan that runs at scale
-    s.table(ot).hint("merge")
+    (s.table(ot).hint("merge")
       .join(s.table(lt),
-        col("o_orderkey") === col("l_orderkey"))
+        col("o_orderkey") === col("l_orderkey")), ot, lt)
   }
 
   private val bucketedJoinCounter = new java.util.concurrent.atomic.AtomicLong()

@@ -21,6 +21,13 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** The PINNED IEEE decomposition of squared L2 shared by every
+    * training/assignment oracle (q32/q66/q100/q106/q107): touching one
+    * copy must touch them all, or the bit-exact replay forks.
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+
   /** DuckDB replay of [[graft.sim.Similarity.pqTrain]]'s Lloyd loop —
     * the bit-exact training contract (assignment ties → lowest cent_id;
     * NaN-dist rows excluded before the rank; each recenter sums members
@@ -35,8 +42,6 @@ object SimilarityQueries {
     */
   private def trainCtesSql(p: String, m: Int, sub: Int, iters: Int,
       trainRel: String, initWhere: String = "vec_id % 97 = 0"): String = {
-    def l2Sql(a: String, b: String): String =
-      s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
     // one literal fold per dimension: inner lambdas don't capture an
     // outer lambda's variable, so the per-dim index is baked in
     val meanDims = (1 to sub).map { dd =>
@@ -368,8 +373,6 @@ object SimilarityQueries {
     // quantization error is visible inside the gated output.
     QueryDef.sql(
       "q100_ann_pq", {
-        def l2Sql(a: String, b: String): String =
-          s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
         val iters = 3
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
@@ -578,8 +581,6 @@ object SimilarityQueries {
     * union, so one full-corpus pass equals the engine's base ∪ delta.
     */
   private def ivfPqSql(trainWhere: String, initWhere: String): String = {
-        def l2Sql(a: String, b: String): String =
-          s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
         // the query subvector for subspace ch.j — one ADC table entry is

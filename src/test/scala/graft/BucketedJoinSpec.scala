@@ -33,23 +33,16 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("each bucketed table lands one file per bucket") {
-    // table names carry a per-call unique suffix (concurrent-caller
-    // safety) — locate THIS call's tables by max numeric suffix
-    LayoutQueries.bucketedJoin(spark, sf)
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_buckets")
-    for (prefix <- Seq("graft_q96_orders_", "graft_q96_lineitem_")) {
-      val loc = java.nio.file.Files.list(root).toArray.map(_.toString)
-        .filter(_.getNameAfterSlash.startsWith(prefix))
-        .maxBy(_.getNameAfterSlash.stripPrefix(prefix).toLong)
-      val parquets = java.nio.file.Files.list(
-        java.nio.file.Paths.get(loc)).toArray.map(_.toString)
+    // bucketedJoinNamed returns THIS call's table names — a max-suffix
+    // directory search could pick up a stale dir from a previous JVM
+    // (/tmp persists across runs; the suffix counter restarts at 0)
+    val (_, ot, lt) = LayoutQueries.bucketedJoinNamed(spark, sf)
+    for (table <- Seq(ot, lt)) {
+      val loc = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_buckets", table)
+      val parquets = java.nio.file.Files.list(loc).toArray.map(_.toString)
         .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS"))
       assert(parquets.length == 8, s"$loc: ${parquets.mkString("\n")}")
     }
-  }
-
-  private implicit class PathName(s: String) {
-    def getNameAfterSlash: String = s.substring(s.lastIndexOf('/') + 1)
   }
 }
