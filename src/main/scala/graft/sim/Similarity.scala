@@ -475,15 +475,25 @@ object Similarity {
     def lookupSum(tbl: Column): Column =
       aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) =>
         acc + element_at(tbl, j * col("kk") + element_at(col("pcode"), j + 1)))
+    // rank on (q_id, n_id, psim) ONLY: the window's exchange moves ~30 B
+    // per candidate, never the dim-wide raw query vector — the "candidate
+    // stage moves (cell, pcode) only" contract applies to the query side
+    // too (riding qv here would multiply candidate shuffle bytes ~17× at
+    // dim=64)
     val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
     val top = index.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("qv"),
+      .select(col("q_id"), col("n_id"),
         (lookupSum(col("tdot")) / (col("qn") * sqrt(lookupSum(col("tn2")))))
           .as("psim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    broadcast(top)
+    // winners only (k×|queries| rows) re-attach the query vector — probes
+    // carry one identical embedding per probed cell, so first() per q_id
+    // is deterministic — then join the source for the true cosine
+    val qvs = probes.groupBy(col("vec_id").as("q_id"))
+      .agg(first(col("embedding")).as("qv"))
+    broadcast(top.join(qvs, "q_id"))
       .join(source.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
         "n_id")
       .select(col("q_id"), col("n_id"), col("psim"),
