@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver testdata star schema (TESTDATA.md).
   *
@@ -24,15 +26,46 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its microsecond TimestampType. Read it as a raw nanosecond epoch
-    * long (`ts_ns`) instead — time-bucket arithmetic then stays in exact
-    * integer math (DuckDB oracle side: `epoch_ns(ts)`), with no silent
-    * sub-microsecond truncation anywhere.
+  /** The engine's event-time column is `ts_ns`: an exact epoch-nanosecond
+    * BIGINT, so all time-bucket arithmetic stays in integer math with no
+    * floating point anywhere (DuckDB oracle side: `epoch_ns(ts)`). Driver
+    * testdata has shipped `events.ts` as both parquet TIMESTAMP(NANOS)
+    * (read as a raw ns long via the legacy conf) and TIMESTAMP(MICROS)
+    * timestamp_ntz (current) — [[normalizeEventTs]] dispatches on the
+    * type the scan actually resolved, so both land on the same `ts_ns`.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events").withColumnRenamed("ts", "ts_ns")
+    normalizeEventTs(load(spark, d, "events"))
+  }
+
+  /** Rewrite a raw events frame's `ts` into epoch-ns `ts_ns` (in place,
+    * preserving column order). Three shapes arrive here:
+    *   - BIGINT: a TIMESTAMP(NANOS) file read raw under
+    *     `spark.sql.legacy.parquet.nanosAsLong` — already epoch ns.
+    *   - TIMESTAMP_NTZ (current testdata, µs): wall-clock µs since the
+    *     ntz epoch via `timestampdiff`, which is pure timestamp
+    *     arithmetic — exact and independent of the session time zone,
+    *     unlike an ntz→ltz cast whose meaning shifts with
+    *     `spark.sql.session.timeZone`.
+    *   - TIMESTAMP (ltz): `unix_micros` is the exact epoch-µs extraction.
+    * A NANOS file read without the legacy conf resolves as ntz truncated
+    * to µs — the same truncation DuckDB's reader applies, so engine and
+    * oracle stay in one time domain there too.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    val tsNs: Column = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts) * 1000")
+      case TimestampType => unix_micros(col("ts")) * 1000
+      case t => throw new IllegalArgumentException(
+        s"events.ts: expected BIGINT/TIMESTAMP/TIMESTAMP_NTZ, got $t")
+    }
+    raw.select(raw.columns.toSeq.map {
+      case "ts" => tsNs.as("ts_ns")
+      case c => col(c)
+    }: _*)
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

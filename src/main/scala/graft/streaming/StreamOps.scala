@@ -25,8 +25,13 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** `events.parquet` schema with TIMESTAMP(NANOS) read as raw nanos
-    * (mirrors [[graft.Tables.events]]).
+  /** Canonical `events.parquet` schema with `ts` in its raw-ns BIGINT
+    * shape. A file stream needs an explicit schema; [[eventsStream]]
+    * swaps the `ts` field for whatever type a batch probe of the same
+    * path resolves (BIGINT for TIMESTAMP(NANOS) under the legacy conf,
+    * timestamp_ntz for the current µs testdata), then runs the shared
+    * [[graft.Tables.normalizeEventTs]] so batch and stream expose one
+    * `ts_ns` epoch-ns column (mirrors [[graft.Tables.events]]).
     */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -53,14 +58,23 @@ object StreamOps {
       try hPath.getFileSystem(spark.sessionState.newHadoopConf())
         .getFileStatus(hPath).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
+    // probe the ts type the batch reader resolves for this path (cheap
+    // driver-side footer read) and pin the stream schema to it — an
+    // explicit LongType schema over a µs TIMESTAMP file would silently
+    // surface raw µs ints where every consumer expects ns
+    val probe =
+      if (isDir) spark.read.parquet(tableDir)
+      else spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val schema = StructType(EventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = probe.schema("ts").dataType) else f))
     val src =
       if (isDir)
-        spark.readStream.schema(EventsSchema).parquet(tableDir)
+        spark.readStream.schema(schema).parquet(tableDir)
       else
-        spark.readStream.schema(EventsSchema)
+        spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sfDir)
-    src.withColumnRenamed("ts", "ts_ns")
+    graft.Tables.normalizeEventTs(src)
   }
 
   /** Drain a finite stream through a memory sink and return the result as
