@@ -43,6 +43,10 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger()
 
+  /** Memo for [[eventsStream]]'s ts-type probe (path → resolved type). */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a DIRECTORY basePath. The testdata
@@ -58,15 +62,22 @@ object StreamOps {
       try hPath.getFileSystem(spark.sessionState.newHadoopConf())
         .getFileStatus(hPath).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    // probe the ts type the batch reader resolves for this path (cheap
-    // driver-side footer read) and pin the stream schema to it — an
-    // explicit LongType schema over a µs TIMESTAMP file would silently
-    // surface raw µs ints where every consumer expects ns
-    val probe =
-      if (isDir) spark.read.parquet(tableDir)
-      else spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // probe the ts type the batch reader resolves for this path and pin
+    // the stream schema to it — an explicit LongType schema over a µs
+    // TIMESTAMP file would silently surface raw µs ints where every
+    // consumer expects ns. The probe is a footer-read inference JOB
+    // (~0.3-1 s of scheduling overhead), so memoize per path for the
+    // JVM's lifetime: a path's timestamp encoding doesn't change under a
+    // live engine, and queries building the same source repeatedly
+    // (q39b/q99 build two sides each; the bench loops all of them)
+    // shouldn't re-pay it.
+    val probeKey = if (isDir) tableDir else s"$sfDir/*events.parquet"
+    val tsType = tsTypeCache.computeIfAbsent(probeKey, _ =>
+      (if (isDir) spark.read.parquet(tableDir)
+       else spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir))
+        .schema("ts").dataType)
     val schema = StructType(EventsSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = probe.schema("ts").dataType) else f))
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     val src =
       if (isDir)
         spark.readStream.schema(schema).parquet(tableDir)
