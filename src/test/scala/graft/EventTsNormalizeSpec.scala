@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Tables.normalizeEventTs]] — the event-time ingestion contract.
+  *
+  * Driver testdata has shipped `events.ts` as parquet TIMESTAMP(NANOS)
+  * (surfaced as a raw ns BIGINT under the legacy conf) and as
+  * TIMESTAMP(MICROS)/timestamp_ntz; a user table could also carry a
+  * zoned TIMESTAMP. All three must land on the same epoch-ns `ts_ns`,
+  * and the ntz conversion must not depend on the session time zone —
+  * the exact property that distinguishes `timestampdiff` from an
+  * ntz→ltz cast, which silently shifts by the zone offset.
+  */
+class EventTsNormalizeSpec extends AnyFunSuite with SparkSpec {
+
+  // 2024-01-01T00:09:58.778549 UTC — the first sf0.001 event's instant
+  private val Us = 1704067798778549L
+  private val Ns = Us * 1000L
+
+  private def frame(tsExpr: org.apache.spark.sql.Column) = {
+    import spark.implicits._
+    Seq((7L, "click")).toDF("event_id", "event_type")
+      .select(col("event_id"), tsExpr.as("ts"), col("event_type"))
+  }
+
+  test("BIGINT, timestamp_ntz, and zoned timestamp all normalize to the same epoch-ns") {
+    val asLong = frame(lit(Ns))
+    val asNtz = frame(expr(s"to_timestamp_ntz('2024-01-01 00:09:58.778549')"))
+    val asLtz = frame(timestamp_micros(lit(Us)))
+    for ((df, label) <- Seq((asLong, "long"), (asNtz, "ntz"), (asLtz, "ltz"))) {
+      val out = Tables.normalizeEventTs(df)
+      assert(out.columns.toSeq == Seq("event_id", "ts_ns", "event_type"),
+        s"$label: ts must be replaced in place, preserving column order")
+      assert(out.schema("ts_ns").dataType ==
+        org.apache.spark.sql.types.LongType, s"$label: ts_ns must be BIGINT")
+      assert(out.select("ts_ns").head().getLong(0) == Ns, s"$label: wrong instant")
+    }
+  }
+
+  test("the ntz conversion is independent of spark.sql.session.timeZone") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val out = Tables.normalizeEventTs(
+          frame(expr(s"to_timestamp_ntz('2024-01-01 00:09:58.778549')")))
+        assert(out.select("ts_ns").head().getLong(0) == Ns,
+          s"ntz ts_ns shifted under session tz $tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
+  test("a parquet round trip of the current testdata encoding reads back the same ts_ns") {
+    val d = "/root/testdata/sf0.001"
+    val base = Tables.events(spark, d).select("event_id", "ts_ns")
+    // write the RAW frame (ts still in its on-disk type) the way a user
+    // staging job would, then re-normalize the copy: the two reads must
+    // agree exactly — this is the eventsStream-over-a-Spark-written-dir
+    // shape (ScaleSmoke's replicated events) in miniature
+    val dir = java.nio.file.Files.createTempDirectory("evts_norm_").toString
+    spark.read.parquet(s"$d/events.parquet").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val copy = Tables.events(spark, dir).select("event_id", "ts_ns")
+    assert(copy.join(base, "event_id")
+      .filter(base("ts_ns") =!= copy("ts_ns")).isEmpty,
+      "round-tripped ts_ns differs from the source read")
+  }
+}
