@@ -41,7 +41,8 @@ object SimilarityQueries {
     * trainings (IVF cells + PQ codebook, q106) in one WITH list.
     */
   private def trainCtesSql(p: String, m: Int, sub: Int, iters: Int,
-      trainRel: String, initWhere: String = "vec_id % 97 = 0"): String = {
+      trainRel: String, initWhere: String = "vec_id % 97 = 0",
+      initRel: String = "embeddings"): String = {
     // one literal fold per dimension: inner lambdas don't capture an
     // outer lambda's variable, so the per-dim index is baked in
     val meanDims = (1 to sub).map { dd =>
@@ -53,7 +54,7 @@ object SimilarityQueries {
       s"""${p}cb0 AS MATERIALIZED (
          |  SELECT j, vec_id AS cent_id,
          |    list_transform(embedding[(j*$sub+1):(j*$sub+$sub)], x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings CROSS JOIN range($m) t(j)
+         |  FROM $initRel CROSS JOIN range($m) t(j)
          |  WHERE $initWhere)""".stripMargin
     val rounds = (1 to iters).flatMap { i =>
       val prev = s"${p}cb${i - 1}"
@@ -569,6 +570,50 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- residual-coded IVF+PQ (IVFADC) ----------------------------------
+    // q106 ranks by codes of RAW vectors; production IVFADC spends the
+    // codebook's whole quantization budget on the within-cell residual
+    // `vec − centroid` instead — the centroid already explains the
+    // coarse position, so the same m×K code budget reconstructs far
+    // closer (ResidualPqSpec asserts strictly lower reconstruction
+    // error than q106's raw coding on identical budgets). Ranking
+    // replays cos(q, c + r̂) by table-ADC: per-probe qc/tdot as before,
+    // plus the per-CELL precomputed cross tables (2·dot(cⱼ,cwₚ)+‖cwₚ‖²
+    // and ‖c‖²) — the FAISS precomputed-tables idea, built once from
+    // broadcast centroids × codebook, so a candidate still costs m
+    // derefs + m adds and the candidate scan still reads (cell, pcode)
+    // only. Oracle replays both trainings, the residual encode, and the
+    // exact reconstruction-term grouping bit-for-bit.
+    QueryDef.sql(
+      "q108_ann_residual_pq",
+      ivfPqResidualSql("vec_id % 4 = 0", "vec_id % 97 = 0")) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val init = e.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      // full-corpus assignment feeds BOTH the index's cell column and the
+      // residual transform; residuals feed 2 Lloyd rounds + the encode —
+      // checkpoint each so training iterations re-read an RDD, not the
+      // assignment cross
+      val assigned = Similarity.ivfAssign(e, cents)
+        .transform(graft.Materialize.checkpoint)
+      val res = Similarity.residuals(assigned, cents)
+        .transform(graft.Materialize.checkpoint)
+      val cb = Similarity.pqTrain(
+        res.filter(col("vec_id") % 4 === 0),
+        Similarity.pqCodebook(res.filter(col("vec_id") % 97 === 0), 8, 64),
+        8, 64, 2)
+      val idx = assigned.select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(res, cb, 8, 64).select(col("vec_id"), col("pcode")),
+          "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqResidualSearch(idx, probes, cb, cents, e, 8, 64, 3)
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -641,5 +686,89 @@ object SimilarityQueries {
            |SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim, rank
            |FROM r JOIN embeddings e ON r.n_id = e.vec_id
            |WHERE rank <= 3 ORDER BY q_id, rank"""
+  }
+
+  /** The RESIDUAL-coded IVF+PQ pipeline (q108) as DuckDB SQL — the
+    * IVFADC replay: IVF cells train on raw vectors exactly as in
+    * [[ivfPqSql]], but the PQ codebook inits, trains, and encodes on
+    * CELL RESIDUALS (`CAST(e_i AS DOUBLE) − c_i`), and ranking replays
+    * the reconstruction cosine `cos(q, c + r̂)` with the engine's exact
+    * term grouping: `qc + (per-subspace dot folds summed in j order from
+    * 0.0)` over `sqrt(q·q) · sqrt(cn2 + (2·dot(cⱼ,r̂ⱼ)+‖r̂ⱼ‖² summed the
+    * same way))`. A NaN residual subvector nulls its chosen codeword and
+    * thereby both sums — the encode propagation contract unchanged.
+    */
+  private def ivfPqResidualSql(trainWhere: String, initWhere: String): String = {
+    val vaSql =
+      "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
+    val qSliceSql =
+      "list_transform(cand.qv[(ch.j*8+1):(ch.j*8+8)], x -> CAST(x AS DOUBLE))"
+    // the candidate's home-cell centroid slice for the cross term — cv is
+    // already DOUBLE (a trained mean), the cast is identity
+    val cSliceSql = "list_transform(ct.cv[(ch.j*8+1):(ch.j*8+8)], x -> CAST(x AS DOUBLE))"
+    s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+       |               WHERE $trainWhere),
+       |${trainCtesSql("iv", 1, 64, 2, "train", initWhere)},
+       |cents AS (SELECT cent_id, cv FROM ivcb2),
+       |casg AS (SELECT e.vec_id, e.embedding, cent_id,
+       |          ${cosSql("e.embedding", "cv")} AS csim
+       |        FROM embeddings e CROSS JOIN cents),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |           FROM casg) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, embedding AS qv, cent_id AS cell FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |           FROM casg WHERE vec_id % 100 = 0) WHERE rn <= 2),
+       |eres AS MATERIALIZED (
+       |  SELECT e.vec_id, cell.cell,
+       |    list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+       |  FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id
+       |       JOIN cents c ON cell.cell = c.cent_id),
+       |tres AS (SELECT vec_id, embedding FROM eres
+       |         WHERE vec_id IN (SELECT vec_id FROM train)),
+       |${trainCtesSql("pq", 8, 8, 2, "tres", initWhere, "eres")},
+       |easg AS (
+       |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist FROM (
+       |    SELECT e.vec_id, c.j, c.cent_id, c.cv, $vaSql AS va
+       |    FROM eres e CROSS JOIN pqcb2 c) t),
+       |chosen AS (SELECT vec_id, j,
+       |    CASE WHEN isnan(dist) THEN NULL ELSE cent_id END AS cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |                                 ORDER BY dist, cent_id) AS rn
+       |    FROM easg) WHERE rn = 1),
+       |cand AS (SELECT p.q_id, p.qv, l.vec_id AS n_id, cell
+       |         FROM cell l JOIN probe p USING (cell)
+       |         WHERE p.q_id <> l.vec_id),
+       |parts AS (
+       |  SELECT cand.q_id, cand.n_id, cand.cell, ch.j,
+       |    CASE WHEN ch.cent_id IS NULL THEN NULL
+       |         ELSE ${dotSql(qSliceSql, "cb.cv")} END AS dj,
+       |    CASE WHEN ch.cent_id IS NULL THEN NULL
+       |         ELSE 2.0 * ${dotSql(cSliceSql, "cb.cv")} + ${dotSql("cb.cv", "cb.cv")} END AS xj
+       |  FROM cand JOIN chosen ch ON cand.n_id = ch.vec_id
+       |       JOIN cents ct ON cand.cell = ct.cent_id
+       |       LEFT JOIN pqcb2 cb ON ch.j = cb.j AND ch.cent_id = cb.cent_id),
+       |ssum AS (SELECT q_id, n_id, any_value(cell) AS cell,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(dj ORDER BY j)),
+       |                (x, y) -> x + y) AS sumd,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(xj ORDER BY j)),
+       |                (x, y) -> x + y) AS sumx
+       |  FROM parts GROUP BY q_id, n_id),
+       |pq AS (SELECT DISTINCT q_id, qv FROM probe),
+       |qcell AS (SELECT p.q_id, p.cell, ${dotSql("p.qv", "c.cv")} AS qc,
+       |            ${dotSql("c.cv", "c.cv")} AS cn2
+       |          FROM probe p JOIN cents c ON p.cell = c.cent_id),
+       |s AS (SELECT ssum.q_id, ssum.n_id, pq.qv,
+       |        (qcell.qc + ssum.sumd) /
+       |          (sqrt(${dotSql("pq.qv", "pq.qv")}) * sqrt(qcell.cn2 + ssum.sumx)) AS psim
+       |      FROM ssum JOIN pq ON ssum.q_id = pq.q_id
+       |           JOIN qcell ON ssum.q_id = qcell.q_id AND ssum.cell = qcell.cell),
+       |r AS (SELECT q_id, n_id, qv, psim,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |               ORDER BY psim DESC, n_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim, rank
+       |FROM r JOIN embeddings e ON r.n_id = e.vec_id
+       |WHERE rank <= 3 ORDER BY q_id, rank"""
   }
 }

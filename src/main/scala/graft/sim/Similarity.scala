@@ -500,6 +500,116 @@ object Similarity {
         Exact.foldCosine(col("qv"), col("nv")).as("sim"), col("rank"))
   }
 
+  /** Cell-relative residuals — the IVFADC ingredient: PQ codes carry far
+    * more information when they encode `vec − centroid` instead of the
+    * raw vector, because the centroid already explains the coarse
+    * position and the codebook's quantization budget is spent entirely
+    * on the (much smaller) within-cell displacement. Input is
+    * [[ivfAssign]]'s (vec_id, embedding, cell); output keeps the shape
+    * with `embedding` rewritten to the double residual, so the whole PQ
+    * stack ([[pqCodebook]]/[[pqTrain]]/[[pqIndex]]) runs on residuals
+    * unchanged. Map-side: one broadcast hash join on the k-row centroid
+    * table, one `zip_with` — no shuffle, no corpus replication.
+    *
+    * Bit-exact contract: each element is `CAST(e_i AS DOUBLE) − c_i`,
+    * one IEEE subtraction on exactly-converted operands — order-free per
+    * element, so the oracle's `list_transform` replays it exactly. A NaN
+    * embedding component stays NaN in the residual and flows into the
+    * encode null contract unchanged.
+    */
+  def residuals(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    assigned.join(broadcast(c), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, cc) => x.cast("double") - cc).as("embedding"),
+        col("cell"))
+  }
+
+  /** Composed IVF+PQ search over RESIDUAL codes — [[ivfPqSearch]]'s
+    * table-ADC upgraded to the classic IVFADC reconstruction
+    * `v̂ = c_cell + decode(residual codes)`. Scoring stays O(m) per
+    * candidate because every query-independent term is precomputed on
+    * the broadcast side:
+    *
+    *   cos(q, c + r̂) = (dot(q,c) + Σⱼ dot(qⱼ, r̂ⱼ))
+    *                  / (‖q‖ · sqrt(‖c‖² + Σⱼ (2·dot(cⱼ, r̂ⱼ) + ‖r̂ⱼ‖²)))
+    *
+    * Per probe, `qc = dot(q, c_probedCell)` and the `tdot` table are
+    * query-side work as before; the NEW per-cell table `crossT[j·K+p] =
+    * 2·dot(cⱼ, cwₚ) + dot(cwₚ, cwₚ)` (plus `cn2 = ‖c‖²`) is the FAISS
+    * "precomputed tables" idea — k_cells × m × K doubles built ONCE from
+    * the broadcast centroids × codebook, independent of both corpus and
+    * queries. A candidate still costs m derefs + m adds per table; the
+    * candidate scan still reads (cell, pcode) only; the rank exchange
+    * still moves (q_id, n_id, psim) triples; only the k winners touch
+    * raw vectors (the [[ivfPqSearch]] contract, unchanged). IEEE op
+    * order pinned for the oracle: `qc + (per-subspace folds summed in j
+    * order from 0.0)` over `qn · sqrt(cn2 + (crossT entries summed the
+    * same way))`; a null pcode (NaN residual subvector) nulls both sums
+    * and the row ranks nowhere. Output: (q_id, n_id, psim, sim, rank).
+    */
+  def ivfPqResidualSearch(index: DataFrame, probes: DataFrame,
+      codebook: DataFrame, cents: DataFrame, source: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    VectorFold.register(index.sparkSession)
+    val sub = dim / m
+    val flat = codebook.groupBy("j")
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("cands"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cands")))).as("js"))
+      .select(transform(col("js"),
+        x => transform(x.getField("cands"), c => c.getField("cv")))
+        .as("allCvs"))
+      .select(col("allCvs"), size(element_at(col("allCvs"), 1)).as("kk"))
+    // per-cell reconstruction constants (query-independent, built once):
+    // cn2 = ||c||^2; crossT[j*K+p] = 2*dot(c_j, cw_p) + dot(cw_p, cw_p)
+    val cellT = cents
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(flat.select("allCvs")))
+      .select(col("cell"), col("cvec"),
+        Exact.foldDot(col("cvec"), col("cvec")).as("cn2"),
+        flatten(transform(col("allCvs"), (cvsJ, j) =>
+          transform(cvsJ, cw =>
+            lit(2.0d) * Exact.foldDot(slice(col("cvec"), j * sub + 1, lit(sub)), cw)
+              + Exact.foldDot(cw, cw)))).as("crossT"))
+    // per-probe ADC tables: tdot against the codebook (as ivfPqSearch),
+    // plus the probed cell's qc/cn2/crossT — all broadcast-side
+    val q = probes
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
+      .crossJoin(broadcast(flat))
+      .join(broadcast(cellT), Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        flatten(transform(col("allCvs"), (cvsJ, j) =>
+          transform(cvsJ, cv => Exact.foldDot(
+            transform(slice(col("qv"), j * sub + 1, lit(sub)),
+              x => x.cast("double")), cv)))).as("tdot"),
+        col("crossT"), col("cn2"), col("kk"),
+        Exact.foldDot(col("qv"), col("cvec")).as("qc"),
+        Exact.foldNorm(col("qv")).as("qn"))
+    def lookupSum(tbl: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) =>
+        acc + element_at(tbl, j * col("kk") + element_at(col("pcode"), j + 1)))
+    val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
+    val top = index.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        ((col("qc") + lookupSum(col("tdot"))) /
+          (col("qn") * sqrt(col("cn2") + lookupSum(col("crossT")))))
+          .as("psim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    val qvs = probes.groupBy(col("vec_id").as("q_id"))
+      .agg(first(col("embedding")).as("qv"))
+    broadcast(top.join(qvs, "q_id"))
+      .join(source.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+        "n_id")
+      .select(col("q_id"), col("n_id"), col("psim"),
+        Exact.foldCosine(col("qv"), col("nv")).as("sim"), col("rank"))
+  }
+
   /** K-means-trained IVF centroids — [[pqTrain]] generalized to FULL-WIDTH
     * vectors: one subspace spanning the whole embedding (m=1), so the
     * identical Lloyd loop, tie-break (lowest cent_id), vec_id-ordered
