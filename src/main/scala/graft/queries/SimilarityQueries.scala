@@ -594,19 +594,17 @@ object SimilarityQueries {
       val train = e.filter(col("vec_id") % 4 === 0)
       val init = e.filter(col("vec_id") % 97 === 0)
       val cents = Similarity.ivfTrain(train, init, 64, 2)
-      // full-corpus assignment feeds BOTH the index's cell column and the
-      // residual transform; residuals feed 2 Lloyd rounds + the encode —
-      // checkpoint each so training iterations re-read an RDD, not the
-      // assignment cross
-      val assigned = Similarity.ivfAssign(e, cents)
-        .transform(graft.Materialize.checkpoint)
-      val res = Similarity.residuals(assigned, cents)
+      // residuals carry (vec_id, residual, cell) — the ONE full-corpus
+      // materialization every downstream consumer reads (2 Lloyd rounds,
+      // the encode, and the index's cell column), so the assignment
+      // cross runs once and training iterations re-read an RDD
+      val res = Similarity.residuals(Similarity.ivfAssign(e, cents), cents)
         .transform(graft.Materialize.checkpoint)
       val cb = Similarity.pqTrain(
         res.filter(col("vec_id") % 4 === 0),
         Similarity.pqCodebook(res.filter(col("vec_id") % 97 === 0), 8, 64),
         8, 64, 2)
-      val idx = assigned.select(col("vec_id"), col("cell"))
+      val idx = res.select(col("vec_id"), col("cell"))
         .join(Similarity.pqIndex(res, cb, 8, 64).select(col("vec_id"), col("pcode")),
           "vec_id")
         .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
