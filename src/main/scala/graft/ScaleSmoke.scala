@@ -111,7 +111,8 @@ object ScaleSmoke {
       "q84_funnel", "q90_ewma_smooth", "q36_stream_tumbling",
       "q65_stream_dedup", "q39b_stream_stream_join", "q99_stream_outer_join",
       "q100_ann_pq", "q101_embed_decontaminate", "q104_hll_merge",
-      "q105_binary_ingest", "q66_ann_ivf_nprobe", "q106_ann_ivf_pq")) {
+      "q105_binary_ingest", "q66_ann_ivf_nprobe", "q106_ann_ivf_pq",
+      "q108_ann_residual_pq")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
