@@ -34,24 +34,26 @@ object Tables {
     * timestamp_ntz (current) — [[normalizeEventTs]] dispatches on the
     * type the scan actually resolved, so both land on the same `ts_ns`.
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(spark, d, "events"))
-  }
 
   /** Rewrite a raw events frame's `ts` into epoch-ns `ts_ns` (in place,
     * preserving column order). Three shapes arrive here:
     *   - BIGINT: a TIMESTAMP(NANOS) file read raw under
     *     `spark.sql.legacy.parquet.nanosAsLong` — already epoch ns.
+    *     NANOS support REQUIRES that conf at session BUILD time (Verify/
+    *     Bench/ScaleSmoke set it): schema inference runs outside a query
+    *     execution where only builder/SparkConf-backed values are
+    *     visible, so a runtime `spark.conf.set` never reaches it, and
+    *     without the conf Spark 4 REFUSES a NANOS column outright
+    *     (illegal-parquet-type error — there is no ntz-truncation
+    *     fallback; verified against the 4.1.2 schema converter).
     *   - TIMESTAMP_NTZ (current testdata, µs): wall-clock µs since the
     *     ntz epoch via `timestampdiff`, which is pure timestamp
     *     arithmetic — exact and independent of the session time zone,
     *     unlike an ntz→ltz cast whose meaning shifts with
     *     `spark.sql.session.timeZone`.
     *   - TIMESTAMP (ltz): `unix_micros` is the exact epoch-µs extraction.
-    * A NANOS file read without the legacy conf resolves as ntz truncated
-    * to µs — the same truncation DuckDB's reader applies, so engine and
-    * oracle stay in one time domain there too.
     */
   def normalizeEventTs(raw: DataFrame): DataFrame = {
     val tsNs: Column = raw.schema("ts").dataType match {

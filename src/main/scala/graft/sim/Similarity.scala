@@ -384,7 +384,9 @@ object Similarity {
         // collector below reads a null cent_id as codeword 0 (primitive
         // getLong), silently corrupting that cell. Encoding (pqIndex)
         // PROPAGATES the null instead: the dirty vector's dv nulls out
-        // and it ranks nowhere, but it is never dropped from the index.
+        // and its score sorts nulls-last (it can only surface in a
+        // ≤ k-candidate cell, always with a null score), but it is
+        // never dropped from the index.
         .filter(col("cent_id").isNotNull)
         .groupBy("j", "cent_id")
         // vec_id leads the struct, so array_sort pins member order; the
@@ -437,67 +439,36 @@ object Similarity {
     * to surface the true cosine — so quantization error is visible in
     * the output without the candidate stage ever touching raw vectors.
     * A null pcode entry (degenerate NaN subvector) propagates: its
-    * lookup nulls the fold, psim nulls, the row ranks nowhere — the
-    * [[pqIndex]] encode contract unchanged. Output:
-    * (q_id, n_id, psim, sim, rank).
+    * lookup nulls the fold and psim, so the row sorts after every real
+    * score (nulls-last DESC in both engines) and can surface only when
+    * its cell has ≤ k candidates — always with psim null, never with a
+    * fabricated score — the [[pqIndex]] encode contract unchanged.
+    * Output: (q_id, n_id, psim, sim, rank).
     */
   def ivfPqSearch(index: DataFrame, probes: DataFrame, codebook: DataFrame,
       source: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     VectorFold.register(index.sparkSession)
     val sub = dim / m
-    // one-row broadcast form of the codebook: codewords grouped per
-    // subspace, cent_id-sorted (the pqAssign POSITION order pcode indexes
-    // into), flattened so entry j·K+p is subspace j's codeword p
-    val flat = codebook.groupBy("j")
-      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
-        .as("cands"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("j"), col("cands")))).as("js"))
-      .select(transform(col("js"),
-        x => transform(x.getField("cands"), c => c.getField("cv")))
-        .as("allCvs"))
+    val flat = flattenedCodebook(codebook)
       .select(col("allCvs"),
         flatten(transform(col("allCvs"),
           cvsJ => transform(cvsJ, cv => Exact.foldDot(cv, cv)))).as("tn2"),
-        size(element_at(col("allCvs"), 1)).as("kk"))
+        col("kk"))
     // per-probe ADC tables: one sub-wide fold per (j, codeword), flat in
     // (j, position) order; qn once per probe — all on the tiny query side
     val q = probes
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
       .crossJoin(broadcast(flat))
       .select(col("q_id"), col("qv"), col("cell"),
-        flatten(transform(col("allCvs"), (cvsJ, j) =>
-          transform(cvsJ, cv => Exact.foldDot(
-            transform(slice(col("qv"), j * sub + 1, lit(sub)),
-              x => x.cast("double")), cv)))).as("tdot"),
+        adcTable(col("qv"), col("allCvs"), sub).as("tdot"),
         col("tn2"), col("kk"), Exact.foldNorm(col("qv")).as("qn"))
-    def lookupSum(tbl: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) =>
-        acc + element_at(tbl, j * col("kk") + element_at(col("pcode"), j + 1)))
-    // rank on (q_id, n_id, psim) ONLY: the window's exchange moves ~30 B
-    // per candidate, never the dim-wide raw query vector — the "candidate
-    // stage moves (cell, pcode) only" contract applies to the query side
-    // too (riding qv here would multiply candidate shuffle bytes ~17× at
-    // dim=64)
-    val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
-    val top = index.join(broadcast(q), Seq("cell"))
+    val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        (lookupSum(col("tdot")) / (col("qn") * sqrt(lookupSum(col("tn2")))))
+        (lookupSum(m, col("tdot")) / (col("qn") * sqrt(lookupSum(m, col("tn2")))))
           .as("psim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-    // winners only (k×|queries| rows) re-attach the query vector — probes
-    // carry one identical embedding per probed cell, so first() per q_id
-    // is deterministic — then join the source for the true cosine
-    val qvs = probes.groupBy(col("vec_id").as("q_id"))
-      .agg(first(col("embedding")).as("qv"))
-    broadcast(top.join(qvs, "q_id"))
-      .join(source.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
-        "n_id")
-      .select(col("q_id"), col("n_id"), col("psim"),
-        Exact.foldCosine(col("qv"), col("nv")).as("sim"), col("rank"))
+    topKRejoin(scored, probes, source, k)
   }
 
   /** Cell-relative residuals — the IVFADC ingredient: PQ codes carry far
@@ -547,7 +518,10 @@ object Similarity {
     * order pinned for the oracle: `qc + (per-subspace folds summed in j
     * order from 0.0)` over `qn · sqrt(cn2 + (crossT entries summed the
     * same way))`; a null pcode (NaN residual subvector) nulls both sums
-    * and the row ranks nowhere. Output: (q_id, n_id, psim, sim, rank).
+    * and psim, so the row sorts after every real score (nulls-last DESC
+    * in both engines) and can surface only when its cell has ≤ k
+    * candidates — always with psim null, never with a fabricated score.
+    * Output: (q_id, n_id, psim, sim, rank).
     */
   def ivfPqResidualSearch(index: DataFrame, probes: DataFrame,
       codebook: DataFrame, cents: DataFrame, source: DataFrame,
@@ -555,15 +529,7 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     VectorFold.register(index.sparkSession)
     val sub = dim / m
-    val flat = codebook.groupBy("j")
-      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
-        .as("cands"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("j"), col("cands")))).as("js"))
-      .select(transform(col("js"),
-        x => transform(x.getField("cands"), c => c.getField("cv")))
-        .as("allCvs"))
-      .select(col("allCvs"), size(element_at(col("allCvs"), 1)).as("kk"))
+    val flat = flattenedCodebook(codebook)
     // per-cell reconstruction constants (query-independent, built once):
     // cn2 = ||c||^2; crossT[j*K+p] = 2*dot(c_j, cw_p) + dot(cw_p, cw_p)
     val cellT = cents
@@ -582,23 +548,68 @@ object Similarity {
       .crossJoin(broadcast(flat))
       .join(broadcast(cellT), Seq("cell"))
       .select(col("q_id"), col("cell"),
-        flatten(transform(col("allCvs"), (cvsJ, j) =>
-          transform(cvsJ, cv => Exact.foldDot(
-            transform(slice(col("qv"), j * sub + 1, lit(sub)),
-              x => x.cast("double")), cv)))).as("tdot"),
+        adcTable(col("qv"), col("allCvs"), sub).as("tdot"),
         col("crossT"), col("cn2"), col("kk"),
         Exact.foldDot(col("qv"), col("cvec")).as("qc"),
         Exact.foldNorm(col("qv")).as("qn"))
-    def lookupSum(tbl: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) =>
-        acc + element_at(tbl, j * col("kk") + element_at(col("pcode"), j + 1)))
-    val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
-    val top = index.join(broadcast(q), Seq("cell"))
+    val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        ((col("qc") + lookupSum(col("tdot"))) /
-          (col("qn") * sqrt(col("cn2") + lookupSum(col("crossT")))))
+        ((col("qc") + lookupSum(m, col("tdot"))) /
+          (col("qn") * sqrt(col("cn2") + lookupSum(m, col("crossT")))))
           .as("psim"))
+    topKRejoin(scored, probes, source, k)
+  }
+
+  /** One-row broadcast form of a long-form codebook: codewords grouped
+    * per subspace, cent_id-sorted (the pqAssign POSITION order `pcode`
+    * indexes into), flattened so entry j·K+p is subspace j's codeword p;
+    * `kk` = codewords per subspace. Shared by both ADC tiers — a change
+    * to the positional layout here changes BOTH dereference sites or
+    * neither.
+    */
+  private def flattenedCodebook(codebook: DataFrame): DataFrame =
+    codebook.groupBy("j")
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("cands"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cands")))).as("js"))
+      .select(transform(col("js"),
+        x => transform(x.getField("cands"), c => c.getField("cv")))
+        .as("allCvs"))
+      .select(col("allCvs"), size(element_at(col("allCvs"), 1)).as("kk"))
+
+  /** The per-probe ADC lookup table: one sub-wide sequential fold per
+    * (subspace j, codeword), flat in (j, position) order — `tbl[j·K+p] =
+    * dot(query subvector j, codeword p)`.
+    */
+  private def adcTable(qv: Column, allCvs: Column, sub: Int): Column =
+    flatten(transform(allCvs, (cvsJ, j) =>
+      transform(cvsJ, cv => Exact.foldDot(
+        transform(slice(qv, j * sub + 1, lit(sub)),
+          x => x.cast("double")), cv))))
+
+  /** Score-side table dereference: m lookups by positional code, summed
+    * in j order from 0.0 — the pinned ADC summation grouping every
+    * oracle mirrors. Evaluates against the row's `pcode` and `kk`.
+    */
+  private def lookupSum(m: Int, tbl: Column): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) =>
+      acc + element_at(tbl, j * col("kk") + element_at(col("pcode"), j + 1)))
+
+  /** The shared search tail: rank scored candidates per query on
+    * (psim DESC, n_id) — the rank exchange moves ONLY the
+    * (q_id, n_id, psim) triple, never a dim-wide vector (riding the raw
+    * query vector would multiply candidate shuffle bytes ~17× at
+    * dim=64) — keep the top k, re-attach the query vector to the
+    * k×|queries| winners (probes carry one identical embedding per
+    * probed cell, so `first()` per q_id is deterministic), and join the
+    * source table for the true cosine.
+    */
+  private def topKRejoin(scored: DataFrame, probes: DataFrame,
+      source: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
+    val top = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
     val qvs = probes.groupBy(col("vec_id").as("q_id"))

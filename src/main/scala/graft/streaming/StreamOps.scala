@@ -43,12 +43,18 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger()
 
-  /** Memo for [[eventsStream]]'s ts-type probe (path → resolved type). */
+  /** Memo for [[eventsStream]]'s ts-type probe (path → resolved type).
+    * Cached for the JVM's lifetime with no invalidation — a path's
+    * timestamp encoding doesn't change under a live engine; rewriting a
+    * path with a DIFFERENT encoding mid-JVM (or probing it from a second
+    * differently-configured session) would serve the stale type. Only
+    * successful probes are cached, so a cold-start fallback (below) is
+    * re-probed once real files land.
+    */
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a DIRECTORY basePath. The testdata
     // table is one FILE in the sf dir (select it with a glob filter);
     // a Spark-written table (ScaleSmoke's replicated dirs) is itself a
@@ -66,16 +72,24 @@ object StreamOps {
     // the stream schema to it — an explicit LongType schema over a µs
     // TIMESTAMP file would silently surface raw µs ints where every
     // consumer expects ns. The probe is a footer-read inference JOB
-    // (~0.3-1 s of scheduling overhead), so memoize per path for the
-    // JVM's lifetime: a path's timestamp encoding doesn't change under a
-    // live engine, and queries building the same source repeatedly
-    // (q39b/q99 build two sides each; the bench loops all of them)
-    // shouldn't re-pay it.
+    // (~0.3-1 s of scheduling overhead) — memoized per path (above).
+    // An UNPROBEABLE path (empty or not-yet-populated directory — the
+    // file-stream cold-start pattern an explicit schema exists for)
+    // falls back to timestamp_ntz, the encoding the current testdata
+    // and every Spark-written staging table carry, WITHOUT caching the
+    // guess: the first successful probe after files land pins the real
+    // type. A cold-started NANOS stream is the one shape this cannot
+    // serve — that encoding needs the legacy conf and a populated path.
     val probeKey = if (isDir) tableDir else s"$sfDir/*events.parquet"
-    val tsType = tsTypeCache.computeIfAbsent(probeKey, _ =>
-      (if (isDir) spark.read.parquet(tableDir)
-       else spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir))
-        .schema("ts").dataType)
+    val tsType = Option(tsTypeCache.get(probeKey)).getOrElse {
+      try {
+        val t = (if (isDir) spark.read.parquet(tableDir)
+          else spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir))
+          .schema("ts").dataType
+        tsTypeCache.put(probeKey, t)
+        t
+      } catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+    }
     val schema = StructType(EventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val src =

@@ -59,12 +59,26 @@ class EventTsNormalizeSpec extends AnyFunSuite with SparkSpec {
     // staging job would, then re-normalize the copy: the two reads must
     // agree exactly — this is the eventsStream-over-a-Spark-written-dir
     // shape (ScaleSmoke's replicated events) in miniature
-    val dir = java.nio.file.Files.createTempDirectory("evts_norm_").toString
-    spark.read.parquet(s"$d/events.parquet").write.mode("overwrite")
-      .parquet(s"$dir/events.parquet")
-    val copy = Tables.events(spark, dir).select("event_id", "ts_ns")
-    assert(copy.join(base, "event_id")
-      .filter(base("ts_ns") =!= copy("ts_ns")).isEmpty,
-      "round-tripped ts_ns differs from the source read")
+    val dir = java.nio.file.Files.createTempDirectory("evts_norm_")
+    try {
+      spark.read.parquet(s"$d/events.parquet").write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      val copy = Tables.events(spark, dir.toString).select("event_id", "ts_ns")
+      // count + null gates first: an empty copy or a null-producing
+      // conversion would sail through a join-shrink or a null-swallowing
+      // =!= predicate
+      val n = base.count()
+      assert(n > 0 && copy.count() == n, "round trip changed the row count")
+      assert(copy.filter(col("ts_ns").isNull).isEmpty, "round trip produced null ts_ns")
+      assert(copy.join(base, "event_id")
+        .filter(!(base("ts_ns") <=> copy("ts_ns"))).isEmpty,
+        "round-tripped ts_ns differs from the source read")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 }
