@@ -52,6 +52,30 @@ class EventTsNormalizeSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("eventsStream cold-starts over an empty events directory (schema fallback, no probe crash)") {
+    // the file-stream pattern an explicit schema exists for: the
+    // directory exists but no file has landed yet — stream construction
+    // must succeed (probe falls back to the current ntz encoding) and a
+    // drain must yield zero rows, not throw
+    val dir = java.nio.file.Files.createTempDirectory("evts_cold_")
+    try {
+      java.nio.file.Files.createDirectory(dir.resolve("events.parquet"))
+      val s = graft.streaming.StreamOps.eventsStream(spark, dir.toString)
+      assert(s.isStreaming, "eventsStream must return a streaming frame")
+      assert(s.schema("ts_ns").dataType ==
+        org.apache.spark.sql.types.LongType, "fallback must still expose ts_ns BIGINT")
+      val out = graft.streaming.StreamOps.runToBatch(
+        s.groupBy("event_type").count(), statePartitions = Some(2))
+      assert(out.isEmpty, "empty directory must drain to zero rows")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("a parquet round trip of the current testdata encoding reads back the same ts_ns") {
     val d = "/root/testdata/sf0.001"
     val base = Tables.events(spark, d).select("event_id", "ts_ns")
