@@ -42,6 +42,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // build-time, not runtime: parquet schema inference (which decides
+      // whether a TIMESTAMP(NANOS) events.ts is legal at all) only sees
+      // builder/SparkConf-backed values — see Tables.normalizeEventTs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

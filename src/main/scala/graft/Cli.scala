@@ -76,6 +76,7 @@ object Cli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName(s"graft-${cfg.command}-${cfg.whale}")
       .getOrCreate()
     try println(run(cfg, new JdkHttp(), spark))

@@ -88,7 +88,17 @@ object StreamOps {
           .schema("ts").dataType
         tsTypeCache.put(probeKey, t)
         t
-      } catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // loud so a LATER scan failure on this stream is attributable
+          // to the unprobeable-path guess, not to the files themselves
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"eventsStream: $probeKey is empty/unprobeable — pinning ts to " +
+              "timestamp_ntz (uncached). If files later land with a zoned " +
+              "TIMESTAMP or NANOS encoding, scans of this already-built " +
+              "stream will fail or reinterpret; rebuild the stream then.")
+          TimestampNTZType
+      }
     }
     val schema = StructType(EventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))

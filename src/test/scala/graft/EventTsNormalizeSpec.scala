@@ -76,6 +76,57 @@ class EventTsNormalizeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a REAL TIMESTAMP(NANOS) parquet file reads through Tables.events as epoch-ns") {
+    // Spark can't author TIMESTAMP(NANOS) itself, so the LongType branch
+    // of normalizeEventTs was previously only reachable via a synthetic
+    // lit() column. Author a genuine NANOS file with parquet-mr's example
+    // writer — the exact physical shape the driver's pyarrow testdata
+    // shipped in earlier rounds — and assert the whole ingestion path:
+    // schema inference resolves BIGINT (build-time nanosAsLong conf, see
+    // SparkSpec), and Tables.events lands on the same instant.
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = java.nio.file.Files.createTempDirectory("evts_nanos_")
+    try {
+      val schema = MessageTypeParser.parseMessageType(
+        """message events {
+          |  optional int64 event_id;
+          |  optional int64 ts (TIMESTAMP(NANOS,false));
+          |  optional binary event_type (STRING);
+          |}""".stripMargin)
+      val conf = new Configuration()
+      val file = dir.resolve("events.parquet").resolve("part-00000.parquet")
+      java.nio.file.Files.createDirectories(file.getParent)
+      val w = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(new Path(file.toString), conf))
+        .withConf(conf).withType(schema).build()
+      val gf = new SimpleGroupFactory(schema)
+      try Seq((7L, Ns, "click"), (8L, Ns + 1L, "view")).foreach { case (id, ns, et) =>
+        val g = gf.newGroup()
+        g.add("event_id", id); g.add("ts", ns); g.add("event_type", et)
+        w.write(g)
+      } finally w.close()
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      assert(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+        "NANOS must surface as BIGINT under the build-time legacy conf")
+      val out = Tables.events(spark, dir.toString)
+        .orderBy("event_id").collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+        Seq((7L, Ns, "click"), (8L, Ns + 1L, "view")),
+        "NANOS file must normalize to the exact epoch-ns instants")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("a parquet round trip of the current testdata encoding reads back the same ts_ns") {
     val d = "/root/testdata/sf0.001"
     val base = Tables.events(spark, d).select("event_id", "ts_ns")

@@ -12,6 +12,9 @@ trait SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the suite runnable against a TIMESTAMP(NANOS) testdata round
+      // (schema inference only honors build-time values — Tables.scala)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
