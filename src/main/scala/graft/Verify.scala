@@ -24,6 +24,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // round-start drift gate: the driver regenerates testdata between
+    // rounds and has changed physical types silently — print the diff
+    // BEFORE any query so a downstream failure is attributable
+    SchemaDiff.report(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Spark schedules concurrent jobs fine; 4 submitters keep the local
     // cluster busy across the many small queries (sequential leaves most
