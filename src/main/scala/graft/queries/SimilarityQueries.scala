@@ -612,18 +612,137 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfPqResidualSearch(idx, probes, cb, cents, e, 8, 64, 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- serve-time deletes: tombstoned incremental ANN ------------------
+    // q107's missing half: a production index absorbs DELETES without
+    // touching the persisted state — a delete batch lands as a tombstone
+    // id-set, and serving anti-joins it out of the candidate stream
+    // (codes stay in the index files; compaction reclaims them whenever
+    // the next retrain rewrites the index anyway). Books + base index are
+    // the same persisted state as q107, the insert delta is encoded with
+    // stale books, and the tombstones here are a slice of the BASE corpus
+    // (deletes of already-indexed rows — the hard case; deleting an
+    // unflushed delta row would never reach the index at all). The
+    // anti-join keys on n_id only — an id-set probe, broadcast when small
+    // — and runs BEFORE ADC ranking, so tombstoned rows cost zero table
+    // lookups and can never shadow a live row out of the top-k.
+    // TombstoneAnnSpec asserts serve ≡ rebuild-without-deleted
+    // row-identically; the oracle replays the same exclusion at its
+    // candidate CTE with both trainings bit-exact.
+    QueryDef.sql(
+      "q109_ann_tombstones",
+      ivfPqSql("vec_id % 10 <> 9 AND vec_id % 4 = 0",
+        "vec_id % 97 = 0 AND vec_id % 10 <> 9",
+        "NOT (l.vec_id % 10 <> 9 AND l.vec_id % 7 = 3)")) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val existing = e.filter(col("vec_id") % 10 =!= 9)
+      val delta = e.filter(col("vec_id") % 10 === 9)
+      val tombstones = existing.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("n_id"))
+      val train = existing.filter(col("vec_id") % 4 === 0)
+      val init = existing.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      def indexOf(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+          .join(Similarity.pqIndex(part, cb, 8, 64)
+            .select(col("vec_id"), col("pcode")), "vec_id")
+          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val baseIdx = indexOf(existing).transform(graft.Materialize.checkpoint)
+      val served = baseIdx.unionByName(indexOf(delta))
+        .join(tombstones, Seq("n_id"), "left_anti")
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(served, probes, cb, e, 8, 64, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- books-staleness drift probe --------------------------------------
+    // The retrain signal for the q107/q109 persisted state: per-batch
+    // average assignment distortion (1 − cos to the nearest frozen
+    // centroid — the quantity training minimized) for the rows that
+    // TRAINED the books, the base rows held out of training, and the
+    // post-training delta, plus each batch's ratio to the training
+    // distortion (`drift`; 1.0 by construction for the train row). An
+    // in-distribution delta reads drift ≈ heldout ≈ 1; a drifted ingest
+    // reads > that, and the number is what an ingest pipeline alerts on
+    // before recall quietly decays (DriftProbeSpec pins both regimes).
+    // One broadcast-centroid cross over the corpus, a map-side argmin,
+    // and a 3-group aggregate. The per-batch mean folds in pinned vec_id
+    // order on both sides (oracle parity), which collects each batch's
+    // distortions into one task — bounded here by the corpus, and in
+    // production by the SAMPLE the probe runs on: a mean distortion is
+    // an estimate, ~10⁴ rows pin it to ~1%, so a 100 TB ingest batch
+    // samples before this aggregate exactly as training itself does
+    // (pqTrain's sample-sized contract) — or swaps the fold for a plain
+    // avg once bit-replay is not required.
+    QueryDef.sql(
+      "q110_ann_drift", {
+        val batchSql =
+          "CASE WHEN vec_id % 10 = 9 THEN 'delta' WHEN vec_id % 4 = 0 THEN 'train' ELSE 'base_heldout' END"
+        s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+           |               WHERE vec_id % 10 <> 9 AND vec_id % 4 = 0),
+           |${trainCtesSql("iv", 1, 64, 2, "train", "vec_id % 97 = 0 AND vec_id % 10 <> 9")},
+           |cents AS (SELECT cent_id, cv FROM ivcb2),
+           |casg AS (SELECT e.vec_id, cent_id,
+           |          ${cosSql("e.embedding", "cv")} AS csim
+           |        FROM embeddings e CROSS JOIN cents),
+           |best AS (SELECT vec_id, 1.0 - csim AS dist FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+           |           FROM casg) WHERE rn = 1),
+           |agg AS (SELECT $batchSql AS batch, count(*) AS n_vec,
+           |          list_reduce(list_prepend(0.0::DOUBLE, list(dist ORDER BY vec_id)),
+           |                      (x, y) -> x + y) / count(*) AS avg_dist
+           |        FROM best GROUP BY 1)
+           |SELECT batch, n_vec, avg_dist,
+           |       avg_dist / t.td AS drift
+           |FROM agg CROSS JOIN (SELECT avg_dist AS td FROM agg WHERE batch = 'train') t
+           |ORDER BY batch"""
+      }) { (s, d) =>
+      import graft.functions.Exact
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val existing = e.filter(col("vec_id") % 10 =!= 9)
+      val train = existing.filter(col("vec_id") % 4 === 0)
+      val init = existing.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val agg = Similarity.assignDistortion(e, cents)
+        .withColumn("batch",
+          when(col("vec_id") % 10 === 9, "delta")
+            .when(col("vec_id") % 4 === 0, "train")
+            .otherwise("base_heldout"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_vec"),
+          (Exact.foldSum(expr(
+            "transform(array_sort(collect_list(struct(vec_id, dist))), s -> s.dist)"))
+            / count(lit(1))).as("avg_dist"))
+      val trainDist = agg.filter(col("batch") === "train")
+        .select(col("avg_dist").as("td"))
+      agg.crossJoin(broadcast(trainDist))
+        .select(col("batch"), col("n_vec"), col("avg_dist"),
+          (col("avg_dist") / col("td")).as("drift"))
+        .orderBy("batch")
     }
   )
 
   /** The composed IVF+PQ pipeline as DuckDB SQL, shared by q106 (books
-    * trained on the full corpus) and q107 (books trained on the base
-    * corpus only, delta excluded): `trainWhere` filters the Lloyd
-    * training rows, `initWhere` the codeword init subset. Assignment,
-    * encode, probing, and the winners-only true-cosine join always run
-    * over the FULL corpus — with fixed books, encoding distributes over
-    * union, so one full-corpus pass equals the engine's base ∪ delta.
+    * trained on the full corpus), q107 (books trained on the base
+    * corpus only, delta excluded) and q109 (q107 plus delete
+    * tombstones): `trainWhere` filters the Lloyd training rows,
+    * `initWhere` the codeword init subset, `serveCond` (over
+    * `l.vec_id`) the rows the index SERVES — a tombstoned row is still
+    * assigned/encoded (its code exists in the persisted state) but is
+    * excluded at candidate time, exactly the engine's serve-time
+    * anti-join. Assignment, encode, probing, and the winners-only
+    * true-cosine join always run over the FULL corpus — with fixed
+    * books, encoding distributes over union, so one full-corpus pass
+    * equals the engine's base ∪ delta.
     */
-  private def ivfPqSql(trainWhere: String, initWhere: String): String = {
+  private def ivfPqSql(trainWhere: String, initWhere: String,
+      serveCond: String = "TRUE"): String = {
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
         // the query subvector for subspace ch.j — one ADC table entry is
@@ -657,7 +776,7 @@ object SimilarityQueries {
            |    FROM easg) WHERE rn = 1),
            |cand AS (SELECT p.q_id, p.qv, l.vec_id AS n_id
            |         FROM cell l JOIN probe p USING (cell)
-           |         WHERE p.q_id <> l.vec_id),
+           |         WHERE p.q_id <> l.vec_id AND ($serveCond)),
            |parts AS (
            |  SELECT cand.q_id, cand.n_id, ch.j,
            |    CASE WHEN ch.cent_id IS NULL THEN NULL

@@ -63,6 +63,28 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
   }
 
+  /** Per-vector assignment distortion: `1 − cos` to the nearest trained
+    * centroid (the quantity [[ivfTrain]]'s assignment minimizes, so it is
+    * directly comparable across batches). This is the books-staleness
+    * signal for a persisted index (q107/q109): a post-training batch
+    * whose average distortion materially exceeds the training batches'
+    * means the frozen cells no longer describe the incoming data and a
+    * retrain is due — the number a production ingest pipeline alerts on.
+    * Output: (vec_id, dist).
+    */
+  def assignDistortion(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    VectorFold.register(vectors.sparkSession)
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(c))
+      .select(col("vec_id"), cosine(col("embedding"), col("cv")).as("csim"),
+        col("cent_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), (lit(1.0) - col("csim")).as("dist"))
+  }
+
   /** IVF search: top-k within the query's own cell (nprobe=1), self
     * excluded. Output: (q_id, n_id, sim, rank).
     */
