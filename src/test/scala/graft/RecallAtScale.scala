@@ -61,7 +61,7 @@ object RecallAtScale {
         Similarity.pqCodebook(res.filter(col("vec_id") < k), 8, 64), 8, 64, 2)
       val rawIdx = idxOf(asg, cbRaw)
       val resIdx = idxOf(res, cbRes)
-      for (nprobe <- Seq(1, 2, 4, 8)) {
+      for (nprobe <- Seq(1, 2, 4, 8, nCells.toInt)) {
         val probes = Similarity.ivfProbes(
           e.filter(col("vec_id") % 100 === 0), cents, nprobe)
         val rRaw = recallOf(Similarity.ivfPqSearch(rawIdx, probes, cbRaw, e, 8, 64, 3))

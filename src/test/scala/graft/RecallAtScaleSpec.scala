@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+
+/** Recall@3 gates for the composed IVF+PQ tiers at the 10× corpus
+  * (sf0.1, 2000 vectors) with PRODUCTION-SHAPED books: cells ≈ √n (45)
+  * and 256 codewords per subspace (the classic PQ paper's K), closing
+  * the gap AnnRecallSpec documents for its deliberately-toy sf0.01
+  * 8-codeword books. All numbers are deterministic (fixed testdata,
+  * deterministic training inits and tie-breaks) — floors sit under the
+  * RecallAtScale-measured values with enough slack to absorb a
+  * re-generated-testdata regime shift without going vacuous.
+  *
+  * Measured sweep (RecallAtScale, sf0.1; recall granularity 1/60):
+  * ```
+  *           np=1   np=2   np=4   np=8   np=45(all)
+  * K=8   raw 0.067  0.067  0.100  0.117  0.067
+  *       res 0.133  0.117  0.100  0.133  0.133
+  * K=64  raw 0.150  0.133  0.150  0.167  0.117
+  *       res 0.150  0.200  0.217  0.267  0.267
+  * K=256 raw 0.233  0.217  0.250  0.350  0.417
+  *       res 0.233  0.217  0.267  0.317  0.300
+  * ```
+  * Three regime facts the gates encode:
+  *  1. book size is the recall lever at fixed probe cost — K=256 roughly
+  *     triples the toy K=8's recall at every width;
+  *  2. residual coding's advantage concentrates where the budget is
+  *     TIGHT relative to the data (K=8: +36%, K=64: +39% summed) — the
+  *     regime that matters at 100 TB, where bytes/vector is the cost
+  *     driver; at K=256 the codes out-resolve this corpus's margins and
+  *     the two codings sit within recall granularity of each other
+  *     (raw ahead by exactly 2 pairs at np=8);
+  *  3. at coarse K, widening probes does NOT buy recall (K=8 all-cells
+  *     ≤ np=8): ranking error, not candidate coverage, is the binding
+  *     constraint — the quantitative argument for production-sized books.
+  */
+class RecallAtScaleSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  private lazy val e = Tables.embeddings(spark, sf)
+  private lazy val exact: Set[(Long, Long)] = {
+    val x = Similarity.topkNeighbors(e.filter(col("vec_id") % 100 === 0), e, 3)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(x.size == 60, s"expected 20 queries x 3, got ${x.size}")
+    x
+  }
+  private lazy val train = e.filter(col("vec_id") % 4 === 0)
+  // cells ~ sqrt(2000) ~ 45
+  private lazy val cents = Similarity.ivfTrain(train,
+    e.filter(col("vec_id") % 45 === 0), 64, 2)
+  private lazy val asg = Similarity.ivfAssign(e, cents)
+  private lazy val res = Similarity.residuals(asg, cents)
+
+  private def idxOf(vecs: DataFrame, cb: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("cell"))
+      .join(Similarity.pqIndex(vecs.select("vec_id", "embedding"), cb, 8, 64)
+        .select(col("vec_id"), col("pcode")), "vec_id")
+      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+
+  /** (rawIdx, rawCb, resIdx, resCb) for a K-codeword budget. */
+  private def books(k: Int) = {
+    val cbRaw = Similarity.pqTrain(train,
+      Similarity.pqCodebook(e.filter(col("vec_id") < k), 8, 64), 8, 64, 2)
+    val cbRes = Similarity.pqTrain(res.join(train.select("vec_id"), "vec_id"),
+      Similarity.pqCodebook(res.filter(col("vec_id") < k), 8, 64), 8, 64, 2)
+    (idxOf(asg, cbRaw), cbRaw, idxOf(res, cbRes), cbRes)
+  }
+
+  private def recallOf(df: DataFrame): Double = {
+    val hits = df.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    spark.sharedState.cacheManager.clearCache()
+    hits.toDouble / exact.size
+  }
+
+  test("production-shaped books (K=256, cells ~ sqrt n) clear recall floors at the 10x corpus") {
+    val (rawIdx, cbRaw, resIdx, cbRes) = books(256)
+    val probes2 = Similarity.ivfProbes(e.filter(col("vec_id") % 100 === 0), cents, 2)
+    val probes8 = Similarity.ivfProbes(e.filter(col("vec_id") % 100 === 0), cents, 8)
+    val raw2 = recallOf(Similarity.ivfPqSearch(rawIdx, probes2, cbRaw, e, 8, 64, 3))
+    val res2 = recallOf(Similarity.ivfPqResidualSearch(resIdx, probes2, cbRes, cents, e, 8, 64, 3))
+    val raw8 = recallOf(Similarity.ivfPqSearch(rawIdx, probes8, cbRaw, e, 8, 64, 3))
+    val res8 = recallOf(Similarity.ivfPqResidualSearch(resIdx, probes8, cbRes, cents, e, 8, 64, 3))
+    assert(raw2 >= 0.15, s"raw K=256 np=2 recall $raw2 (measured 0.217)")
+    assert(res2 >= 0.15, s"residual K=256 np=2 recall $res2 (measured 0.217)")
+    assert(raw8 >= 0.30, s"raw K=256 np=8 recall $raw8 (measured 0.350)")
+    assert(res8 >= 0.25, s"residual K=256 np=8 recall $res8 (measured 0.317)")
+    // parity within recall granularity at the saturating budget: the two
+    // codings may not diverge by more than ~3 pairs either way
+    assert(math.abs((raw2 + raw8) - (res2 + res8)) <= 3.0 / 60 + 1e-9,
+      s"codings diverged at K=256: raw ${raw2 + raw8} vs residual ${res2 + res8}")
+
+    // and the toy budget: book size is the recall lever, residual wins
+    // where the budget is tight
+    val (rawIdx8, cbRaw8, resIdx8, cbRes8) = books(8)
+    val rawT = recallOf(Similarity.ivfPqSearch(rawIdx8, probes2, cbRaw8, e, 8, 64, 3)) +
+      recallOf(Similarity.ivfPqSearch(rawIdx8, probes8, cbRaw8, e, 8, 64, 3))
+    val resT = recallOf(Similarity.ivfPqResidualSearch(resIdx8, probes2, cbRes8, cents, e, 8, 64, 3)) +
+      recallOf(Similarity.ivfPqResidualSearch(resIdx8, probes8, cbRes8, cents, e, 8, 64, 3))
+    assert(raw2 + raw8 > rawT * 1.5,
+      s"K=256 raw (${raw2 + raw8}) should far exceed K=8 raw ($rawT)")
+    assert(res2 + res8 > resT * 1.5,
+      s"K=256 residual (${res2 + res8}) should far exceed K=8 residual ($resT)")
+    assert(resT >= rawT,
+      s"residual coding ($resT) must not lose to raw ($rawT) at the tight K=8 budget " +
+        "(measured 0.250 vs 0.184 — the MSE advantage ResidualPqSpec pins, shown on recall)")
+  }
+}
