@@ -108,6 +108,59 @@ object Tables {
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (sys.env.contains("GRAFT_NO_SPREAD")) df // A/B audit knob (QTime)
-    else if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+    else if (estimatedScanSplits(df).forall(_ < cores)) df.repartition(cores, key)
+    else df
+  }
+
+  /** Scan-split count from the relation's FILE LISTING — NOT
+    * `df.rdd.getNumPartitions`, which forces a full physical-plan
+    * conversion (analyze → optimize → plan → RDD) per call site per
+    * query build just to read a number the file index already knows.
+    * The per-file lengths come from the listing the read already built
+    * and cached (InMemoryFileIndex), so this is arithmetic, not I/O.
+    * `None` when the frame has no file relation underneath (in-memory
+    * test frames) — [[spread]] treats that as "starved", matching the
+    * old probe's behavior on tiny local relations.
+    *
+    * The arithmetic replicates `FilePartition.maxSplitBytes` +
+    * `getFilePartitions` (spark/sql/execution/datasources/
+    * FilePartition.scala) on the same inputs Spark will use: chunk each
+    * file at `maxSplit`, sort chunks descending, pack greedily where a
+    * partition closes only when the NEXT chunk's length (openCost
+    * excluded — Spark's exact comparison) would pass `maxSplit`.
+    * Decision parity with the physical count is pinned per table and
+    * layout in TablesSpreadSpec.
+    */
+  private[graft] def estimatedScanSplits(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPart = math.max(1, conf.filesMinPartitionNum
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+    val scans = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val sizes = fs.location.listFiles(Nil, Nil)
+            .flatMap(_.files.map(_.getLen)).filter(_ > 0)
+          val totalBytes = sizes.map(_ + openCost).sum
+          val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+            math.max(openCost, totalBytes / minPart)))
+          val chunks = sizes.flatMap { len =>
+            val whole = len / maxSplit
+            val rem = len - whole * maxSplit
+            Seq.fill(whole.toInt)(maxSplit) ++ (if (rem > 0) Seq(rem) else Nil)
+          }.sortBy(-_)
+          var bins = 0
+          var cur = 0L
+          chunks.foreach { sz =>
+            if (cur + sz > maxSplit && cur > 0) { bins += 1; cur = 0L }
+            cur += sz + openCost
+          }
+          if (cur > 0) bins += 1
+          bins
+        case _ => 0 // non-file relation (JDBC…): contributes no scan splits
+      }
+    }
+    if (scans.isEmpty) None else Some(scans.sum)
   }
 }
