@@ -43,16 +43,24 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger()
 
-  /** Memo for [[eventsStream]]'s ts-type probe (path → resolved type).
-    * Cached for the JVM's lifetime with no invalidation — a path's
-    * timestamp encoding doesn't change under a live engine; rewriting a
-    * path with a DIFFERENT encoding mid-JVM (or probing it from a second
-    * differently-configured session) would serve the stale type. Only
-    * successful probes are cached, so a cold-start fallback (below) is
-    * re-probed once real files land.
+  /** Memo for [[eventsStream]]'s ts-type probe, keyed on (path, the
+    * session's build-time `nanosAsLong` value) — the one conf that
+    * changes what type the SAME file resolves to, so two differently-
+    * configured sessions in one JVM can't serve each other a stale
+    * type. Cached for the JVM's lifetime otherwise: a path's timestamp
+    * encoding doesn't change under a live engine, and rewriting a path
+    * with a DIFFERENT encoding mid-JVM is a re-deploy — [[clearTsTypeCache]]
+    * exists for tools/tests that really do that. Only successful probes
+    * are cached, so a cold-start fallback (below) is re-probed once
+    * real files land.
     */
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** Drop all memoized ts-type probes (for tools/tests that rewrite a
+    * path with a different timestamp encoding mid-JVM).
+    */
+  def clearTsTypeCache(): Unit = tsTypeCache.clear()
 
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     // The file stream source needs a DIRECTORY basePath. The testdata
@@ -80,7 +88,12 @@ object StreamOps {
     // guess: the first successful probe after files land pins the real
     // type. A cold-started NANOS stream is the one shape this cannot
     // serve — that encoding needs the legacy conf and a populated path.
-    val probeKey = if (isDir) tableDir else s"$sfDir/*events.parquet"
+    val pathKey = if (isDir) tableDir else s"$sfDir/*events.parquet"
+    // keyed on the SparkConf-BACKED value, not spark.conf.get: a runtime
+    // conf.set never reaches schema inference (Tables.normalizeEventTs),
+    // so the builder/SparkConf value is the one the probe resolves under
+    val probeKey = pathKey + "|nanosAsLong=" + spark.sparkContext.getConf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false")
     val tsType = Option(tsTypeCache.get(probeKey)).getOrElse {
       try {
         val t = (if (isDir) spark.read.parquet(tableDir)
