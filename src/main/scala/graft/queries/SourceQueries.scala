@@ -293,6 +293,58 @@ object SourceQueries {
         .select(col("d1"), col("d2"),
           graft.dedup.Dedup.hamming(col("a1"), col("a2")).cast("long").as("ham"))
         .orderBy("d1", "d2")
+    },
+
+    // ---- schema-evolved staging read (one declared target, N versions) ---
+    // A 100 TB staging tree is written over months under an EVOLVING
+    // schema. Stage the documents table as two physical versions — v1
+    // under the old contract (doc_id INT32, score FLOAT, no lang yet,
+    // plus a since-retired column) and v2 under the current one (lang
+    // added, types widened, different column order) — then read BOTH
+    // through Staging.readEvolved's single declared-target scan: added
+    // column nulls for v1 rows, retired column pruned unread, INT32/
+    // FLOAT widen at scan time, order resolves by name. The oracle
+    // rebuilds the same union semantics from the source table, so any
+    // row the reconciliation dropped, nulled wrongly, or mis-widened
+    // fails the gate. (SchemaEvolutionSpec pins each class in isolation,
+    // incl. loud failure on narrowing drift.)
+    QueryDef.sql(
+      "q111_schema_evolution",
+      """WITH v1 AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
+        |         CAST(NULL AS VARCHAR) AS lang
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score, lang
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(score) AS DOUBLE) AS total_score,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |GROUP BY lang ORDER BY lang NULLS FIRST""") { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val docs = Tables.documents(s, d)
+      val base = scratch(d, "docs_evolve")
+      // v1: the old contract — INT32 ids, FLOAT score (exact: integer
+      // char counts < 2^24), a retired column, no lang
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("int").as("doc_id"),
+          length(col("text")).cast("float").as("score"),
+          lit("retired").as("legacy_note"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      // v2: the current contract — widened types, lang added, reordered
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("lang"),
+          col("doc_id"),
+          length(col("text")).cast("double").as("score"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      val target = StructType(Seq(
+        StructField("doc_id", LongType), StructField("score", DoubleType),
+        StructField("lang", StringType)))
+      Staging.readEvolved(s, target, Seq(s"$base/v1", s"$base/v2"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang").asc_nulls_first)
     }
   )
 }

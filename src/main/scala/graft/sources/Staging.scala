@@ -51,6 +51,33 @@ object Staging {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-EVOLVED staging read: one declared target schema over a
+    * staging area whose parquet files were written under several schema
+    * versions — the operational reality of a 100 TB staging tree written
+    * over months. Per evolution class, the declared read reconciles:
+    *
+    *   - column ADDED since a file was written (missing in the file) →
+    *     null, vectorized, no per-file branching;
+    *   - column REMOVED from the contract (extra in old files) → never
+    *     read (column pruning — the scan reads only target columns);
+    *   - type WIDENED (int32→int64, float→double, the
+    *     backward-compatible promotions) → widened at scan time by the
+    *     vectorized parquet reader's type promotion;
+    *   - column ORDER differences → irrelevant (parquet resolves by
+    *     name).
+    *
+    * This stays a SINGLE multi-path scan — no per-version read + union,
+    * no `mergeSchema` footer sweep over every file (which at 100 TB is a
+    * listing-scale job before any data is read, and rejects exactly the
+    * int→long widening evolution ships). The declared target IS the
+    * contract; SchemaEvolutionSpec pins each reconciliation class, and
+    * incompatible drift (a NARROWING, a renamed column) fails the scan
+    * loudly rather than nulling silently — narrowing errors at read,
+    * renames read as the add+remove they physically are.
+    */
+  def readEvolved(spark: SparkSession, target: StructType, paths: Seq[String]): DataFrame =
+    spark.read.schema(target).parquet(paths: _*)
+
   /** Compacting sink: writes `df` as ⌈rows / targetFileRows⌉ similarly-
     * sized parquet files. The small-files problem is an operational
     * failure mode at scale — a 32-partition shuffle writing hourly for a
