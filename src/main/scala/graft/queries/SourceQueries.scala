@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.sources.Staging
+import graft.sources.{IncrementalLedger, Staging}
 
 /** Source/sink + multimodal coverage. Round-trip queries write through the
   * engine's own sinks to scratch space and read back with declared
@@ -345,6 +345,83 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang").asc_nulls_first)
+    },
+
+    // ---- partition backfill: recompute one partition, land it atomically -
+    // The idempotent-backfill pattern: a partitioned staging table where
+    // ONE partition's derivation was wrong (en's score off by one — the
+    // bad Tuesday), fixed by recomputing JUST that partition and landing
+    // it with Staging.overwritePartitions (dynamic partition overwrite).
+    // The oracle is the fully-correct table: it fails if the backfill
+    // didn't replace the bad partition, AND if overwrite ran in static
+    // mode (which deletes every sibling partition first — de/fr/... rows
+    // would vanish). Sibling files staying byte-identical (not rewritten)
+    // is pinned separately in PartitionBackfillSpec.
+    QueryDef.sql(
+      "q112_partition_backfill",
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_score
+        |FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = scratch(d, "docs_backfill")
+      val derived = docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("score"))
+      // initial load with the planted defect in en only
+      Staging.writePartitioned(
+        derived.withColumn("score",
+          when(col("lang") === "en", col("score") - 1).otherwise(col("score"))),
+        Seq("lang"), path)
+      // backfill: recompute en correctly; land ONLY that partition
+      Staging.overwritePartitions(
+        derived.filter(col("lang") === "en"), Seq("lang"), path)
+      Staging.readPartitioned(s, path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
+        .orderBy("lang")
+    },
+
+    // ---- incremental batch ingest: ledger + mergeable partial state ------
+    // The batch analog of streaming offsets (IncrementalLedger): events
+    // land as segment files across two "days"; each run consumes ONLY
+    // the unprocessed segments, folds their partial (count + exact
+    // decimal sum — a MERGEABLE aggregate) into the persisted state, and
+    // commits atomically. The gate compares the final committed state to
+    // a full recompute of all input — double-counted replays, dropped
+    // segments, or a broken merge all fail. Crash/torn-commit replay
+    // convergence is pinned separately in IncrementalLedgerSpec.
+    QueryDef.sql(
+      "q113_incremental_batch",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val src = scratch(d, "events_segments")
+      val led = scratch(d, "events_ledger")
+      for (dir <- Seq(src, led)) {
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.delete(q))
+      }
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("decimal(24,2)").as("t"))
+      def merge(state: org.apache.spark.sql.DataFrame,
+          partial: org.apache.spark.sql.DataFrame) =
+        state.unionByName(partial).groupBy("event_type")
+          // state schema stays pinned at decimal(24,2) across versions
+          // (sum() would otherwise widen precision every merge)
+          .agg(sum("n").as("n"), sum("t").cast("decimal(24,2)").as("t"))
+      // day 1: two segments; day 2: one more — only it is consumed
+      ev.filter(col("event_id") % 3 =!= 0).repartition(2)
+        .write.mode("append").parquet(src)
+      IncrementalLedger.run(s, src, led, agg, merge)
+      ev.filter(col("event_id") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      val run2 = IncrementalLedger.run(s, src, led, agg, merge)
+      run2.state
+        .select(col("event_type"), col("n"),
+          col("t").cast("double").as("total"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch-incremental processing over a growing file directory — the
+  * BATCH analog of streaming source offsets. A daily 100 TB ingest
+  * reprocessing its whole history every run is the operational failure
+  * this replaces: a LEDGER records which input files each committed run
+  * consumed, so a run reads ONLY unprocessed files, folds their partial
+  * aggregate into the persisted state, and commits both atomically.
+  *
+  * Commit protocol (versioned dirs + last-writer pointer):
+  *
+  *   ledger/v_N/state.parquet   merged state after run N
+  *   ledger/v_N/files.txt       every input file consumed through run N
+  *   ledger/LATEST              "N", written by atomic rename, LAST
+  *
+  * A run reads LATEST → v_N, processes `listing − files.txt`, writes the
+  * complete v_{N+1} (overwrite — a torn previous attempt is clobbered),
+  * then renames LATEST. A crash ANYWHERE before the rename leaves LATEST
+  * at N: the next run re-reads the same delta and overwrites v_{N+1} —
+  * at-least-once input, exactly-once STATE, the same shape as
+  * [[graft.sinks.IdempotentFileSink]]'s batch-id protocol on the write
+  * side. Old versions are pruned to a small keep-window so the ledger
+  * doesn't grow with ingest lifetime.
+  *
+  * The caller supplies the aggregation (files → partial) and the merge
+  * (state ⊎ partial → state); both must be MERGEABLE (count/sum/min/max,
+  * sketches — anything with an associative combine). The engine owns
+  * listing, delta selection, state round-trip, and the commit.
+  */
+object IncrementalLedger {
+
+  /** One committed run: the files this run consumed (empty = no-op run)
+    * and the merged state AFTER the run, read back from the committed
+    * version so callers observe exactly what durably landed.
+    */
+  final case class Run(newFiles: Seq[String], state: DataFrame)
+
+  private val KeepVersions = 3
+
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      ledgerDir: String,
+      aggregate: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Run = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val ledger = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledger.getFileSystem(hconf)
+
+    def readSmall(p: org.apache.hadoop.fs.Path): String = {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def writeSmall(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    val latestPath = new org.apache.hadoop.fs.Path(ledger, "LATEST")
+    val current: Option[Long] =
+      if (fs.exists(latestPath)) Some(readSmall(latestPath).trim.toLong) else None
+    def vdir(n: Long) = new org.apache.hadoop.fs.Path(ledger, s"v_$n")
+
+    val processed: Set[String] = current match {
+      case Some(n) =>
+        readSmall(new org.apache.hadoop.fs.Path(vdir(n), "files.txt"))
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
+
+    // data files only: planner/committer droppings (_SUCCESS, .crc) are
+    // not input. Keyed by fully-qualified URI so the set survives being
+    // probed from differently-based sessions.
+    val listing = fs.listStatus(new org.apache.hadoop.fs.Path(inputDir))
+      .iterator.filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .map(_.toUri.toString).toSeq.sorted
+    val delta = listing.filterNot(processed)
+
+    val next = current.getOrElse(-1L) + 1
+    require(delta.nonEmpty || current.isDefined,
+      s"first ledger run over $inputDir found no input files")
+    if (delta.isEmpty && current.isDefined) {
+      // no-op run: nothing consumed, state is the committed one
+      return Run(Nil, spark.read.parquet(
+        new org.apache.hadoop.fs.Path(vdir(current.get), "state.parquet").toString))
+    }
+
+    val partial = aggregate(spark.read.parquet(delta: _*))
+    val merged = current match {
+      case Some(n) => merge(spark.read.parquet(
+        new org.apache.hadoop.fs.Path(vdir(n), "state.parquet").toString), partial)
+      case None => partial
+    }
+
+    // write the COMPLETE next version (overwrite clobbers any torn
+    // attempt from a crashed predecessor), then commit via rename
+    val nd = vdir(next)
+    merged.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(nd, "state.parquet").toString)
+    writeSmall(new org.apache.hadoop.fs.Path(nd, "files.txt"),
+      (processed ++ delta).toSeq.sorted.mkString("\n"))
+    val tmp = new org.apache.hadoop.fs.Path(ledger, s".LATEST.$next.tmp")
+    writeSmall(tmp, next.toString)
+    // delete+rename because rename-onto-existing fails on local/HDFS
+    // semantics. A crash INSIDE this two-call window leaves no LATEST,
+    // which the next run reads as a fresh start: it rebuilds state from
+    // the FULL listing into v_0 — a wasteful full recompute, never a
+    // double-count (state is replaced, not folded into)
+    fs.delete(latestPath, false)
+    if (!fs.rename(tmp, latestPath))
+      throw new java.io.IOException(s"ledger commit rename failed for v_$next")
+
+    // prune versions outside the keep window (never the one just named)
+    (0L until next - KeepVersions + 1).foreach(o => fs.delete(vdir(o), true))
+
+    Run(delta, spark.read.parquet(
+      new org.apache.hadoop.fs.Path(nd, "state.parquet").toString))
+  }
+}

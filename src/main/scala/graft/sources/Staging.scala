@@ -51,6 +51,24 @@ object Staging {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Partition BACKFILL sink: overwrite exactly the partitions present
+    * in `df`, leaving every sibling partition's files untouched — the
+    * idempotent-backfill pattern (recompute one bad day/lang/source and
+    * land it atomically per partition) that at 100 TB replaces "rewrite
+    * the whole table because Tuesday was wrong". Implemented with
+    * Spark's dynamic partition-overwrite mode, set per-WRITE here (the
+    * DataFrameWriter option wins over the session conf, so the engine
+    * never flips global state): static mode would first DELETE every
+    * partition under `path`, dynamic replaces only the partitions the
+    * incoming rows name. PartitionBackfillSpec pins both halves of the
+    * contract — replaced content AND byte-identical sibling files.
+    */
+  def overwritePartitions(df: DataFrame, partitionCols: Seq[String], path: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Schema-EVOLVED staging read: one declared target schema over a
     * staging area whose parquet files were written under several schema
     * versions — the operational reality of a 100 TB staging tree written

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IncrementalLedger
+
+/** Pins the batch-incremental ledger contract: each run consumes ONLY
+  * unprocessed input files, folds their partial aggregate into persisted
+  * state, commits atomically, and converges after torn attempts — the
+  * batch analog of streaming offsets (+ state store).
+  */
+class IncrementalLedgerSpec extends AnyFunSuite with SparkSpec {
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+
+  private def merge(state: DataFrame, partial: DataFrame): DataFrame =
+    state.unionByName(partial).groupBy("k")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+
+  private def stateMap(df: DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("runs consume only new files; state merges; no-op and crash replay converge") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val (src, led) = (s"$root/src", s"$root/ledger")
+
+    def land(rows: (String, Long)*): Unit =
+      rows.toSeq.toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+
+    // run 1: two segments land, both consumed
+    land("a" -> 1L, "b" -> 2L)
+    land("a" -> 10L)
+    val r1 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r1.newFiles.size == 2)
+    assert(stateMap(r1.state) == Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
+
+    // run 2: ONE new segment lands; only it is consumed, state folds
+    land("b" -> 5L, "c" -> 7L)
+    val r2 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r2.newFiles.size == 1, s"reprocessed old files: ${r2.newFiles}")
+    val full = Map("a" -> (2L, 11L), "b" -> (2L, 7L), "c" -> (1L, 7L))
+    assert(stateMap(r2.state) == full)
+
+    // no-op run: nothing new → nothing consumed, state unchanged
+    val r3 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r3.newFiles.isEmpty)
+    assert(stateMap(r3.state) == full)
+
+    // torn attempt: a predecessor crashed after writing a garbage v_2
+    // but BEFORE the LATEST rename — the committed pointer still says
+    // v_1, so the next run re-reads the same delta and clobbers v_2
+    land("d" -> 3L)
+    val garbage = s"$led/v_2/state.parquet"
+    Seq(("zzz", 999L, 999L)).toDF("k", "n", "s")
+      .write.mode("overwrite").parquet(garbage)
+    val r4 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r4.newFiles.size == 1)
+    assert(stateMap(r4.state) == full + ("d" -> (1L, 3L)),
+      "torn v_2 leaked into the committed state")
+
+    // lost LATEST (crash inside the delete+rename window): degrades to a
+    // full recompute of the same state, never a double count
+    java.nio.file.Files.delete(java.nio.file.Paths.get(led, "LATEST"))
+    val r5 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r5.newFiles.size == 4, "fresh start should re-list every input file")
+    assert(stateMap(r5.state) == full + ("d" -> (1L, 3L)))
+
+    // three more runs push the version counter past the keep window —
+    // old versions must actually be pruned, so the ledger footprint is
+    // bounded by the window, not by ingest lifetime
+    var expect = full + ("d" -> (1L, 3L))
+    for ((k, v) <- Seq("e" -> 4L, "f" -> 6L, "g" -> 8L)) {
+      land(k -> v)
+      val r = IncrementalLedger.run(spark, src, led, agg, merge)
+      assert(r.newFiles.size == 1)
+      expect += (k -> (1L, v))
+      assert(stateMap(r.state) == expect)
+    }
+    val vdirs = new java.io.File(led).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_")).map(_.getName)
+    assert(vdirs.length <= 3, s"ledger grew unbounded: ${vdirs.sorted.mkString(",")}")
+    assert(!vdirs.contains("v_0"), "v_0 escaped the prune window")
+  }
+}
