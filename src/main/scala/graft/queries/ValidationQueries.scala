@@ -153,6 +153,53 @@ object ValidationQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           sum(col("k")).as("sum_k"))
         .orderBy("event_type")
+    },
+
+    // ---- table-level data contract: bulk constraint audit ----------------
+    // The publish gate a training-data snapshot runs: named constraints —
+    // key uniqueness, referential integrity, domain/range conditions —
+    // audited in bulk (TableConstraints). Every row condition and the
+    // unique-key check fold into ONE scan of orders (pinned by
+    // TableConstraintsSpec's records-read assert); the FK check is one
+    // broadcast anti-join against customer's distinct keys. The contract
+    // includes a deliberately-failing check (price_under_100k — TPC-H
+    // totals run well past it) so the violations/pass=false path is live
+    // in the gate, not just in specs.
+    QueryDef.sql(
+      "q114_data_contract",
+      """SELECT check_name, violations,
+        |  CAST(violations = 0 AS BIGINT) AS pass
+        |FROM (
+        |  SELECT 'custkey_fk' AS check_name,
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS violations
+        |  UNION ALL SELECT 'order_pk_unique',
+        |    (SELECT COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL)
+        |            - COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'price_positive',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+        |  UNION ALL SELECT 'price_under_100k',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT COALESCE(o_totalprice < 100000, FALSE))
+        |  UNION ALL SELECT 'status_domain',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+        |) ORDER BY check_name""") { (s, d) =>
+      import graft.validate.TableConstraints
+      import graft.validate.TableConstraints.{ForeignKey, RowCondition, UniqueKey}
+      TableConstraints.audit(Tables.orders(s, d), Seq(
+        UniqueKey("order_pk_unique", Seq("o_orderkey")),
+        ForeignKey("custkey_fk", Seq("o_custkey"),
+          Tables.customer(s, d), Seq("c_custkey")),
+        RowCondition("price_positive", col("o_totalprice") > 0),
+        RowCondition("price_under_100k", col("o_totalprice") < 100000),
+        RowCondition("status_domain",
+          col("o_orderstatus").isin("O", "F", "P"))))
+        .select(col("check_name"), col("violations"),
+          col("pass").cast("long").as("pass"))
+        .orderBy("check_name")
     }
   )
 }
