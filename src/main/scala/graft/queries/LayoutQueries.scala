@@ -189,6 +189,46 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n_items"),
           Exact.dsum(col("l_extendedprice"), 14, 2).as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- file-level min/max manifest: range reads skip whole files -------
+    // The table-format-lite skipping layer (FileManifest): events written
+    // range-laid-out on ts_ns (repartitionByRange → files with disjoint
+    // time ranges), a per-file min/max manifest built once, and a
+    // mid-stream time-slice query planned THROUGH the manifest — only
+    // files whose bounds intersect are ever opened (parquet row-group
+    // stats prune within a file; the manifest spares the footer reads
+    // and, at 100 TB, most of the listing). The slice bounds derive from
+    // the table's own min/max (integer math, replayed identically by the
+    // oracle); the skipped-file count and soundness edge cases (unknown
+    // bounds, stale manifest) are pinned in FileManifestSpec.
+    QueryDef.sql(
+      "q115_manifest_skip",
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |           FROM events),
+         |r AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi
+         |      FROM b)
+         |SELECT event_type, COUNT(*) AS n,
+         |  MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+         |FROM events, r
+         |WHERE epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi
+         |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val dir = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_manifest",
+          Integer.toHexString(d.hashCode)).toString
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      ev.repartitionByRange(8, col("ts_ns"))
+        .write.mode("overwrite").parquet(dir)
+      graft.sources.FileManifest.build(s, dir, Seq("ts_ns"))
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+      val (sliced, _, _) = graft.sources.FileManifest.readPruned(
+        s, dir, "ts_ns", lit(lo), lit(hi))
+      sliced.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max MANIFEST over a staging directory — the
+  * table-format-lite skipping layer (Iceberg/Delta keep the same
+  * per-file column bounds in their metadata): one small parquet of
+  * `(file, n_rows, min_c, max_c, ...)` per tracked column, stored
+  * UNDER the data directory as `_manifest` (the underscore prefix makes
+  * every Spark/parquet reader skip it as metadata, so the data dir
+  * stays directly readable).
+  *
+  * Why it matters at 100 TB: parquet row-group statistics prune WITHIN
+  * a file, but the scan still opens every footer, and the LISTING alone
+  * is metadata-scale work. A range query over a time-laid-out staging
+  * tree (repartitionByRange writes, or natural arrival order) should
+  * never touch files whose [min,max] can't intersect — the manifest
+  * answers that from ONE tiny read, and the driver plans a scan over
+  * only the surviving files.
+  *
+  * The skip decision must be SOUND, not just effective: a file is kept
+  * when its bounds intersect the range OR its bounds are unknown
+  * (all-NULL column → null min/max — never silently skipped), and rows
+  * with a NULL predicate column never satisfy a range predicate, so
+  * pruning by bounds loses no qualifying row. FileManifestSpec pins
+  * full-scan equivalence and the actual file-skip count; q115
+  * hash-gates a range query through the manifest path.
+  *
+  * Staleness: the manifest is rebuilt by the writer that lands files
+  * ([[build]] after a batch of appends — the `IncrementalLedger` commit
+  * point is the natural hook). `readPruned` fails LOUD when a live data
+  * file is missing from the manifest (files landed since the last
+  * build) rather than returning silently-partial results.
+  */
+object FileManifest {
+
+  private def manifestPath(dataDir: String) = s"$dataDir/_manifest"
+
+  /** One pass over the directory: per-file row count + min/max of each
+    * tracked column, written as the `_manifest` parquet (overwrite).
+    */
+  def build(spark: SparkSession, dataDir: String, cols: Seq[String]): Unit = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(dataDir))
+  }
+
+  /** Range scan planned through the manifest: read only the files whose
+    * `[min_c, max_c]` intersects `[lo, hi]` (unknown bounds kept, never
+    * skipped). Returns the pruned-and-filtered frame plus the
+    * (kept, total) manifest file counts so callers/specs observe the
+    * skip.
+    */
+  def readPruned(spark: SparkSession, dataDir: String, c: String,
+      lo: Column, hi: Column): (DataFrame, Int, Int) = {
+    val mdf = spark.read.parquet(manifestPath(dataDir))
+    val total = mdf.count().toInt
+    require(total > 0, s"empty manifest under $dataDir — build() first")
+
+    // the manifest must COVER the directory: a file landed after the
+    // last build would otherwise be silently absent from every range
+    // query — fail loud, the writer owes a rebuild
+    val hfs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // both sides normalized through Path.toString: input_file_name()
+    // emits file:///x URIs while Hadoop's Path prints file:/x — a raw
+    // string compare would declare every file unmanifested
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    val live = hfs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .iterator.filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .map(p => norm(p.toString)).toSet
+    val manifested = mdf.select("file").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val unknown = live -- manifested
+    require(unknown.isEmpty,
+      s"manifest under $dataDir is stale: ${unknown.size} unmanifested " +
+        s"files (e.g. ${unknown.headOption.getOrElse("")}) — rebuild")
+
+    // bound test in Spark expression semantics (same coercions the data
+    // filter gets), on the tiny manifest frame
+    val kept = mdf.filter(
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"min_$c") <= hi && col(s"max_$c") >= lo))
+      .select("file").collect().map(_.getString(0)).toSeq
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(dataDir).filter(lit(false)) // schema-stable empty
+      else spark.read.parquet(kept: _*)
+    (df.filter(col(c) >= lo && col(c) <= hi), kept.size, total)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FileManifest
+
+/** Pins the file-level min/max manifest: range reads skip every file
+  * whose bounds can't intersect, never lose a qualifying row, keep
+  * unknown-bounds files, and fail loud on a stale manifest.
+  */
+class FileManifestSpec extends AnyFunSuite with SparkSpec {
+
+  test("range read skips non-intersecting files and equals the full scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    // range-laid-out: 8 files with disjoint ts ranges (0-99, 100-199, …)
+    (0 until 8).foreach { f =>
+      (0 until 100).map(i => (f * 100L + i, s"v${f}_$i"))
+        .toDF("ts", "payload").coalesce(1).write.mode("append").parquet(dir)
+    }
+    FileManifest.build(spark, dir, Seq("ts"))
+
+    val (df, kept, total) = FileManifest.readPruned(spark, dir, "ts",
+      lit(250L), lit(420L))
+    assert(total == 8)
+    assert(kept == 3, s"expected files 2,3,4 kept, got $kept of $total")
+    val expect = spark.read.parquet(dir)
+      .filter(col("ts") >= 250 && col("ts") <= 420)
+      .select("ts", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = df.select("ts", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect && got.size == 171)
+
+    // an empty range keeps zero files but stays schema-stable
+    val (none, k0, _) = FileManifest.readPruned(spark, dir, "ts",
+      lit(5000L), lit(6000L))
+    assert(k0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("ts", "payload"))
+  }
+
+  test("files with unknown (all-NULL) bounds are never skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_null").toString
+    Seq((1L, "a"), (2L, "b")).toDF("ts", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((null.asInstanceOf[java.lang.Long], "n1"),
+      (null.asInstanceOf[java.lang.Long], "n2")).toDF("ts", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileManifest.build(spark, dir, Seq("ts"))
+    val (df, kept, total) = FileManifest.readPruned(spark, dir, "ts",
+      lit(1L), lit(1L))
+    assert(total == 2 && kept == 2, "the unknown-bounds file must be kept")
+    // …but NULL ts rows still never satisfy the range predicate
+    assert(df.select("payload").collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("a stale manifest fails loud instead of silently dropping new files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_stale").toString
+    Seq((1L, "a")).toDF("ts", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileManifest.build(spark, dir, Seq("ts"))
+    Seq((2L, "late")).toDF("ts", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.readPruned(spark, dir, "ts", lit(0L), lit(10L))
+    }
+    assert(e.getMessage.contains("stale"))
+    // rebuild heals it
+    FileManifest.build(spark, dir, Seq("ts"))
+    val (df, kept, total) = FileManifest.readPruned(spark, dir, "ts",
+      lit(0L), lit(10L))
+    assert(total == 2 && kept == 2 && df.count() == 2)
+  }
+}
