@@ -1,0 +1,112 @@
+package graft.dims
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension MERGE: fold an update batch into a
+  * versioned dimension — the warehouse operation behind "keep history
+  * when an attribute changes" (the reference's dimensions are type-1
+  * overwrites; this is the production-grade upgrade path).
+  *
+  * Dimension contract: one row per (key, version) carrying the tracked
+  * attributes plus `valid_from` / `valid_to` / `is_current`
+  * (`valid_to` NULL on the open version). Batch contract: one row per
+  * key with the same attribute types (a batch is one effective instant;
+  * when upstream emits several updates per key, [[latestPerKey]]
+  * collapses to the final one — batch-granularity SCD, intermediate
+  * flickers inside one batch don't version).
+  *
+  * Merge semantics per key:
+  *   - new key → one open version at `effTs`;
+  *   - existing key, any tracked attribute changed (NULL-SAFE compare:
+  *     NULL→value and value→NULL are changes, NULL→NULL is not) →
+  *     close the current version at `effTs`, open a new one;
+  *   - attributes identical → NO-OP (re-merging the same batch is
+  *     idempotent — no version churn from replayed feeds);
+  *   - key absent from the batch → untouched.
+  *
+  * Execution shape at scale: history rows pass through UNTOUCHED (no
+  * join — they're closed, nothing can change them), and the whole merge
+  * is ONE full-outer join of current-versions ⋈ batch on the key (both
+  * sides hash-partition on it) followed by a map-side struct explode
+  * that emits 0–2 output rows per joined row (close + reopen for a
+  * change) — the Delta/Iceberg MERGE shape, never N passes over the
+  * join (Scd2Spec pins the single-join plan). The result is a full new
+  * dimension frame — land it with an atomic rewrite (or
+  * [[graft.sources.Staging.overwritePartitions]] when the dim is
+  * key-bucket partitioned).
+  */
+object Scd2 {
+
+  /** Collapse a multi-update batch to the last update per key, ordered
+    * by `orderCol` (ties broken by the remaining columns for
+    * determinism).
+    */
+  def latestPerKey(batch: DataFrame, key: Seq[String], orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tieBreak = batch.columns.filterNot(key.contains).sorted.map(col).toSeq
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy((col(orderCol).desc +: tieBreak.map(_.desc)): _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def merge(dim: DataFrame, batch: DataFrame, key: Seq[String],
+      attrs: Seq[String], effTs: Long): DataFrame = {
+    val outNames = key ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
+
+    val history = dim.filter(!col("is_current"))
+    // string-QUALIFIED references throughout, never df("col"): a replay
+    // merge joins a dim whose lineage CONTAINS the batch frame (the
+    // idempotence case), and captured attribute references would then
+    // resolve into the wrong side of the self-join
+    val current = dim.filter(col("is_current")).alias("__scd_cur")
+    val bat = batch.alias("__scd_bat")
+    def cur(c: String) = col(s"__scd_cur.$c")
+    def upd(c: String) = col(s"__scd_bat.$c")
+
+    val keyEq = key.map(k => cur(k) === upd(k)).reduce(_ && _)
+    val joined = current.join(bat, keyEq, "full_outer")
+
+    val matched = key.map(k => cur(k).isNotNull && upd(k).isNotNull).reduce(_ && _)
+    val dimOnly = key.map(cur(_).isNotNull).reduce(_ && _) &&
+      key.map(upd(_).isNull).reduce(_ && _)
+    val batchOnly = key.map(upd(_).isNotNull).reduce(_ && _) &&
+      key.map(cur(_).isNull).reduce(_ && _)
+    // null-safe inequality on ANY tracked attribute = a real change
+    val changed = attrs.map(a => !(cur(a) <=> upd(a))).reduce(_ || _)
+
+    def row(keyCols: Seq[Column], attrCols: Seq[Column],
+        vf: Column, vt: Column, isCur: Column): Column =
+      struct((key.zip(keyCols).map { case (n, c) => c.as(n) } ++
+        attrs.zip(attrCols).map { case (n, c) => c.as(n) } ++ Seq(
+          vf.cast("long").as("valid_from"),
+          vt.cast("long").as("valid_to"),
+          isCur.as("is_current"))): _*)
+
+    val closedRow = row(key.map(cur(_)), attrs.map(cur(_)),
+      cur("valid_from"), lit(effTs), lit(false))
+    val carriedRow = row(key.map(cur(_)), attrs.map(cur(_)),
+      cur("valid_from"), cur("valid_to"), cur("is_current"))
+    val openedRow = row(key.map(upd(_)), attrs.map(upd(_)),
+      lit(effTs), lit(null), lit(true))
+
+    val emitted = joined.select(explode(filter(array(
+      when(matched && changed, closedRow),
+      when(dimOnly || (matched && !changed), carriedRow),
+      when(batchOnly || (matched && changed), openedRow)),
+      c => c.isNotNull)).as("r"))
+      .select(outNames.map(n => col(s"r.$n")): _*)
+
+    history.select(outNames.map(col): _*).unionByName(emitted)
+  }
+
+  /** An empty dimension with the merge's schema, for first-load merges
+    * (every batch row becomes an open version).
+    */
+  def emptyDim(batch: DataFrame, key: Seq[String], attrs: Seq[String]): DataFrame =
+    batch.select((key ++ attrs).map(col) :+ lit(0L).as("valid_from"): _*)
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+      .filter(lit(false))
+}

@@ -158,6 +158,52 @@ object ExtOpQueries {
           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
           |FROM q51_customer JOIN q51_nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
+    // ---- SCD-2 dimension merge (type-2 history, one-join MERGE shape) ----
+    // First-load customers as a versioned dimension (all versions open at
+    // eff 0), then merge an update batch at eff 100: every key present —
+    // segments suffixed '_X' for k % 7 = 0 (close + reopen), identical
+    // otherwise (no-op — replayed feeds must not version) — plus new
+    // keys (+10^9 for k % 11 = 0, inserts). The gate checks the ENTIRE
+    // merged dimension row-for-row against an oracle that constructs
+    // each version class directly, so a wrong close timestamp, a
+    // phantom version from an unchanged row, or a lost untouched key
+    // all fail. Scd2Spec pins null-safe compares, idempotent replay,
+    // batch collapse, and the single-join plan.
+    QueryDef.sql(
+      "q116_scd2_merge",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                  CAST(c_nationkey AS BIGINT) AS nat FROM customer)
+        |SELECT k, seg, nat, valid_from, valid_to, is_current FROM (
+        |  SELECT k, seg, nat, CAST(0 AS BIGINT) AS valid_from,
+        |         CAST(100 AS BIGINT) AS valid_to,
+        |         CAST(0 AS BIGINT) AS is_current
+        |  FROM c WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, seg || '_X', nat, 100, NULL, 1 FROM c WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, seg, nat, 0, NULL, 1 FROM c WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, 'NEW', nat, 100, NULL, 1
+        |  FROM c WHERE k % 11 = 0
+        |) ORDER BY k, valid_from""") { (s, d) =>
+      import graft.dims.Scd2
+      val key = Seq("k")
+      val attrs = Seq("seg", "nat")
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").cast("long").as("nat"))
+      val dim0 = Scd2.merge(Scd2.emptyDim(c, key, attrs), c, key, attrs, 0L)
+      val batch = c
+        .withColumn("seg", when(col("k") % 7 === 0,
+          concat(col("seg"), lit("_X"))).otherwise(col("seg")))
+        .unionByName(c.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000000L).as("k"), lit("NEW").as("seg"),
+            col("nat")))
+      Scd2.merge(dim0, batch, key, attrs, 100L)
+        .select(col("k"), col("seg"), col("nat"), col("valid_from"),
+          col("valid_to"), col("is_current").cast("long").as("is_current"))
+        .orderBy("k", "valid_from")
     }
   )
 }
