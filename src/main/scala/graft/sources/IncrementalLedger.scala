@@ -28,6 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (state ⊎ partial → state); both must be MERGEABLE (count/sum/min/max,
   * sketches — anything with an associative combine). The engine owns
   * listing, delta selection, state round-trip, and the commit.
+  *
+  * `files.txt` grows with TOTAL files ever ingested (one line each) —
+  * the same trade-off as Spark's file-stream offset log, whose answer
+  * (log compaction) applies here too if a deployment ever outgrows a
+  * driver-side read of the list; at one line per landed file that is
+  * millions of files away, and the data-plane cost per run stays
+  * delta-sized regardless.
   */
 object IncrementalLedger {
 
