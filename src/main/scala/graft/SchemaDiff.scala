@@ -52,11 +52,16 @@ object SchemaDiff {
       val got =
         try actual(spark, sfDir, t)
         catch { case e: Throwable => s"<unreadable: ${e.getMessage}>" }
-      val want = pinned(t)
-      if (got == want) None
-      else if (knownAlternatives.getOrElse(t, Set.empty).contains(got))
-        Some(s"$t: KNOWN-ALTERNATE encoding (handled by type dispatch)\n    got      $got\n    pinned   $want")
-      else Some(s"$t: SCHEMA DRIFT\n    got      $got\n    pinned   $want")
+      pinned.get(t) match {
+        // a table in Tables.names with no pinned line (added without
+        // re-pinning) is itself drift — reported, never a preamble crash
+        case None => Some(s"$t: UNPINNED table (add it to SchemaDiff.pinned via --dump)\n    got      $got")
+        case Some(want) if got == want => None
+        case Some(want) if knownAlternatives.getOrElse(t, Set.empty).contains(got) =>
+          Some(s"$t: KNOWN-ALTERNATE encoding (handled by type dispatch)\n    got      $got\n    pinned   $want")
+        case Some(want) =>
+          Some(s"$t: SCHEMA DRIFT\n    got      $got\n    pinned   $want")
+      }
     }
 
   /** Preamble check for Verify/Bench — stderr only (Bench stdout is

@@ -130,14 +130,26 @@ object Tables {
     * excluded — Spark's exact comparison) would pass `maxSplit`.
     * Decision parity with the physical count is pinned per table and
     * layout in TablesSpreadSpec.
+    *
+    * Known estimate/physical divergences, all outside [[spread]]'s call
+    * sites (unpartitioned, unbucketed single-table loads) and all
+    * erring toward SKIPPING the widen (a perf miss), never a wrong
+    * result: the listing ignores pushed partition filters (a
+    * partition-pruned scan yields fewer physical splits than estimated)
+    * and bucketed scans partition by bucket count, not size packing. A
+    * DSv2 relation in the tree reports the session width — "unknown,
+    * assume adequate" — so spread never buys parallelism there at the
+    * price of a blind full exchange over a possibly-huge V2 scan.
     */
   private[graft] def estimatedScanSplits(df: DataFrame): Option[Int] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
     val conf = df.sparkSession.sessionState.conf
+    val cores = df.sparkSession.sparkContext.defaultParallelism
     val openCost = conf.filesOpenCostInBytes
-    val minPart = math.max(1, conf.filesMinPartitionNum
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+    val minPart = math.max(1, conf.filesMinPartitionNum.getOrElse(cores))
     val scans = df.queryExecution.analyzed.collect {
+      case _: DataSourceV2Relation => cores // unknown width: never starved
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           val sizes = fs.location.listFiles(Nil, Nil)

@@ -59,20 +59,26 @@ object Scd2 {
     // string-QUALIFIED references throughout, never df("col"): a replay
     // merge joins a dim whose lineage CONTAINS the batch frame (the
     // idempotence case), and captured attribute references would then
-    // resolve into the wrong side of the self-join
-    val current = dim.filter(col("is_current")).alias("__scd_cur")
-    val bat = batch.alias("__scd_bat")
+    // resolve into the wrong side of the self-join.
+    // Side-presence MARKERS, not key nullability: a row with a NULL (or
+    // partially NULL) key never joins, and classifying the legs by
+    // key-column nullness would then put it in NO leg — silently
+    // deleting a current dimension row. The markers are non-null by
+    // construction, so null-key dim rows carry through untouched and
+    // null-key batch rows insert as their own open versions (SQL join
+    // semantics: NULL keys match nothing).
+    val current = dim.filter(col("is_current"))
+      .withColumn("__cur_present", lit(true)).alias("__scd_cur")
+    val bat = batch.withColumn("__bat_present", lit(true)).alias("__scd_bat")
     def cur(c: String) = col(s"__scd_cur.$c")
     def upd(c: String) = col(s"__scd_bat.$c")
 
     val keyEq = key.map(k => cur(k) === upd(k)).reduce(_ && _)
     val joined = current.join(bat, keyEq, "full_outer")
 
-    val matched = key.map(k => cur(k).isNotNull && upd(k).isNotNull).reduce(_ && _)
-    val dimOnly = key.map(cur(_).isNotNull).reduce(_ && _) &&
-      key.map(upd(_).isNull).reduce(_ && _)
-    val batchOnly = key.map(upd(_).isNotNull).reduce(_ && _) &&
-      key.map(cur(_).isNull).reduce(_ && _)
+    val matched = cur("__cur_present").isNotNull && upd("__bat_present").isNotNull
+    val dimOnly = cur("__cur_present").isNotNull && upd("__bat_present").isNull
+    val batchOnly = upd("__bat_present").isNotNull && cur("__cur_present").isNull
     // null-safe inequality on ANY tracked attribute = a real change
     val changed = attrs.map(a => !(cur(a) <=> upd(a))).reduce(_ || _)
 

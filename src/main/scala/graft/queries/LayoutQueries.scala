@@ -213,9 +213,7 @@ object LayoutQueries {
          |FROM events, r
          |WHERE epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi
          |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
-      val dir = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_manifest",
-          Integer.toHexString(d.hashCode)).toString
+      val dir = QueryDef.scratch(d, "manifest")
       val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
       ev.repartitionByRange(8, col("ts_ns"))
         .write.mode("overwrite").parquet(dir)

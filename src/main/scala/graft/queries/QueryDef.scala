@@ -23,6 +23,16 @@ object QueryDef {
   def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, Some(oracle.stripMargin.trim))(run)
 
+  /** Per-(sfDir, tag) scratch directory under java.io.tmpdir — the ONE
+    * convention for queries that stage through the engine's own sinks
+    * (round-trips, backfill, ledger, manifest), so cleanup and collision
+    * behavior live in one place.
+    */
+  def scratch(sfDir: String, tag: String): String = {
+    val h = Integer.toHexString(sfDir.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_io/$h/$tag"
+  }
+
   /** Operator whose semantics DuckDB can't express — driver records a
     * weaker rows-only check.
     */

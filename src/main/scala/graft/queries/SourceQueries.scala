@@ -13,10 +13,8 @@ import graft.sources.{IncrementalLedger, Staging}
   */
 object SourceQueries {
 
-  private def scratch(sfDir: String, tag: String): String = {
-    val h = Integer.toHexString(sfDir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_io/$h/$tag"
-  }
+  private def scratch(sfDir: String, tag: String): String =
+    QueryDef.scratch(sfDir, tag)
 
   /** Portable multiplicative byte fold over ASCII-safe text (byte values
     * == code points): `h = (h*31 + byte) mod 1e9+7`, DuckDB formulation —

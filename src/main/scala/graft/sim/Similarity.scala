@@ -47,10 +47,14 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF cell assignment: nearest centroid by cosine (ties → lowest
-    * centroid id). Output: input columns + `cell`.
+  /** The ONE nearest-centroid kernel (broadcast cross + per-vector
+    * argmax of cosine, ties → lowest centroid id), shared by
+    * [[ivfAssign]] and [[assignDistortion]] so the index and the drift
+    * probe can never disagree on what "nearest centroid" means — q110's
+    * comparability argument depends on exactly that. Output:
+    * (vec_id, embedding, cent_id, csim), one row per input vector.
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  private def nearestCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     VectorFold.register(vectors.sparkSession)
     val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
@@ -60,8 +64,15 @@ object Similarity {
         cosine(col("embedding"), col("cv")).as("csim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .drop("rn")
   }
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → lowest
+    * centroid id). Output: input columns + `cell`.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCentroid(vectors, centroids)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
 
   /** Per-vector assignment distortion: `1 − cos` to the nearest trained
     * centroid (the quantity [[ivfTrain]]'s assignment minimizes, so it is
@@ -72,18 +83,9 @@ object Similarity {
     * retrain is due — the number a production ingest pipeline alerts on.
     * Output: (vec_id, dist).
     */
-  def assignDistortion(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    VectorFold.register(vectors.sparkSession)
-    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    vectors.select(col("vec_id"), col("embedding"))
-      .join(broadcast(c))
-      .select(col("vec_id"), cosine(col("embedding"), col("cv")).as("csim"),
-        col("cent_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def assignDistortion(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCentroid(vectors, centroids)
       .select(col("vec_id"), (lit(1.0) - col("csim")).as("dist"))
-  }
 
   /** IVF search: top-k within the query's own cell (nprobe=1), self
     * excluded. Output: (q_id, n_id, sim, rank).

@@ -71,10 +71,30 @@ object FileManifest {
     // emits file:///x URIs while Hadoop's Path prints file:/x — a raw
     // string compare would declare every file unmanifested
     def norm(s: String) = new org.apache.hadoop.fs.Path(s).toString
-    val live = hfs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .iterator.filter(_.isFile).map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .map(p => norm(p.toString)).toSet
+    // RECURSIVE listing: build() reads through spark.read.parquet, which
+    // descends into partition subdirectories — a top-level listStatus
+    // would list nothing for a partitioned layout and reduce this guard
+    // to a no-op. A file is metadata (excluded) when ANY path segment
+    // under dataDir is underscore/dot-prefixed (_manifest's own files
+    // must not count as unmanifested data).
+    val rootUri = new org.apache.hadoop.fs.Path(dataDir)
+      .makeQualified(hfs.getUri, hfs.getWorkingDirectory).toString
+    def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toString != rootUri) {
+        if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = hfs.listFiles(new org.apache.hadoop.fs.Path(dataDir), true)
+    val liveB = Set.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !hiddenUnderRoot(st.getPath))
+        liveB += norm(st.getPath.toString)
+    }
+    val live = liveB.result()
     val manifested = mdf.select("file").collect()
       .map(r => norm(r.getString(0))).toSet
     val unknown = live -- manifested

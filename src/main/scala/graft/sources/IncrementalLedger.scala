@@ -106,6 +106,16 @@ object IncrementalLedger {
       case None => partial
     }
 
+    // fresh start (first run, or a lost pointer): sweep any orphaned
+    // version dirs from a previous incarnation — the counter restarts at
+    // 0 and stale high-numbered dirs would otherwise linger until the
+    // counter happened to pass them again. Safe here: with no committed
+    // pointer, `merged` reads no prior state.
+    if (current.isEmpty && fs.exists(ledger))
+      fs.listStatus(ledger).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+        .foreach(s => fs.delete(s.getPath, true))
+
     // write the COMPLETE next version (overwrite clobbers any torn
     // attempt from a crashed predecessor), then commit via rename
     val nd = vdir(next)
@@ -124,8 +134,10 @@ object IncrementalLedger {
     if (!fs.rename(tmp, latestPath))
       throw new java.io.IOException(s"ledger commit rename failed for v_$next")
 
-    // prune versions outside the keep window (never the one just named)
-    (0L until next - KeepVersions + 1).foreach(o => fs.delete(vdir(o), true))
+    // prune the single version falling out of the keep window — earlier
+    // ones were pruned by earlier runs, so this stays O(1) delete calls
+    // per run instead of re-deleting every version ever committed
+    if (next - KeepVersions >= 0) fs.delete(vdir(next - KeepVersions), true)
 
     Run(delta, spark.read.parquet(
       new org.apache.hadoop.fs.Path(nd, "state.parquet").toString))

@@ -54,6 +54,24 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
     assert(df.select("payload").collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("staleness guard sees files inside partition subdirectories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_part").toString
+    Seq((1L, "a")).toDF("ts", "p").write.partitionBy("p").mode("append").parquet(dir)
+    FileManifest.build(spark, dir, Seq("ts"))
+    // a file lands in a NEW partition subdir after the build — a
+    // top-level listing would never see it and the guard would pass
+    Seq((9L, "b")).toDF("ts", "p").write.partitionBy("p").mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.readPruned(spark, dir, "ts", lit(0L), lit(100L))
+    }
+    assert(e.getMessage.contains("stale"))
+    FileManifest.build(spark, dir, Seq("ts"))
+    val (df, kept, total) = FileManifest.readPruned(spark, dir, "ts",
+      lit(5L), lit(100L))
+    assert(total == 2 && kept == 1 && df.select("ts").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("a stale manifest fails loud instead of silently dropping new files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_stale").toString

@@ -66,6 +66,24 @@ class Scd2Spec extends AnyFunSuite with SparkSpec {
       (2L, "∅", 10L, true))) // …and reopened with the NULL
   }
 
+  test("NULL-key rows are never silently dropped: dim carries, batch inserts") {
+    import spark.implicits._
+    val d = Seq((Some(1L), "A"), (None, "ORPHAN"))
+      .toDF("k", "seg")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val batch = Seq((Some(1L), "A2"), (Option.empty[Long], "NEWNULL")).toDF("k", "seg")
+    val merged = Scd2.merge(d, batch, Seq("k"), Seq("seg"), 10L)
+    val got = merged.collect().map(r => (
+      if (r.isNullAt(0)) -99L else r.getLong(0),
+      r.getString(1), r.getLong(2), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "A", 0L, false), (1L, "A2", 10L, true), // normal change
+      (-99L, "ORPHAN", 0L, true), // null-key dim row CARRIED, not deleted
+      (-99L, "NEWNULL", 10L, true))) // null-key batch row inserts (no match)
+  }
+
   test("latestPerKey collapses a multi-update batch to the final update") {
     import spark.implicits._
     val b = Seq((1L, "v1", 5L), (1L, "v2", 9L), (2L, "w", 1L))

@@ -38,8 +38,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class StreamingSoakSpec extends AnyFunSuite with SparkSpec {
 
-  private val Batches =
-    sys.env.get("GRAFT_SOAK_BATCHES").map(_.toInt).getOrElse(100)
+  private val Batches = {
+    val b = sys.env.get("GRAFT_SOAK_BATCHES").map(_.toInt).getOrElse(100)
+    // below ~20 the thirds-based latency windows degenerate (empty
+    // median → opaque crash); the plateau asserts need the watermark to
+    // have evicted for a while anyway
+    require(b >= 20, s"GRAFT_SOAK_BATCHES=$b — the soak needs >= 20 batches")
+    b
+  }
 
   private val schema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),
