@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   *     idempotent — no version churn from replayed feeds);
   *   - key absent from the batch → untouched.
   *
+  * NULL-keyed rows get SQL MERGE semantics, which bounds what
+  * idempotence can promise: a NULL key matches nothing, so a null-key
+  * dim row always carries through untouched, and a null-key BATCH row
+  * inserts as a fresh open version on EVERY merge — replaying such a
+  * batch appends duplicates, exactly as MERGE INTO would. The
+  * idempotence guarantee above therefore holds for keyed rows; feeds
+  * that can carry null keys should repair or divert them upstream
+  * (the [[graft.validate]] layer's job) before merging.
+  *
   * Execution shape at scale: history rows pass through UNTOUCHED (no
   * join — they're closed, nothing can change them), and the whole merge
   * is ONE full-outer join of current-versions ⋈ batch on the key (both

@@ -51,17 +51,24 @@ object Similarity {
     * argmax of cosine, ties → lowest centroid id), shared by
     * [[ivfAssign]] and [[assignDistortion]] so the index and the drift
     * probe can never disagree on what "nearest centroid" means — q110's
-    * comparability argument depends on exactly that. Output:
-    * (vec_id, embedding, cent_id, csim), one row per input vector.
+    * comparability argument depends on exactly that. Output: one row
+    * per input vector, (vec_id, embedding, cent_id, csim) with
+    * `carryEmbedding`, (vec_id, cent_id, csim) without — the embedding
+    * array would otherwise ride the |vectors|×|centroids| window
+    * shuffle only to be discarded (the distortion path needs csim
+    * alone).
     */
-  private def nearestCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  private def nearestCentroid(vectors: DataFrame, centroids: DataFrame,
+      carryEmbedding: Boolean): DataFrame = {
     VectorFold.register(vectors.sparkSession)
     val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val keep = (if (carryEmbedding) Seq(col("vec_id"), col("embedding"))
+      else Seq(col("vec_id"))) ++
+      Seq(col("cent_id"), cosine(col("embedding"), col("cv")).as("csim"))
     vectors.select(col("vec_id"), col("embedding"))
       .join(broadcast(c))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("cv")).as("csim"))
+      .select(keep: _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -71,7 +78,7 @@ object Similarity {
     * centroid id). Output: input columns + `cell`.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    nearestCentroid(vectors, centroids)
+    nearestCentroid(vectors, centroids, carryEmbedding = true)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
 
   /** Per-vector assignment distortion: `1 − cos` to the nearest trained
@@ -84,7 +91,7 @@ object Similarity {
     * Output: (vec_id, dist).
     */
   def assignDistortion(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    nearestCentroid(vectors, centroids)
+    nearestCentroid(vectors, centroids, carryEmbedding = false)
       .select(col("vec_id"), (lit(1.0) - col("csim")).as("dist"))
 
   /** IVF search: top-k within the query's own cell (nprobe=1), self

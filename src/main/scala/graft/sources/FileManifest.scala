@@ -108,10 +108,14 @@ object FileManifest {
       col(s"min_$c").isNull || col(s"max_$c").isNull ||
         (col(s"min_$c") <= hi && col(s"max_$c") >= lo))
       .select("file").collect().map(_.getString(0)).toSeq
+    // basePath pins schema parity with the unpruned read: without it, a
+    // leaf-file read under hive-style partition dirs drops the partition
+    // columns, so the pruned frame's schema would diverge from the full
+    // scan (and from the kept-empty branch below)
     val df =
       if (kept.isEmpty)
         spark.read.parquet(dataDir).filter(lit(false)) // schema-stable empty
-      else spark.read.parquet(kept: _*)
+      else spark.read.option("basePath", dataDir).parquet(kept: _*)
     (df.filter(col(c) >= lo && col(c) <= hi), kept.size, total)
   }
 }

@@ -106,16 +106,6 @@ object IncrementalLedger {
       case None => partial
     }
 
-    // fresh start (first run, or a lost pointer): sweep any orphaned
-    // version dirs from a previous incarnation — the counter restarts at
-    // 0 and stale high-numbered dirs would otherwise linger until the
-    // counter happened to pass them again. Safe here: with no committed
-    // pointer, `merged` reads no prior state.
-    if (current.isEmpty && fs.exists(ledger))
-      fs.listStatus(ledger).iterator
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
-        .foreach(s => fs.delete(s.getPath, true))
-
     // write the COMPLETE next version (overwrite clobbers any torn
     // attempt from a crashed predecessor), then commit via rename
     val nd = vdir(next)
@@ -134,10 +124,28 @@ object IncrementalLedger {
     if (!fs.rename(tmp, latestPath))
       throw new java.io.IOException(s"ledger commit rename failed for v_$next")
 
-    // prune the single version falling out of the keep window — earlier
-    // ones were pruned by earlier runs, so this stays O(1) delete calls
-    // per run instead of re-deleting every version ever committed
-    if (next - KeepVersions >= 0) fs.delete(vdir(next - KeepVersions), true)
+    // Cleanup runs strictly AFTER the commit rename, so a crash at any
+    // earlier point leaves the previously committed version intact and
+    // recoverable (re-pointable by hand even after a lost pointer —
+    // sweeping orphans BEFORE the replacement lands would destroy the
+    // only copy of the last good state during the recompute window).
+    if (current.isEmpty) {
+      // fresh start: sweep orphaned version dirs from a previous
+      // incarnation (the counter restarted; stale high-numbered dirs
+      // would otherwise linger), keeping only the version just committed
+      fs.listStatus(ledger).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
+          s.getPath.getName != nd.getName)
+        .foreach(s => fs.delete(s.getPath, true))
+    } else {
+      // steady state: walk down from the version falling out of the keep
+      // window until a gap — O(1) amortized, and SELF-HEALING: a run
+      // killed between rename and prune leaves one extra dir that the
+      // next run's walk removes (delete returns false on a non-existent
+      // path, ending the walk)
+      var o = next - KeepVersions
+      while (o >= 0 && fs.delete(vdir(o), true)) o -= 1
+    }
 
     Run(delta, spark.read.parquet(
       new org.apache.hadoop.fs.Path(nd, "state.parquet").toString))

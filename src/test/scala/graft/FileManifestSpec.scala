@@ -70,6 +70,10 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
     val (df, kept, total) = FileManifest.readPruned(spark, dir, "ts",
       lit(5L), lit(100L))
     assert(total == 2 && kept == 1 && df.select("ts").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // schema parity with the full scan: the partition column survives
+    // the leaf-file pruned read (basePath), so group-bys on it resolve
+    assert(df.columns.toSet == spark.read.parquet(dir).columns.toSet)
+    assert(df.select("p").collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
   test("a stale manifest fails loud instead of silently dropping new files") {
