@@ -57,7 +57,21 @@ object FileManifest {
     * skip.
     */
   def readPruned(spark: SparkSession, dataDir: String, c: String,
-      lo: Column, hi: Column): (DataFrame, Int, Int) = {
+      lo: Column, hi: Column): (DataFrame, Int, Int) =
+    readPrunedMulti(spark, dataDir, Seq((c, lo, hi)))
+
+  /** Conjunctive multi-column range scan: a file is kept only when EVERY
+    * `(col, lo, hi)` bound intersects its tracked `[min, max]` — the
+    * payoff of pairing the manifest with a Z-ORDER layout
+    * (LayoutQueries.morton, q88): a z-ordered write gives every file
+    * tight bounds on BOTH interleaved dimensions, so a 2-D box query
+    * skips at FILE granularity on both — a linearly-sorted layout can
+    * only ever skip on its sort dimension (ZorderManifestSpec measures
+    * exactly that asymmetry). Unknown bounds still keep the file.
+    */
+  def readPrunedMulti(spark: SparkSession, dataDir: String,
+      bounds: Seq[(String, Column, Column)]): (DataFrame, Int, Int) = {
+    require(bounds.nonEmpty, "readPrunedMulti with no bounds")
     val mdf = spark.read.parquet(manifestPath(dataDir))
     val total = mdf.count().toInt
     require(total > 0, s"empty manifest under $dataDir — build() first")
@@ -104,9 +118,11 @@ object FileManifest {
 
     // bound test in Spark expression semantics (same coercions the data
     // filter gets), on the tiny manifest frame
-    val kept = mdf.filter(
+    val keepFile = bounds.map { case (c, lo, hi) =>
       col(s"min_$c").isNull || col(s"max_$c").isNull ||
-        (col(s"min_$c") <= hi && col(s"max_$c") >= lo))
+        (col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+    }.reduce(_ && _)
+    val kept = mdf.filter(keepFile)
       .select("file").collect().map(_.getString(0)).toSeq
     // basePath pins schema parity with the unpruned read: without it, a
     // leaf-file read under hive-style partition dirs drops the partition
@@ -116,6 +132,8 @@ object FileManifest {
       if (kept.isEmpty)
         spark.read.parquet(dataDir).filter(lit(false)) // schema-stable empty
       else spark.read.option("basePath", dataDir).parquet(kept: _*)
-    (df.filter(col(c) >= lo && col(c) <= hi), kept.size, total)
+    val rowPred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    (df.filter(rowPred), kept.size, total)
   }
 }
