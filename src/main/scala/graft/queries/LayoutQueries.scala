@@ -227,6 +227,56 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
         .orderBy("event_type")
+    },
+
+    // ---- 2-D manifest skipping over a z-order layout ---------------------
+    // q115's multi-dimension form (FileManifest.readPrunedMulti +
+    // LayoutQueries.morton): events laid out by the Morton interleave of
+    // a 64-way user shard and a 64-way time bucket, manifested on BOTH,
+    // and a (user-shard × time) box query planned through the manifest —
+    // the z-curve gives every file tight bounds on both dimensions, so
+    // the box skips at file granularity on both (ZorderManifestSpec
+    // measures the skip counts; here the hash gate pins that pruned ≡
+    // unpruned). The bucket arithmetic is pure integer math replayed
+    // identically by the oracle: `step = span div 64 + 1` keeps every
+    // product inside BIGINT (a naive `(ts-mn)*64` overflows on
+    // nanosecond epochs).
+    QueryDef.sql(
+      "q117_manifest_2d",
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |           FROM events),
+         |e AS (SELECT event_id, value,
+         |        user_id % 64 AS shard,
+         |        (epoch_ns(ts) - mn) // ((mx - mn) // 64 + 1) AS tbucket
+         |      FROM events, b)
+         |SELECT tbucket, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM e
+         |WHERE shard >= 16 AND shard <= 31 AND tbucket >= 16 AND tbucket <= 31
+         |GROUP BY tbucket ORDER BY tbucket""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest2d")
+      val ev0 = Tables.events(s, d)
+      val b = ev0.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val step = (mx - mn) / 64 + 1
+      // `div`, never `/`: Column `/` is double division, inexact for the
+      // >2^53 nanosecond offsets this buckets (see q39b's epoch note)
+      val ev = ev0.select(col("event_id"), col("value"),
+        pmod(col("user_id"), lit(64)).as("shard"),
+        expr(s"(ts_ns - ${mn}L) div ${step}L").as("tbucket"))
+      ev.withColumn("zk", morton(col("shard"), col("tbucket"), 6))
+        .repartitionByRange(16, col("zk"))
+        .sortWithinPartitions("zk")
+        .drop("zk")
+        .write.mode("overwrite").parquet(dir)
+      graft.sources.FileManifest.build(s, dir, Seq("shard", "tbucket"))
+      val (box, _, _) = graft.sources.FileManifest.readPrunedMulti(s, dir,
+        Seq(("shard", lit(16L), lit(31L)), ("tbucket", lit(16L), lit(31L))))
+      box.groupBy("tbucket")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("tbucket")
     }
   )
 }
