@@ -35,12 +35,21 @@ object JdbcStreamSink {
 
   def ledgerTable(table: String): String = s"${table}_commits"
 
+  /** (url, ledger table) pairs already ensured this JVM — a continuous
+    * stream calls [[writeBatch]] every trigger, and re-attempting the
+    * CREATE TABLE per micro-batch is a wasted round-trip + failed-DDL
+    * log line each time. The ensure is idempotent, so the memo is purely
+    * an optimization (a fresh JVM after a dropped ledger re-creates it).
+    */
+  private val ledgerEnsured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   /** `foreachBatch` body: upsert `df` into `table` exactly once per
     * `batchId`. Safe to call repeatedly with the same id.
     */
   def writeBatch(df: DataFrame, url: String, table: String, keys: Seq[String],
       sinkName: String, batchId: Long, batchSize: Int = 500): Unit = {
-    ensureLedger(url, table)
+    if (ledgerEnsured.add((url, table))) ensureLedger(url, table)
     if (isCommitted(url, table, sinkName, batchId)) return
     JdbcUpsert.upsert(df, url, table, keys, batchSize)
     commit(url, table, sinkName, batchId)

@@ -40,13 +40,19 @@ object JdbcUpsert {
       s" WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) VALUES ($insVals)"
   }
 
-  /** Column indices in parameter-binding order for the chosen dialect. */
+  /** Column indices in parameter-binding order for the chosen dialect.
+    * Key indices follow the `keys` ARGUMENT order — [[mergeSql]] emits
+    * its ON clause in that order, so binding them in schema order would
+    * swap values between the key columns of a composite key (matching
+    * against the wrong rows, silently).
+    */
   def paramOrder(schema: StructType, keys: Seq[String], mysql: Boolean): Seq[Int] = {
     val cols = schema.fields.map(_.name)
     val all = cols.indices
     if (mysql) all
     else {
-      val keyIdx = all.filter(i => keys.contains(cols(i)))
+      val keyIdx = keys.map(k => cols.indexOf(k))
+      require(keyIdx.forall(_ >= 0), s"key not in schema: $keys vs ${cols.toSeq}")
       val nonKeyIdx = all.filterNot(i => keys.contains(cols(i)))
       keyIdx ++ nonKeyIdx ++ all
     }
@@ -77,13 +83,22 @@ object JdbcUpsert {
     case _ => "VARCHAR(32672)"
   }
 
-  /** Distributed batched upsert. `sqlFor` picks the dialect from the URL;
-    * each partition writes in its own transaction.
+  /** Distributed batched upsert. `sqlFor` picks the dialect from the URL
+    * (`jdbc:mysql`/`jdbc:mariadb` → the MySQL-family upsert, else ANSI
+    * MERGE); each partition writes in its own transaction.
+    *
+    * Contract: the frame must be KEY-UNIQUE. Rows sharing a key land
+    * from different partitions in arbitrary commit order, so duplicate
+    * keys within one call make the surviving row nondeterministic —
+    * which would also break [[JdbcStreamSink]]'s replay-convergence
+    * guarantee. Aggregate or [[graft.dims.Scd2.latestPerKey]]-style
+    * collapse the batch first (every caller here writes post-aggregate
+    * or post-dedup frames, which are key-unique by construction).
     */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
       batchSize: Int = 500): Unit = {
     val schema = df.schema
-    val mysql = url.startsWith("jdbc:mysql")
+    val mysql = url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
     val sql =
       if (mysql) mysqlUpsertSql(table, schema, keys)
       else mergeSql(table, schema, keys)
@@ -93,17 +108,26 @@ object JdbcUpsert {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
-          var pending = 0
-          rows.foreach { r =>
-            var i = 0
-            while (i < order.length) { ps.setObject(i + 1, r.get(order(i))); i += 1 }
-            ps.addBatch()
-            pending += 1
-            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+          try {
+            val ps = conn.prepareStatement(sql)
+            var pending = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < order.length) { ps.setObject(i + 1, r.get(order(i))); i += 1 }
+              ps.addBatch()
+              pending += 1
+              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ps.executeBatch()
+            conn.commit()
+          } catch {
+            // roll back BEFORE close: closing with an active transaction
+            // makes Derby throw from the finally and mask the real batch
+            // error (and leaves the txn to time out elsewhere)
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
           }
-          if (pending > 0) ps.executeBatch()
-          conn.commit()
         } finally conn.close()
       }
     }

@@ -222,7 +222,16 @@ object StreamOps {
       scratch.foreach(p => writer.option("checkpointLocation", p.toString))
       val q = writer.start()
       q.awaitTermination()
-      spark.table(name)
+      // detach the result from the memory sink before returning: the
+      // sink's temp view (and its full result set on the driver) would
+      // otherwise accumulate per drain for the session's lifetime —
+      // Bench runs every stream query xReps and Verify drains them all
+      // in one session. An eager localCheckpoint moves the rows into
+      // ContextCleaner-managed blocks (freed when the returned frame is
+      // GC'd — the Materialize contract), then the view can be dropped.
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
     } finally {
       scratch.foreach(deleteRecursively)
       prior.foreach {

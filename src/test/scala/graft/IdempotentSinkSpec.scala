@@ -29,6 +29,8 @@ class IdempotentSinkSpec extends AnyFunSuite with SparkSpec {
     IdempotentFileSink.writeBatch(b0.union(b0), root, batchId = 0)
     val got = IdempotentFileSink.read(spark, root)
     assert(got.count() === 2)
+    // the batch partition column surfaces through read() (basePath)
+    assert(got.columns.contains("batch"))
     assert(IdempotentFileSink.committedBatches(root) === Seq(0L))
   }
 
@@ -40,8 +42,8 @@ class IdempotentSinkSpec extends AnyFunSuite with SparkSpec {
     Files.writeString(scratch.resolve("part-garbage"), "not parquet")
     val b0 = Seq((1L, "a")).toDF("id", "v")
     IdempotentFileSink.writeBatch(b0, root, batchId = 0)
-    assert(IdempotentFileSink.read(spark, root).as[(Long, String)].collect()
-      .toSeq === Seq((1L, "a")))
+    assert(IdempotentFileSink.read(spark, root).select("id", "v")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
   }
 
   test("orphan target without marker (crash between rename and marker) is retried") {
@@ -53,8 +55,8 @@ class IdempotentSinkSpec extends AnyFunSuite with SparkSpec {
     assert(IdempotentFileSink.committedBatches(root).isEmpty)
     // ...and the replay replaces it wholesale
     IdempotentFileSink.writeBatch(Seq((7L, "z")).toDF("id", "v"), root, 0)
-    assert(IdempotentFileSink.read(spark, root).as[(Long, String)].collect()
-      .toSeq === Seq((7L, "z")))
+    assert(IdempotentFileSink.read(spark, root).select("id", "v")
+      .as[(Long, String)].collect().toSeq === Seq((7L, "z")))
   }
 
   test("end-to-end: a real stream lands once through foreachBatch") {

@@ -46,6 +46,29 @@ class JdbcUpsertSpec extends AnyFunSuite with SparkSpec {
       (3, "Megaptera novaeangliae", "Humpback Whale")))
   }
 
+  test("composite key with keys out of schema order binds values to the right columns") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE facts (a BIGINT NOT NULL, b BIGINT NOT NULL, v DOUBLE, " +
+        "PRIMARY KEY (a, b))")
+    conn.close()
+    // keys passed REVERSED relative to schema order (b, a): the ON
+    // clause and the bound parameters must still line up per column —
+    // a schema-order binding would write (a=20,b=10) rows instead
+    val rows = Seq((10L, 20L, 1.5), (11L, 21L, 2.5)).toDF("a", "b", "v")
+    JdbcUpsert.upsert(rows, url, "facts", Seq("b", "a"), batchSize = 1)
+    // update through the same reversed-key path must hit the same rows
+    JdbcUpsert.upsert(Seq((10L, 20L, 9.9)).toDF("a", "b", "v"),
+      url, "facts", Seq("b", "a"))
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "facts")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().orderBy("a")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 20L, 9.9), (11L, 21L, 2.5)))
+  }
+
   test("mysql dialect SQL excludes key columns from the update list") {
     val schema = StructType(Seq(StructField("id", IntegerType),
       StructField("name", StringType)))
