@@ -125,10 +125,19 @@ object Geo {
     // the largest double, so a bare array_max would be NaN (and its cast
     // to a cell id rejected under ANSI mode)
     def finite(c: Column): Column = filter(c, v => !isnan(v))
+    // internal columns carry a __grid_ prefix so a caller's own cellx/
+    // celly/pt_id columns are never silently overwritten then dropped;
+    // the polys contract columns (name, xs, ys) must not collide with
+    // point columns — checked loudly below rather than letting the join
+    // produce ambiguous references downstream
+    for (reserved <- Seq("name", "xs", "ys"))
+      require(!points.columns.contains(reserved),
+        s"gridSpatialJoin: points must not carry a '$reserved' column " +
+          "(it is the polygon side's contract column)")
     val polyCells = polys
-      .withColumn("cellx", explode(sequence(
+      .withColumn("__grid_cellx", explode(sequence(
         cellOf(array_min(finite(col("xs")))), cellOf(array_max(finite(col("xs")))))))
-      .withColumn("celly", explode(sequence(
+      .withColumn("__grid_celly", explode(sequence(
         cellOf(array_min(finite(col("ys")))), cellOf(array_max(finite(col("ys")))))))
     // a synthetic point id keys the miss path: matches reduce to
     // (_pt_id, name) and LEFT-join back, so unmatched points surface with
@@ -144,17 +153,17 @@ object Geo {
     // the audit only BUILDS plans (never executes this join), so the
     // unpinned-id hazard cannot bite under its transparent window.
     val pts = points
-      .withColumn("_pt_id", monotonically_increasing_id())
-      .withColumn("cellx", cellOf(col("x")))
-      .withColumn("celly", cellOf(col("y")))
+      .withColumn("__grid_pt_id", monotonically_increasing_id())
+      .withColumn("__grid_cellx", cellOf(col("x")))
+      .withColumn("__grid_celly", cellOf(col("y")))
       .transform(graft.Materialize.checkpoint)
     val matches = pts
-      .join(polyCells, Seq("cellx", "celly"))
+      .join(polyCells, Seq("__grid_cellx", "__grid_celly"))
       .filter(stContains(col("xs"), col("ys"), col("x"), col("y")))
-      .select(col("_pt_id"), col("name"))
-    pts.drop("cellx", "celly")
-      .join(matches, Seq("_pt_id"), "left")
-      .drop("_pt_id")
+      .select(col("__grid_pt_id"), col("name"))
+    pts.drop("__grid_cellx", "__grid_celly")
+      .join(matches, Seq("__grid_pt_id"), "left")
+      .drop("__grid_pt_id")
   }
 }
 

@@ -57,11 +57,18 @@ object Wkt {
     * Zero rings (shapefile null-shape records) yield empty arrays.
     */
   def foldRings(rings: Seq[Array[(Double, Double)]]): (Array[Double], Array[Double]) = {
-    val sep = Array((Double.NaN, Double.NaN))
     val joined = rings match {
       case Seq() => Array.empty[(Double, Double)]
       case Seq(only) => only
-      case many => many.reduce((a, b) => a ++ sep ++ b) ++ sep
+      case many =>
+        // single builder pass, NOT reduce(a ++ sep ++ b): the reduce
+        // re-copies the accumulated prefix once per ring — quadratic in
+        // total vertices, real minutes on GOaS-scale multi-ring
+        // geometries (thousands of rings, millions of points)
+        val b = Array.newBuilder[(Double, Double)]
+        b.sizeHint(many.iterator.map(_.length).sum + many.size)
+        many.foreach { r => b ++= r; b += ((Double.NaN, Double.NaN)) }
+        b.result()
     }
     (joined.map(_._1), joined.map(_._2))
   }
@@ -72,13 +79,18 @@ object Wkt {
     * millions of points).
     */
   def loadPolygons(spark: SparkSession, path: String): DataFrame = {
-    val parse = udf { (wkt: String) =>
+    val parse = udf { (name: String, wkt: String) =>
+      // a malformed config line (no tab -> null wkt, blank name) is
+      // corruption of a hand-maintained polygon table: fail with the
+      // offending row named, never an opaque NPE inside the parser
+      require(name != null && wkt != null,
+        s"malformed polygon line (name=$name): expected name<TAB>wkt")
       val (xs, ys) = toVertexArrays(wkt)
       (xs, ys)
     }
     spark.read.option("sep", "\t").csv(path)
       .toDF("name", "wkt")
-      .select(col("name"), parse(col("wkt")).as("p"))
+      .select(col("name"), parse(col("name"), col("wkt")).as("p"))
       .select(col("name"), col("p._1").as("xs"), col("p._2").as("ys"))
   }
 }

@@ -82,9 +82,16 @@ object FileManifest {
     val hfs = new org.apache.hadoop.fs.Path(dataDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // both sides normalized through Path.toString: input_file_name()
-    // emits file:///x URIs while Hadoop's Path prints file:/x — a raw
-    // string compare would declare every file unmanifested
-    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    // emits file:///x URIs (PERCENT-ENCODED — a space is %20) while
+    // Hadoop's listing prints file:/x with literal characters; decode
+    // URI-shaped strings first or a data dir containing a space would
+    // flag every file as unmanifested forever
+    def norm(s: String) = {
+      val p =
+        try new org.apache.hadoop.fs.Path(new java.net.URI(s))
+        catch { case _: Exception => new org.apache.hadoop.fs.Path(s) }
+      p.toString
+    }
     // RECURSIVE listing: build() reads through spark.read.parquet, which
     // descends into partition subdirectories — a top-level listStatus
     // would list nothing for a partitioned layout and reduce this guard
@@ -122,8 +129,11 @@ object FileManifest {
       col(s"min_$c").isNull || col(s"max_$c").isNull ||
         (col(s"min_$c") <= hi && col(s"max_$c") >= lo)
     }.reduce(_ && _)
+    // decoded through norm for the read as well: spark.read treats its
+    // path strings literally, so a percent-encoded %20 from
+    // input_file_name would be looked up as a literal "%20" directory
     val kept = mdf.filter(keepFile)
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file").collect().map(r => norm(r.getString(0))).toSeq
     // basePath pins schema parity with the unpruned read: without it, a
     // leaf-file read under hive-style partition dirs drops the partition
     // columns, so the pruned frame's schema would diverge from the full

@@ -69,9 +69,38 @@ object IncrementalLedger {
     }
 
     val latestPath = new org.apache.hadoop.fs.Path(ledger, "LATEST")
-    val current: Option[Long] =
-      if (fs.exists(latestPath)) Some(readSmall(latestPath).trim.toLong) else None
     def vdir(n: Long) = new org.apache.hadoop.fs.Path(ledger, s"v_$n")
+    // COMPLETE = every artifact landed. files.txt is written after the
+    // state parquet, so its presence (plus the parquet's _SUCCESS)
+    // certifies the version; a torn attempt is missing one of them.
+    def complete(n: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(vdir(n), "files.txt")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(vdir(n), "state.parquet/_SUCCESS"))
+    val current: Option[Long] =
+      if (fs.exists(latestPath)) Some(readSmall(latestPath).trim.toLong)
+      else if (!fs.exists(ledger)) None
+      else {
+        // LOST POINTER (crash inside the delete+rename window): recover
+        // by RE-POINTING to the highest complete version instead of
+        // rebuilding from the listing — a rebuild would silently
+        // undercount any input file consumed by earlier runs but since
+        // archived from inputDir, and the state it rebuilt would then
+        // clobber the only durable copy of the good one. A complete
+        // version that was never pointed (crash after files.txt, before
+        // rename) is exactly what its run would have committed, so
+        // re-pointing to it is correct too.
+        val recovered = fs.listStatus(ledger).iterator
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v_") => n.stripPrefix("v_").toLong }
+          .toSeq.sorted.reverse.find(complete)
+        recovered.foreach { n =>
+          val tmp = new org.apache.hadoop.fs.Path(ledger, s".LATEST.recover.tmp")
+          writeSmall(tmp, n.toString)
+          if (!fs.rename(tmp, latestPath))
+            throw new java.io.IOException(s"ledger pointer recovery failed for v_$n")
+        }
+        recovered
+      }
 
     val processed: Set[String] = current match {
       case Some(n) =>
@@ -80,14 +109,34 @@ object IncrementalLedger {
       case None => Set.empty
     }
 
-    // data files only: planner/committer droppings (_SUCCESS, .crc) are
-    // not input. Keyed by fully-qualified URI so the set survives being
-    // probed from differently-based sessions.
-    val listing = fs.listStatus(new org.apache.hadoop.fs.Path(inputDir))
-      .iterator.filter(_.isFile)
-      .map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .map(_.toUri.toString).toSeq.sorted
+    // data files only, listed RECURSIVELY — input may land as a
+    // partitioned tree (date=.../part-*.parquet), and a top-level-only
+    // listing would silently classify every post-first-commit run as a
+    // no-op. A file is metadata (excluded) when ANY path segment under
+    // inputDir is underscore/dot-prefixed (_SUCCESS, .crc, _manifest…).
+    // Keyed by fully-qualified URI so the set survives being probed
+    // from differently-based sessions.
+    val inRoot = new org.apache.hadoop.fs.Path(inputDir)
+    val inFs = inRoot.getFileSystem(hconf)
+    val rootUri = inRoot.makeQualified(inFs.getUri, inFs.getWorkingDirectory).toString
+    def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toString != rootUri) {
+        if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val listing = {
+      val it = inFs.listFiles(inRoot, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !hiddenUnderRoot(st.getPath))
+          b += st.getPath.toUri.toString
+      }
+      b.result().sorted
+    }
     val delta = listing.filterNot(processed)
 
     val next = current.getOrElse(-1L) + 1
@@ -116,10 +165,9 @@ object IncrementalLedger {
     val tmp = new org.apache.hadoop.fs.Path(ledger, s".LATEST.$next.tmp")
     writeSmall(tmp, next.toString)
     // delete+rename because rename-onto-existing fails on local/HDFS
-    // semantics. A crash INSIDE this two-call window leaves no LATEST,
-    // which the next run reads as a fresh start: it rebuilds state from
-    // the FULL listing into v_0 — a wasteful full recompute, never a
-    // double-count (state is replaced, not folded into)
+    // semantics. A crash INSIDE this two-call window leaves no LATEST;
+    // the next run RECOVERS by re-pointing to the highest complete
+    // version (see `current` above) — no recompute, no loss
     fs.delete(latestPath, false)
     if (!fs.rename(tmp, latestPath))
       throw new java.io.IOException(s"ledger commit rename failed for v_$next")

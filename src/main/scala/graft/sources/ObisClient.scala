@@ -62,7 +62,14 @@ final class ObisClient(
       Option(enddate).filter(_.nonEmpty).map("enddate" -> _)
     val body = request("statistics/years", params)
     new ObjectMapper().readTree(body).elements().asScala
-      .map(n => (n.get("year").asInt(), n.get("records").asLong()))
+      .map { n =>
+        // a 2xx body that is not the expected [{year, records}] array
+        // (error envelope, metadata object) must be a descriptive
+        // failure, not an NPE deep in Jackson accessors
+        require(n.hasNonNull("year") && n.hasNonNull("records"),
+          s"unexpected statistics/years element: $n")
+        (n.get("year").asInt(), n.get("records").asLong())
+      }
       .toSeq
   }
 
@@ -107,9 +114,13 @@ final class ObisClient(
     val stats = yearStats(scientificName, startdate, enddate)
     require(stats.nonEmpty, s"no year statistics for $scientificName")
     val total = stats.map(_._2).sum
-    // empty bounds default to the earliest/latest years seen (obis.py:95-98)
-    val start = if (startdate.nonEmpty) startdate else stats.head._1.toString
-    val end = if (enddate.nonEmpty) enddate else stats.last._1.toString
+    // empty bounds default to the earliest/latest years seen
+    // (obis.py:95-98) — min/max, never head/last: the API's ordering is
+    // not a contract (planBatches sorts internally), and an unsorted
+    // response would otherwise invert the first window's date range and
+    // silently fetch nothing for it
+    val start = if (startdate.nonEmpty) startdate else stats.map(_._1).min.toString
+    val end = if (enddate.nonEmpty) enddate else stats.map(_._1).max.toString
     if (size >= total)
       return Seq(fetchOccurrences(scientificName, whale, start, end, size, dataDir))
     val windows = BatchPlanner.planBatches(stats, size)

@@ -105,9 +105,13 @@ object Staging {
     * writer that still ends up oversized.
     */
   def writeCompacted(df: DataFrame, path: String, targetFileRows: Long): Unit = {
-    val rows = df.count()
+    // checkpoint before the sizing count, or the full upstream plan
+    // (possibly an expensive join/aggregate) executes twice — once for
+    // count(), again for the write
+    val snap = graft.Materialize.checkpoint(df)
+    val rows = snap.count()
     val files = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
-    df.repartition(files)
+    snap.repartition(files)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetFileRows)
       .parquet(path)

@@ -76,6 +76,20 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
     assert(df.select("p").collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("data dirs with URI-special characters (spaces) stay readable") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft manifest sp")
+    val dir = base.toString
+    Seq((1L, "a"), (2L, "b")).toDF("ts", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileManifest.build(spark, dir, Seq("ts"))
+    // input_file_name() percent-encodes the space; the staleness compare
+    // must reconcile that against the listing's literal form
+    val (df, kept, total) = FileManifest.readPruned(spark, dir, "ts",
+      lit(0L), lit(10L))
+    assert(total == 1 && kept == 1 && df.count() == 2)
+  }
+
   test("a stale manifest fails loud instead of silently dropping new files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_stale").toString

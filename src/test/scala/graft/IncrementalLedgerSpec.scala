@@ -62,12 +62,16 @@ class IncrementalLedgerSpec extends AnyFunSuite with SparkSpec {
     assert(stateMap(r4.state) == full + ("d" -> (1L, 3L)),
       "torn v_2 leaked into the committed state")
 
-    // lost LATEST (crash inside the delete+rename window): degrades to a
-    // full recompute of the same state, never a double count
+    // lost LATEST (crash inside the delete+rename window): the pointer
+    // RECOVERS to the highest complete version — nothing reprocessed,
+    // nothing recomputed, same state (a rebuild from the listing would
+    // silently undercount any input file archived since consumption)
     java.nio.file.Files.delete(java.nio.file.Paths.get(led, "LATEST"))
     val r5 = IncrementalLedger.run(spark, src, led, agg, merge)
-    assert(r5.newFiles.size == 4, "fresh start should re-list every input file")
+    assert(r5.newFiles.isEmpty, "pointer recovery must not reprocess input")
     assert(stateMap(r5.state) == full + ("d" -> (1L, 3L)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(led, "LATEST")),
+      "recovery should rewrite the pointer")
 
     // three more runs push the version counter past the keep window —
     // old versions must actually be pruned, so the ledger footprint is
@@ -84,5 +88,23 @@ class IncrementalLedgerSpec extends AnyFunSuite with SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("v_")).map(_.getName)
     assert(vdirs.length <= 3, s"ledger grew unbounded: ${vdirs.sorted.mkString(",")}")
     assert(!vdirs.contains("v_0"), "v_0 escaped the prune window")
+  }
+
+  test("partitioned input trees are consumed (recursive listing)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ledger_part").toString
+    val (src, led) = (s"$root/src", s"$root/ledger")
+    // hive-style partitioned landing: files live in day=... SUBDIRS — a
+    // top-level listing would see no files and run every post-commit
+    // batch as a silent no-op
+    Seq(("a", 1L)).toDF("k", "v").withColumn("day", lit("d1"))
+      .write.partitionBy("day").mode("append").parquet(src)
+    val r1 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r1.newFiles.size == 1 && stateMap(r1.state) == Map("a" -> (1L, 1L)))
+    Seq(("a", 2L)).toDF("k", "v").withColumn("day", lit("d2"))
+      .write.partitionBy("day").mode("append").parquet(src)
+    val r2 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r2.newFiles.size == 1, s"new partition's file not consumed: ${r2.newFiles}")
+    assert(stateMap(r2.state) == Map("a" -> (2L, 3L)))
   }
 }
