@@ -204,6 +204,65 @@ object ExtOpQueries {
         .select(col("k"), col("seg"), col("nat"), col("valid_from"),
           col("valid_to"), col("is_current").cast("long").as("is_current"))
         .orderBy("k", "valid_from")
+    },
+
+    // ---- CDC apply: I/U/D change feed → next snapshot --------------------
+    // The replication MERGE (Scd2's current-state sibling): a snapshot
+    // missing some keys (k % 7 = 3) absorbs a five-segment feed whose
+    // per-key NET effect is decided by sequence number — updates at seq
+    // 10/30 (k % 5 / k % 10, so % 10 keys carry TWO updates and the
+    // later must win), deletes at 20 (k % 11), inserts at 40 for the
+    // missing keys (some of which also carry earlier U ops the insert
+    // must override), and a delete-then-reinsert at 50 (k % 22 — the
+    // resurrect case). The gate checks the ENTIRE next snapshot
+    // row-for-row, so a lost delete, a stale update winning, a dropped
+    // untouched key, or a failed resurrect all fail. CdcSpec pins
+    // out-of-order sequences, idempotent replay, null-op/null-key
+    // handling, and the one-join plan.
+    QueryDef.sql(
+      "q118_cdc_apply",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                 CAST(c_acctbal AS DECIMAL(14,2)) AS bal FROM customer),
+        |snap AS (SELECT k, seg, bal FROM c WHERE k % 7 <> 3),
+        |feed AS (
+        |  SELECT k, seg || '_U1' AS seg, CAST(bal + 10 AS DECIMAL(14,2)) AS bal,
+        |         'U' AS op, 10 AS seq FROM c WHERE k % 5 = 0
+        |  UNION ALL SELECT k, NULL, NULL, 'D', 20 FROM c WHERE k % 11 = 0
+        |  UNION ALL SELECT k, seg, CAST(bal + 7 AS DECIMAL(14,2)), 'U', 30
+        |    FROM c WHERE k % 10 = 0
+        |  UNION ALL SELECT k, 'INS', bal, 'I', 40 FROM c WHERE k % 7 = 3
+        |  UNION ALL SELECT k, 'BACK', CAST(0 AS DECIMAL(14,2)), 'I', 50
+        |    FROM c WHERE k % 22 = 0),
+        |net AS (SELECT k, seg, bal, op FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM feed) WHERE rn = 1),
+        |applied AS (
+        |  SELECT COALESCE(n.k, s.k) AS k,
+        |         CASE WHEN n.k IS NOT NULL THEN n.seg ELSE s.seg END AS seg,
+        |         CASE WHEN n.k IS NOT NULL THEN n.bal ELSE s.bal END AS bal
+        |  FROM snap s FULL OUTER JOIN net n ON s.k = n.k
+        |  WHERE n.op IS NULL OR n.op <> 'D')
+        |SELECT k, seg, CAST(bal AS DOUBLE) AS bal FROM applied ORDER BY k""") { (s, d) =>
+      import graft.dims.Cdc
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        col("c_acctbal").cast("decimal(14,2)").as("bal"))
+      val snap = c.filter(col("k") % 7 =!= 3)
+      def leg(cond: org.apache.spark.sql.Column, seg: org.apache.spark.sql.Column,
+          bal: org.apache.spark.sql.Column, op: String, seq: Long) =
+        c.filter(cond).select(col("k"), seg.as("seg"),
+          bal.cast("decimal(14,2)").as("bal"), lit(op).as("op"),
+          lit(seq).as("seq"))
+      val feed = Seq(
+        leg(col("k") % 5 === 0, concat(col("seg"), lit("_U1")), col("bal") + 10, "U", 10L),
+        leg(col("k") % 11 === 0, lit(null).cast("string"), lit(null).cast("decimal(14,2)"), "D", 20L),
+        leg(col("k") % 10 === 0, col("seg"), col("bal") + 7, "U", 30L),
+        leg(col("k") % 7 === 3, lit("INS"), col("bal"), "I", 40L),
+        leg(col("k") % 22 === 0, lit("BACK"), lit(0).cast("decimal(14,2)"), "I", 50L)
+      ).reduce(_.unionByName(_))
+      Cdc.applyChanges(snap, feed, Seq("k"), Seq("seg", "bal"), "op", "seq")
+        .select(col("k"), col("seg"), col("bal").cast("double").as("bal"))
+        .orderBy("k")
     }
   )
 }
