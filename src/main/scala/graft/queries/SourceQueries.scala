@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.sources.{IncrementalLedger, Staging}
+import graft.sources.{FileManifest, IncrementalLedger, Staging}
 
 /** Source/sink + multimodal coverage. Round-trip queries write through the
   * engine's own sinks to scratch space and read back with declared
@@ -420,6 +420,35 @@ object SourceQueries {
         .select(col("event_type"), col("n"),
           col("t").cast("double").as("total"))
         .orderBy("event_type")
+    },
+
+    // ---- Bloom-sidecar point lookup (q115's high-cardinality twin) -------
+    // An id probe over a HASH-distributed tree: every file's [min,max]
+    // spans ~the whole key range, so q115's bounds keep all 16 files —
+    // but each event_id lives in exactly ONE file, and the per-file
+    // Bloom sidecar (FileManifest.buildWithBloom) answers "definitely
+    // not here" for the rest from one tiny manifest read. Kept files ≈
+    // |keys| + fpp·files instead of all of them; the exact IN filter
+    // absorbs false positives, so the result — and the oracle — is the
+    // plain point query. One probe key (20011) only exists at sf ≥ 0.1,
+    // pinning absent-key behavior at the small gates. FileManifestSpec
+    // measures the skip and the no-false-negative contract.
+    QueryDef.sql(
+      "q119_bloom_point_lookup",
+      """SELECT event_id, event_type, user_id, CAST(value AS DOUBLE) AS value
+        |FROM events WHERE event_id IN (1, 4097, 9973, 20011)
+        |ORDER BY event_id""") { (s, d) =>
+      val dir = scratch(d, "events_bloom")
+      Tables.events(s, d)
+        .select("event_id", "event_type", "user_id", "value")
+        .repartition(16, col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+      FileManifest.buildWithBloom(s, dir, Seq("event_id"), Seq("event_id"))
+      val (df, _, _) = FileManifest.readPointLookup(s, dir, "event_id",
+        Seq(1L, 4097L, 9973L, 20011L))
+      df.select(col("event_id"), col("event_type"), col("user_id"),
+        col("value").cast("double").as("value"))
+        .orderBy("event_id")
     }
   )
 }

@@ -40,14 +40,62 @@ object FileManifest {
   /** One pass over the directory: per-file row count + min/max of each
     * tracked column, written as the `_manifest` parquet (overwrite).
     */
-  def build(spark: SparkSession, dataDir: String, cols: Seq[String]): Unit = {
+  def build(spark: SparkSession, dataDir: String, cols: Seq[String]): Unit =
+    buildWithBloom(spark, dataDir, cols, Nil)
+
+  /** [[build]] plus a per-file BLOOM FILTER sidecar over each of
+    * `bloomCols` (long-typed key columns) — the skipping layer min/max
+    * bounds can't provide: a POINT lookup on a high-cardinality key that
+    * is uncorrelated with file layout (an id probe over an
+    * arrival-ordered tree) intersects every file's [min,max], but a
+    * per-file Bloom answers "definitely not here" for all but the
+    * files actually holding the key (+ the fpp's false positives).
+    * Delta's bloom-filter index / Iceberg puffin blobs are the same
+    * idea; here the serialized filter (Spark's `util.sketch.BloomFilter`,
+    * `expectedPerFile`/`fpp`-sized) rides as a binary column in the one
+    * `_manifest` parquet. No false negatives ever — Bloom semantics —
+    * so pruning stays SOUND; a false positive only costs one extra file
+    * read under the exact row filter.
+    */
+  def buildWithBloom(spark: SparkSession, dataDir: String, cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01): Unit = {
+    val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
+      org.apache.spark.sql.Encoders.LONG)
     val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        bloomCols.map(c => bloomAgg(col(c).cast("long")).as(s"bloom_$c")))
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(dataDir))
+  }
+
+  /** Mergeable per-file Bloom accumulation: one filter per group, built
+    * executor-side (null keys skipped — a NULL never equals a point
+    * probe, so leaving it out of the filter is exact, and a file of only
+    * NULL keys correctly yields an empty filter every probe misses).
+    */
+  private final class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    def reduce(b: BloomFilter, k: java.lang.Long): BloomFilter = {
+      if (k != null) b.putLong(k)
+      b
+    }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.mergeInPlace(b)
+    def finish(b: BloomFilter): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      b.writeTo(os)
+      os.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
 
   /** Range scan planned through the manifest: read only the files whose
@@ -72,26 +120,64 @@ object FileManifest {
   def readPrunedMulti(spark: SparkSession, dataDir: String,
       bounds: Seq[(String, Column, Column)]): (DataFrame, Int, Int) = {
     require(bounds.nonEmpty, "readPrunedMulti with no bounds")
+    val (mdf, total) = loadCovering(spark, dataDir)
+
+    // bound test in Spark expression semantics (same coercions the data
+    // filter gets), on the tiny manifest frame
+    val keepFile = bounds.map { case (c, lo, hi) =>
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+    }.reduce(_ && _)
+    val kept = mdf.filter(keepFile)
+      .select("file").collect().map(r => norm(r.getString(0))).toSeq
+    val rowPred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    (readKept(spark, dataDir, kept).filter(rowPred), kept.size, total)
+  }
+
+  /** POINT lookup planned through the Bloom sidecar: open only the files
+    * whose filter might contain at least one probe key (a missing/null
+    * sidecar cell keeps the file — unknown is never skipped). The probe
+    * runs driver-side over the tiny manifest — |files| filter
+    * deserializations, the same metadata-scale work as the bounds test —
+    * and the exact `IN` filter behind it removes false positives, so the
+    * result is identical to the full scan's.
+    */
+  def readPointLookup(spark: SparkSession, dataDir: String, c: String,
+      keys: Seq[Long]): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "readPointLookup with no keys")
+    val (mdf, total) = loadCovering(spark, dataDir)
+    require(mdf.columns.contains(s"bloom_$c"),
+      s"manifest under $dataDir has no bloom sidecar for '$c' — " +
+        s"buildWithBloom(..., bloomCols = Seq(\"$c\")) first")
+
+    val kept = mdf.select(col("file"), col(s"bloom_$c")).collect().iterator
+      .filter { r =>
+        r.isNullAt(1) || {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(r.getAs[Array[Byte]](1))
+          keys.exists(bf.mightContainLong)
+        }
+      }
+      .map(r => norm(r.getString(0))).toSeq
+    val df = readKept(spark, dataDir, kept)
+      .filter(col(c).isin(keys: _*))
+    (df, kept.size, total)
+  }
+
+  /** Read the manifest and enforce COVERAGE: every live data file under
+    * the directory must be manifested — a file landed after the last
+    * build would otherwise be silently absent from every planned query.
+    * Fail loud; the writer owes a rebuild. Returns the manifest frame
+    * and its file count.
+    */
+  private def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) = {
     val mdf = spark.read.parquet(manifestPath(dataDir))
     val total = mdf.count().toInt
     require(total > 0, s"empty manifest under $dataDir — build() first")
 
-    // the manifest must COVER the directory: a file landed after the
-    // last build would otherwise be silently absent from every range
-    // query — fail loud, the writer owes a rebuild
     val hfs = new org.apache.hadoop.fs.Path(dataDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // both sides normalized through Path.toString: input_file_name()
-    // emits file:///x URIs (PERCENT-ENCODED — a space is %20) while
-    // Hadoop's listing prints file:/x with literal characters; decode
-    // URI-shaped strings first or a data dir containing a space would
-    // flag every file as unmanifested forever
-    def norm(s: String) = {
-      val p =
-        try new org.apache.hadoop.fs.Path(new java.net.URI(s))
-        catch { case _: Exception => new org.apache.hadoop.fs.Path(s) }
-      p.toString
-    }
     // RECURSIVE listing: build() reads through spark.read.parquet, which
     // descends into partition subdirectories — a top-level listStatus
     // would list nothing for a partitioned layout and reduce this guard
@@ -122,28 +208,32 @@ object FileManifest {
     require(unknown.isEmpty,
       s"manifest under $dataDir is stale: ${unknown.size} unmanifested " +
         s"files (e.g. ${unknown.headOption.getOrElse("")}) — rebuild")
-
-    // bound test in Spark expression semantics (same coercions the data
-    // filter gets), on the tiny manifest frame
-    val keepFile = bounds.map { case (c, lo, hi) =>
-      col(s"min_$c").isNull || col(s"max_$c").isNull ||
-        (col(s"min_$c") <= hi && col(s"max_$c") >= lo)
-    }.reduce(_ && _)
-    // decoded through norm for the read as well: spark.read treats its
-    // path strings literally, so a percent-encoded %20 from
-    // input_file_name would be looked up as a literal "%20" directory
-    val kept = mdf.filter(keepFile)
-      .select("file").collect().map(r => norm(r.getString(0))).toSeq
-    // basePath pins schema parity with the unpruned read: without it, a
-    // leaf-file read under hive-style partition dirs drops the partition
-    // columns, so the pruned frame's schema would diverge from the full
-    // scan (and from the kept-empty branch below)
-    val df =
-      if (kept.isEmpty)
-        spark.read.parquet(dataDir).filter(lit(false)) // schema-stable empty
-      else spark.read.option("basePath", dataDir).parquet(kept: _*)
-    val rowPred = bounds.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
-    (df.filter(rowPred), kept.size, total)
+    (mdf, total)
   }
+
+  /** Both sides normalized through Path.toString: input_file_name()
+    * emits file:///x URIs (PERCENT-ENCODED — a space is %20) while
+    * Hadoop's listing prints file:/x with literal characters; decode
+    * URI-shaped strings first or a data dir containing a space would
+    * flag every file as unmanifested forever. The read path needs the
+    * same decode: spark.read treats its path strings literally, so a
+    * percent-encoded %20 would be looked up as a literal "%20" dir.
+    */
+  private def norm(s: String): String = {
+    val p =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(s))
+      catch { case _: Exception => new org.apache.hadoop.fs.Path(s) }
+    p.toString
+  }
+
+  /** Scan exactly `kept`. basePath pins schema parity with the unpruned
+    * read: without it, a leaf-file read under hive-style partition dirs
+    * drops the partition columns, so the pruned frame's schema would
+    * diverge from the full scan (and from the kept-empty branch).
+    */
+  private def readKept(spark: SparkSession, dataDir: String,
+      kept: Seq[String]): DataFrame =
+    if (kept.isEmpty)
+      spark.read.parquet(dataDir).filter(lit(false)) // schema-stable empty
+    else spark.read.option("basePath", dataDir).parquet(kept: _*)
 }

@@ -90,6 +90,77 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
     assert(total == 1 && kept == 1 && df.count() == 2)
   }
 
+  test("bloom point lookup: skips files, equals the full scan, no false negatives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_bloom").toString
+    // hash-distributed layout: every file's [min,max] spans ~the whole id
+    // range, so min/max bounds prune NOTHING for a point probe — the
+    // exact scenario the sidecar exists for
+    val ids = (0L until 1600L)
+    ids.map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(16, col("id")).write.mode("append").parquet(dir)
+    FileManifest.buildWithBloom(spark, dir, Seq("id"), Seq("id"),
+      expectedPerFile = 1024, fpp = 0.01)
+
+    val keys = Seq(7L, 555L, 1201L, 9999L) // 9999 absent everywhere
+    val (df, kept, total) = FileManifest.readPointLookup(spark, dir, "id", keys)
+    assert(total == 16)
+    // 3 present keys live in ≤3 files; fpp 1% over 16 files adds ~0 FPs —
+    // allow a little slack but require real skipping
+    assert(kept <= 6, s"bloom pruned nothing: kept $kept of $total")
+    val got = df.select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "p7"), (555L, "p555"), (1201L, "p1201")))
+
+    // min/max alone keeps every file for the same probe (the contrast)
+    val (_, keptRange, _) = FileManifest.readPruned(spark, dir, "id",
+      lit(555L), lit(555L))
+    assert(keptRange == 16, "hash layout should defeat min/max bounds")
+
+    // no false negatives: every id individually findable through the sidecar
+    val probe = Seq(0L, 1L, 255L, 256L, 800L, 1599L)
+    probe.foreach { k =>
+      val (one, _, _) = FileManifest.readPointLookup(spark, dir, "id", Seq(k))
+      assert(one.count() == 1, s"bloom lost id $k")
+    }
+  }
+
+  test("bloom point lookup shares the staleness guard and requires the sidecar") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_bloom2").toString
+    Seq((1L, "a")).toDF("id", "payload").coalesce(1).write.mode("append").parquet(dir)
+    // no sidecar built → loud refusal, not a silent full keep
+    FileManifest.build(spark, dir, Seq("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      FileManifest.readPointLookup(spark, dir, "id", Seq(1L))
+    }
+    assert(e1.getMessage.contains("bloom sidecar"))
+    FileManifest.buildWithBloom(spark, dir, Seq("id"), Seq("id"))
+    Seq((2L, "late")).toDF("id", "payload").coalesce(1).write.mode("append").parquet(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      FileManifest.readPointLookup(spark, dir, "id", Seq(2L))
+    }
+    assert(e2.getMessage.contains("stale"))
+    FileManifest.buildWithBloom(spark, dir, Seq("id"), Seq("id"))
+    val (df, kept, total) = FileManifest.readPointLookup(spark, dir, "id", Seq(2L))
+    assert(total == 2 && kept >= 1 &&
+      df.select("payload").collect().map(_.getString(0)).toSeq == Seq("late"))
+  }
+
+  test("a file of only NULL keys yields an empty filter every probe skips soundly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_bloom3").toString
+    Seq((java.lang.Long.valueOf(5L), "a")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((null.asInstanceOf[java.lang.Long], "n")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileManifest.buildWithBloom(spark, dir, Seq("id"), Seq("id"))
+    val (df, kept, total) = FileManifest.readPointLookup(spark, dir, "id", Seq(5L))
+    // NULL never equals a point probe, so skipping the all-NULL file is exact
+    assert(total == 2 && kept == 1)
+    assert(df.select("payload").collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("a stale manifest fails loud instead of silently dropping new files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_stale").toString
