@@ -277,6 +277,50 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("tbucket")
+    },
+
+    // ---- deterministic corpus shuffle → fixed-size training shards -------
+    // The last layout step before a corpus feeds a trainer: break source
+    // ordering (documents arrive grouped by crawl/source; a trainer
+    // reading shards sequentially must not see 10M contiguous docs of
+    // one source) and cut the permuted order into FIXED-SIZE shards.
+    // The permutation is a pure hash of doc_id (multiplicative, the q60
+    // family — overflow-free, RNG-free, so it survives re-runs and
+    // late-arriving data), packed with the id into one collision-free
+    // sort key; the global ordinal comes from GlobalRowNumber's
+    // two-pass range-bucketed numbering — never a partition-less
+    // window — and the shard id is integer math on it. Per-shard
+    // source mixing is the observable: each 64-doc shard draws from
+    // ~all sources (count_distinct pinned per shard by the gate).
+    QueryDef.sql(
+      "q120_shuffle_shards",
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (((doc_id % 100000) * 2654435761) % 100000) * 4294967296 + doc_id AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY skey) AS rn
+        |  FROM h)
+        |SELECT (rn - 1) // 64 AS shard_id, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      // hash in [0, 100000), packed above the id (doc_id < 2^32 — holds
+      // to ~4e9 documents; widen the pack factor past that): one long
+      // key, unique by construction, ordered ≡ (hash, doc_id)
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ((col("doc_id") % 100000 * 2654435761L) % 100000 * 4294967296L +
+            col("doc_id")).as("skey"))
+      GlobalRowNumber.byKeyOrder(keyed, "skey", "rn")
+        .groupBy(expr("(rn - 1) div 64").cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast("long").as("shard_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("shard_id")
     }
   )
 }

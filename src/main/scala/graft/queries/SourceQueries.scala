@@ -449,6 +449,48 @@ object SourceQueries {
       df.select(col("event_id"), col("event_type"), col("user_id"),
         col("value").cast("double").as("value"))
         .orderBy("event_id")
+    },
+
+    // ---- ledger time travel: state AS OF an earlier committed version ----
+    // q113's ingest, read back at version 0: after BOTH days commit, the
+    // query serves the day-1-only aggregate from the ledger's immutable
+    // v_0 snapshot (IncrementalLedger.stateAt) — the "what did the
+    // nightly say on Tuesday" audit read. The oracle recomputes day 1
+    // from the source, so serving the wrong version, a state the second
+    // run mutated in place, or a snapshot polluted by day-2 segments
+    // all fail. Missing/pruned versions fail loud
+    // (IncrementalLedgerSpec).
+    QueryDef.sql(
+      "q122_ledger_time_travel",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 3 <> 0 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val src = scratch(d, "events_segments_tt")
+      val led = scratch(d, "events_ledger_tt")
+      for (dir <- Seq(src, led)) {
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.delete(q))
+      }
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("decimal(24,2)").as("t"))
+      def merge(state: org.apache.spark.sql.DataFrame,
+          partial: org.apache.spark.sql.DataFrame) =
+        state.unionByName(partial).groupBy("event_type")
+          .agg(sum("n").as("n"), sum("t").cast("decimal(24,2)").as("t"))
+      ev.filter(col("event_id") % 3 =!= 0).repartition(2)
+        .write.mode("append").parquet(src)
+      IncrementalLedger.run(s, src, led, agg, merge)
+      ev.filter(col("event_id") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      IncrementalLedger.run(s, src, led, agg, merge)
+      IncrementalLedger.stateAt(s, led, 0L)
+        .select(col("event_type"), col("n"),
+          col("t").cast("double").as("total"))
+        .orderBy("event_type")
     }
   )
 }

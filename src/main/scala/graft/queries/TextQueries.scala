@@ -191,6 +191,45 @@ object TextQueries {
         .filter(col("rk") <= 5)
         .select("lang", "token", "tf", "df", "rk")
         .orderBy("lang", "rk")
+    },
+
+    // ---- hashed-linear (fastText-style) quality classifier ---------------
+    // Model-BASED filtering after the heuristic gates (q22/q69): each
+    // token hashes into one of 4096 weight buckets (the hashing trick —
+    // no vocabulary to ship), the margin is the integer sum of token
+    // weights, score normalizes by length, keep thresholds at 0. Pure
+    // map-side inference — the 100 TB corpus never shuffles; per-row
+    // outputs are hash-gated, so the oracle replays every token hash,
+    // bucket, weight, and sum bit-for-bit. One JVM pass per document
+    // (TextAnalysis.hashedLinearJvm; HashedLinearSpec pins the
+    // expression twin identical).
+    QueryDef.sql(
+      "q121_hashed_classifier",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(COALESCE(list_sum(list_transform(toks, tok ->
+        |      ((list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(string_split(tok, ''), c -> unicode(c)::BIGINT)),
+        |          (a, x) -> (a * 31 + x) % 1000000007) % 4096)
+        |        * 2654435761) % 2001 - 1000)), 0) AS BIGINT) AS margin
+        |  FROM t)
+        |SELECT doc_id, n_tok, margin,
+        |  CASE WHEN n_tok = 0 THEN 0.0::DOUBLE
+        |       ELSE CAST(margin AS DOUBLE) / (n_tok * 1000) END AS score,
+        |  margin > 0 AS keep
+        |FROM w ORDER BY doc_id""") { (s, d) =>
+      import graft.text.TextAnalysis
+      Tables.documents(s, d)
+        .transform(graft.Tables.spread(_, col("doc_id"))) // per-doc hash kernels want all cores
+        .withColumn("hl", TextAnalysis.hashedLinearUdf(col("text")))
+        .select(col("doc_id"), col("hl._1").as("n_tok"), col("hl._2").as("margin"))
+        .withColumn("score", when(col("n_tok") === 0, lit(0.0))
+          .otherwise(col("margin").cast("double") / (col("n_tok") * 1000)))
+        .withColumn("keep", col("margin") > 0)
+        .orderBy("doc_id")
     }
   )
 }

@@ -46,6 +46,53 @@ object IncrementalLedger {
 
   private val KeepVersions = 3
 
+  private def versionDir(ledger: org.apache.hadoop.fs.Path, n: Long) =
+    new org.apache.hadoop.fs.Path(ledger, s"v_$n")
+
+  /** COMPLETE = every artifact landed. files.txt is written after the
+    * state parquet, so its presence (plus the parquet's _SUCCESS)
+    * certifies the version; a torn attempt is missing one of them.
+    */
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path, n: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(versionDir(ledger, n), "files.txt")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(versionDir(ledger, n),
+        "state.parquet/_SUCCESS"))
+
+  /** The committed versions still on disk, ascending — the TIME-TRAVEL
+    * window (bounded by the keep-window prune, so it does not grow with
+    * ingest lifetime). Torn attempts are excluded.
+    */
+  def versions(spark: SparkSession, ledgerDir: String): Seq[Long] = {
+    val ledger = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledger.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ledger)) Seq.empty
+    else fs.listStatus(ledger).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v_") => n.stripPrefix("v_").toLong }
+      .filter(isComplete(fs, ledger, _))
+      .toSeq.sorted
+  }
+
+  /** TIME TRAVEL: the committed state AS OF `version` — exactly what a
+    * reader at that commit observed, because every version dir is
+    * immutable once its pointer moves past it (runs only ever write the
+    * NEXT version). This is the audit/debug read every snapshot store
+    * grows: "what did the aggregate say after Tuesday's run". Fails
+    * LOUD on a missing/torn/pruned version rather than silently serving
+    * a neighbor.
+    */
+  def stateAt(spark: SparkSession, ledgerDir: String, version: Long): DataFrame = {
+    val ledger = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledger.getFileSystem(spark.sessionState.newHadoopConf())
+    require(isComplete(fs, ledger, version),
+      s"ledger version v_$version under $ledgerDir is missing or incomplete " +
+        s"(torn attempt, or pruned past the $KeepVersions-version keep window); " +
+        s"available: ${versions(spark, ledgerDir).mkString(", ")}")
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(versionDir(ledger, version), "state.parquet").toString)
+  }
+
   def run(
       spark: SparkSession,
       inputDir: String,
@@ -69,13 +116,8 @@ object IncrementalLedger {
     }
 
     val latestPath = new org.apache.hadoop.fs.Path(ledger, "LATEST")
-    def vdir(n: Long) = new org.apache.hadoop.fs.Path(ledger, s"v_$n")
-    // COMPLETE = every artifact landed. files.txt is written after the
-    // state parquet, so its presence (plus the parquet's _SUCCESS)
-    // certifies the version; a torn attempt is missing one of them.
-    def complete(n: Long): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(vdir(n), "files.txt")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(vdir(n), "state.parquet/_SUCCESS"))
+    def vdir(n: Long) = versionDir(ledger, n)
+    def complete(n: Long): Boolean = isComplete(fs, ledger, n)
     val current: Option[Long] =
       if (fs.exists(latestPath)) Some(readSmall(latestPath).trim.toLong)
       else if (!fs.exists(ledger)) None

@@ -139,4 +139,47 @@ object TextAnalysis {
   val bigramStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((s: String) =>
       if (s == null) (0L, 0L) else bigramStatsJvm(s))
+
+  /** Hashed-bag-of-words LINEAR classifier inference — the fastText-
+    * style model-based quality filter real pretraining pipelines run
+    * after the heuristic gates: each token hashes into one of `dim`
+    * weight buckets (the hashing trick — no vocabulary state to ship,
+    * the property that makes the model a pure map-side function at
+    * 100 TB), the document's margin is the sum of its tokens' weights,
+    * and the keep decision thresholds it. Weights here are a fixed
+    * integer function of the bucket (`(b·2654435761) mod 2001 − 1000`,
+    * i.e. ~uniform in [−1000, 1000]) so inference is EXACT integer
+    * arithmetic — order-independent, engine-independent, and replayable
+    * verbatim by the DuckDB oracle; swapping trained weights in means
+    * broadcasting a `dim`-sized array, nothing else changes. Returns
+    * `(n_tokens, margin)`.
+    *
+    * One JVM pass per document, same measured policy as
+    * [[bigramStatsJvm]]: the expression form re-materializes a
+    * per-token hash fold through a per-character array per token.
+    * HashedLinearSpec pins the expression twin bit-identical.
+    */
+  def hashedLinearJvm(text: String, dim: Long): (Long, Long) = {
+    val toks = text.split(" ")
+    var n = 0L
+    var m = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        val b = Exact.foldHashJvm(t) % dim
+        m += (b * 2654435761L) % 2001L - 1000L
+      }
+      i += 1
+    }
+    (n, m)
+  }
+
+  /** Null-safe UDF form of [[hashedLinearJvm]] at the standard 4096
+    * buckets; null text → `(0, 0)` like every text kernel here.
+    */
+  val hashedLinearUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) (0L, 0L) else hashedLinearJvm(s, 4096L))
 }

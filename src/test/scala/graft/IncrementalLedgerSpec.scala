@@ -90,6 +90,44 @@ class IncrementalLedgerSpec extends AnyFunSuite with SparkSpec {
     assert(!vdirs.contains("v_0"), "v_0 escaped the prune window")
   }
 
+  test("time travel: stateAt serves immutable earlier versions, fails loud past the window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ledger_tt").toString
+    val (src, led) = (s"$root/src", s"$root/ledger")
+    def land(rows: (String, Long)*): Unit =
+      rows.toSeq.toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+
+    land("a" -> 1L)
+    IncrementalLedger.run(spark, src, led, agg, merge)
+    land("a" -> 10L, "b" -> 2L)
+    IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(IncrementalLedger.versions(spark, led) == Seq(0L, 1L))
+    // v_0 still serves exactly what its reader observed at commit time
+    assert(stateMap(IncrementalLedger.stateAt(spark, led, 0L)) == Map("a" -> (1L, 1L)))
+    assert(stateMap(IncrementalLedger.stateAt(spark, led, 1L)) ==
+      Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
+
+    // a torn attempt (state but no files.txt) is NOT a committed version
+    Seq(("zzz", 9L, 9L)).toDF("k", "n", "s")
+      .write.mode("overwrite").parquet(s"$led/v_7/state.parquet")
+    assert(IncrementalLedger.versions(spark, led) == Seq(0L, 1L))
+    val torn = intercept[IllegalArgumentException] {
+      IncrementalLedger.stateAt(spark, led, 7L)
+    }
+    assert(torn.getMessage.contains("missing or incomplete"))
+
+    // push v_0 out of the keep window → loud failure, never a neighbor
+    for ((k, v) <- Seq("c" -> 3L, "d" -> 4L)) {
+      land(k -> v)
+      IncrementalLedger.run(spark, src, led, agg, merge)
+    }
+    assert(!IncrementalLedger.versions(spark, led).contains(0L))
+    val pruned = intercept[IllegalArgumentException] {
+      IncrementalLedger.stateAt(spark, led, 0L)
+    }
+    assert(pruned.getMessage.contains("keep window"))
+  }
+
   test("partitioned input trees are consumed (recursive listing)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ledger_part").toString
