@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact
 import graft.operators.GlobalRowNumber
+import graft.sources.Staging
 
 /** Data-layout operators: the clustering / global-ordering machinery a
   * 100 TB table needs before it is written, not read.
@@ -321,6 +322,57 @@ object LayoutQueries {
           sum(col("n_chars")).cast("long").as("shard_chars"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("shard_id")
+    },
+
+    // ---- clustering-preserving compaction (OPTIMIZE ZORDER shape) --------
+    // The operational closer of the layout story: a streaming/incremental
+    // sink leaves 64 tiny files with NO clustering (round-robin mix — a
+    // manifest over them skips nothing), Staging.compactSorted rewrites
+    // them as ~8 right-sized files globally RANGE-sorted on the Morton
+    // key, the manifest is rebuilt as part of the repoint, and a 2-D box
+    // query planned through it skips at file granularity again (q117's
+    // layout, recovered from small-files residue instead of written
+    // perfectly the first time). The gate pins the box query's results
+    // through the compacted path against the from-source oracle — a
+    // compaction that lost/duplicated rows or broke the manifest fails;
+    // CompactionSpec measures the file-count drop and the before/after
+    // skip asymmetry.
+    QueryDef.sql(
+      "q123_compact_zorder",
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |           FROM events),
+         |e AS (SELECT event_id, value,
+         |        user_id % 64 AS shard,
+         |        (epoch_ns(ts) - mn) // ((mx - mn) // 64 + 1) AS tbucket
+         |      FROM events, b)
+         |SELECT tbucket, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM e
+         |WHERE shard >= 0 AND shard <= 15 AND tbucket >= 32 AND tbucket <= 47
+         |GROUP BY tbucket ORDER BY tbucket""") { (s, d) =>
+      val small = QueryDef.scratch(d, "compact_in")
+      val compacted = QueryDef.scratch(d, "compact_out")
+      val ev0 = Tables.events(s, d)
+      val b = ev0.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val step = (mx - mn) / 64 + 1
+      val ev = ev0.select(col("event_id"), col("value"),
+        pmod(col("user_id"), lit(64)).as("shard"),
+        expr(s"(ts_ns - ${mn}L) div ${step}L").as("tbucket"))
+        .withColumn("zk", morton(col("shard"), col("tbucket"), 6))
+      // the small-files residue: 64 round-robin files, clustering destroyed
+      ev.repartition(64).write.mode("overwrite").parquet(small)
+      val rows = ev0.count()
+      Staging.compactSorted(s, small, compacted, Seq("zk"),
+        targetFileRows = (rows + 7) / 8)
+      graft.sources.FileManifest.build(s, compacted, Seq("shard", "tbucket"))
+      val (box, _, _) = graft.sources.FileManifest.readPrunedMulti(s, compacted,
+        Seq(("shard", lit(0L), lit(15L)), ("tbucket", lit(32L), lit(47L))))
+      box.groupBy("tbucket")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("tbucket")
     }
   )
 }

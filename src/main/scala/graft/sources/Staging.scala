@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Staging-layer sources/sinks (SURVEY.md §2.1 S4/S5/S7/S8): fixed-schema
@@ -115,5 +116,34 @@ object Staging {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetFileRows)
       .parquet(path)
+  }
+
+  /** CLUSTERING-PRESERVING compaction — the `OPTIMIZE … ZORDER BY`
+    * shape: rewrite a directory of many small files (the residue every
+    * streaming/incremental sink leaves) as few right-sized files
+    * GLOBALLY SORTED on `sortCols`, so file-level manifests and parquet
+    * row-group stats skip again afterwards. [[writeCompacted]]'s
+    * round-robin balance is the wrong tool here — it destroys exactly
+    * the clustering that data skipping prices in; this one pays a
+    * range shuffle (repartitionByRange → disjoint per-file key ranges)
+    * plus in-partition sorts (tight row-group bounds within each file).
+    *
+    * Rewrite-then-repoint: output lands in `outDir` — a directory swap
+    * is not atomic on object stores, so the caller repoints readers (or
+    * the table pointer) after the rewrite, the same reason table
+    * formats version their manifests. Rebuild the [[FileManifest]] on
+    * the new directory as part of the repoint.
+    */
+  def compactSorted(spark: SparkSession, inDir: String, outDir: String,
+      sortCols: Seq[String], targetFileRows: Long): Unit = {
+    val df = spark.read.parquet(inDir)
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+    val keys = sortCols.map(col)
+    df.repartitionByRange(files, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetFileRows)
+      .parquet(outDir)
   }
 }
