@@ -200,6 +200,58 @@ object ValidationQueries {
         .select(col("check_name"), col("violations"),
           col("pass").cast("long").as("pass"))
         .orderBy("check_name")
+    },
+
+    // ---- snapshot reconciliation: row-level diff of two versions ---------
+    // The post-backfill check (TableDiff.diff): customers vs an edited
+    // replica — segment edits (k % 13), balance edits (k % 19, so
+    // k % 247 rows change BOTH columns), deletes (k % 17), inserts
+    // (k % 23, shifted keys). Output is one row per differing key with
+    // the change class and the sorted changed-column list — |diff|-sized,
+    // never |table|-sized. The gate replays every null-safe compare and
+    // the concat in DuckDB; a diff that missed an edit class, flagged an
+    // unchanged row, or got a column list wrong fails row-for-row.
+    QueryDef.sql(
+      "q124_table_diff",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                 CAST(c_acctbal AS DECIMAL(14,2)) AS bal FROM customer),
+        |r AS (
+        |  SELECT k,
+        |    CASE WHEN k % 13 = 0 THEN seg || '_E' ELSE seg END AS seg,
+        |    CASE WHEN k % 19 = 0 THEN CAST(bal + 5 AS DECIMAL(14,2)) ELSE bal END AS bal
+        |  FROM c WHERE k % 17 <> 0
+        |  UNION ALL
+        |  SELECT k + 2000000000, 'NEW', CAST(0 AS DECIMAL(14,2))
+        |  FROM c WHERE k % 23 = 0),
+        |d AS (
+        |  SELECT COALESCE(r.k, c.k) AS k,
+        |    CASE WHEN c.k IS NULL THEN 'added'
+        |         WHEN r.k IS NULL THEN 'removed' ELSE 'changed' END AS change,
+        |    CASE WHEN c.k IS NULL OR r.k IS NULL THEN NULL
+        |         ELSE concat_ws(',',
+        |           CASE WHEN NOT (c.bal IS NOT DISTINCT FROM r.bal) THEN 'bal' END,
+        |           CASE WHEN NOT (c.seg IS NOT DISTINCT FROM r.seg) THEN 'seg' END)
+        |         END AS changed_cols
+        |  FROM c FULL OUTER JOIN r ON c.k = r.k
+        |  WHERE c.k IS NULL OR r.k IS NULL
+        |     OR NOT (c.seg IS NOT DISTINCT FROM r.seg)
+        |     OR NOT (c.bal IS NOT DISTINCT FROM r.bal))
+        |SELECT k, change, changed_cols FROM d ORDER BY k""") { (s, d) =>
+      import graft.validate.TableDiff
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        col("c_acctbal").cast("decimal(14,2)").as("bal"))
+      val edited = c.filter(col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, concat(col("seg"), lit("_E")))
+            .otherwise(col("seg")).as("seg"),
+          when(col("k") % 19 === 0, (col("bal") + 5).cast("decimal(14,2)"))
+            .otherwise(col("bal")).as("bal"))
+        .unionByName(c.filter(col("k") % 23 === 0)
+          .select((col("k") + 2000000000L).as("k"), lit("NEW").as("seg"),
+            lit(0).cast("decimal(14,2)").as("bal")))
+      TableDiff.diff(c, edited, Seq("k"), Seq("seg", "bal"))
+        .orderBy("k")
     }
   )
 }
