@@ -263,6 +263,47 @@ object ExtOpQueries {
       Cdc.applyChanges(snap, feed, Seq("k"), Seq("seg", "bal"), "op", "seq")
         .select(col("k"), col("seg"), col("bal").cast("double").as("bal"))
         .orderBy("k")
+    },
+
+    // ---- point-in-time join against the SCD-2 dimension -------------------
+    // The temporal join that makes q116's history QUERYABLE (and the
+    // label-leakage guard of feature stores): every order joins the
+    // customer segment AS OF its (synthetic, deterministic) timestamp.
+    // Dim = two Scd2 merges — versions open at eff 10, k % 7 segments
+    // change at eff 100 — so facts route three ways: ts < 10 → NULL
+    // (pre-history), 10 ≤ ts < 100 → the original segment, ts ≥ 100 →
+    // the changed one. PitJoin's union-window rewrite does this with
+    // ZERO join operators — one shuffle on the key, linear in
+    // facts+versions, where the naive range theta-join is a BNLJ
+    // (PitJoinSpec pins the plan and the gap/boundary semantics). The
+    // oracle states the intended semantics directly, so a window
+    // formulation bug can't self-confirm.
+    QueryDef.sql(
+      "q125_pit_join",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |f AS (SELECT o_orderkey, o_custkey AS k, o_orderkey % 200 AS ts
+        |      FROM orders)
+        |SELECT o_orderkey, f.k AS k, ts,
+        |  CASE WHEN ts < 10 THEN NULL
+        |       WHEN ts >= 100 AND f.k % 7 = 0 THEN seg || '_X'
+        |       ELSE seg END AS seg
+        |FROM f LEFT JOIN c ON f.k = c.k
+        |ORDER BY o_orderkey""") { (s, d) =>
+      import graft.dims.Scd2
+      import graft.operators.PitJoin
+      val key = Seq("k")
+      val attrs = Seq("seg")
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      val dim0 = Scd2.merge(Scd2.emptyDim(c, key, attrs), c, key, attrs, 10L)
+      val batch = c.withColumn("seg", when(col("k") % 7 === 0,
+        concat(col("seg"), lit("_X"))).otherwise(col("seg")))
+      val dim = Scd2.merge(dim0, batch, key, attrs, 100L)
+      val facts = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"), (col("o_orderkey") % 200).as("ts"))
+      PitJoin.atTime(facts, dim, key, "ts", attrs)
+        .select("o_orderkey", "k", "ts", "seg")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PitJoin
+
+/** Pins the point-in-time join: version routing incl. the open-version
+  * and boundary-instant cases, NULL for pre-first-version and
+  * coverage-gap facts, and the zero-join window plan.
+  */
+class PitJoinSpec extends AnyFunSuite with SparkSpec {
+
+  // k=1: [10,100) "old", [100,∞) "new"; k=2: [0,50) "only", GAP, [80,∞) "back"
+  private def dim = {
+    import spark.implicits._
+    Seq(
+      (1L, "old", 10L, Some(100L)),
+      (1L, "new", 100L, Option.empty[Long]),
+      (2L, "only", 0L, Some(50L)),
+      (2L, "back", 80L, Option.empty[Long]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+  }
+
+  private def got(facts: org.apache.spark.sql.DataFrame) =
+    PitJoin.atTime(facts, dim, Seq("k"), "ts", Seq("seg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "∅" else r.getString(2))).toSet
+
+  test("facts route to the version valid at their timestamp") {
+    import spark.implicits._
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 99L), (1L, 100L), (1L, 500L))
+      .toDF("k", "ts")
+    assert(got(facts) == Set(
+      (1L, 5L, "∅"), // before the first version
+      (1L, 10L, "old"), // open boundary is inclusive
+      (1L, 99L, "old"),
+      (1L, 100L, "new"), // close is exclusive: the NEW version owns t=100
+      (1L, 500L, "new"))) // open version covers forever
+  }
+
+  test("coverage gaps yield NULL, never the stale neighbor") {
+    import spark.implicits._
+    val facts = Seq((2L, 49L), (2L, 50L), (2L, 79L), (2L, 80L)).toDF("k", "ts")
+    assert(got(facts) == Set(
+      (2L, 49L, "only"),
+      (2L, 50L, "∅"), // valid_to exclusive: 50 is already outside
+      (2L, 79L, "∅"), // inside the gap
+      (2L, 80L, "back")))
+  }
+
+  test("keys absent from the dim get NULL attributes") {
+    import spark.implicits._
+    assert(got(Seq((9L, 10L)).toDF("k", "ts")) == Set((9L, 10L, "∅")))
+  }
+
+  test("the plan has ZERO join operators (window rewrite, not a range join)") {
+    import spark.implicits._
+    val plan = PitJoin.atTime(Seq((1L, 10L)).toDF("k", "ts"), dim,
+      Seq("k"), "ts", Seq("seg")).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), s"expected a join-free plan:\n$plan")
+    assert(plan.contains("Window"))
+  }
+}
