@@ -250,6 +250,116 @@ object MixQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).cast("long").as("kept_tokens"))
         .orderBy("source")
+    },
+
+    // ---- sub-document boilerplate removal (CCNet/Dolma paragraph dedup) --
+    // Document-level dedup (q25-q29) keeps near-identical DOCUMENTS out;
+    // this removes repeated SPANS inside otherwise-unique documents —
+    // headers, footers, nav chrome — the paragraph-granularity pass of
+    // CCNet-style pipelines. Unit here: non-overlapping 4-token chunks
+    // (the corpus has no sentence punctuation); a chunk is boilerplate
+    // when it appears in ≥2 DISTINCT documents (within-doc repetition is
+    // q69's signal, deliberately exempt). Documents reassemble from
+    // their surviving chunks in order; per-doc chunk tallies + the
+    // rebuilt text's hash are gated row-for-row. Scale shape: chunks
+    // shuffle once to count; the boilerplate set is SMALL by
+    // construction (the repeated tail — 341 of 7k chunks at sf0.01) so
+    // the removal is a broadcast anti-join, map-side over the corpus;
+    // one chunk pass is shared by the counter and the filter via
+    // localCheckpoint.
+    QueryDef.sql(
+      "q126_boilerplate_strip",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        |e AS (SELECT doc_id, toks, unnest(range(0, (len(toks) + 3) // 4)) AS k FROM t),
+        |ch AS (SELECT doc_id, k AS chunk_no,
+        |         array_to_string(toks[4*k+1:4*k+4], ' ') AS chunk FROM e),
+        |bp AS (SELECT chunk FROM ch GROUP BY chunk
+        |       HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT doc_id, chunk_no, chunk FROM ch
+        |         WHERE chunk NOT IN (SELECT chunk FROM bp)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1),
+        |kag AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(chunk, ' ' ORDER BY chunk_no) AS cleaned
+        |        FROM kept GROUP BY 1)
+        |SELECT tot.doc_id AS doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+        |  CASE WHEN cleaned IS NULL THEN 0
+        |       ELSE list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(string_split(cleaned, ''), c -> unicode(c)::BIGINT)),
+        |         (a, x) -> (a * 31 + x) % 1000000007) END AS cleaned_hash
+        |FROM tot LEFT JOIN kag USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+      import graft.text.TextAnalysis
+      val t = Tables.documents(s, d)
+        .transform(graft.Tables.spread(_, col("doc_id")))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0) // sequence(0,-1) would DESCEND
+      val ch = t
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), expr("(size(toks) + 3) div 4 - 1"))).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_no"),
+          array_join(slice(col("toks"), (col("k") * 4 + 1).cast("int"), lit(4)), " ")
+            .as("chunk"))
+        .transform(graft.Materialize.checkpoint) // shared by counter + filter
+      val bp = ch.groupBy("chunk")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("chunk")
+      val kept = ch.join(broadcast(bp), Seq("chunk"), "left_anti")
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val kag = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_no"), col("chunk")))),
+          x => x.getField("chunk"))).as("cleaned"))
+      tot.join(kag, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          when(col("cleaned").isNull, lit(0L))
+            .otherwise(graft.functions.Exact.foldHashUdf(col("cleaned")))
+            .as("cleaned_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- per-source rank normalization of quality scores ------------------
+    // Raw heuristic scores aren't comparable ACROSS sources (a clean
+    // books corpus and a noisy crawl have different score
+    // distributions); mixing with one global threshold over-prunes one
+    // and under-prunes the other. The standard fix is rank
+    // normalization: cume_dist within source maps every score to its
+    // within-source percentile, so "keep the best 40% of each source"
+    // is one comparable cut. cume_dist is tie-stable (equal scores get
+    // the identical percentile regardless of tie order — count(≤)/count,
+    // a ratio of exact ints) so the per-doc output is deterministic and
+    // bit-identical across engines. One shuffle on source; at 100 TB a
+    // skewed giant source upgrades to the q93 two-pass numbering, same
+    // contract.
+    QueryDef.sql(
+      "q127_rank_normalize", {
+        val stop = TextQueries.EnStopSql
+        s"""WITH t AS (
+           |  SELECT doc_id, source,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS toks, text
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    0.5::DOUBLE * (CAST(len(list_filter(toks, x -> x IN $stop)) AS DOUBLE) / len(toks))
+           |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text))
+           |    + 0.2::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE) AS score
+           |  FROM t)
+           |SELECT doc_id, source, score,
+           |  cume_dist() OVER (PARTITION BY source ORDER BY score) AS pct,
+           |  cume_dist() OVER (PARTITION BY source ORDER BY score) > 0.6 AS keep
+           |FROM q ORDER BY doc_id"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("score")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.text.TextAnalysis.qualityScore(col("text"),
+            graft.queries.TextQueries.EnStop).as("score"))
+        .withColumn("pct", cume_dist().over(w))
+        .withColumn("keep", col("pct") > 0.6)
+        .orderBy("doc_id")
     }
   )
 }
