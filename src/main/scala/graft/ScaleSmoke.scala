@@ -112,7 +112,13 @@ object ScaleSmoke {
       "q65_stream_dedup", "q39b_stream_stream_join", "q99_stream_outer_join",
       "q100_ann_pq", "q101_embed_decontaminate", "q104_hll_merge",
       "q105_binary_ingest", "q66_ann_ivf_nprobe", "q106_ann_ivf_pq",
-      "q108_ann_residual_pq")) {
+      "q108_ann_residual_pq",
+      // round-11 operational/training ops over the replicated tables
+      // (events/documents/orders grow 10x; q118/q124 stay off the list —
+      // their customer base is a deliberately-unreplicated dimension)
+      "q119_bloom_point_lookup", "q120_shuffle_shards",
+      "q121_hashed_classifier", "q123_compact_zorder", "q125_pit_join",
+      "q126_boilerplate_strip")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()

@@ -36,6 +36,12 @@ object PitJoin {
   def atTime(facts: DataFrame, dim: DataFrame, key: Seq[String],
       tsCol: String, attrs: Seq[String]): DataFrame = {
     val factCols = facts.columns.toSeq
+    val reserved = Seq("__ord", "__tag", "__ver", "__last")
+    require(!factCols.exists(reserved.contains),
+      s"facts may not carry the operator's internal columns ${reserved.mkString(", ")}")
+    require(!attrs.exists(factCols.contains),
+      "dim attribute names must not collide with fact columns " +
+        s"(rename before joining): ${attrs.filter(factCols.contains).mkString(", ")}")
     val d = dim.select(
       key.map(col) ++ Seq(
         col("valid_from").as("__ord"), lit(0).as("__tag"),
