@@ -42,10 +42,19 @@ object PitJoin {
     require(!attrs.exists(factCols.contains),
       "dim attribute names must not collide with fact columns " +
         s"(rename before joining): ${attrs.filter(factCols.contains).mkString(", ")}")
-    val d = dim.select(
-      key.map(col) ++ Seq(
-        col("valid_from").as("__ord"), lit(0).as("__tag"),
-        struct((col("valid_to").as("__vto") +: attrs.map(col)): _*).as("__ver")): _*)
+    // SQL join semantics for NULL keys (a NULL matches NOTHING): drop
+    // null-key dim versions up front — Window.partitionBy groups NULLs
+    // TOGETHER (GROUP BY semantics), which would otherwise attach a
+    // null-key version to null-key facts, diverging from the range
+    // theta-join this rewrite replaces (and from Scd2's own MERGE
+    // semantics, whose dims CAN carry null-key rows). Null-key FACTS
+    // still flow through and emit with NULL attributes.
+    val d = dim
+      .filter(key.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        key.map(col) ++ Seq(
+          col("valid_from").as("__ord"), lit(0).as("__tag"),
+          struct((col("valid_to").as("__vto") +: attrs.map(col)): _*).as("__ver")): _*)
     val f = facts
       .withColumn("__ord", col(tsCol))
       .withColumn("__tag", lit(1))

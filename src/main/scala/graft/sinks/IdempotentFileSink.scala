@@ -64,12 +64,13 @@ object IdempotentFileSink {
     fs.create(marker, true).close()
   }
 
-  /** Committed batch ids under `root` (marker-gated). Resolved through
-    * the active session's Hadoop conf, matching [[writeBatch]]'s view of
-    * the filesystem.
+  /** Committed batch ids under `root` (marker-gated), resolved through
+    * `spark`'s Hadoop conf — the SAME session the caller reads/writes
+    * with, so a multi-session JVM (or a foreachBatch worker whose active
+    * session differs) can't list one store and read another.
     */
-  def committedBatches(root: String): Seq[Long] = {
-    val (fs, rootP) = fsFor(SparkSession.active, root)
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, rootP) = fsFor(spark, root)
     if (!fs.exists(rootP)) Seq.empty
     else fs.listStatus(rootP).iterator
       .map(_.getPath.getName)
@@ -78,12 +79,18 @@ object IdempotentFileSink {
       .toSeq.sorted
   }
 
+  /** [[committedBatches]] against the active session — for callers with
+    * no session in hand (single-session deployments).
+    */
+  def committedBatches(root: String): Seq[Long] =
+    committedBatches(SparkSession.active, root)
+
   /** Read the sink as one DataFrame — only marker-committed batches.
     * `basePath` keeps `batch` a real partition column on the leaf-dir
     * read, so consumers can select and prune by batch id.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val dirs = committedBatches(root).map(id => s"$root/batch=$id")
+    val dirs = committedBatches(spark, root).map(id => s"$root/batch=$id")
     require(dirs.nonEmpty, s"no committed batches under $root")
     spark.read.option("basePath", root).parquet(dirs: _*)
   }

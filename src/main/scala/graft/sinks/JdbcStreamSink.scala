@@ -49,7 +49,13 @@ object JdbcStreamSink {
     */
   def writeBatch(df: DataFrame, url: String, table: String, keys: Seq[String],
       sinkName: String, batchId: Long, batchSize: Int = 500): Unit = {
-    if (ledgerEnsured.add((url, table))) ensureLedger(url, table)
+    // memoize only AFTER the ensure succeeds: adding first would turn one
+    // transient DB outage into "ensured forever" — every later batch in
+    // this JVM skipping the CREATE and failing at the ledger probe
+    if (!ledgerEnsured.contains((url, table))) {
+      ensureLedger(url, table)
+      ledgerEnsured.add((url, table))
+    }
     if (isCommitted(url, table, sinkName, batchId)) return
     JdbcUpsert.upsert(df, url, table, keys, batchSize)
     commit(url, table, sinkName, batchId)

@@ -176,32 +176,13 @@ object FileManifest {
     val total = mdf.count().toInt
     require(total > 0, s"empty manifest under $dataDir — build() first")
 
-    val hfs = new org.apache.hadoop.fs.Path(dataDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // RECURSIVE listing: build() reads through spark.read.parquet, which
-    // descends into partition subdirectories — a top-level listStatus
-    // would list nothing for a partitioned layout and reduce this guard
-    // to a no-op. A file is metadata (excluded) when ANY path segment
-    // under dataDir is underscore/dot-prefixed (_manifest's own files
-    // must not count as unmanifested data).
-    val rootUri = new org.apache.hadoop.fs.Path(dataDir)
-      .makeQualified(hfs.getUri, hfs.getWorkingDirectory).toString
-    def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = p
-      while (cur != null && cur.toString != rootUri) {
-        if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
-    }
-    val it = hfs.listFiles(new org.apache.hadoop.fs.Path(dataDir), true)
-    val liveB = Set.newBuilder[String]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && !hiddenUnderRoot(st.getPath))
-        liveB += norm(st.getPath.toString)
-    }
-    val live = liveB.result()
+    // RECURSIVE data-file listing (build() reads through
+    // spark.read.parquet, which descends into partition subdirs) with
+    // metadata excluded and paths canonicalized — shared with the
+    // ledger's delta selection, one definition of "data file": FsListing
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = FsListing.listDataFiles(hfs, root).toSet
     val manifested = mdf.select("file").collect()
       .map(r => norm(r.getString(0))).toSet
     val unknown = live -- manifested
@@ -211,20 +192,11 @@ object FileManifest {
     (mdf, total)
   }
 
-  /** Both sides normalized through Path.toString: input_file_name()
-    * emits file:///x URIs (PERCENT-ENCODED — a space is %20) while
-    * Hadoop's listing prints file:/x with literal characters; decode
-    * URI-shaped strings first or a data dir containing a space would
-    * flag every file as unmanifested forever. The read path needs the
-    * same decode: spark.read treats its path strings literally, so a
-    * percent-encoded %20 would be looked up as a literal "%20" dir.
+  /** See [[FsListing.norm]] — manifest `file` entries come from
+    * `input_file_name()` (percent-encoded URIs) and must both compare
+    * against the listing and feed `spark.read` in decoded form.
     */
-  private def norm(s: String): String = {
-    val p =
-      try new org.apache.hadoop.fs.Path(new java.net.URI(s))
-      catch { case _: Exception => new org.apache.hadoop.fs.Path(s) }
-    p.toString
-  }
+  private def norm(s: String): String = FsListing.norm(s)
 
   /** Scan exactly `kept`. basePath pins schema parity with the unpruned
     * read: without it, a leaf-file read under hive-style partition dirs

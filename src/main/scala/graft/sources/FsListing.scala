@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The ONE definition of "the data files under a staging root" — shared
+  * by [[FileManifest]]'s coverage guard and [[IncrementalLedger]]'s
+  * delta selection, which must agree on it (a divergence silently
+  * reclassifies files between "metadata" and "unconsumed input").
+  */
+private[sources] object FsListing {
+
+  /** Canonical path text. Spark's `input_file_name()` emits
+    * percent-ENCODED `file:///x` URIs (a space is `%20`) while Hadoop's
+    * listing prints `file:/x` with literal characters — and
+    * `spark.read` treats its path strings literally, so an encoded
+    * `%20` handed back to a read resolves to a literal `"%20"`
+    * directory. Decode URI-shaped strings through `Path(URI)` so both
+    * comparisons and reads see one form.
+    */
+  def norm(s: String): String = {
+    val p =
+      try new Path(new java.net.URI(s))
+      catch { case _: Exception => new Path(s) }
+    p.toString
+  }
+
+  /** True when ANY path segment strictly under `rootUri` is
+    * underscore/dot-prefixed — `_manifest`, `_SUCCESS`, `.crc`, torn
+    * temp dirs — i.e. metadata, not data.
+    */
+  def hiddenUnder(rootUri: String, p: Path): Boolean = {
+    var cur = p
+    while (cur != null && cur.toString != rootUri) {
+      if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
+  /** Every data file under `root`, RECURSIVELY (staging trees are
+    * partitioned — a top-level listing sees no files at all), hidden
+    * paths excluded, each path [[norm]]-canonical, sorted. Safe to hand
+    * to `spark.read` and to compare against norm'd
+    * `input_file_name()`/ledger entries.
+    */
+  def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    val rootUri = root.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    val it = fs.listFiles(root, true)
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !hiddenUnder(rootUri, st.getPath))
+        b += norm(st.getPath.toString)
+    }
+    b.result().sorted
+  }
+}

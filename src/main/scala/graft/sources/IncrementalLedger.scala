@@ -144,41 +144,30 @@ object IncrementalLedger {
         recovered
       }
 
+    // entries normalized through FsListing.norm at read time: ledgers
+    // written before the canonical-path change stored percent-encoded
+    // URIs — norm is idempotent across both forms, so an existing
+    // ledger's consumed set still matches the new listing (a format
+    // flip without the normalize would reclassify EVERY consumed file
+    // as fresh delta and double-count the whole history)
     val processed: Set[String] = current match {
       case Some(n) =>
         readSmall(new org.apache.hadoop.fs.Path(vdir(n), "files.txt"))
-          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(FsListing.norm).toSet
       case None => Set.empty
     }
 
-    // data files only, listed RECURSIVELY — input may land as a
-    // partitioned tree (date=.../part-*.parquet), and a top-level-only
-    // listing would silently classify every post-first-commit run as a
-    // no-op. A file is metadata (excluded) when ANY path segment under
-    // inputDir is underscore/dot-prefixed (_SUCCESS, .crc, _manifest…).
-    // Keyed by fully-qualified URI so the set survives being probed
-    // from differently-based sessions.
+    // data files only, listed RECURSIVELY with metadata excluded and
+    // paths canonicalized — FsListing, the SAME definition the manifest
+    // coverage guard uses. Canonical (decoded) form is also what
+    // spark.read needs: it treats path strings literally, so a
+    // percent-encoded %20 from a URI-keyed listing would be read as a
+    // literal "%20" directory and wedge the ledger on any input tree
+    // containing a URI-special character.
     val inRoot = new org.apache.hadoop.fs.Path(inputDir)
     val inFs = inRoot.getFileSystem(hconf)
-    val rootUri = inRoot.makeQualified(inFs.getUri, inFs.getWorkingDirectory).toString
-    def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = p
-      while (cur != null && cur.toString != rootUri) {
-        if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
-    }
-    val listing = {
-      val it = inFs.listFiles(inRoot, true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && !hiddenUnderRoot(st.getPath))
-          b += st.getPath.toUri.toString
-      }
-      b.result().sorted
-    }
+    val listing = FsListing.listDataFiles(inFs, inRoot)
     val delta = listing.filterNot(processed)
 
     val next = current.getOrElse(-1L) + 1

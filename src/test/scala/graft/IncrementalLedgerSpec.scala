@@ -128,6 +128,25 @@ class IncrementalLedgerSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.getMessage.contains("keep window"))
   }
 
+  test("input trees with URI-special characters (spaces) stay readable") {
+    import spark.implicits._
+    // the listing keys must be spark.read-able DECODED paths: a
+    // URI-encoded key (%20) handed back to spark.read resolves to a
+    // literal "%20" directory and wedges the ledger forever
+    val root = java.nio.file.Files.createTempDirectory("graft ledger sp").toString
+    val (src, led) = (s"$root/src dir", s"$root/ledger")
+    Seq(("a", 1L)).toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+    val r1 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r1.newFiles.size == 1 && stateMap(r1.state) == Map("a" -> (1L, 1L)))
+    Seq(("a", 2L)).toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+    val r2 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r2.newFiles.size == 1, s"delta misread under the space path: ${r2.newFiles}")
+    assert(stateMap(r2.state) == Map("a" -> (2L, 3L)))
+    // and a no-op run stays a no-op (key format is stable across runs)
+    val r3 = IncrementalLedger.run(spark, src, led, agg, merge)
+    assert(r3.newFiles.isEmpty)
+  }
+
   test("partitioned input trees are consumed (recursive listing)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ledger_part").toString

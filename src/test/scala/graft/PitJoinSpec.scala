@@ -54,6 +54,22 @@ class PitJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got(Seq((9L, 10L)).toDF("k", "ts")) == Set((9L, 10L, "∅")))
   }
 
+  test("NULL keys follow join semantics: null-key facts get NULL, null-key versions never attach") {
+    import spark.implicits._
+    // an Scd2 dim CAN carry null-key rows (MERGE semantics insert them);
+    // the window rewrite must not let them "match" null-key facts the
+    // way partitionBy's GROUP-BY null grouping would
+    val d = Seq(
+      (Some(1L), "real", 0L, Option.empty[Long]),
+      (Option.empty[Long], "orphan", 0L, Option.empty[Long]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val facts = Seq((Some(1L), 5L), (Option.empty[Long], 5L)).toDF("k", "ts")
+    val got = PitJoin.atTime(facts, d, Seq("k"), "ts", Seq("seg"))
+      .collect().map(r => (if (r.isNullAt(0)) -99L else r.getLong(0),
+        if (r.isNullAt(2)) "∅" else r.getString(2))).toSet
+    assert(got == Set((1L, "real"), (-99L, "∅")))
+  }
+
   test("the plan has ZERO join operators (window rewrite, not a range join)") {
     import spark.implicits._
     val plan = PitJoin.atTime(Seq((1L, 10L)).toDF("k", "ts"), dim,
