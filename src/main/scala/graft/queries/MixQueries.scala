@@ -360,6 +360,37 @@ object MixQueries {
         .withColumn("pct", cume_dist().over(w))
         .withColumn("keep", col("pct") > 0.6)
         .orderBy("doc_id")
+    },
+
+    // ---- exact stratified top-N via threshold prefilter -------------------
+    // "Cap every language at N docs, chosen by the deterministic hash
+    // permutation" — q68's count-based sibling, built to survive one
+    // giant stratum: StratifiedTopN prefilters to ~margin·N rows per
+    // stratum MAP-SIDE (per-stratum thresholds from a tiny broadcast
+    // count), ranks only the survivors, and recomputes any stratum the
+    // prefilter shorted (soundness guard — StratifiedTopNSpec forces
+    // that path with adversarial hashes). The oracle is the NAIVE full
+    // window, so the rewrite must be exactly invisible.
+    QueryDef.sql(
+      "q128_stratified_topn",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 100000) * 2654435761) % 100000 AS hkey
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, hkey,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
+        |      FROM h)
+        |SELECT doc_id, lang, hkey, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 30 ORDER BY doc_id""") { (s, d) =>
+      import graft.operators.StratifiedTopN
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") % 100000 * 2654435761L) % 100000).as("hkey"))
+      StratifiedTopN.byHashOrder(keyed, Seq("lang"), "hkey", 100000L,
+        "doc_id", n = 30)
+        .select(col("doc_id"), col("lang"), col("hkey"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("doc_id")
     }
   )
 }
