@@ -252,6 +252,54 @@ object ValidationQueries {
             lit(0).cast("decimal(14,2)").as("bal")))
       TableDiff.diff(c, edited, Seq("k"), Seq("seg", "bal"))
         .orderBy("k")
+    },
+
+    // ---- embedding data contract: the vector-hygiene audit ---------------
+    // The gate an embedding table passes before it feeds the ANN family:
+    // per label, NaN-poisoned vectors counted (a single NaN silently
+    // zeroes whole cosine rankings), all-zero vectors counted
+    // (undefined direction — unrankable), dimension bounds pinned (a
+    // mixed-width table breaks every fold), and the clean vectors' L2
+    // norm² envelope (the scale drift signal — an embedding-model swap
+    // moves it). norm² is the pinned sequential FoldDot, so the
+    // envelope is bit-exact in the oracle; min/max only (a SUM of
+    // per-row doubles would be shuffle-order-dependent). Pure map-side
+    // per-vector work + one label shuffle.
+    QueryDef.sql(
+      "q129_embedding_audit",
+      """WITH a AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, len(embedding)+1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS n2,
+        |    len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+        |    len(list_filter(embedding, x -> x <> 0)) = 0 AS is_zero,
+        |    CAST(len(embedding) AS BIGINT) AS dim
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(SUM(CASE WHEN NOT has_nan AND is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  MIN(dim) AS dim_lo, MAX(dim) AS dim_hi,
+        |  MIN(CASE WHEN NOT has_nan AND NOT is_zero THEN n2 END) AS norm2_lo,
+        |  MAX(CASE WHEN NOT has_nan AND NOT is_zero THEN n2 END) AS norm2_hi
+        |FROM a GROUP BY label ORDER BY label""") { (s, d) =>
+      graft.functions.VectorFold.register(s)
+      val clean = !col("has_nan") && !col("is_zero")
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          graft.functions.VectorFold.dot(col("embedding"), col("embedding")).as("n2"),
+          exists(col("embedding"), x => isnan(x)).as("has_nan"),
+          (size(filter(col("embedding"), x => x =!= 0f)) === 0).as("is_zero"),
+          size(col("embedding")).cast("long").as("dim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+          sum(when(!col("has_nan") && col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+          min(col("dim")).as("dim_lo"), max(col("dim")).as("dim_hi"),
+          min(when(clean, col("n2"))).as("norm2_lo"),
+          max(when(clean, col("n2"))).as("norm2_hi"))
+        .orderBy("label")
     }
   )
 }
