@@ -81,6 +81,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.sparkPlan.toString
     assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(q42).isDefined,
       s"q42 lang predicate not a partition filter:\n$q42")
+
+    // q121: map-side classifier inference — the documents scan must read
+    // only (doc_id, text); at 100 TB reading lang/source/n_chars for a
+    // 2-column projection is real wasted bandwidth
+    val q121 = SparkEntry.queries("q121_hashed_classifier")(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    val r121 = "ReadSchema: [^\\n]*".r.findFirstIn(q121).getOrElse("")
+    for (c <- Seq("lang", "source", "n_chars"))
+      assert(!r121.contains(c), s"q121 scan reads unneeded column $c: $r121")
+
+    // q129: the embedding audit must not read vec_id
+    val q129 = SparkEntry.queries("q129_embedding_audit")(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    val r129 = "ReadSchema: [^\\n]*".r.findFirstIn(q129).getOrElse("")
+    assert(!r129.contains("vec_id"), s"q129 scan reads unneeded vec_id: $r129")
   }
 
   test("no cartesian product in any registered plan; BNLJ only where deliberate") {
