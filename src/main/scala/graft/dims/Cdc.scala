@@ -71,4 +71,35 @@ object Cdc {
           // attribute to NULL must win over the snapshot's old value
           attrs.map(a => when(feedPresent, fd(a)).otherwise(sn(a)).as(a)): _*)
   }
+
+  /** The INVERSE of [[applyChanges]]: derive the minimal I/U/D feed that
+    * transforms snapshot `from` into snapshot `to` — the change-data
+    * FEED a system emits when downstream consumers replicate it (the
+    * producing half of the CDC contract; table formats call this the
+    * change data feed). One full-outer join; unchanged keys emit
+    * nothing, so the feed is diff-sized. Round-trip law (CdcSpec pins
+    * it): `applyChanges(from, deriveFeed(from, to, …)) ≡ to` for keyed
+    * rows.
+    */
+  def deriveFeed(from: DataFrame, to: DataFrame, key: Seq[String],
+      attrs: Seq[String], seqVal: Long): DataFrame = {
+    val f = from.withColumn("__from_present", lit(true)).alias("__cdc_from")
+    val t = to.withColumn("__to_present", lit(true)).alias("__cdc_to")
+    def fr(c: String) = col(s"__cdc_from.$c")
+    def tc(c: String) = col(s"__cdc_to.$c")
+
+    val keyEq = key.map(k => fr(k) === tc(k)).reduce(_ && _)
+    val both = fr("__from_present").isNotNull && tc("__to_present").isNotNull
+    val changed = attrs.map(a => !(fr(a) <=> tc(a))).reduce(_ || _)
+    val op = when(fr("__from_present").isNull, lit("I"))
+      .when(tc("__to_present").isNull, lit("D"))
+      .otherwise(lit("U"))
+
+    f.join(t, keyEq, "full_outer")
+      .filter(!both || changed) // unchanged keys emit nothing
+      .select(
+        key.map(k => coalesce(tc(k), fr(k)).as(k)) ++
+          attrs.map(a => when(tc("__to_present").isNotNull, tc(a)).as(a)) ++
+          Seq(op.as("op"), lit(seqVal).as("seq")): _*)
+  }
 }

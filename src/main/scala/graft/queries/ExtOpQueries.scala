@@ -304,6 +304,49 @@ object ExtOpQueries {
       PitJoin.atTime(facts, dim, key, "ts", attrs)
         .select("o_orderkey", "k", "ts", "seg")
         .orderBy("o_orderkey")
+    },
+
+    // ---- CDC round trip: derive the feed from two snapshots, replay it ---
+    // The PRODUCING half of the CDC contract (q118 is the consuming
+    // half): Cdc.deriveFeed diffs two snapshot versions into the minimal
+    // I/U/D feed (q124's edit classes — segment edits, balance edits,
+    // deletes, inserts), and the gate replays it through
+    // Cdc.applyChanges onto the OLD snapshot. The oracle is the NEW
+    // snapshot constructed directly, so the law `apply ∘ derive = to`
+    // is hash-checked end-to-end — a feed that missed an edit class,
+    // mis-ordered ops, or an apply that mishandled one, cannot
+    // round-trip.
+    QueryDef.sql(
+      "q130_cdc_roundtrip",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                 CAST(c_acctbal AS DECIMAL(14,2)) AS bal FROM customer),
+        |to_snap AS (
+        |  SELECT k,
+        |    CASE WHEN k % 13 = 0 THEN seg || '_E' ELSE seg END AS seg,
+        |    CASE WHEN k % 19 = 0 THEN CAST(bal + 5 AS DECIMAL(14,2)) ELSE bal END AS bal
+        |  FROM c WHERE k % 17 <> 0
+        |  UNION ALL
+        |  SELECT k + 2000000000, 'NEW', CAST(0 AS DECIMAL(14,2))
+        |  FROM c WHERE k % 23 = 0)
+        |SELECT k, seg, CAST(bal AS DOUBLE) AS bal
+        |FROM to_snap ORDER BY k""") { (s, d) =>
+      import graft.dims.Cdc
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        col("c_acctbal").cast("decimal(14,2)").as("bal"))
+      val toSnap = c.filter(col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, concat(col("seg"), lit("_E")))
+            .otherwise(col("seg")).as("seg"),
+          when(col("k") % 19 === 0, (col("bal") + 5).cast("decimal(14,2)"))
+            .otherwise(col("bal")).as("bal"))
+        .unionByName(c.filter(col("k") % 23 === 0)
+          .select((col("k") + 2000000000L).as("k"), lit("NEW").as("seg"),
+            lit(0).cast("decimal(14,2)").as("bal")))
+      val feed = Cdc.deriveFeed(c, toSnap, Seq("k"), Seq("seg", "bal"), seqVal = 1L)
+      Cdc.applyChanges(c, feed, Seq("k"), Seq("seg", "bal"), "op", "seq")
+        .select(col("k"), col("seg"), col("bal").cast("double").as("bal"))
+        .orderBy("k")
     }
   )
 }

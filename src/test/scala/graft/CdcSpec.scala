@@ -98,6 +98,26 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map((1L, "a") -> 1, (-99L, "orphan") -> 1, (-99L, "nullins") -> 1))
   }
 
+  test("deriveFeed emits the minimal diff-sized feed; apply∘derive round-trips") {
+    import spark.implicits._
+    val to = Seq((1L, "a", 10L), // unchanged → absent from the feed
+      (2L, Option.empty[String].orNull, 21L), // changed (incl. a NULL-set)
+      (4L, "d", 40L)) // added; 3 removed
+      .toDF("k", "v", "n")
+    val feed = Cdc.deriveFeed(snap0, to, Seq("k"), Seq("v", "n"), seqVal = 7L)
+    val got = feed.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) "∅" else r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      r.getString(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (2L, "∅", 21L, "U", 7L),
+      (3L, "∅", -1L, "D", 7L),
+      (4L, "d", 40L, "I", 7L)))
+    // round-trip law: applying the derived feed reproduces `to` exactly
+    val applied = Cdc.applyChanges(snap0, feed, Seq("k"), Seq("v", "n"), "op", "seq")
+    assert(rows(applied) == rows(to))
+  }
+
   test("the whole apply is one snapshot join (MERGE shape, not per-op passes)") {
     import spark.implicits._
     val feed = Seq((1L, "a2", 11L, "U", 1L), (4L, "d", 40L, "I", 2L))
