@@ -305,7 +305,11 @@ object MixQueries {
       val bp = ch.groupBy("chunk")
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("chunk")
-      val kept = ch.join(broadcast(bp), Seq("chunk"), "left_anti")
+      // no broadcast HINT: the boilerplate set is small on real corpora
+      // (the repeated tail — AQE broadcasts it), but a pathological
+      // corpus where most chunks repeat must degrade to a shuffled
+      // anti-join, not a forced-broadcast OOM
+      val kept = ch.join(bp, Seq("chunk"), "left_anti")
       val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
       val kag = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
