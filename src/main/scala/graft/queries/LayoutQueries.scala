@@ -324,6 +324,42 @@ object LayoutQueries {
         .orderBy("shard_id")
     },
 
+    // ---- TRANSPARENT manifest skipping (custom FileIndex) -----------------
+    // q115's time-slice with the skipping moved BELOW the plan: the
+    // caller writes a plain `.filter(range)` against
+    // ManifestFileIndex.read and the index consults the _manifest
+    // during file listing — the Delta/Iceberg integration point, so
+    // pruning composes with joins/aggregates/AQE instead of living in a
+    // bespoke reader API. ManifestFileIndexSpec measures the pruned
+    // listing and the scan's numFiles; this gate pins result
+    // equivalence (same oracle family as q115, independent derivation).
+    QueryDef.sql(
+      "q131_manifest_transparent",
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |           FROM events),
+         |r AS (SELECT mn + (mx - mn) // 8 AS lo, mn + 3 * ((mx - mn) // 8) AS hi
+         |      FROM b)
+         |SELECT event_type, COUNT(*) AS n,
+         |  MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+         |FROM events, r
+         |WHERE epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi
+         |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_auto")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      ev.repartitionByRange(8, col("ts_ns"))
+        .write.mode("overwrite").parquet(dir)
+      graft.sources.FileManifest.build(s, dir, Seq("ts_ns"))
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 8, mn + 3 * ((mx - mn) / 8))
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .filter(col("ts_ns") >= lo && col("ts_ns") <= hi) // plain filter — the index prunes
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
+        .orderBy("event_type")
+    },
+
     // ---- clustering-preserving compaction (OPTIMIZE ZORDER shape) --------
     // The operational closer of the layout story: a streaming/incremental
     // sink leaves 64 tiny files with NO clustering (round-robin mix — a

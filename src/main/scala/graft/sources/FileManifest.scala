@@ -171,7 +171,7 @@ object FileManifest {
     * Fail loud; the writer owes a rebuild. Returns the manifest frame
     * and its file count.
     */
-  private def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) = {
+  private[sources] def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) = {
     val mdf = spark.read.parquet(manifestPath(dataDir))
     val total = mdf.count().toInt
     require(total > 0, s"empty manifest under $dataDir — build() first")

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+/** TRANSPARENT manifest skipping: a custom [[org.apache.spark.sql
+  * .execution.datasources.FileIndex]] that consults the `_manifest`
+  * per-file bounds DURING file listing — the integration point table
+  * formats use (Delta's TahoeFileIndex, Iceberg's scan planning), so
+  * callers write a PLAIN `df.filter(range)` and the scan opens only
+  * intersecting files. [[FileManifest.readPruned]] is the explicit
+  * form; this makes the same skipping invisible: Catalyst pushes the
+  * filter conjuncts to `listFiles(_, dataFilters)`, and the index drops
+  * every file whose tracked bounds can't satisfy them BEFORE the scan
+  * plans its partitions — fewer splits, fewer footer reads, and the
+  * pruning composes with everything downstream (joins, aggregates,
+  * AQE) because it happens below the plan.
+  *
+  * Soundness rules (identical to `readPruned`): unknown (NULL) bounds
+  * keep the file; only conjuncts of the shape `col (=|<|<=|>|>=) lit`
+  * (either operand order) on numerically-comparable tracked columns
+  * prune — anything else contributes nothing; strict bounds are
+  * relaxed to inclusive (conservative); NULL-valued rows can never
+  * satisfy a range conjunct, so bound-based skipping loses no row. The
+  * construction-time coverage guard fails LOUD on a stale manifest.
+  */
+class ManifestFileIndex(spark: SparkSession, dataDir: String)
+    extends InMemoryFileIndex(
+      spark, Seq(new Path(dataDir)), Map.empty, None,
+      FileStatusCache.getOrCreate(spark), None, None) {
+
+  /** norm'd file path → (tracked col → (min, max)); None = unknown. */
+  private val fileBounds: Map[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]] = {
+    val (mdf, _) = FileManifest.loadCovering(spark, dataDir)
+    val tracked = mdf.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      .filter(c => mdf.columns.contains(s"max_$c")).toSeq
+    def num(v: Any): Option[BigDecimal] =
+      if (v == null) None
+      else try Some(BigDecimal(v.toString)) catch { case _: NumberFormatException => None }
+    mdf.select("file", tracked.flatMap(c => Seq(s"min_$c", s"max_$c")): _*)
+      .collect().map { r =>
+        FsListing.norm(r.getString(0)) ->
+          tracked.zipWithIndex.map { case (c, i) =>
+            c -> (num(r.get(1 + 2 * i)), num(r.get(2 + 2 * i)))
+          }.toMap
+      }.toMap
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val ranges = extractRanges(dataFilters)
+    if (ranges.isEmpty) base
+    else base.map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter { f =>
+        keepFile(FsListing.norm(f.getPath.toString), ranges)
+      })
+    }.filter(_.files.nonEmpty)
+  }
+
+  /** Per tracked column, the tightest [lo, hi] the pushed conjuncts
+    * imply (strict bounds relaxed to inclusive — conservative).
+    */
+  private def extractRanges(dataFilters: Seq[Expression])
+    : Map[String, (Option[BigDecimal], Option[BigDecimal])] = {
+    def lit(e: Expression): Option[BigDecimal] = e match {
+      case Literal(v, _) if v != null =>
+        try Some(BigDecimal(v.toString)) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute if fileBounds.valuesIterator.take(1)
+        .exists(_.contains(a.name)) => Some(a.name)
+      case _ => None
+    }
+    val perCol = scala.collection.mutable.Map[String, (Option[BigDecimal], Option[BigDecimal])]()
+    def tighten(c: String, lo: Option[BigDecimal], hi: Option[BigDecimal]): Unit = {
+      val (l0, h0) = perCol.getOrElse(c, (None, None))
+      perCol(c) = (
+        Seq(l0, lo).flatten.reduceOption(_ max _),
+        Seq(h0, hi).flatten.reduceOption(_ min _))
+    }
+    dataFilters.foreach {
+      // literal-on-the-LEFT mirrors must come first: an untyped
+      // `case EqualTo(a, l)` matches EVERY EqualTo (patterns don't
+      // discriminate operand types), which would shadow them into dead
+      // code and silently lose lit-op-col pruning
+      case GreaterThanOrEqual(l: Literal, a) => // lit >= col  ⇒  col <= lit
+        for (c <- attr(a); v <- lit(l)) tighten(c, None, Some(v))
+      case GreaterThan(l: Literal, a) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, None, Some(v))
+      case LessThanOrEqual(l: Literal, a) => // lit <= col  ⇒  col >= lit
+        for (c <- attr(a); v <- lit(l)) tighten(c, Some(v), None)
+      case LessThan(l: Literal, a) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, Some(v), None)
+      case EqualTo(l: Literal, a) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, Some(v), Some(v))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, Some(v), None)
+      case GreaterThan(a, l: Literal) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, Some(v), None)
+      case LessThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, None, Some(v))
+      case LessThan(a, l: Literal) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, None, Some(v))
+      case EqualTo(a, l: Literal) =>
+        for (c <- attr(a); v <- lit(l)) tighten(c, Some(v), Some(v))
+      case _ => () // untracked/complex conjunct: contributes no pruning
+    }
+    perCol.toMap
+  }
+
+  private def keepFile(file: String,
+      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])]): Boolean =
+    fileBounds.get(file) match {
+      case None => true // not in the manifest view (raced?) — never skip
+      case Some(bounds) =>
+        ranges.forall { case (c, (lo, hi)) =>
+          bounds.get(c) match {
+            case Some((Some(mn), Some(mx))) =>
+              lo.forall(mx >= _) && hi.forall(mn <= _)
+            case _ => true // unknown bounds: keep
+          }
+        }
+    }
+}
+
+object ManifestFileIndex {
+
+  /** The manifest-backed read: a plain DataFrame whose scans consult the
+    * `_manifest` transparently for every pushed range/equality filter.
+    * Unpartitioned staging dirs only (the manifest writers' layout);
+    * partitioned trees already have directory-level pruning and the
+    * explicit `readPruned*` forms.
+    */
+  def read(spark: SparkSession, dataDir: String): DataFrame = {
+    val idx = new ManifestFileIndex(spark, dataDir)
+    require(idx.partitionSchema.isEmpty,
+      s"$dataDir is hive-partitioned — use partition pruning + FileManifest.readPruned*")
+    val schema = spark.read.parquet(dataDir).schema
+    val relation = HadoopFsRelation(idx, idx.partitionSchema, schema,
+      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{FileManifest, ManifestFileIndex}
+
+/** Pins the transparent manifest FileIndex: pushed conjuncts prune the
+  * listing (measured at the index AND at the executed scan), results
+  * stay exact, unknown bounds and untracked predicates never prune,
+  * strict bounds relax conservatively, and a stale manifest fails at
+  * construction.
+  */
+class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def mkDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi").toString
+    (0 until 8).foreach { f =>
+      (0 until 100).map(i => (f * 100L + i, s"v${f}_$i"))
+        .toDF("ts", "payload").coalesce(1).write.mode("append").parquet(dir)
+    }
+    FileManifest.build(spark, dir, Seq("ts"))
+    dir
+  }
+
+  private def ts = AttributeReference("ts", LongType)()
+
+  test("listFiles prunes by pushed conjuncts; scan results are exact") {
+    val dir = mkDir()
+    val idx = new ManifestFileIndex(spark, dir)
+    def kept(filters: org.apache.spark.sql.catalyst.expressions.Expression*): Int =
+      idx.listFiles(Nil, filters).map(_.files.size).sum
+
+    assert(kept() == 8) // no filters: everything
+    assert(kept(GreaterThanOrEqual(ts, Literal(250L)),
+      LessThanOrEqual(ts, Literal(420L))) == 3) // files 2,3,4
+    assert(kept(EqualTo(ts, Literal(101L))) == 1) // point probe
+    assert(kept(EqualTo(Literal(101L), ts)) == 1) // literal-on-left mirror
+    assert(kept(GreaterThan(ts, Literal(699L))) == 2,
+      "strict bound relaxes to inclusive: boundary file 6 (max=699) stays")
+    assert(kept(IsNotNull(ts)) == 8) // non-range conjunct: no pruning
+    // untracked attribute: contributes nothing
+    val other = AttributeReference("payload", org.apache.spark.sql.types.StringType)()
+    assert(kept(EqualTo(other, Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString("v0_1"), org.apache.spark.sql.types.StringType))) == 8)
+
+    // end-to-end: a PLAIN filter over the transparent read scans 3 files
+    // and returns exactly the full scan's rows
+    val df = ManifestFileIndex.read(spark, dir)
+      .filter(col("ts") >= 250 && col("ts") <= 420)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = spark.read.parquet(dir)
+      .filter(col("ts") >= 250 && col("ts") <= 420)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.size == 171)
+    val scan = df.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(scan.metrics("numFiles").value == 3,
+      s"scan opened ${scan.metrics("numFiles").value} files, expected 3")
+  }
+
+  test("unknown bounds are never pruned; stale manifest fails at construction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_null").toString
+    Seq((1L, "a")).toDF("ts", "payload").coalesce(1).write.mode("append").parquet(dir)
+    Seq((null.asInstanceOf[java.lang.Long], "n")).toDF("ts", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileManifest.build(spark, dir, Seq("ts"))
+    val idx = new ManifestFileIndex(spark, dir)
+    assert(idx.listFiles(Nil,
+      Seq(EqualTo(ts, Literal(1L)))).map(_.files.size).sum == 2,
+      "the unknown-bounds file must be kept")
+    // rows with NULL ts still never satisfy the row filter
+    assert(ManifestFileIndex.read(spark, dir).filter(col("ts") === 1L).count() == 1)
+
+    Seq((9L, "late")).toDF("ts", "payload").coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      new ManifestFileIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+}
