@@ -32,11 +32,20 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
       spark, Seq(new Path(dataDir)), Map.empty, None,
       FileStatusCache.getOrCreate(spark), None, None) {
 
-  /** norm'd file path → (tracked col → (min, max)); None = unknown. */
+  /** norm'd file path → (tracked col → (min, max)); None = unknown.
+    * Only NUMERIC-typed bounds participate: a string column's manifest
+    * min/max is LEXICOGRAPHIC (min "10" < "9"), so comparing it against
+    * a numerically-parsed literal would skip files that match —
+    * non-numeric tracked columns simply never prune here (sound;
+    * `readPrunedMulti` evaluates them in Spark expression semantics if
+    * the explicit form is needed).
+    */
   private val fileBounds: Map[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]] = {
     val (mdf, _) = FileManifest.loadCovering(spark, dataDir)
     val tracked = mdf.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      .filter(c => mdf.columns.contains(s"max_$c")).toSeq
+      .filter(c => mdf.columns.contains(s"max_$c"))
+      .filter(c => mdf.schema(s"min_$c").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]).toSeq
     def num(v: Any): Option[BigDecimal] =
       if (v == null) None
       else try Some(BigDecimal(v.toString)) catch { case _: NumberFormatException => None }
@@ -136,12 +145,21 @@ object ManifestFileIndex {
     * partitioned trees already have directory-level pruning and the
     * explicit `readPruned*` forms.
     */
-  def read(spark: SparkSession, dataDir: String): DataFrame = {
+  def read(spark: SparkSession, dataDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val idx = new ManifestFileIndex(spark, dataDir)
     require(idx.partitionSchema.isEmpty,
       s"$dataDir is hive-partitioned — use partition pruning + FileManifest.readPruned*")
-    val schema = spark.read.parquet(dataDir).schema
-    val relation = HadoopFsRelation(idx, idx.partitionSchema, schema,
+    // one footer, not a full-directory inference sweep: the index just
+    // listed everything, and manifest dirs are single-writer uniform
+    // (schema evolution goes through Staging.readEvolved). Callers with
+    // a declared schema pass it and pay zero footer reads.
+    val dataSchema = schema.getOrElse {
+      val first = idx.allFiles().headOption.getOrElse(
+        throw new IllegalArgumentException(s"no data files under $dataDir"))
+      spark.read.parquet(first.getPath.toString).schema
+    }
+    val relation = HadoopFsRelation(idx, idx.partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
   }

@@ -63,6 +63,20 @@ class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
       s"scan opened ${scan.metrics("numFiles").value} files, expected 3")
   }
 
+  test("string-typed tracked columns never prune (lexicographic bounds are not numeric)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_str").toString
+    // one file with values {"9","10"}: lexicographic min="10", max="9" —
+    // a numeric comparison against them would wrongly skip `name = "10"`
+    Seq(("9", 1L), ("10", 2L)).toDF("name", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileManifest.build(spark, dir, Seq("name"))
+    val got = ManifestFileIndex.read(spark, dir)
+      .filter(col("name") === "10").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 2L,
+      "non-numeric bounds must contribute no pruning")
+  }
+
   test("unknown bounds are never pruned; stale manifest fails at construction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfi_null").toString
