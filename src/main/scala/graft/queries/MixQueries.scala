@@ -395,6 +395,126 @@ object MixQueries {
         .select(col("doc_id"), col("lang"), col("hkey"),
           col("rk").cast("long").as("rk"))
         .orderBy("doc_id")
+    },
+
+    // ---- the full training-data pipeline, composed as ONE plan -----------
+    // The capstone: redact → quality gates (repetition + hashed-linear
+    // classifier) → exact dedup (keep-first) → benchmark
+    // decontamination → mixture sampling → sequence packing — the
+    // Dolma/CCNet-style end-to-end corpus build, every stage an
+    // operator this engine already gates individually, here chained so
+    // COMPOSITION is what's tested: column contracts between stages,
+    // one lazy plan end to end, and the oracle replaying all six
+    // stages bit-for-bit (a drift in ANY stage's semantics breaks the
+    // final pack tallies). Plan shape: stages 1–3 are pure map-side;
+    // dedup is one md5 shuffle; decontamination shuffles shingles only
+    // with the tiny probe side broadcast; mixture is map-side; packing
+    // is one source-partitioned window. The corpus text never shuffles
+    // after the dedup hash.
+    QueryDef.sql(
+      "q132_pipeline_e2e", {
+        import graft.text.TextAnalysis.{EmailRe, PhoneRe}
+        s"""WITH r0 AS (
+           |  SELECT doc_id, lang, source,
+           |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+           |                   '$PhoneRe', '<PHONE>', 'g') AS t
+           |  FROM documents),
+           |t0 AS (
+           |  SELECT doc_id, lang, source, t,
+           |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
+           |  FROM r0),
+           |q0 AS (
+           |  SELECT *, CAST(len(toks) AS BIGINT) AS n_tok,
+           |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bg
+           |  FROM t0),
+           |q1 AS (
+           |  SELECT doc_id, lang, source, t, toks, n_tok FROM q0
+           |  WHERE n_tok > 0
+           |    AND (CASE WHEN len(bg) = 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END) <= 0.2
+           |    AND CAST(COALESCE(list_sum(list_transform(toks, tok ->
+           |      ((list_reduce(list_prepend(0::BIGINT,
+           |          list_transform(string_split(tok, ''), c -> unicode(c)::BIGINT)),
+           |          (a, x) -> (a * 31 + x) % 1000000007) % 4096)
+           |        * 2654435761) % 2001 - 1000)), 0) AS BIGINT) > 0),
+           |dmin AS (SELECT md5(t) AS h, min(doc_id) AS keeper FROM q1 GROUP BY 1),
+           |q2 AS (SELECT q1.* FROM q1
+           |       JOIN dmin ON md5(q1.t) = dmin.h AND q1.doc_id = dmin.keeper),
+           |probe AS (
+           |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3
+           |    THEN list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' '))
+           |    ELSE [] END) AS g
+           |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |        FROM documents WHERE doc_id % 250 = 0)),
+           |sh3 AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+           |    THEN list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' '))
+           |    ELSE [] END) AS g
+           |  FROM q2),
+           |hit AS (SELECT DISTINCT doc_id FROM sh3 WHERE g IN (SELECT g FROM probe)),
+           |q3 AS (SELECT * FROM q2 WHERE doc_id % 250 <> 0
+           |       AND doc_id NOT IN (SELECT doc_id FROM hit)),
+           |q4 AS (SELECT * FROM q3
+           |       WHERE ((doc_id % 1000) * 2654435761) % 1000 <
+           |         CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 ELSE 250 END),
+           |packed AS (
+           |  SELECT doc_id, source, n_tok,
+           |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS before_tok
+           |  FROM q4)
+           |SELECT source, before_tok // 512 AS pack_id, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM packed GROUP BY 1, 2 ORDER BY 1, 2"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextAnalysis
+      val docs = Tables.documents(s, d)
+        .transform(graft.Tables.spread(_, col("doc_id")))
+      val red = docs.select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.redactPii(col("text")).as("t"))
+      val q1 = red
+        .withColumn("toks", TextAnalysis.tokens(col("t")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("bs", TextAnalysis.bigramStatsUdf(col("t")))
+        .withColumn("rep", when(col("bs._1") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("bs._2").cast("double") / col("bs._1")))
+        .withColumn("hl", TextAnalysis.hashedLinearUdf(col("t")))
+        .filter(col("n_tok") > 0 && col("rep") <= 0.2 && col("hl._2") > 0)
+        .select("doc_id", "lang", "source", "t", "n_tok")
+      val wmd = Window.partitionBy("h")
+      val q2 = q1
+        .withColumn("h", md5(col("t").cast("binary")))
+        .withColumn("keeper", min("doc_id").over(wmd))
+        .filter(col("doc_id") === col("keeper"))
+        .drop("h", "keeper")
+        // shared by the shingle pass and the output chain
+        .transform(graft.Materialize.checkpoint)
+      val probe = docs.filter(col("doc_id") % 250 === 0)
+        .select(explode(Dedup.distinctShinglesUdf(col("text"), lit(3))).as("g"))
+        .distinct()
+      val hit = q2
+        .select(col("doc_id"),
+          explode(Dedup.distinctShinglesUdf(col("t"), lit(3))).as("g"))
+        .join(broadcast(probe), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val rate = when(col("lang") === "en", 800)
+        .when(col("lang") === "de", 500).otherwise(250)
+      val q4 = q2.filter(col("doc_id") % 250 =!= 0)
+        .join(hit, Seq("doc_id"), "left_anti")
+        .filter((col("doc_id") % 1000 * 2654435761L) % 1000 < rate)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q4.withColumn("before_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("pack_id", expr("before_tok div 512"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "pack_id")
     }
   )
 }
