@@ -119,8 +119,8 @@ object ScaleSmoke {
       "q119_bloom_point_lookup", "q120_shuffle_shards",
       "q121_hashed_classifier", "q123_compact_zorder", "q125_pit_join",
       "q126_boilerplate_strip", "q127_rank_normalize",
-      "q128_stratified_topn", "q130_cdc_roundtrip",
-      "q131_manifest_transparent")) {
+      "q128_stratified_topn", "q131_manifest_transparent",
+      "q132_pipeline_e2e")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()

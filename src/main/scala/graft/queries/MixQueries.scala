@@ -404,10 +404,13 @@ object MixQueries {
     // Dolma/CCNet-style end-to-end corpus build, every stage an
     // operator this engine already gates individually, here chained so
     // COMPOSITION is what's tested: column contracts between stages,
-    // one lazy plan end to end, and the oracle replaying all six
-    // stages bit-for-bit (a drift in ANY stage's semantics breaks the
-    // final pack tallies). Plan shape: stages 1–3 are pure map-side;
-    // dedup is one md5 shuffle; decontamination shuffles shingles only
+    // and the oracle replaying all six stages bit-for-bit (a drift in
+    // ANY stage's semantics breaks the final pack tallies). Plan
+    // shape: stages 1–3 are pure map-side; dedup is one md5 shuffle
+    // whose output CHECKPOINTS (eagerly — the q67 pattern: the
+    // deduped frame feeds both the shingle probe and the output
+    // chain, and without the cut the whole redact/gate/dedup prefix
+    // would execute twice); decontamination shuffles shingles only
     // with the tiny probe side broadcast; mixture is map-side; packing
     // is one source-partitioned window. The corpus text never shuffles
     // after the dedup hash.
@@ -476,13 +479,15 @@ object MixQueries {
         .transform(graft.Tables.spread(_, col("doc_id")))
       val red = docs.select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.redactPii(col("text")).as("t"))
+      // hl._1 IS the token count (same split-on-space semantics) — no
+      // second tokenization materializing a per-doc string array for a
+      // number the JVM pass already computed (the q121 pattern)
       val q1 = red
-        .withColumn("toks", TextAnalysis.tokens(col("t")))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("bs", TextAnalysis.bigramStatsUdf(col("t")))
         .withColumn("rep", when(col("bs._1") === 0, lit(0.0))
           .otherwise(lit(1.0) - col("bs._2").cast("double") / col("bs._1")))
         .withColumn("hl", TextAnalysis.hashedLinearUdf(col("t")))
+        .withColumn("n_tok", col("hl._1"))
         .filter(col("n_tok") > 0 && col("rep") <= 0.2 && col("hl._2") > 0)
         .select("doc_id", "lang", "source", "t", "n_tok")
       val wmd = Window.partitionBy("h")
