@@ -40,22 +40,44 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     * `readPrunedMulti` evaluates them in Spark expression semantics if
     * the explicit form is needed).
     */
-  private val fileBounds: Map[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]] = {
+  private val (fileBounds, fileBlooms): (
+      Map[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]],
+      Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]) = {
     val (mdf, _) = FileManifest.loadCovering(spark, dataDir)
     val tracked = mdf.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       .filter(c => mdf.columns.contains(s"max_$c"))
       .filter(c => mdf.schema(s"min_$c").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType]).toSeq
+    // bloom sidecars (buildWithBloom): an EQUALITY conjunct on a
+    // bloom-tracked column additionally prunes by MEMBERSHIP — the
+    // point-lookup layer min/max bounds can't provide (a
+    // hash-distributed key intersects every file's range), composed
+    // transparently with the bounds test. Bloom semantics keep it
+    // sound: no false negatives; a NULL sidecar cell keeps the file.
+    val bloomCols = mdf.columns.filter(_.startsWith("bloom_"))
+      .map(_.stripPrefix("bloom_")).toSeq
     def num(v: Any): Option[BigDecimal] =
       if (v == null) None
       else try Some(BigDecimal(v.toString)) catch { case _: NumberFormatException => None }
-    mdf.select("file", tracked.flatMap(c => Seq(s"min_$c", s"max_$c")): _*)
-      .collect().map { r =>
-        FsListing.norm(r.getString(0)) ->
-          tracked.zipWithIndex.map { case (c, i) =>
-            c -> (num(r.get(1 + 2 * i)), num(r.get(2 + 2 * i)))
-          }.toMap
-      }.toMap
+    val rows = mdf.select("file",
+      tracked.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+        bloomCols.map(c => s"bloom_$c"): _*).collect()
+    val bounds = rows.map { r =>
+      FsListing.norm(r.getString(0)) ->
+        tracked.zipWithIndex.map { case (c, i) =>
+          c -> (num(r.get(1 + 2 * i)), num(r.get(2 + 2 * i)))
+        }.toMap
+    }.toMap
+    val bloomBase = 1 + 2 * tracked.size
+    val blooms = rows.map { r =>
+      FsListing.norm(r.getString(0)) ->
+        bloomCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(bloomBase + i)) None
+          else Some(c -> org.apache.spark.util.sketch.BloomFilter
+            .readFrom(r.getAs[Array[Byte]](bloomBase + i)))
+        }.toMap
+    }.toMap
+    (bounds, blooms)
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -81,8 +103,10 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
       case _ => None
     }
     def attr(e: Expression): Option[String] = e match {
-      case a: Attribute if fileBounds.valuesIterator.take(1)
-        .exists(_.contains(a.name)) => Some(a.name)
+      case a: Attribute if
+        fileBounds.valuesIterator.take(1).exists(_.contains(a.name)) ||
+          fileBlooms.valuesIterator.take(1).exists(_.contains(a.name)) =>
+        Some(a.name)
       case _ => None
     }
     val perCol = scala.collection.mutable.Map[String, (Option[BigDecimal], Option[BigDecimal])]()
@@ -123,8 +147,8 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
   }
 
   private def keepFile(file: String,
-      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])]): Boolean =
-    fileBounds.get(file) match {
+      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])]): Boolean = {
+    val boundsOk = fileBounds.get(file) match {
       case None => true // not in the manifest view (raced?) — never skip
       case Some(bounds) =>
         ranges.forall { case (c, (lo, hi)) =>
@@ -135,6 +159,19 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
           }
         }
     }
+    // a degenerate range (lo == hi — every EqualTo, and any >=v && <=v
+    // pair that collapses to a point) additionally probes the bloom
+    // sidecar: for the point to match ANY row of the file, the key must
+    // be a member. Long-representable keys only (the sidecar hashes
+    // longs); anything else keeps the file.
+    val bloomsOk = ranges.forall {
+      case (c, (Some(lo), Some(hi))) if lo == hi && lo.isValidLong =>
+        fileBlooms.get(file).flatMap(_.get(c))
+          .forall(_.mightContainLong(lo.toLongExact))
+      case _ => true
+    }
+    boundsOk && bloomsOk
+  }
 }
 
 object ManifestFileIndex {

@@ -63,6 +63,31 @@ class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
       s"scan opened ${scan.metrics("numFiles").value} files, expected 3")
   }
 
+  test("equality conjuncts compose with the bloom sidecar under a hash layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_bloom").toString
+    // hash-distributed: every file's [min,max] spans ~the whole id range,
+    // so bounds alone keep all 16 — the sidecar must do the pruning
+    (0L until 1600L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(16, col("id")).write.mode("append").parquet(dir)
+    FileManifest.buildWithBloom(spark, dir, Seq("id"), Seq("id"),
+      expectedPerFile = 1024, fpp = 0.01)
+    val idx = new ManifestFileIndex(spark, dir)
+    val id = AttributeReference("id", LongType)()
+    val keptEq = idx.listFiles(Nil, Seq(EqualTo(id, Literal(555L))))
+      .map(_.files.size).sum
+    assert(keptEq <= 3, s"bloom membership pruned nothing: kept $keptEq of 16")
+    // a pure range over the same layout can't prune (the contrast)
+    val keptRange = idx.listFiles(Nil, Seq(GreaterThanOrEqual(id, Literal(555L)),
+      LessThanOrEqual(id, Literal(556L)))).map(_.files.size).sum
+    assert(keptRange == 16)
+    // end-to-end through a PLAIN filter, row-exact incl. an absent key
+    val df = ManifestFileIndex.read(spark, dir)
+    assert(df.filter(col("id") === 555L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((555L, "p555")))
+    assert(df.filter(col("id") === 99999L).count() == 0)
+  }
+
   test("string-typed tracked columns never prune (lexicographic bounds are not numeric)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfi_str").toString
