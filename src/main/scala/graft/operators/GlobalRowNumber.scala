@@ -55,4 +55,73 @@ object GlobalRowNumber {
         row_number().over(Window.partitionBy("_bkt").orderBy(key)) + col("_off"))
       .drop("_bkt", "_off")
   }
+
+  /** Append `outCol` = `cume_dist() OVER (PARTITION BY stratum ORDER BY
+    * key)` WITHOUT a per-stratum whole-stratum sort — the two-pass
+    * treatment applied to PERCENTILES: a skewed giant stratum (one crawl
+    * source holding most of a 100 TB corpus) makes the naive window sort
+    * that entire stratum in ONE reducer; here its rows spread across all
+    * `buckets` range-buckets and every sort is ~n/buckets rows.
+    *
+    *  1. Bucket boundaries from a global `approxQuantile(key)` — bucket
+    *     is a pure monotone function of `key` (equal keys → equal
+    *     bucket), so earlier-bucket rows of a stratum have strictly
+    *     smaller keys and later-bucket rows strictly larger.
+    *  2. Per-(stratum, bucket) counts → per-stratum running offsets and
+    *     totals, computed by windows over the TINY counts frame
+    *     (|strata|·buckets rows).
+    *  3. Per-(stratum, bucket) RANGE-frame count — `count(*) OVER
+    *     (... ORDER BY key RANGE UNBOUNDED PRECEDING)` counts the rows
+    *     with key ≤ current INCLUDING ties (the range frame's peer
+    *     group), so `(offset + in-bucket count≤) / total` reproduces
+    *     cume_dist bit-for-bit: both are one IEEE division of the same
+    *     exact longs, and ties get the identical percentile regardless
+    *     of bucket-internal order.
+    *
+    * NULL keys land in bucket 0 as the lowest peer group — the same
+    * placement Spark's own `cume_dist` gives them (nulls-first
+    * ascending). NULL stratum values form their own stratum (window
+    * PARTITION BY semantics), preserved by the null-safe join back.
+    * The offsets side broadcasts only while small (≤ `hintMaxGroups`
+    * rows); a pathological strata×buckets explosion degrades to an
+    * AQE-planned join instead of a forced-broadcast OOM.
+    */
+  def cumeDistByKey(df: DataFrame, stratum: Seq[String], key: String,
+      outCol: String, buckets: Int = 32,
+      hintMaxGroups: Long = 1000000L): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(key, probs, 0.001).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(key) > lit(b), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("_bkt", bucket)
+
+    val sCols = stratum.map(col)
+    val counts = graft.Materialize.checkpoint(
+      bucketed.groupBy(sCols :+ col("_bkt"): _*).agg(count(lit(1)).as("_c")))
+    val wOff = Window.partitionBy(sCols: _*).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(sCols: _*)
+    val offsets = counts
+      .withColumn("_off", sum(col("_c")).over(wOff) - col("_c"))
+      .withColumn("_tot", sum(col("_c")).over(wTot))
+      .drop("_c")
+
+    // null-safe join back on (stratum, bucket): every input row has
+    // exactly one offsets row by construction
+    val o = (if (counts.count() <= hintMaxGroups) broadcast(offsets)
+      else offsets).alias("__cd_o")
+    val b = bucketed.alias("__cd_b")
+    val cond = (stratum.map(c => col(s"__cd_b.$c") <=> col(s"__cd_o.$c")) :+
+      (col("__cd_b._bkt") === col("__cd_o._bkt"))).reduce(_ && _)
+    val wLeq = Window.partitionBy(sCols :+ col("_bkt"): _*).orderBy(key)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(o, cond)
+      .select(df.columns.map(c => col(s"__cd_b.$c")) ++
+        Seq(col("__cd_b._bkt").as("_bkt"), col("__cd_o._off").as("_off"),
+          col("__cd_o._tot").as("_tot")): _*)
+      .withColumn(outCol,
+        (col("_off") + count(lit(1)).over(wLeq)).cast("double") / col("_tot"))
+      .drop("_bkt", "_off", "_tot")
+  }
 }

@@ -56,14 +56,21 @@ object StratifiedTopN {
     val in = df.filter(col(hashCol).isNotNull)
 
     // null-safe equi-join helper: plain === drops NULL-stratum rows,
-    // which the naive window (and the oracles) rank as a real stratum
+    // which the naive window (and the oracles) rank as a real stratum.
+    // The right side is always strata-sized (counts, shorted-strata
+    // rows) — broadcast is the 100 TB plan (map-side probe, the big
+    // side never shuffles) — but a pathological high-cardinality
+    // stratum column must degrade to an AQE-planned join, not a forced-
+    // broadcast OOM: the hint applies only under `broadcastRight`,
+    // decided once from the actual stratum count below.
+    var broadcastRight = true
     def joinNullSafe(left: DataFrame, right: DataFrame, how: String,
         keep: DataFrame => Seq[org.apache.spark.sql.Column]): DataFrame = {
       val l = left.alias("__stn_l")
       val r = right.alias("__stn_r")
       val cond = stratum.map(c =>
         col(s"__stn_l.$c") <=> col(s"__stn_r.$c")).reduce(_ && _)
-      val joined = l.join(broadcast(r), cond, how)
+      val joined = l.join(if (broadcastRight) broadcast(r) else r, cond, how)
       how match {
         case "inner" | "left_outer" => joined.select(keep(left).map(c => c) ++
           right.columns.filterNot(stratum.contains)
@@ -74,6 +81,8 @@ object StratifiedTopN {
 
     val counts = graft.Materialize.checkpoint(
       in.groupBy(sCols: _*).agg(count(lit(1)).as("__cnt")))
+    // counts is checkpointed, so this sizing count is metadata-cheap
+    broadcastRight = counts.count() <= 1000000L
     val withT = joinNullSafe(in, counts, "inner",
       left => left.columns.map(c => col(s"__stn_l.$c")).toSeq)
       .withColumn("__t",

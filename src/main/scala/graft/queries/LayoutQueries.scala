@@ -308,13 +308,21 @@ object LayoutQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
-      // hash in [0, 100000), packed above the id (doc_id < 2^32 — holds
-      // to ~4e9 documents; widen the pack factor past that): one long
-      // key, unique by construction, ordered ≡ (hash, doc_id)
+      // hash in [0, 100000), packed above the id: one long key, unique
+      // by construction, ordered ≡ (hash, doc_id). The pack factor
+      // requires doc_id < 2^32 (~4e9 documents) — past that the id term
+      // would bleed into the hash field and silently reorder, so the
+      // limit is ENFORCED map-side (raise_error on the violating row,
+      // zero extra scans; widen the pack factor when a corpus legally
+      // crosses it)
+      val packed = (col("doc_id") % 100000 * 2654435761L) % 100000 *
+        4294967296L + col("doc_id")
       val keyed = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          ((col("doc_id") % 100000 * 2654435761L) % 100000 * 4294967296L +
-            col("doc_id")).as("skey"))
+          when(col("doc_id") >= 4294967296L, raise_error(concat(
+            lit("q120 pack key overflow: doc_id "), col("doc_id"),
+            lit(" >= 2^32 — widen the pack factor"))).cast("long"))
+            .otherwise(packed).as("skey"))
       GlobalRowNumber.byKeyOrder(keyed, "skey", "rn")
         .groupBy(expr("(rn - 1) div 64").cast("long").as("shard_id"))
         .agg(count(lit(1)).as("n_docs"),

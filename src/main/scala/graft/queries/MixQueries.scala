@@ -334,9 +334,13 @@ object MixQueries {
     // is one comparable cut. cume_dist is tie-stable (equal scores get
     // the identical percentile regardless of tie order — count(≤)/count,
     // a ratio of exact ints) so the per-doc output is deterministic and
-    // bit-identical across engines. One shuffle on source; at 100 TB a
-    // skewed giant source upgrades to the q93 two-pass numbering, same
-    // contract.
+    // bit-identical across engines. Execution is NOT the naive
+    // per-source window (one reducer sorts an entire giant source):
+    // GlobalRowNumber.cumeDistByKey range-buckets on score, so every
+    // sort is ~n/buckets rows whatever the source skew — the q93
+    // two-pass numbering generalized to percentiles, with the oracle
+    // still the naive cume_dist (the rewrite must be exactly
+    // invisible).
     QueryDef.sql(
       "q127_rank_normalize", {
         val stop = TextQueries.EnStopSql
@@ -355,13 +359,12 @@ object MixQueries {
            |  cume_dist() OVER (PARTITION BY source ORDER BY score) > 0.6 AS keep
            |FROM q ORDER BY doc_id"""
       }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("score")
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           graft.text.TextAnalysis.qualityScore(col("text"),
             graft.queries.TextQueries.EnStop).as("score"))
-        .withColumn("pct", cume_dist().over(w))
+      graft.operators.GlobalRowNumber
+        .cumeDistByKey(scored, Seq("source"), "score", "pct")
         .withColumn("keep", col("pct") > 0.6)
         .orderBy("doc_id")
     },

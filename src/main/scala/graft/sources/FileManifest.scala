@@ -62,10 +62,23 @@ object FileManifest {
       fpp: Double = 0.01): Unit = {
     val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
       org.apache.spark.sql.Encoders.LONG)
+    val data = spark.read.parquet(dataDir)
+    // INTEGRAL key columns only: the sidecar stores `cast(long)` and the
+    // probe compares Catalyst literal values — for a timestamp the cast
+    // yields SECONDS while equality literals carry MICROS, so a
+    // non-integral bloomCol would prune with silent false NEGATIVES
+    // (missing rows), the one failure Bloom semantics must never allow.
+    // Fail loud at build time instead.
+    bloomCols.foreach { c =>
+      val dt = data.schema(c).dataType
+      require(FsListing.isIntegral(dt),
+        s"bloom sidecar column '$c' is $dt — only integral key columns " +
+          "are bloom-trackable (cast-to-long must be value-preserving)")
+    }
     val aggs = count(lit(1)).as("n_rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         bloomCols.map(c => bloomAgg(col(c).cast("long")).as(s"bloom_$c")))
-    spark.read.parquet(dataDir)
+    data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -96,6 +109,72 @@ object FileManifest {
       org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
     def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
       org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Write-through sink: land `df` under `dataDir` AND refresh the
+    * `_manifest` (+ bloom sidecars) in the same call — the writer-owns-
+    * the-manifest discipline table formats enforce (data and metadata
+    * commit together), so readers never hit the stale-manifest guard
+    * after a routine append. The refresh is INCREMENTAL via [[refresh]]:
+    * an append stats only the files it just landed.
+    */
+  def writeThrough(df: DataFrame, dataDir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, mode: String = "append",
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01): Unit = {
+    df.write.mode(mode).parquet(dataDir)
+    refresh(df.sparkSession, dataDir, cols, bloomCols, expectedPerFile, fpp)
+  }
+
+  /** Incremental manifest refresh: stat ONLY files not yet manifested
+    * (delta-sized work — at 100 TB a daily append must never re-scan
+    * the whole table for metadata), drop entries for files no longer
+    * live (partition overwrites), carry every other entry byte-for-byte
+    * (per-file stats and blooms never change once a file is immutable).
+    * A manifest whose tracked-column set differs from `cols`/`bloomCols`
+    * (or none at all) falls back to a full [[buildWithBloom]].
+    */
+  def refresh(spark: SparkSession, dataDir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    val wantCols = (Seq("file", "n_rows") ++
+      cols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+      bloomCols.map(c => s"bloom_$c")).sorted
+    if (!hfs.exists(mPath))
+      return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile, fpp)
+    val existing = spark.read.parquet(manifestPath(dataDir))
+    if (existing.columns.sorted.toSeq != wantCols)
+      return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile, fpp)
+
+    val live = FsListing.listDataFiles(hfs, root).toSet
+    val normFile = org.apache.spark.sql.functions.udf(
+      (s: String) => FsListing.norm(s))
+    // carried entries: still-live files, byte-identical stats/blooms;
+    // checkpointed (metadata-small) so the overwrite below can't read
+    // its own output
+    val kept = graft.Materialize.checkpoint(
+      existing.filter(normFile(col("file")).isin(live.toSeq: _*)))
+    val manifested = kept.select("file").collect()
+      .map(r => FsListing.norm(r.getString(0))).toSet
+    val newFiles = (live -- manifested).toSeq.sorted
+    val merged =
+      if (newFiles.isEmpty) kept
+      else {
+        val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
+          org.apache.spark.sql.Encoders.LONG)
+        val aggs = count(lit(1)).as("n_rows") +:
+          (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+            bloomCols.map(c => bloomAgg(col(c).cast("long")).as(s"bloom_$c")))
+        // basePath keeps partition columns resolvable when the tree is
+        // hive-partitioned and a partition column is tracked
+        val fresh = spark.read.option("basePath", dataDir).parquet(newFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        kept.unionByName(fresh.select(kept.columns.map(col): _*))
+      }
+    merged.coalesce(1).write.mode("overwrite").parquet(manifestPath(dataDir))
   }
 
   /** Range scan planned through the manifest: read only the files whose

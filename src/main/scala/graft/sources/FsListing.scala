@@ -54,4 +54,15 @@ private[sources] object FsListing {
     }
     b.result().sorted
   }
+
+  /** The bloom-sidecar key contract: types whose cast-to-long is
+    * value-preserving, so build-side storage and probe-side Catalyst
+    * literals agree on the hashed value. Shared by the builder's
+    * require and the index's probe eligibility check.
+    */
+  def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
 }

@@ -80,16 +80,34 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     (bounds, blooms)
   }
 
+  /** Directory-level partition pruning (hive-style trees) COMPOSES with
+    * the per-file bounds/bloom test: `super.listFiles` first drops whole
+    * partition directories via `partitionFilters` (Catalyst's own
+    * pruning over the inferred partition spec), then the manifest test
+    * filters the surviving leaf files — two independent skipping layers
+    * in one listing, each sound on its own.
+    */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     val ranges = extractRanges(dataFilters)
     if (ranges.isEmpty) base
-    else base.map { pd =>
-      PartitionDirectory(pd.values, pd.files.filter { f =>
-        keepFile(FsListing.norm(f.getPath.toString), ranges)
-      })
-    }.filter(_.files.nonEmpty)
+    else {
+      // bloom probes are sound only for INTEGRAL-typed attributes: the
+      // sidecar stores cast-to-long keys, and a non-integral equality
+      // literal (timestamp micros vs stored seconds, fractional double)
+      // could false-negative — the buildWithBloom guard enforces this at
+      // build time, and this read-side check keeps even an off-contract
+      // legacy sidecar from pruning unsoundly.
+      val integralAttrs = dataFilters.flatMap(_.collect {
+        case a: Attribute if FsListing.isIntegral(a.dataType) => a.name
+      }).toSet
+      base.map { pd =>
+        PartitionDirectory(pd.values, pd.files.filter { f =>
+          keepFile(FsListing.norm(f.getPath.toString), ranges, integralAttrs)
+        })
+      }.filter(_.files.nonEmpty)
+    }
   }
 
   /** Per tracked column, the tightest [lo, hi] the pushed conjuncts
@@ -147,7 +165,8 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
   }
 
   private def keepFile(file: String,
-      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])]): Boolean = {
+      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])],
+      integralAttrs: Set[String]): Boolean = {
     val boundsOk = fileBounds.get(file) match {
       case None => true // not in the manifest view (raced?) — never skip
       case Some(bounds) =>
@@ -165,7 +184,8 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     // be a member. Long-representable keys only (the sidecar hashes
     // longs); anything else keeps the file.
     val bloomsOk = ranges.forall {
-      case (c, (Some(lo), Some(hi))) if lo == hi && lo.isValidLong =>
+      case (c, (Some(lo), Some(hi)))
+        if lo == hi && lo.isValidLong && integralAttrs.contains(c) =>
         fileBlooms.get(file).flatMap(_.get(c))
           .forall(_.mightContainLong(lo.toLongExact))
       case _ => true
@@ -178,19 +198,26 @@ object ManifestFileIndex {
 
   /** The manifest-backed read: a plain DataFrame whose scans consult the
     * `_manifest` transparently for every pushed range/equality filter.
-    * Unpartitioned staging dirs only (the manifest writers' layout);
-    * partitioned trees already have directory-level pruning and the
-    * explicit `readPruned*` forms.
+    * Hive-partitioned trees compose: predicates on partition columns
+    * prune whole directories (Catalyst partition pruning over the
+    * inferred partition spec), predicates on tracked data columns prune
+    * the surviving leaf files by bounds/bloom — both inside one
+    * `listFiles`.
+    *
+    * Schema contract: with `schema = None` the data schema comes from
+    * ONE footer (the index just listed everything; manifest dirs are
+    * single-writer uniform). A schema-EVOLVED directory MUST pass the
+    * declared target schema explicitly — first-footer inference would
+    * silently drop columns absent from that one file (evolved staging
+    * reads go through `Staging.readEvolved`, which requires the declared
+    * schema for exactly this reason).
     */
   def read(spark: SparkSession, dataDir: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val idx = new ManifestFileIndex(spark, dataDir)
-    require(idx.partitionSchema.isEmpty,
-      s"$dataDir is hive-partitioned — use partition pruning + FileManifest.readPruned*")
-    // one footer, not a full-directory inference sweep: the index just
-    // listed everything, and manifest dirs are single-writer uniform
-    // (schema evolution goes through Staging.readEvolved). Callers with
-    // a declared schema pass it and pay zero footer reads.
+    // one footer, not a full-directory inference sweep; partition
+    // columns never appear in footers, so this stays the DATA schema
+    // and the inferred partitionSchema rides separately
     val dataSchema = schema.getOrElse {
       val first = idx.allFiles().headOption.getOrElse(
         throw new IllegalArgumentException(s"no data files under $dataDir"))

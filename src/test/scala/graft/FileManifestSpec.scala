@@ -161,6 +161,46 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
     assert(df.select("payload").collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("writeThrough: append refreshes the manifest incrementally, no stale trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_wt").toString
+    // initial land: 2 range files, manifest (+bloom) in the same call
+    (0 until 200).map(i => (i.toLong, s"a$i")).toDF("ts", "payload")
+      .repartitionByRange(2, col("ts"))
+      .transform { d =>
+        FileManifest.writeThrough(d, dir, Seq("ts"), Seq("ts")); d
+      }
+    val before = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(r => r.getString(r.fieldIndex("file")) ->
+        r.getAs[Array[Byte]](r.fieldIndex("bloom_ts")).toSeq).toMap
+    assert(before.size == 2)
+
+    // append: one new file — the refresh must carry the old entries
+    // BYTE-IDENTICALLY (immutable files are never re-statted) and the
+    // transparent index must read through with zero manual rebuilds
+    FileManifest.writeThrough(
+      (200 until 300).map(i => (i.toLong, s"b$i")).toDF("ts", "payload")
+        .coalesce(1), dir, Seq("ts"), Seq("ts"))
+    val after = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(r => r.getString(r.fieldIndex("file")) ->
+        r.getAs[Array[Byte]](r.fieldIndex("bloom_ts")).toSeq).toMap
+    assert(after.size == 3)
+    before.foreach { case (f, bloom) =>
+      assert(after(f) == bloom, s"carried entry for $f was re-statted or altered")
+    }
+
+    // no stale-guard trip, range pruning live over all three files
+    val (df, keptN, total) = FileManifest.readPruned(spark, dir, "ts",
+      lit(250L), lit(260L))
+    assert(total == 3 && keptN == 1)
+    assert(df.count() == 11)
+    // tracked-column drift falls back to a full rebuild rather than a
+    // torn half-schema manifest
+    FileManifest.refresh(spark, dir, Seq("ts"), Nil)
+    val rebuilt = spark.read.parquet(s"$dir/_manifest")
+    assert(!rebuilt.columns.contains("bloom_ts") && rebuilt.count() == 3)
+  }
+
   test("a stale manifest fails loud instead of silently dropping new files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_stale").toString

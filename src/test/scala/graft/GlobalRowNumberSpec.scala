@@ -43,4 +43,44 @@ class GlobalRowNumberSpec extends AnyFunSuite with SparkSpec {
     val empty = Seq.empty[Long].toDF("k")
     assert(GlobalRowNumber.byKeyOrder(empty, "k", "rn").count() == 0)
   }
+
+  // cumeDistByKey must be EXACTLY the naive per-stratum cume_dist — the
+  // q127 rewrite is licensed by this equivalence. The workload is
+  // deliberately skewed (one stratum holds ~90% of rows) with heavy
+  // score ties, the two cases that distinguish the range-bucketed
+  // two-pass from a wrong offset/tie treatment.
+  test("cumeDistByKey ≡ naive cume_dist under skew and ties") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 5000).map { i =>
+      val src = if (i % 10 == 0) s"s${i % 3 + 1}" else "giant"
+      // 40 distinct double scores → ~125 ties per (stratum, score)
+      (i.toLong, src, (rnd.nextInt(40) * 0.37) - 3.0)
+    }
+    val df = rows.toDF("id", "src", "score")
+    val naive = df.withColumn("pct",
+      cume_dist().over(Window.partitionBy("src").orderBy("score")))
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    val got = GlobalRowNumber
+      .cumeDistByKey(df, Seq("src"), "score", "pct", buckets = 8)
+      .select("id", "pct").as[(Long, Double)].collect()
+    assert(got.length == 5000)
+    got.foreach { case (id, pct) =>
+      assert(pct == naive(id), s"id $id: two-pass $pct vs naive ${naive(id)}")
+    }
+  }
+
+  test("cumeDistByKey: NULL stratum is its own stratum (window semantics)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, Some("a"), 1.0), (2L, Some("a"), 2.0),
+      (3L, None, 1.0), (4L, None, 5.0), (5L, None, 5.0))
+      .toDF("id", "src", "score")
+    val naive = df.withColumn("pct",
+      cume_dist().over(Window.partitionBy("src").orderBy("score")))
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    val got = GlobalRowNumber
+      .cumeDistByKey(df, Seq("src"), "score", "pct", buckets = 4)
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(got == naive)
+  }
 }

@@ -102,6 +102,56 @@ class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
       "non-numeric bounds must contribute no pruning")
   }
 
+  test("hive-partitioned tree: directory pruning and bounds pruning compose in one listing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_part").toString
+    // 4 partitions × 4 files; every partition holds the SAME ts ranges
+    // ([f·100, f·100+99] for f = 0..3), so the two layers prune on
+    // independent axes: `part` drops directories, `ts` bounds drop files
+    // WITHIN every surviving directory
+    (0 until 4).foreach { f =>
+      (0 until 4).flatMap(p => (0 until 100).map(i => (p, f * 100L + i, s"v${p}_${f}_$i")))
+        .toDF("part", "ts", "payload")
+        .coalesce(1).write.partitionBy("part").mode("append").parquet(dir)
+    }
+    FileManifest.build(spark, dir, Seq("ts"))
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // collect() (not count()) so the metrics belong to THIS plan's
+      // execution — count() builds its own queryExecution
+      val rows = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head
+      (scan.metrics("numFiles").value, rows)
+    }
+    val base = ManifestFileIndex.read(spark, dir)
+    assert(scanFiles(base) == (16L, 1600L))
+    // partition layer alone: one directory survives
+    assert(scanFiles(base.filter(col("part") === 2)) == (4L, 400L))
+    // bounds layer alone: two ts files survive in EVERY directory
+    assert(scanFiles(base.filter(col("ts") >= 150L && col("ts") <= 249L)) == (8L, 400L))
+    // composed: one directory × two ts files
+    val both = base.filter(col("part") === 2 && col("ts") >= 150L && col("ts") <= 249L)
+    assert(scanFiles(both) == (2L, 100L))
+    // row-exact against the plain read
+    val want = spark.read.parquet(dir)
+      .filter(col("part") === 2 && col("ts") >= 150L && col("ts") <= 249L)
+      .select("ts", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(both.select("ts", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == want)
+  }
+
+  test("bloom sidecar rejects non-integral key columns at build time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_btype").toString
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("ts", "v").coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.buildWithBloom(spark, dir, Seq("v"), Seq("ts"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("unknown bounds are never pruned; stale manifest fails at construction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfi_null").toString
