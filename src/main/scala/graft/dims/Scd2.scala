@@ -116,6 +116,81 @@ object Scd2 {
     history.select(outNames.map(col): _*).unionByName(emitted)
   }
 
+  /** CDC feed → TYPE-2 HISTORY: fold one I/U/D change batch into the
+    * versioned dimension — the composition of [[Cdc.applyChanges]]'s
+    * feed contract (op + per-key monotone sequence, out-of-order safe)
+    * with [[merge]]'s keep-history semantics, so a replication feed
+    * maintains the full version history instead of just the current
+    * mirror. Per key, after the [[latestPerKey]] net-effect collapse:
+    *
+    *   - net I/U, current version exists, attributes changed (null-safe)
+    *     → close current at `effTs`, open a new version;
+    *   - net I/U, unchanged → NO-OP (replayed feeds never version);
+    *   - net I/U, no current version (new key, or a key DELETED by an
+    *     earlier batch) → open a version at `effTs` — the resurrect
+    *     case, upsert semantics exactly as `applyChanges`;
+    *   - net D, current exists → close it at `effTs`, open NOTHING (the
+    *     key's history survives; it simply has no current row);
+    *   - net D, no current → no-op (idempotent delete);
+    *   - key absent from the feed → untouched.
+    *
+    * The laws CdcScd2Spec pins: replaying a batch onto its own output
+    * is a no-op (deletes stay closed, upserts re-assert — at-least-once
+    * delivery is safe), and the CURRENT rows of any batch-sequential
+    * fold equal [[Cdc.applyChanges]] applied to the same batches (the
+    * history is a strict superset view of the mirror). Execution shape
+    * unchanged from [[merge]]: history rows pass through untouched, one
+    * full-outer join current ⋈ net, 0–2 emitted rows per joined row.
+    * NULL keys get MERGE semantics exactly as [[merge]] documents.
+    */
+  def applyCdc(dim: DataFrame, feed: DataFrame, key: Seq[String],
+      attrs: Seq[String], opCol: String, seqCol: String, effTs: Long): DataFrame = {
+    val outNames = key ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
+    val net = latestPerKey(feed, key, seqCol)
+
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+      .withColumn("__cur_present", lit(true)).alias("__scd_cur")
+    val bat = net.withColumn("__bat_present", lit(true)).alias("__scd_bat")
+    def cur(c: String) = col(s"__scd_cur.$c")
+    def upd(c: String) = col(s"__scd_bat.$c")
+
+    val keyEq = key.map(k => cur(k) === upd(k)).reduce(_ && _)
+    val joined = current.join(bat, keyEq, "full_outer")
+
+    val matched = cur("__cur_present").isNotNull && upd("__bat_present").isNotNull
+    val dimOnly = cur("__cur_present").isNotNull && upd("__bat_present").isNull
+    val batchOnly = upd("__bat_present").isNotNull && cur("__cur_present").isNull
+    // coalesce: a NULL op is the upsert default, never a three-valued
+    // filter poison (the Cdc.applyChanges rule)
+    val isDel = coalesce(upd(opCol), lit("U")) === "D"
+    val changed = attrs.map(a => !(cur(a) <=> upd(a))).reduce(_ || _)
+
+    def row(keyCols: Seq[Column], attrCols: Seq[Column],
+        vf: Column, vt: Column, isCur: Column): Column =
+      struct((key.zip(keyCols).map { case (n, c) => c.as(n) } ++
+        attrs.zip(attrCols).map { case (n, c) => c.as(n) } ++ Seq(
+          vf.cast("long").as("valid_from"),
+          vt.cast("long").as("valid_to"),
+          isCur.as("is_current"))): _*)
+
+    val closedRow = row(key.map(cur(_)), attrs.map(cur(_)),
+      cur("valid_from"), lit(effTs), lit(false))
+    val carriedRow = row(key.map(cur(_)), attrs.map(cur(_)),
+      cur("valid_from"), cur("valid_to"), cur("is_current"))
+    val openedRow = row(key.map(upd(_)), attrs.map(upd(_)),
+      lit(effTs), lit(null), lit(true))
+
+    val emitted = joined.select(explode(filter(array(
+      when(matched && (isDel || changed), closedRow),
+      when(dimOnly || (matched && !isDel && !changed), carriedRow),
+      when((batchOnly || (matched && changed)) && !isDel, openedRow)),
+      c => c.isNotNull)).as("r"))
+      .select(outNames.map(n => col(s"r.$n")): _*)
+
+    history.select(outNames.map(col): _*).unionByName(emitted)
+  }
+
   /** An empty dimension with the merge's schema, for first-load merges
     * (every batch row becomes an open version).
     */

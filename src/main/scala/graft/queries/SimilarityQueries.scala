@@ -725,6 +725,37 @@ object SimilarityQueries {
         .select(col("batch"), col("n_vec"), col("avg_dist"),
           (col("avg_dist") / col("td")).as("drift"))
         .orderBy("batch")
+    },
+
+    // ---- re-rank refine: exact-cosine tail over the ADC top-depth --------
+    // q106 with the standard IVFADC refine stage: the quantized score
+    // only has to land a true neighbor in the ADC top-12 (4×k — a far
+    // weaker ask than top-3), then the exact cosine re-ranks those
+    // 12×|queries| rows and cuts to k. The candidate scan is UNCHANGED —
+    // (cell, pcode) only, no raw vectors — and the exact work is
+    // winner-set-sized, so the tier buys back the ranking error
+    // production-sized books still leave (RecallAtScaleSpec measures
+    // +0.25 recall@3 at K=256 np=8 depth=48) at refine-stage cost. The
+    // oracle replays the depth cut, the winners-only cosine, and the
+    // (sim DESC, n_id) re-rank — NULL sims last in both engines.
+    QueryDef.sql(
+      "q135_ann_rerank",
+      ivfPqSql("vec_id % 4 = 0", "vec_id % 97 = 0", rerankDepth = 12)) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val init = e.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
+          "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3, rerankDepth = 12)
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -741,8 +772,13 @@ object SimilarityQueries {
     * books, encoding distributes over union, so one full-corpus pass
     * equals the engine's base ∪ delta.
     */
+  /** `rerankDepth > 0` appends the refine replay: ADC-rank to depth,
+    * exact-cosine those winners only, re-rank on (sim DESC, n_id) —
+    * NULLs last in both engines — and cut to k. Mirrors
+    * [[graft.sim.Similarity]]'s `topKRejoin` depth path exactly.
+    */
   private def ivfPqSql(trainWhere: String, initWhere: String,
-      serveCond: String = "TRUE"): String = {
+      serveCond: String = "TRUE", rerankDepth: Int = 0): String = {
         val vaSql =
           "list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE))"
         // the query subvector for subspace ch.j — one ADC table entry is
@@ -800,9 +836,22 @@ object SimilarityQueries {
            |        CAST(row_number() OVER (PARTITION BY q_id
            |               ORDER BY psim DESC, n_id) AS BIGINT) AS rank
            |      FROM s)
-           |SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim, rank
-           |FROM r JOIN embeddings e ON r.n_id = e.vec_id
-           |WHERE rank <= 3 ORDER BY q_id, rank"""
+           |${
+             if (rerankDepth <= 0)
+               s"""SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim, rank
+                  |FROM r JOIN embeddings e ON r.n_id = e.vec_id
+                  |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+             else
+               s""",deep AS (
+                  |  SELECT q_id, n_id, psim, ${cosSql("qv", "e.embedding")} AS sim
+                  |  FROM r JOIN embeddings e ON r.n_id = e.vec_id
+                  |  WHERE rank <= $rerankDepth)
+                  |SELECT q_id, n_id, psim, sim, rank FROM (
+                  |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  |         ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+                  |  FROM deep)
+                  |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+           }"""
   }
 
   /** The RESIDUAL-coded IVF+PQ pipeline (q108) as DuckDB SQL — the

@@ -477,7 +477,8 @@ object Similarity {
     * Output: (q_id, n_id, psim, sim, rank).
     */
   def ivfPqSearch(index: DataFrame, probes: DataFrame, codebook: DataFrame,
-      source: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
+      source: DataFrame, m: Int, dim: Int, k: Int,
+      rerankDepth: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     VectorFold.register(index.sparkSession)
     val sub = dim / m
@@ -499,7 +500,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         (lookupSum(m, col("tdot")) / (col("qn") * sqrt(lookupSum(m, col("tn2")))))
           .as("psim"))
-    topKRejoin(scored, probes, source, k)
+    topKRejoin(scored, probes, source, k, math.max(k, rerankDepth))
   }
 
   /** Cell-relative residuals — the IVFADC ingredient: PQ codes carry far
@@ -556,7 +557,7 @@ object Similarity {
     */
   def ivfPqResidualSearch(index: DataFrame, probes: DataFrame,
       codebook: DataFrame, cents: DataFrame, source: DataFrame,
-      m: Int, dim: Int, k: Int): DataFrame = {
+      m: Int, dim: Int, k: Int, rerankDepth: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     VectorFold.register(index.sparkSession)
     val sub = dim / m
@@ -589,7 +590,7 @@ object Similarity {
         ((col("qc") + lookupSum(m, col("tdot"))) /
           (col("qn") * sqrt(col("cn2") + lookupSum(m, col("crossT")))))
           .as("psim"))
-    topKRejoin(scored, probes, source, k)
+    topKRejoin(scored, probes, source, k, math.max(k, rerankDepth))
   }
 
   /** One-row broadcast form of a long-form codebook: codewords grouped
@@ -632,24 +633,46 @@ object Similarity {
     * (psim DESC, n_id) — the rank exchange moves ONLY the
     * (q_id, n_id, psim) triple, never a dim-wide vector (riding the raw
     * query vector would multiply candidate shuffle bytes ~17× at
-    * dim=64) — keep the top k, re-attach the query vector to the
-    * k×|queries| winners (probes carry one identical embedding per
+    * dim=64) — keep the top `depth`, re-attach the query vector to the
+    * depth×|queries| winners (probes carry one identical embedding per
     * probed cell, so `first()` per q_id is deterministic), and join the
     * source table for the true cosine.
+    *
+    * `depth == k` is the plain tier: `rank` is the ADC rank and the
+    * true cosine is informational. `depth > k` is the REFINE stage of
+    * standard IVFADC practice: the quantized score only has to get a
+    * true neighbor into the top `depth` (a far weaker ask than top k),
+    * then the exact cosine — computed for depth×|queries| rows only,
+    * still never inside the candidate scan — re-ranks and cuts to k, so
+    * `rank` becomes the exact-cosine rank (ties → n_id). Quantization
+    * error then costs recall only when it pushes a true neighbor below
+    * depth; RecallAtScaleSpec measures the lift at production books.
     */
   private def topKRejoin(scored: DataFrame, probes: DataFrame,
-      source: DataFrame, k: Int): DataFrame = {
+      source: DataFrame, k: Int, depth: Int): DataFrame = {
+    require(depth >= k, s"re-rank depth $depth < k $k")
     val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
     val top = scored
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= depth)
     val qvs = probes.groupBy(col("vec_id").as("q_id"))
       .agg(first(col("embedding")).as("qv"))
-    broadcast(top.join(qvs, "q_id"))
+    val rejoined = broadcast(top.join(qvs, "q_id"))
       .join(source.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
         "n_id")
       .select(col("q_id"), col("n_id"), col("psim"),
         Exact.foldCosine(col("qv"), col("nv")).as("sim"), col("rank"))
+    if (depth == k) rejoined
+    else {
+      // exact re-rank over the depth-deep winner set (depth rows per
+      // query — a tiny window), then cut to k. NULL sims (a null-pcode
+      // candidate that surfaced in a sparse cell) sort last, as in the
+      // ADC rank.
+      val wx = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      rejoined
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** K-means-trained IVF centroids — [[pqTrain]] generalized to FULL-WIDTH

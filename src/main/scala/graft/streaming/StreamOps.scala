@@ -241,6 +241,42 @@ object StreamOps {
     }
   }
 
+  /** foreachBatch handler maintaining a TYPE-2 HISTORY from a CDC change
+    * stream — the composition of [[graft.dims.Scd2.applyCdc]] (delete-
+    * aware keep-history merge) with [[graft.sinks.IdempotentFileSink]]'s
+    * batch-id protocol: each micro-batch folds into the latest committed
+    * history and lands as that batch's version (earlier versions stay
+    * readable — history-of-the-history time travel), and a REPLAYED
+    * micro-batch is a no-op twice over — the sink skips an
+    * already-committed batch id, and even a forced re-merge of the same
+    * net effects versions nothing (`applyCdc`'s unchanged → no-op rule).
+    * Exactly-once history over at-least-once delivery.
+    *
+    * `effTsOf` maps the micro-batch id to the batch's effective instant
+    * (monotone by construction — batch ids are). Batch-granularity SCD
+    * as in [[graft.dims.Scd2.merge]]: intra-batch flickers collapse via
+    * the net-effect rule; the CURRENT rows of the maintained history
+    * always equal [[graft.dims.Cdc.applyChanges]] folded over the same
+    * batches (CdcScd2Spec pins both laws).
+    *
+    * Usage: `feed.writeStream.foreachBatch(scd2HistorySink(root, …))`.
+    */
+  def scd2HistorySink(root: String, key: Seq[String], attrs: Seq[String],
+      opCol: String, seqCol: String, effTsOf: Long => Long = identity)
+    : (DataFrame, Long) => Unit = { (batch, id) =>
+    import graft.sinks.IdempotentFileSink
+    val spark = batch.sparkSession
+    val committed = IdempotentFileSink.committedBatches(spark, root)
+    val dim =
+      if (committed.isEmpty)
+        graft.dims.Scd2.emptyDim(batch, key, attrs)
+      else IdempotentFileSink.read(spark, root)
+        .filter(col("batch") === committed.max).drop("batch")
+    val next = graft.dims.Scd2.applyCdc(
+      dim, batch, key, attrs, opCol, seqCol, effTsOf(id))
+    IdempotentFileSink.writeBatch(next, root, id)
+  }
+
   /** Serializes [[runToBatch]] drains: the set→run→restore window mutates
     * SESSION-scoped confs, and concurrent submitters (graft.Verify runs 4)
     * would otherwise let one stream start under another's settings —

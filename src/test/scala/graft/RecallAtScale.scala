@@ -68,6 +68,16 @@ object RecallAtScale {
         val rRes = recallOf(Similarity.ivfPqResidualSearch(resIdx, probes, cbRes, cents, e, 8, 64, 3))
         println(f"K=$k%-4d nprobe=$nprobe%-2d raw=$rRaw%.3f residual=$rRes%.3f")
       }
+      // re-rank depth sweep: exact-cosine refine over the ADC top-depth
+      for (nprobe <- Seq(2, 8); depth <- Seq(12, 24, 48)) {
+        val probes = Similarity.ivfProbes(
+          e.filter(col("vec_id") % 100 === 0), cents, nprobe)
+        val rRaw = recallOf(Similarity.ivfPqSearch(rawIdx, probes, cbRaw,
+          e, 8, 64, 3, rerankDepth = depth))
+        val rRes = recallOf(Similarity.ivfPqResidualSearch(resIdx, probes,
+          cbRes, cents, e, 8, 64, 3, rerankDepth = depth))
+        println(f"K=$k%-4d nprobe=$nprobe%-2d depth=$depth%-3d raw=$rRaw%.3f residual=$rRes%.3f")
+      }
     }
     s.stop()
   }

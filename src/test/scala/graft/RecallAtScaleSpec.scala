@@ -24,8 +24,15 @@ import graft.sim.Similarity
   *       res 0.150  0.200  0.217  0.267  0.267
   * K=256 raw 0.233  0.217  0.250  0.350  0.417
   *       res 0.233  0.217  0.267  0.317  0.300
+  *
+  * re-rank refine (exact cosine over the ADC top-depth, k=3):
+  *           np=8/d12  np=8/d24  np=8/d48
+  * K=256 raw 0.483     0.567     0.600
+  *       res 0.483     0.567     0.583
+  * K=64  raw 0.350     0.533     0.567
+  * K=8   raw 0.200     0.267     0.383  (res 0.283/0.333/0.500)
   * ```
-  * Three regime facts the gates encode:
+  * Four regime facts the gates encode:
   *  1. book size is the recall lever at fixed probe cost — K=256 roughly
   *     triples the toy K=8's recall at every width;
   *  2. residual coding's advantage concentrates where the budget is
@@ -36,7 +43,12 @@ import graft.sim.Similarity
   *     (raw ahead by exactly 2 pairs at np=8);
   *  3. at coarse K, widening probes does NOT buy recall (K=8 all-cells
   *     ≤ np=8): ranking error, not candidate coverage, is the binding
-  *     constraint — the quantitative argument for production-sized books.
+  *     constraint — the quantitative argument for production-sized books;
+  *  4. the RE-RANK refine converts that ranking error back into recall
+  *     at depth×|queries| exact-cosine cost (48·20 = 960 re-scored rows
+  *     against a 2000·45-candidate ADC scan): +0.25 at K=256 np=8
+  *     (0.350 → 0.600) — the standard IVFADC recipe, quantized scan for
+  *     coverage, exact tail for order.
   */
 class RecallAtScaleSpec extends AnyFunSuite with SparkSpec {
 
@@ -110,5 +122,19 @@ class RecallAtScaleSpec extends AnyFunSuite with SparkSpec {
     assert(resT >= rawT,
       s"residual coding ($resT) must not lose to raw ($rawT) at the tight K=8 budget " +
         "(measured 0.250 vs 0.184 — the MSE advantage ResidualPqSpec pins, shown on recall)")
+
+    // RE-RANK refine at production books: exact-cosine re-ranking of the
+    // ADC top-48 lifts recall@3 past 0.55 (measured 0.600 raw / 0.583
+    // residual) — a ≥ +0.15 lift over the plain tier at identical
+    // candidate-scan cost, since only depth×|queries| winners ever touch
+    // raw vectors
+    val rawR = recallOf(Similarity.ivfPqSearch(rawIdx, probes8, cbRaw,
+      e, 8, 64, 3, rerankDepth = 48))
+    val resR = recallOf(Similarity.ivfPqResidualSearch(resIdx, probes8,
+      cbRes, cents, e, 8, 64, 3, rerankDepth = 48))
+    assert(rawR >= 0.55, s"raw K=256 np=8 depth=48 recall $rawR (measured 0.600)")
+    assert(resR >= 0.55, s"residual K=256 np=8 depth=48 recall $resR (measured 0.583)")
+    assert(rawR >= raw8 + 0.15 && resR >= res8 + 0.15,
+      s"re-rank lift collapsed: raw $raw8->$rawR, residual $res8->$resR")
   }
 }
