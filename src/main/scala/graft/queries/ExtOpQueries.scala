@@ -347,6 +347,70 @@ object ExtOpQueries {
       Cdc.applyChanges(c, feed, Seq("k"), Seq("seg", "bal"), "op", "seq")
         .select(col("k"), col("seg"), col("bal").cast("double").as("bal"))
         .orderBy("k")
+    },
+
+    // ---- CDC feed → TYPE-2 HISTORY (q116 × q118 composed) ----------------
+    // Three I/U/D batches fold into a versioned dimension via
+    // Scd2.applyCdc — the delete-aware keep-history merge behind the
+    // streaming scd2HistorySink (CdcScd2Spec pins the streamed ≡ batch
+    // law; this gate pins the SEMANTICS against an oracle constructing
+    // every version class directly). The batches exercise each class:
+    // initial load (eff 10); update + delete with the delete's seq
+    // beating an earlier update (eff 20 — k%55 keys carry both); a third
+    // batch (eff 30) whose net op per key is resurrect-insert (k%22,
+    // seq 50) > revert-update to the original segment (k%7, seq 45 — a
+    // NO-OP for untouched keys, a real change for '_A' keys, a reopen
+    // for deleted keys) > update to '_B' (k%3, seq 40). A wrong close
+    // timestamp, a phantom version from an unchanged re-assert, a
+    // delete that reopened, or a resurrect that didn't, all fail
+    // row-for-row.
+    QueryDef.sql(
+      "q134_cdc_scd2_history",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        |SELECT k, seg, valid_from, valid_to, is_current FROM (
+        |  SELECT k, seg, CAST(10 AS BIGINT) AS valid_from,
+        |    CAST(CASE WHEN k % 11 = 0 OR k % 5 = 0 THEN 20
+        |              WHEN k % 3 = 0 AND k % 7 <> 0 THEN 30 END AS BIGINT) AS valid_to,
+        |    CAST(CASE WHEN k % 11 = 0 OR k % 5 = 0
+        |              OR (k % 3 = 0 AND k % 7 <> 0) THEN 0
+        |         ELSE 1 END AS BIGINT) AS is_current
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k, seg || '_A', 20,
+        |    CASE WHEN k % 7 = 0 OR k % 3 = 0 THEN 30 END,
+        |    CASE WHEN k % 7 = 0 OR k % 3 = 0 THEN 0 ELSE 1 END
+        |  FROM c WHERE k % 5 = 0 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k, 'BACK', 30, NULL, 1 FROM c WHERE k % 22 = 0
+        |  UNION ALL
+        |  SELECT k, seg, 30, NULL, 1 FROM c
+        |  WHERE k % 7 = 0 AND k % 22 <> 0 AND (k % 11 = 0 OR k % 5 = 0)
+        |  UNION ALL
+        |  SELECT k, seg || '_B', 30, NULL, 1 FROM c
+        |  WHERE k % 3 = 0 AND k % 7 <> 0 AND k % 22 <> 0
+        |) ORDER BY k, valid_from""") { (s, d) =>
+      import graft.dims.Scd2
+      val key = Seq("k")
+      val attrs = Seq("seg")
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      def leg(cond: org.apache.spark.sql.Column, seg: org.apache.spark.sql.Column,
+          op: String, seq: Long) =
+        c.filter(cond).select(col("k"), seg.as("seg"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val b1 = leg(lit(true), col("seg"), "I", 1L)
+      val b2 = leg(col("k") % 5 === 0, concat(col("seg"), lit("_A")), "U", 10L)
+        .unionByName(leg(col("k") % 11 === 0, lit(null).cast("string"), "D", 20L))
+      val b3 = leg(col("k") % 3 === 0, concat(col("seg"), lit("_B")), "U", 40L)
+        .unionByName(leg(col("k") % 7 === 0, col("seg"), "U", 45L))
+        .unionByName(leg(col("k") % 22 === 0, lit("BACK"), "I", 50L))
+      val d0 = Scd2.applyCdc(Scd2.emptyDim(b1, key, attrs), b1, key, attrs,
+        "op", "seq", 10L)
+      val d1 = Scd2.applyCdc(d0, b2, key, attrs, "op", "seq", 20L)
+      Scd2.applyCdc(d1, b3, key, attrs, "op", "seq", 30L)
+        .select(col("k"), col("seg"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy("k", "valid_from")
     }
   )
 }

@@ -417,6 +417,48 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 14, 2).as("total"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("tbucket")
+    },
+
+    // ---- transparent manifest over a HIVE-PARTITIONED tree ---------------
+    // q131's skipping composed with directory-level partition pruning:
+    // the staging tree is partitionBy(shard) with ts-ranged files INSIDE
+    // every shard dir (the layout a sharded incremental writer lands,
+    // landed via the write-through sink so data + manifest commit
+    // together), and ONE plain `.filter(shard = 2 AND ts range)` prunes
+    // on both axes in the same listFiles — Catalyst drops the other
+    // shard directories, the manifest drops the non-intersecting ts
+    // files within the survivor. ManifestFileIndexSpec pins each
+    // layer's file count; this gate pins result equivalence against the
+    // from-source oracle.
+    QueryDef.sql(
+      "q133_manifest_partitioned",
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |           FROM events),
+         |r AS (SELECT mn + (mx - mn) // 8 AS lo, mn + 3 * ((mx - mn) // 8) AS hi
+         |      FROM b)
+         |SELECT event_type, COUNT(*) AS n,
+         |  MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+         |FROM events, r
+         |WHERE event_id % 4 = 2 AND epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi
+         |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_part")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts_ns"),
+          pmod(col("event_id"), lit(4)).as("shard"))
+      // range-cluster ts within each shard so per-file bounds are tight,
+      // then land data + manifest in one write-through call
+      graft.sources.FileManifest.writeThrough(
+        ev.repartitionByRange(8, col("shard"), col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite", partitionCols = Seq("shard"))
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 8, mn + 3 * ((mx - mn) / 8))
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .filter(col("shard") === 2 && col("ts_ns") >= lo && col("ts_ns") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
+        .orderBy("event_type")
     }
   )
 }

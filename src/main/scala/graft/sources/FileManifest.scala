@@ -120,8 +120,11 @@ object FileManifest {
     */
   def writeThrough(df: DataFrame, dataDir: String, cols: Seq[String],
       bloomCols: Seq[String] = Nil, mode: String = "append",
+      partitionCols: Seq[String] = Nil,
       expectedPerFile: Long = 65536L, fpp: Double = 0.01): Unit = {
-    df.write.mode(mode).parquet(dataDir)
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir)
     refresh(df.sparkSession, dataDir, cols, bloomCols, expectedPerFile, fpp)
   }
 

@@ -77,4 +77,38 @@ class PitJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), s"expected a join-free plan:\n$plan")
     assert(plan.contains("Window"))
   }
+
+  test("atTimeBucketed: one key owning ~all facts — identical output, bucketed window") {
+    import spark.implicits._
+    // hot key 1 owns 2000 facts across the full time range (incl. exact
+    // version-boundary instants and pre-history); keys 2/9 contribute a
+    // handful — the gap/absent classes must survive the bucketing too
+    val hot = (0 until 2000).map(i => (1L, (i * 7L) % 700))
+    val cold = Seq((2L, 49L), (2L, 50L), (2L, 80L), (9L, 10L))
+    val facts = (hot ++ cold).toDF("k", "ts")
+    val plain = PitJoin.atTime(facts, dim, Seq("k"), "ts", Seq("seg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "∅" else r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val bucketed = PitJoin.atTimeBucketed(facts, dim, Seq("k"), "ts",
+      Seq("seg"), buckets = 8)
+    val got = bucketed
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "∅" else r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == plain, "bucketed PIT join diverged from the plain path")
+
+    // the skew escape is structural: the window partitions by
+    // (key, __bkt), so the hot key's sort splits across buckets
+    val winParts = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.toString)
+    }.flatten
+    assert(winParts.exists(_.contains("__bkt")),
+      s"window must partition by the ts bucket, got $winParts")
+    // and several buckets are actually populated for the hot key
+    val bounds = facts.filter(col("k") === 1).stat
+      .approxQuantile("ts", (1 until 8).map(_ / 8.0).toArray, 0.001)
+    assert(bounds.distinct.length >= 4, "hot key's facts must spread over buckets")
+  }
 }
