@@ -11,6 +11,13 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1ish"
+    // `win100` arg → only the 100x window-family tier below (the brief's
+    // bar is 100x; the general smoke is 10x — reducer-SORTED costs are
+    // the ops where another decade changes the verdict, so they get one)
+    if (args.contains("win100")) {
+      win100(spark, base, rebuild = !args.contains("nobuild"))
+      spark.stop(); return
+    }
     // 10x replicate lineitem/orders with shifted keys; copy dims
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
@@ -262,5 +269,94 @@ object ScaleSmoke {
         s"${hist.getLong(1)} distinct clusters share one band bucket")
     }
     spark.stop()
+  }
+
+  /** 100× tier for the WINDOW family — the ops whose naive form is a
+    * reducer sort (keep-first dedup, global numbering, percentile
+    * normalization, stratified top-N, PIT): replicate only the tables
+    * they read at 10× and 100×, time each tier, and print the last-
+    * decade growth exponent `log10(t100x / t10x)` — ~0 is flat, 1.0 is
+    * linear-with-one-reducer (the failure the two-pass rewrites exist
+    * to prevent; parallel linear WORK at fixed cores also reads ~1.0,
+    * so the exponent is read together with the absolute seconds).
+    * Plus a synthetic hot-key PIT contrast: one key owning 90% of facts
+    * at 1e5/1e6/1e7 rows, plain window vs range-bucketed escape.
+    */
+  private def win100(spark: SparkSession, base: String,
+      rebuild: Boolean = true): Unit = {
+    val d10 = "/tmp/graft_win10x"
+    val d100 = "/tmp/graft_win100x"
+    def rep(t: String, key: String, shift: Long, out: String, n: Int,
+        perturbText: Boolean): Unit = {
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      val b = df.agg(count(lit(1)), max(col(key)).cast("long"),
+        min(col(key)).cast("long")).head()
+      if (b.getLong(0) > 0) {
+        require(!b.isNullAt(1), s"$t.$key has no numeric max — cannot shift replicas")
+        require(b.getLong(1) - b.getLong(2) < shift,
+          s"$t.$key range >= replica shift $shift — raise the shift")
+      }
+      (0 until n).map { r =>
+        val shifted = df.withColumn(key, col(key) + lit(r * shift))
+        if (perturbText) shifted.withColumn("text", concat(col("text"), lit(s" rep$r")))
+        else shifted
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    if (rebuild) for ((out, n) <- Seq((d10, 10), (d100, 100))) {
+      rep("lineitem", "l_orderkey", 100000000L, out, n, perturbText = false)
+      rep("orders", "o_orderkey", 100000000L, out, n, perturbText = false)
+      rep("documents", "doc_id", 10000000L, out, n, perturbText = true)
+    }
+    println(s"win100 rows: lineitem=${spark.read.parquet(s"$d100/lineitem.parquet").count()} " +
+      s"orders=${spark.read.parquet(s"$d100/orders.parquet").count()} " +
+      s"documents=${spark.read.parquet(s"$d100/documents.parquet").count()}")
+
+    for (q <- Seq("q05_dedup_keepfirst", "q07_negative_ids", "q93_global_deciles",
+      "q120_shuffle_shards", "q127_rank_normalize", "q128_stratified_topn")) {
+      val times = for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) yield {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$q%-28s $tag%-4s $dt%8.2f s")
+        dt
+      }
+      println(f"$q%-28s exponent(10x->100x) ${math.log10(times(2) / times(1))}%5.2f")
+    }
+
+    // decomposition for the q127 row: the per-doc quality SCORE alone
+    // (embarrassingly parallel map work — its growth is input growth at
+    // fixed cores, not a window pathology). q127's exponent minus this
+    // row's exponent is what the percentile machinery itself adds.
+    for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          graft.text.TextAnalysis.qualityScore(col("text"),
+            graft.queries.TextQueries.EnStop).as("score"))
+        .queryExecution.toRdd.count()
+      println(f"${"q127_score_only"}%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    // hot-key PIT: plain window (one reducer owns the hot key) vs the
+    // bucketed escape, at three decades of fact count
+    import graft.operators.PitJoin
+    val dim = spark.range(200).select(
+      (col("id") % 2).as("k"), lit("seg").as("seg"),
+      (col("id") / 2 * 10000L).as("valid_from"),
+      when(col("id") / 2 === 99, lit(null).cast("long"))
+        .otherwise((col("id") / 2 + 1) * 10000L).as("valid_to"))
+    for (n <- Seq(100000L, 1000000L, 10000000L)) {
+      val facts = spark.range(n).select(
+        when(col("id") % 10 === 0, 1L).otherwise(0L).as("k"),
+        (col("id") % 1000000L).as("ts"))
+      for ((tag, f) <- Seq(
+        "plain" -> (() => PitJoin.atTime(facts, dim, Seq("k"), "ts", Seq("seg"))),
+        "bucketed" -> (() => PitJoin.atTimeBucketed(facts, dim, Seq("k"), "ts", Seq("seg"), 64)))) {
+        val t0 = System.nanoTime()
+        f().queryExecution.toRdd.count()
+        println(f"pit_hotkey n=$n%-9d $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
   }
 }
