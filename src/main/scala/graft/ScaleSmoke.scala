@@ -127,7 +127,7 @@ object ScaleSmoke {
       "q121_hashed_classifier", "q123_compact_zorder", "q125_pit_join",
       "q126_boilerplate_strip", "q127_rank_normalize",
       "q128_stratified_topn", "q131_manifest_transparent",
-      "q132_pipeline_e2e")) {
+      "q132_pipeline_e2e", "q133_manifest_partitioned")) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()

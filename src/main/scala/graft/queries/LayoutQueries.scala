@@ -459,6 +459,48 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
         .orderBy("event_type")
+    },
+
+    // ---- incremental write-through lifecycle ------------------------------
+    // The operational loop a staging table actually lives: initial land
+    // + manifest in one writeThrough (overwrite), a later APPEND whose
+    // refresh stats only the new files (carried entries byte-identical —
+    // FileManifestSpec pins that), then a transparent range read over
+    // the combined tree with zero manual rebuilds and no stale-guard
+    // trip. The gate pins the combined result against the from-source
+    // oracle — an append the manifest lost, a carried entry gone wrong,
+    // or over-pruning across the batch boundary all fail.
+    QueryDef.sql(
+      "q136_manifest_writethrough",
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |           FROM events),
+         |r AS (SELECT mn + (mx - mn) // 8 AS lo, mn + 5 * ((mx - mn) // 8) AS hi
+         |      FROM b)
+         |SELECT event_type, COUNT(*) AS n,
+         |  MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+         |FROM events, r
+         |WHERE epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi
+         |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_wt")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      // initial land (overwrite resets the scratch between runs), then an
+      // append batch — both through the write-through sink, both
+      // ts-range-clustered so per-file bounds stay tight
+      graft.sources.FileManifest.writeThrough(
+        ev.filter(col("event_id") % 3 =!= 2).repartitionByRange(4, col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite")
+      graft.sources.FileManifest.writeThrough(
+        ev.filter(col("event_id") % 3 === 2).repartitionByRange(2, col("ts_ns")),
+        dir, Seq("ts_ns"))
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 8, mn + 5 * ((mx - mn) / 8))
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .filter(col("ts_ns") >= lo && col("ts_ns") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
+        .orderBy("event_type")
     }
   )
 }
