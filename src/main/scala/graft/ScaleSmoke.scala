@@ -313,7 +313,11 @@ object ScaleSmoke {
       s"documents=${spark.read.parquet(s"$d100/documents.parquet").count()}")
 
     for (q <- Seq("q05_dedup_keepfirst", "q07_negative_ids", "q93_global_deciles",
-      "q120_shuffle_shards", "q127_rank_normalize", "q128_stratified_topn")) {
+      "q120_shuffle_shards", "q127_rank_normalize", "q128_stratified_topn",
+      // dedup/chunk family at 100x documents: banded LSH and the
+      // boilerplate chunk pass are the other ops whose naive forms
+      // (all-pairs, global chunk sort) would not survive the decade
+      "q26_minhash_lsh", "q126_boilerplate_strip")) {
       val times = for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) yield {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
@@ -341,11 +345,13 @@ object ScaleSmoke {
     // hot-key PIT: plain window (one reducer owns the hot key) vs the
     // bucketed escape, at three decades of fact count
     import graft.operators.PitJoin
+    // `id div 2` (integer), NOT Column `/` (double): 199/2 = 99.5 would
+    // half-step every odd key's boundaries and never hit the ===99 open
     val dim = spark.range(200).select(
       (col("id") % 2).as("k"), lit("seg").as("seg"),
-      (col("id") / 2 * 10000L).as("valid_from"),
-      when(col("id") / 2 === 99, lit(null).cast("long"))
-        .otherwise((col("id") / 2 + 1) * 10000L).as("valid_to"))
+      (expr("id div 2") * 10000L).as("valid_from"),
+      when(expr("id div 2") === 99, lit(null).cast("long"))
+        .otherwise((expr("id div 2") + 1) * 10000L).as("valid_to"))
     for (n <- Seq(100000L, 1000000L, 10000000L)) {
       val facts = spark.range(n).select(
         when(col("id") % 10 === 0, 1L).otherwise(0L).as("k"),

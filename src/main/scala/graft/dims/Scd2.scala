@@ -61,7 +61,17 @@ object Scd2 {
   }
 
   def merge(dim: DataFrame, batch: DataFrame, key: Seq[String],
-      attrs: Seq[String], effTs: Long): DataFrame = {
+      attrs: Seq[String], effTs: Long): DataFrame =
+    mergeCore(dim, batch, key, attrs, opCol = None, effTs)
+
+  /** The one merge kernel [[merge]] and [[applyCdc]] share — their
+    * semantics differ ONLY in the delete predicate (`opCol = None` ⇒
+    * nothing is ever a delete, and every applyCdc emit leg reduces to
+    * merge's), so the replay-self-join and NULL-key hazards are encoded
+    * exactly once.
+    */
+  private def mergeCore(dim: DataFrame, batch: DataFrame, key: Seq[String],
+      attrs: Seq[String], opCol: Option[String], effTs: Long): DataFrame = {
     val outNames = key ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
 
     val history = dim.filter(!col("is_current"))
@@ -88,6 +98,10 @@ object Scd2 {
     val matched = cur("__cur_present").isNotNull && upd("__bat_present").isNotNull
     val dimOnly = cur("__cur_present").isNotNull && upd("__bat_present").isNull
     val batchOnly = upd("__bat_present").isNotNull && cur("__cur_present").isNull
+    // coalesce: a NULL op is the upsert default, never a three-valued
+    // filter poison (the Cdc.applyChanges rule)
+    val isDel = opCol.map(c => coalesce(upd(c), lit("U")) === "D")
+      .getOrElse(lit(false))
     // null-safe inequality on ANY tracked attribute = a real change
     val changed = attrs.map(a => !(cur(a) <=> upd(a))).reduce(_ || _)
 
@@ -107,9 +121,9 @@ object Scd2 {
       lit(effTs), lit(null), lit(true))
 
     val emitted = joined.select(explode(filter(array(
-      when(matched && changed, closedRow),
-      when(dimOnly || (matched && !changed), carriedRow),
-      when(batchOnly || (matched && changed), openedRow)),
+      when(matched && (isDel || changed), closedRow),
+      when(dimOnly || (matched && !isDel && !changed), carriedRow),
+      when((batchOnly || (matched && changed)) && !isDel, openedRow)),
       c => c.isNotNull)).as("r"))
       .select(outNames.map(n => col(s"r.$n")): _*)
 
@@ -144,52 +158,9 @@ object Scd2 {
     * NULL keys get MERGE semantics exactly as [[merge]] documents.
     */
   def applyCdc(dim: DataFrame, feed: DataFrame, key: Seq[String],
-      attrs: Seq[String], opCol: String, seqCol: String, effTs: Long): DataFrame = {
-    val outNames = key ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
-    val net = latestPerKey(feed, key, seqCol)
-
-    val history = dim.filter(!col("is_current"))
-    val current = dim.filter(col("is_current"))
-      .withColumn("__cur_present", lit(true)).alias("__scd_cur")
-    val bat = net.withColumn("__bat_present", lit(true)).alias("__scd_bat")
-    def cur(c: String) = col(s"__scd_cur.$c")
-    def upd(c: String) = col(s"__scd_bat.$c")
-
-    val keyEq = key.map(k => cur(k) === upd(k)).reduce(_ && _)
-    val joined = current.join(bat, keyEq, "full_outer")
-
-    val matched = cur("__cur_present").isNotNull && upd("__bat_present").isNotNull
-    val dimOnly = cur("__cur_present").isNotNull && upd("__bat_present").isNull
-    val batchOnly = upd("__bat_present").isNotNull && cur("__cur_present").isNull
-    // coalesce: a NULL op is the upsert default, never a three-valued
-    // filter poison (the Cdc.applyChanges rule)
-    val isDel = coalesce(upd(opCol), lit("U")) === "D"
-    val changed = attrs.map(a => !(cur(a) <=> upd(a))).reduce(_ || _)
-
-    def row(keyCols: Seq[Column], attrCols: Seq[Column],
-        vf: Column, vt: Column, isCur: Column): Column =
-      struct((key.zip(keyCols).map { case (n, c) => c.as(n) } ++
-        attrs.zip(attrCols).map { case (n, c) => c.as(n) } ++ Seq(
-          vf.cast("long").as("valid_from"),
-          vt.cast("long").as("valid_to"),
-          isCur.as("is_current"))): _*)
-
-    val closedRow = row(key.map(cur(_)), attrs.map(cur(_)),
-      cur("valid_from"), lit(effTs), lit(false))
-    val carriedRow = row(key.map(cur(_)), attrs.map(cur(_)),
-      cur("valid_from"), cur("valid_to"), cur("is_current"))
-    val openedRow = row(key.map(upd(_)), attrs.map(upd(_)),
-      lit(effTs), lit(null), lit(true))
-
-    val emitted = joined.select(explode(filter(array(
-      when(matched && (isDel || changed), closedRow),
-      when(dimOnly || (matched && !isDel && !changed), carriedRow),
-      when((batchOnly || (matched && changed)) && !isDel, openedRow)),
-      c => c.isNotNull)).as("r"))
-      .select(outNames.map(n => col(s"r.$n")): _*)
-
-    history.select(outNames.map(col): _*).unionByName(emitted)
-  }
+      attrs: Seq[String], opCol: String, seqCol: String, effTs: Long): DataFrame =
+    mergeCore(dim, latestPerKey(feed, key, seqCol), key, attrs,
+      Some(opCol), effTs)
 
   /** An empty dimension with the merge's schema, for first-load merges
     * (every batch row becomes an open version).

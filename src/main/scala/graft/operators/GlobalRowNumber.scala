@@ -89,6 +89,9 @@ object GlobalRowNumber {
   def cumeDistByKey(df: DataFrame, stratum: Seq[String], key: String,
       outCol: String, buckets: Int = 32,
       hintMaxGroups: Long = 1000000L): DataFrame = {
+    val reserved = Seq("_bkt", "_off", "_tot")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not carry the operator's internal columns ${reserved.mkString(", ")}")
     // three consumers read the input (quantile sketch, counts, the
     // ranked join) — checkpoint once so an expensive upstream (q127's
     // per-doc quality score) never computes three times; the

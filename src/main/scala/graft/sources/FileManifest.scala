@@ -60,29 +60,36 @@ object FileManifest {
   def buildWithBloom(spark: SparkSession, dataDir: String, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long = 65536L,
       fpp: Double = 0.01): Unit = {
-    val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
-      org.apache.spark.sql.Encoders.LONG)
-    val data = spark.read.parquet(dataDir)
-    // INTEGRAL key columns only: the sidecar stores `cast(long)` and the
-    // probe compares Catalyst literal values — for a timestamp the cast
-    // yields SECONDS while equality literals carry MICROS, so a
-    // non-integral bloomCol would prune with silent false NEGATIVES
-    // (missing rows), the one failure Bloom semantics must never allow.
-    // Fail loud at build time instead.
+    fileStats(spark.read.parquet(dataDir), cols, bloomCols,
+      expectedPerFile, fpp)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(dataDir))
+  }
+
+  /** The one per-file stats aggregation both [[buildWithBloom]] and the
+    * incremental [[refresh]] use — including the bloom-key type guard,
+    * so the two paths can never drift: INTEGRAL key columns only (the
+    * sidecar stores `cast(long)` and the probe compares Catalyst
+    * literal values — a timestamp's cast yields SECONDS while equality
+    * literals carry MICROS, so a non-integral bloomCol would prune with
+    * silent false NEGATIVES, the one failure Bloom semantics must never
+    * allow; fail loud at build time instead).
+    */
+  private def fileStats(data: DataFrame, cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long, fpp: Double): DataFrame = {
     bloomCols.foreach { c =>
       val dt = data.schema(c).dataType
       require(FsListing.isIntegral(dt),
         s"bloom sidecar column '$c' is $dt — only integral key columns " +
           "are bloom-trackable (cast-to-long must be value-preserving)")
     }
+    val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
+      org.apache.spark.sql.Encoders.LONG)
     val aggs = count(lit(1)).as("n_rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         bloomCols.map(c => bloomAgg(col(c).cast("long")).as(s"bloom_$c")))
-    data
-      .groupBy(input_file_name().as("file"))
+    data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(manifestPath(dataDir))
   }
 
   /** Mergeable per-file Bloom accumulation: one filter per group, built
@@ -152,29 +159,28 @@ object FileManifest {
       return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile, fpp)
 
     val live = FsListing.listDataFiles(hfs, root).toSet
-    val normFile = org.apache.spark.sql.functions.udf(
-      (s: String) => FsListing.norm(s))
-    // carried entries: still-live files, byte-identical stats/blooms;
-    // checkpointed (metadata-small) so the overwrite below can't read
-    // its own output
-    val kept = graft.Materialize.checkpoint(
-      existing.filter(normFile(col("file")).isin(live.toSeq: _*)))
-    val manifested = kept.select("file").collect()
-      .map(r => FsListing.norm(r.getString(0))).toSet
+    // carried entries split DRIVER-SIDE from one collect (the manifest
+    // is metadata-sized by construction — the same class of collect
+    // ManifestFileIndex does): no |files|-literal `isin` expression,
+    // and the local relation makes the overwrite below safe against
+    // reading its own input with no checkpoint needed
+    val fileIdx = existing.schema.fieldIndex("file")
+    val rows = existing.collect()
+    val keptRows = rows.filter(r =>
+      live.contains(FsListing.norm(r.getString(fileIdx))))
+    val kept = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows: _*), existing.schema)
+    val manifested = keptRows
+      .map(r => FsListing.norm(r.getString(fileIdx))).toSet
     val newFiles = (live -- manifested).toSeq.sorted
     val merged =
       if (newFiles.isEmpty) kept
       else {
-        val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
-          org.apache.spark.sql.Encoders.LONG)
-        val aggs = count(lit(1)).as("n_rows") +:
-          (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-            bloomCols.map(c => bloomAgg(col(c).cast("long")).as(s"bloom_$c")))
         // basePath keeps partition columns resolvable when the tree is
         // hive-partitioned and a partition column is tracked
-        val fresh = spark.read.option("basePath", dataDir).parquet(newFiles: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
+        val fresh = fileStats(
+          spark.read.option("basePath", dataDir).parquet(newFiles: _*),
+          cols, bloomCols, expectedPerFile, fpp)
         kept.unionByName(fresh.select(kept.columns.map(col): _*))
       }
     merged.coalesce(1).write.mode("overwrite").parquet(manifestPath(dataDir))

@@ -259,6 +259,15 @@ object StreamOps {
     * always equal [[graft.dims.Cdc.applyChanges]] folded over the same
     * batches (CdcScd2Spec pins both laws).
     *
+    * Scale shape: each batch reads the latest history and lands the
+    * full next one — O(|history|) I/O per batch, which is the right
+    * trade for a DIMENSION (histories are dimension-sized; the feed is
+    * delta-sized and the merge itself joins only current ⋈ net). A
+    * dimension large enough that rewriting it per batch hurts should
+    * key-bucket-partition the history and land via
+    * [[graft.sources.Staging.overwritePartitions]] (only buckets whose
+    * keys changed rewrite) — the merge semantics are unchanged.
+    *
     * Usage: `feed.writeStream.foreachBatch(scd2HistorySink(root, …))`.
     */
   def scd2HistorySink(root: String, key: Seq[String], attrs: Seq[String],
