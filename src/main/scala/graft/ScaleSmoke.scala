@@ -15,7 +15,8 @@ object ScaleSmoke {
     // bar is 100x; the general smoke is 10x — reducer-SORTED costs are
     // the ops where another decade changes the verdict, so they get one)
     if (args.contains("win100")) {
-      win100(spark, base, rebuild = !args.contains("nobuild"))
+      win100(spark, base, rebuild = !args.contains("nobuild"),
+        pitOnly = args.contains("pitonly"))
       spark.stop(); return
     }
     // 10x replicate lineitem/orders with shifted keys; copy dims
@@ -283,7 +284,7 @@ object ScaleSmoke {
     * at 1e5/1e6/1e7 rows, plain window vs range-bucketed escape.
     */
   private def win100(spark: SparkSession, base: String,
-      rebuild: Boolean = true): Unit = {
+      rebuild: Boolean = true, pitOnly: Boolean = false): Unit = {
     val d10 = "/tmp/graft_win10x"
     val d100 = "/tmp/graft_win100x"
     def rep(t: String, key: String, shift: Long, out: String, n: Int,
@@ -312,7 +313,7 @@ object ScaleSmoke {
       s"orders=${spark.read.parquet(s"$d100/orders.parquet").count()} " +
       s"documents=${spark.read.parquet(s"$d100/documents.parquet").count()}")
 
-    for (q <- Seq("q05_dedup_keepfirst", "q07_negative_ids", "q93_global_deciles",
+    if (!pitOnly) for (q <- Seq("q05_dedup_keepfirst", "q07_negative_ids", "q93_global_deciles",
       "q120_shuffle_shards", "q127_rank_normalize", "q128_stratified_topn",
       // dedup/chunk family at 100x documents: banded LSH and the
       // boilerplate chunk pass are the other ops whose naive forms
@@ -332,7 +333,7 @@ object ScaleSmoke {
     // (embarrassingly parallel map work — its growth is input growth at
     // fixed cores, not a window pathology). q127's exponent minus this
     // row's exponent is what the percentile machinery itself adds.
-    for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) {
+    if (!pitOnly) for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
