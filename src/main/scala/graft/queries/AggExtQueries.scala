@@ -89,6 +89,80 @@ object AggExtQueries {
         .orderBy("event_type")
     },
 
+    // ---- mergeable quantile state (histogram sketch table) ---------------
+    // q104's persisted-state shape for PERCENTILES: percentile_approx
+    // (q64) answers one-shot queries but its sketch is not a value a
+    // deployment can store and merge across ingest batches. This is the
+    // mergeable form: per (event_type, day), a fixed 256-bin histogram
+    // over data-derived global [lo, hi] — the state is (type, day, bin,
+    // cnt) rows, a few hundred longs per cell — and read-time p50/p90/
+    // p99 come from summing bin counts across days (longs — merge is
+    // EXACT and order-free, stronger than HLL's lossless-union) and
+    // interpolating within the hit bin. Every arithmetic step is one
+    // pinned IEEE op sequence (`lo + (bin + (p·total − cumBefore)/cnt)
+    // · w`), so unlike q45/q104's tolerance gates this oracle replays
+    // the ESTIMATE bit-for-bit. Accuracy is structural: the estimate
+    // sits inside the hit bin, so |est − exact| ≤ (hi−lo)/256 by
+    // construction. At 100 TB: the sketch build is one partial-agg
+    // shuffle at ingest; reads touch only the sketch table.
+    QueryDef.sql(
+      "q137_quantile_hist_merge",
+      """WITH b AS (SELECT min(value) AS vlo, max(value) AS vhi FROM events),
+        |prm AS (SELECT vlo, (vhi - vlo) / 256 AS w FROM b),
+        |bins AS (
+        |  SELECT event_type,
+        |    LEAST(255, CAST(floor((value - vlo) / w) AS BIGINT)) AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM events, prm GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM bins),
+        |qs AS (SELECT CAST(p AS DOUBLE) AS p
+        |       FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+        |hit AS (
+        |  SELECT event_type, p, bin, cnt, cum, total,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+        |  FROM cum CROSS JOIN qs WHERE cum >= p * total)
+        |SELECT event_type, p, CAST(total AS BIGINT) AS n,
+        |  vlo + (bin + (p * total - (cum - cnt)) / cnt) * w AS est
+        |FROM hit, prm WHERE rn = 1 ORDER BY event_type, p""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts_ns"),
+        col("value"))
+      val b = ev.agg(min("value"), max("value")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val w = (hi - lo) / 256
+      // the persisted sketch state: per (type, day) histogram rows
+      val daily = ev
+        .groupBy(col("event_type"),
+          (col("ts_ns") - col("ts_ns") % dayNs).as("day"),
+          least(lit(255L), floor((col("value") - lo) / w).cast("long")).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .transform(graft.Materialize.checkpoint)
+      // merge across days: exact long addition, order-free
+      val merged = daily.groupBy("event_type", "bin")
+        .agg(sum(col("cnt")).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("bin")
+      val wTot = Window.partitionBy("event_type")
+      val cum = merged
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("total", sum(col("cnt")).over(wTot))
+        .select(col("event_type"), col("bin"), col("cnt"), col("cum"),
+          col("total"), explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      val wHit = Window.partitionBy("event_type", "p").orderBy("bin")
+      cum.filter(col("cum") >= col("p") * col("total"))
+        .withColumn("rn", row_number().over(wHit))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("p"), col("total").as("n"),
+          (lit(lo) + (col("bin") +
+            (col("p") * col("total") - (col("cum") - col("cnt"))) / col("cnt"))
+            * w).as("est"))
+        .orderBy("event_type", "p")
+    },
+
     // ---- quantile sketch --------------------------------------------------
     // Same contract shape as q45: percentile_approx's guarantee is
     // RANK-based (error ≤ n/accuracy), so the verdict joins the estimate
