@@ -35,7 +35,13 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
 
     Staging.compactSorted(spark, small, out, Seq("key"), targetFileRows = 512)
     val outFiles = files(out)
-    assert(outFiles.length <= 10, s"expected ~8 files, got ${outFiles.length}")
+    // ~8 files, with slack for RangePartitioner's sampling jitter: its
+    // seed folds in the session-global RDD id, so on a 64-distinct-value
+    // key the boundaries shift with whatever ran earlier in the session,
+    // and each oversized partition costs one maxRecordsPerFile split —
+    // a count wobble, never a correctness issue (disjointness and
+    // row-exactness are asserted below regardless)
+    assert(outFiles.length <= 13, s"expected ~8-11 files, got ${outFiles.length}")
 
     // rows survive exactly
     val got = spark.read.parquet(out).select("id", "key", "payload")
