@@ -33,4 +33,33 @@ class QuantileHistSpec extends AnyFunSuite with SparkSpec {
         s"$k: sketch $e vs exact ${exact(k)} exceeds bin width $binW")
     }
   }
+
+  test("histogram state maintained incrementally across batches equals the one-shot sketch") {
+    import spark.implicits._
+    // the q137 state under incremental ingest: three disjoint batches
+    // each contribute their own (type, bin, cnt) rows; because the
+    // merge is exact long addition, summing the landed batch rows must
+    // equal the one-shot histogram over the union — the property that
+    // lets a deployment keep percentiles current without rescans
+    val root = java.nio.file.Files.createTempDirectory("graft_hist_inc").toString
+    val lo = 0.0; val w = 100.0 / 256
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("t"), least(lit(255L),
+        floor((col("v") - lo) / w).cast("long")).as("bin"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val all = (0 until 3000).map(i => (s"t${i % 3}", (i * 37 % 1000) / 10.0))
+      .toDF("t", "v")
+    Seq(0, 1, 2).foreach { b =>
+      graft.sinks.IdempotentFileSink.writeBatch(
+        hist(all.filter(abs(hash(col("v"))) % 3 === b)), root, b)
+    }
+    // replay of a committed batch adds nothing (exactly-once state)
+    graft.sinks.IdempotentFileSink.writeBatch(hist(all.limit(10)), root, 1)
+    val merged = graft.sinks.IdempotentFileSink.read(spark, root)
+      .groupBy("t", "bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = hist(all)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == oneShot)
+  }
 }
