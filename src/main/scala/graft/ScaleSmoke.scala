@@ -304,14 +304,17 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    if (rebuild) for ((out, n) <- Seq((d10, 10), (d100, 100))) {
+    // the PIT contrast below is pure synthetic spark.range work — in
+    // pitOnly mode skip the replica build AND the replica reads entirely
+    if (rebuild && !pitOnly) for ((out, n) <- Seq((d10, 10), (d100, 100))) {
       rep("lineitem", "l_orderkey", 100000000L, out, n, perturbText = false)
       rep("orders", "o_orderkey", 100000000L, out, n, perturbText = false)
       rep("documents", "doc_id", 10000000L, out, n, perturbText = true)
     }
-    println(s"win100 rows: lineitem=${spark.read.parquet(s"$d100/lineitem.parquet").count()} " +
-      s"orders=${spark.read.parquet(s"$d100/orders.parquet").count()} " +
-      s"documents=${spark.read.parquet(s"$d100/documents.parquet").count()}")
+    if (!pitOnly)
+      println(s"win100 rows: lineitem=${spark.read.parquet(s"$d100/lineitem.parquet").count()} " +
+        s"orders=${spark.read.parquet(s"$d100/orders.parquet").count()} " +
+        s"documents=${spark.read.parquet(s"$d100/documents.parquet").count()}")
 
     if (!pitOnly) for (q <- Seq("q05_dedup_keepfirst", "q07_negative_ids", "q93_global_deciles",
       "q120_shuffle_shards", "q127_rank_normalize", "q128_stratified_topn",

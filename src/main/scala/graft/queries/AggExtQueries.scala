@@ -101,10 +101,15 @@ object AggExtQueries {
     // interpolating within the hit bin. Every arithmetic step is one
     // pinned IEEE op sequence (`lo + (bin + (p·total − cumBefore)/cnt)
     // · w`), so unlike q45/q104's tolerance gates this oracle replays
-    // the ESTIMATE bit-for-bit. Accuracy is structural: the estimate
-    // sits inside the hit bin, so |est − exact| ≤ (hi−lo)/256 by
-    // construction. At 100 TB: the sketch build is one partial-agg
-    // shuffle at ingest; reads touch only the sketch table.
+    // the ESTIMATE bit-for-bit. The structural accuracy guarantee is a
+    // RANK bound: the crossing bin brackets p·total, so |#{v ≤ est} −
+    // p·total| ≤ the hit bin's own count (QuantileHistSpec pins it) —
+    // on the VALUE scale that tightens to ~one bin width only where the
+    // distribution has support near the quantile (dense data; true
+    // here), never for a gapped/bimodal tail, exactly the caveat every
+    // equi-width histogram sketch carries. At 100 TB: the sketch build
+    // is one partial-agg shuffle at ingest; reads touch only the
+    // sketch table.
     QueryDef.sql(
       "q137_quantile_hist_merge",
       """WITH b AS (SELECT min(value) AS vlo, max(value) AS vhi FROM events),

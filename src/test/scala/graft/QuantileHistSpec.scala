@@ -3,34 +3,39 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q137's mergeable histogram-quantile state: the estimate's accuracy
-  * is STRUCTURAL — it interpolates inside the bin whose cumulative
-  * count crosses p·total, so |est − exact percentile| ≤ one bin width
-  * (hi−lo)/256 by construction. Pinned here against Spark's exact
-  * `percentile` (the q64 contract style, but with a deterministic
-  * bound instead of a rank tolerance); the bit-exact estimate replay
-  * itself is the q137 oracle's job.
+/** q137's mergeable histogram-quantile state: the STRUCTURAL accuracy
+  * guarantee is a RANK bound — the estimate sits inside the bin whose
+  * cumulative count crosses p·total, so the number of values at or
+  * below it can miss p·total by at most that bin's own count. (A VALUE
+  * bound against an interpolated exact percentile does NOT hold in
+  * general: on gapped/bimodal data the exact percentile interpolates
+  * across an empty region the histogram never enters — e.g. values
+  * {0, 0.2, 99, 100} put p50's crossing in bin 0 while `percentile`
+  * answers 49.6. Equi-width sketches promise ranks, not values.)
+  * The bit-exact estimate replay itself is the q137 oracle's job.
   */
 class QuantileHistSpec extends AnyFunSuite with SparkSpec {
 
-  test("merged-histogram estimates sit within one bin width of exact percentiles") {
+  test("merged-histogram estimates satisfy the structural rank bound") {
     val sf = "/root/testdata/sf0.01"
     val ev = Tables.events(spark, sf)
-    val b = ev.agg(min("value"), max("value")).head()
-    val binW = (b.getDouble(1) - b.getDouble(0)) / 256
 
     val est = graft.SparkEntry.queries("q137_quantile_hist_merge")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
-    val exact = ev.groupBy("event_type")
-      .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("ex"))
-      .collect().flatMap { r =>
-        val ex = r.getSeq[Double](1)
-        Seq(0.5, 0.9, 0.99).zip(ex).map { case (p, v) => (r.getString(0), p) -> v }
-      }.toMap
-    assert(est.keySet == exact.keySet && est.size == 15)
-    est.foreach { case (k, e) =>
-      assert(math.abs(e - exact(k)) <= binW + 1e-9,
-        s"$k: sketch $e vs exact ${exact(k)} exceeds bin width $binW")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(est.size == 15)
+    val b = ev.agg(min("value"), max("value")).head()
+    val binW = (b.getDouble(1) - b.getDouble(0)) / 256
+    est.foreach { case ((t, p), (n, e)) =>
+      // rank of the estimate vs the target rank, bounded by the mass of
+      // the estimate's own bin (recomputed from raw data)
+      val binLo = b.getDouble(0) + math.floor((e - b.getDouble(0)) / binW) * binW
+      val hitMass = ev.filter(col("event_type") === t &&
+        col("value") >= binLo && col("value") < binLo + binW).count()
+      val atOrBelow = ev.filter(col("event_type") === t && col("value") <= e).count()
+      assert(math.abs(atOrBelow - p * n) <= hitMass + 1e-6,
+        s"($t, $p): rank of est $e is $atOrBelow vs target ${p * n}, " +
+          s"hit-bin mass $hitMass")
     }
   }
 
