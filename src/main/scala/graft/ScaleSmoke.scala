@@ -16,7 +16,11 @@ object ScaleSmoke {
     // the ops where another decade changes the verdict, so they get one)
     if (args.contains("win100")) {
       win100(spark, base, rebuild = !args.contains("nobuild"),
-        pitOnly = args.contains("pitonly"))
+        pitOnly = args.contains("pitonly"),
+        only = args.collectFirst {
+          case a if a.startsWith("only=") =>
+            a.stripPrefix("only=").split(",").toSet
+        })
       spark.stop(); return
     }
     // 10x replicate lineitem/orders with shifted keys; copy dims
@@ -284,7 +288,8 @@ object ScaleSmoke {
     * at 1e5/1e6/1e7 rows, plain window vs range-bucketed escape.
     */
   private def win100(spark: SparkSession, base: String,
-      rebuild: Boolean = true, pitOnly: Boolean = false): Unit = {
+      rebuild: Boolean = true, pitOnly: Boolean = false,
+      only: Option[Set[String]] = None): Unit = {
     val d10 = "/tmp/graft_win10x"
     val d100 = "/tmp/graft_win100x"
     def rep(t: String, key: String, shift: Long, out: String, n: Int,
@@ -310,6 +315,10 @@ object ScaleSmoke {
       rep("lineitem", "l_orderkey", 100000000L, out, n, perturbText = false)
       rep("orders", "o_orderkey", 100000000L, out, n, perturbText = false)
       rep("documents", "doc_id", 10000000L, out, n, perturbText = true)
+      // dimensions stay 1x (the main smoke's rule) — q11's anti-join
+      // probe side
+      spark.read.parquet(s"$base/customer.parquet")
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
     if (!pitOnly)
       println(s"win100 rows: lineitem=${spark.read.parquet(s"$d100/lineitem.parquet").count()} " +
@@ -321,7 +330,12 @@ object ScaleSmoke {
       // dedup/chunk family at 100x documents: banded LSH and the
       // boilerplate chunk pass are the other ops whose naive forms
       // (all-pairs, global chunk sort) would not survive the decade
-      "q26_minhash_lsh", "q126_boilerplate_strip")) {
+      "q26_minhash_lsh", "q126_boilerplate_strip",
+      // shuffle-bound joins + the scan/agg baseline: the decade
+      // exponent for a 60M x 15M fact-fact join is the other number a
+      // 100 TB plan review asks for
+      "q01_pricing_summary", "q11_anti_join", "q50_salted_join")
+      .filter(q => only.forall(_.contains(q)))) {
       val times = for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) yield {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
