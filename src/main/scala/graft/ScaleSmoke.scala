@@ -350,14 +350,17 @@ object ScaleSmoke {
     // (embarrassingly parallel map work — its growth is input growth at
     // fixed cores, not a window pathology). q127's exponent minus this
     // row's exponent is what the percentile machinery itself adds.
-    if (!pitOnly) for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) {
+    if (!pitOnly) for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100);
+        (form, scoreOf) <- Seq(
+          "expr" -> ((c: org.apache.spark.sql.Column) =>
+            graft.text.TextAnalysis.qualityScore(c, graft.queries.TextQueries.EnStop)),
+          "jvm" -> ((c: org.apache.spark.sql.Column) =>
+            graft.text.TextAnalysis.qualityScoreFast(c, graft.queries.TextQueries.EnStop)))) {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("source"),
-          graft.text.TextAnalysis.qualityScore(col("text"),
-            graft.queries.TextQueries.EnStop).as("score"))
+        .select(col("doc_id"), col("source"), scoreOf(col("text")).as("score"))
         .queryExecution.toRdd.count()
-      println(f"${"q127_score_only"}%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"${s"q127_score_$form"}%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
     // hot-key PIT: plain window (one reducer owns the hot key) vs the

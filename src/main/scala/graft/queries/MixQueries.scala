@@ -243,7 +243,7 @@ object MixQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
-          graft.text.TextAnalysis.qualityScore(col("text"),
+          graft.text.TextAnalysis.qualityScoreFast(col("text"),
             graft.queries.TextQueries.EnStop).as("score"))
         .withColumn("running", sum(col("n_tok")).over(w))
         .filter(col("running") <= 20000)
@@ -361,7 +361,7 @@ object MixQueries {
       }) { (s, d) =>
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          graft.text.TextAnalysis.qualityScore(col("text"),
+          graft.text.TextAnalysis.qualityScoreFast(col("text"),
             graft.queries.TextQueries.EnStop).as("score"))
       graft.operators.GlobalRowNumber
         .cumeDistByKey(scored, Seq("source"), "score", "pct")

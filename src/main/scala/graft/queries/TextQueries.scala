@@ -49,9 +49,13 @@ object TextQueries {
          |  + 0.3::DOUBLE * (1.0::DOUBLE - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text))
          |  + 0.2::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE) AS score
          |FROM t ORDER BY doc_id""") { (s, d) =>
+      // qualityScoreFast: JVM counting + the identical Catalyst double
+      // assembly (TextKernelSpec pins bit-parity; 15.2 s → 0.4 s for the
+      // score pass at the 100x smoke — the HOF stopword filter is an
+      // interpreted lambda per token)
       Tables.documents(s, d).select(
         col("doc_id"),
-        qualityScore(col("text"), EnStop).as("score"))
+        qualityScoreFast(col("text"), EnStop).as("score"))
         .orderBy("doc_id")
     },
 
