@@ -254,6 +254,87 @@ object StreamQueries {
       StatefulSessionize.compact(drained.as[SessionRow])
         .toDF()
         .orderBy("user_id", "session_idx")
+    },
+
+    // ---- streaming quantile state (q137 maintained by foreachBatch) ------
+    // The q137 mergeable histogram driven from the event STREAM: each
+    // micro-batch folds its own (type, bin, cnt) rows through the
+    // idempotent batch-id sink — exactly-once state over at-least-once
+    // delivery — and the read-time merge + interpolation is IDENTICAL to
+    // the batch form, because exact long addition is batching-invariant
+    // (QuantileHistSpec pins multi-batch ≡ one-shot; this gate shares
+    // q137's oracle verbatim). Histogram bounds are fixed a priori (here
+    // derived once from the static table — what a deployment pins in
+    // config), which is what makes per-batch sketches mergeable at all.
+    // No stateful operator: the stream side is a pure map + partial agg
+    // per batch, the state lives in the sink.
+    QueryDef.sql(
+      "q138_stream_quantile_state",
+      """WITH b AS (SELECT min(value) AS vlo, max(value) AS vhi FROM events),
+        |prm AS (SELECT vlo, (vhi - vlo) / 256 AS w FROM b),
+        |bins AS (
+        |  SELECT event_type,
+        |    LEAST(255, CAST(floor((value - vlo) / w) AS BIGINT)) AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM events, prm GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM bins),
+        |qs AS (SELECT CAST(p AS DOUBLE) AS p
+        |       FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+        |hit AS (
+        |  SELECT event_type, p, bin, cnt, cum, total,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+        |  FROM cum CROSS JOIN qs WHERE cum >= p * total)
+        |SELECT event_type, p, CAST(total AS BIGINT) AS n,
+        |  vlo + (bin + (p * total - (cum - cnt)) / cnt) * w AS est
+        |FROM hit, prm WHERE rn = 1 ORDER BY event_type, p""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sinks.IdempotentFileSink
+      val b = graft.Tables.events(s, d).agg(min("value"), max("value")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val w = (hi - lo) / 256
+      val root = QueryDef.scratch(d, "stream_hist")
+      // fresh state per run: committed batches from an earlier code
+      // version must not leak into this run's merge
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
+      val q = StreamOps.eventsStream(s, d)
+        .select(col("event_type"), col("value"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          IdempotentFileSink.writeBatch(
+            batch.groupBy(col("event_type"),
+              least(lit(255L), floor((col("value") - lo) / w).cast("long")).as("bin"))
+              .agg(count(lit(1)).as("cnt")),
+            s"$root/sink", id)
+        }
+        .start()
+      q.awaitTermination()
+      val merged = IdempotentFileSink.read(s, s"$root/sink")
+        .groupBy("event_type", "bin").agg(sum(col("cnt")).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("bin")
+      val wTot = Window.partitionBy("event_type")
+      val wHit = Window.partitionBy("event_type", "p").orderBy("bin")
+      merged
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("total", sum(col("cnt")).over(wTot))
+        .select(col("event_type"), col("bin"), col("cnt"), col("cum"),
+          col("total"), explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        .filter(col("cum") >= col("p") * col("total"))
+        .withColumn("rn", row_number().over(wHit))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("p"), col("total").as("n"),
+          (lit(lo) + (col("bin") +
+            (col("p") * col("total") - (col("cum") - col("cnt"))) / col("cnt"))
+            * w).as("est"))
+        .orderBy("event_type", "p")
     }
   )
 
