@@ -315,11 +315,13 @@ object ScaleSmoke {
       rep("lineitem", "l_orderkey", 100000000L, out, n, perturbText = false)
       rep("orders", "o_orderkey", 100000000L, out, n, perturbText = false)
       rep("documents", "doc_id", 10000000L, out, n, perturbText = true)
-      // dimensions stay 1x (the main smoke's rule) — q11's anti-join
-      // probe side
+    }
+    // dimensions stay 1x (the main smoke's rule) — q11's anti-join probe
+    // side. Copied even under `nobuild` (it's dim-sized), so replica
+    // dirs built by an older revision don't crash the join tier.
+    if (!pitOnly) for (out <- Seq(d10, d100))
       spark.read.parquet(s"$base/customer.parquet")
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    }
     if (!pitOnly)
       println(s"win100 rows: lineitem=${spark.read.parquet(s"$d100/lineitem.parquet").count()} " +
         s"orders=${spark.read.parquet(s"$d100/orders.parquet").count()} " +
@@ -350,7 +352,10 @@ object ScaleSmoke {
     // (embarrassingly parallel map work — its growth is input growth at
     // fixed cores, not a window pathology). q127's exponent minus this
     // row's exponent is what the percentile machinery itself adds.
-    if (!pitOnly) for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100);
+    // the decomposition and PIT sweeps carry their own `only=` keys so a
+    // filtered run pays for exactly what it asked
+    if (!pitOnly && only.forall(_.contains("score_decomposition")))
+      for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100);
         (form, scoreOf) <- Seq(
           "expr" -> ((c: org.apache.spark.sql.Column) =>
             graft.text.TextAnalysis.qualityScore(c, graft.queries.TextQueries.EnStop)),
@@ -365,6 +370,7 @@ object ScaleSmoke {
 
     // hot-key PIT: plain window (one reducer owns the hot key) vs the
     // bucketed escape, at three decades of fact count
+    if (!pitOnly && !only.forall(_.contains("pit_hotkey"))) return
     import graft.operators.PitJoin
     // `id div 2` (integer), NOT Column `/` (double): 199/2 = 99.5 would
     // half-step every odd key's boundaries and never hit the ===99 open

@@ -50,7 +50,7 @@ object TextQueries {
          |  + 0.2::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE) AS score
          |FROM t ORDER BY doc_id""") { (s, d) =>
       // qualityScoreFast: JVM counting + the identical Catalyst double
-      // assembly (TextKernelSpec pins bit-parity; 15.2 s → 0.4 s for the
+      // assembly (TextKernelSpec pins bit-parity; 16.1 s → 0.3 s for the
       // score pass at the 100x smoke — the HOF stopword filter is an
       // interpreted lambda per token)
       Tables.documents(s, d).select(

@@ -55,8 +55,9 @@ object TextAnalysis {
     * expression form's `filter(tokens, isin(stop...))` is a
     * higher-order function (CodegenFallback: an interpreted lambda per
     * token) running a LINEAR stopword scan per token, plus a regex pass
-    * for punct — measured 16.2 s → 4.1 s for the 500k-doc score pass at
-    * the 100× smoke. Only the integer counting moves to the JVM; the
+    * for punct — measured 16.1 s → 0.3 s for the 500k-doc score pass at
+    * the 100× smoke (the win100 decomposition rows time both forms
+    * permanently). Only the integer counting moves to the JVM; the
     * score's double arithmetic stays in Catalyst ([[scoreFromCounts]])
     * in exactly [[qualityScore]]'s op order, so the two forms are
     * bit-identical (TextKernelSpec pins it, incl. empty/punct-only/null
@@ -87,8 +88,9 @@ object TextAnalysis {
 
   /** [[qualityScore]]'s exact double assembly over a counts struct
     * `(n_tokens, n_stop, n_punct, n_chars)` — the same Catalyst ops in
-    * the same order as the expression form (incl. the NaN-on-empty
-    * division behavior), so only the counting differs between twins.
+    * the same order as the expression form (incl. its ANSI
+    * divide-by-zero THROW on a zero-token text — the twins agree on
+    * exceptions too), so only the counting differs between them.
     */
   def scoreFromCounts(st: Column): Column =
     lit(0.5) * (st.getField("_2").cast("double") / st.getField("_1")) +

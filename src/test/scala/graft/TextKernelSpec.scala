@@ -8,9 +8,10 @@ import graft.text.TextAnalysis
 /** Dual-impl cross-check for the quality-score twins (the VectorFold/
   * HashedLinear policy): the JVM counting kernel + Catalyst score
   * assembly must be BIT-identical to the pure-expression form on real
-  * testdata and on the edge shapes — empty text (NaN from 0/0), punct-
-  * only, no-stopword, >100-token cap saturation, and NULL text (NULL
-  * score both ways).
+  * testdata and on the edge shapes — punct-only, no-stopword,
+  * >100-token cap saturation, NULL text (NULL score both ways), and
+  * EMPTY text, where both forms throw the same ANSI DIVIDE_BY_ZERO
+  * (the score's 0-token division).
   */
 class TextKernelSpec extends AnyFunSuite with SparkSpec {
 
