@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * per-pair range join: one shuffle on the key, no cross product, scales
   * linearly in events. (DuckDB's native ASOF JOIN is the oracle shape;
   * the window formulation is used on both sides for bit parity.)
+  *
+  * Skew caveat, shared with [[PitJoin.atTime]]: the window partitions
+  * by key, so ONE key owning a large fraction of all events serializes
+  * into one reducer sort. The escape is the same range-bucketed
+  * carry-in rewrite [[PitJoin.atTimeBucketed]] implements (bucket on
+  * event-time quantiles, replicate each reference row into its home
+  * bucket and every later one); apply that pattern here if an event
+  * stream ever grows a dominant key.
   */
 object AsOf {
 
