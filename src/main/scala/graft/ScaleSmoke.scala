@@ -336,7 +336,10 @@ object ScaleSmoke {
       // shuffle-bound joins + the scan/agg baseline: the decade
       // exponent for a 60M x 15M fact-fact join is the other number a
       // 100 TB plan review asks for
-      "q01_pricing_summary", "q11_anti_join", "q50_salted_join")
+      "q01_pricing_summary", "q11_anti_join", "q50_salted_join",
+      // map-side text kernels: expected ~flat per decade (pure
+      // parallelizable per-doc work, JVM kernels where measured)
+      "q74_pii_scrub", "q75_profile", "q121_hashed_classifier")
       .filter(q => only.forall(_.contains(q)))) {
       val times = for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) yield {
         val t0 = System.nanoTime()
