@@ -70,6 +70,36 @@ class GlobalRowNumberSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cumeDistByKey ≡ naive cume_dist on random skew/tie/bucket-count mixes") {
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows: Gen[(List[(String, Double)], Int)] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.frequency(6 -> "giant", 1 -> "a", 1 -> "b")
+        // a small value pool forces heavy ties; the wide leg, range
+        v <- Gen.frequency(
+          3 -> Gen.oneOf(-1.5, 0.0, 0.25, 7.0),
+          1 -> Gen.choose(-1e6, 1e6))
+      } yield (s, v))
+      buckets <- Gen.choose(2, 16)
+    } yield (rows, buckets)
+    val prop = Prop.forAll(genRows) { case (rows, buckets) =>
+      val df = rows.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+        .toDF("id", "src", "score")
+      val naive = df.withColumn("pct",
+        cume_dist().over(Window.partitionBy("src").orderBy("score")))
+        .select("id", "pct").as[(Long, Double)].collect().toMap
+      val got = GlobalRowNumber
+        .cumeDistByKey(df, Seq("src"), "score", "pct", buckets)
+        .select("id", "pct").as[(Long, Double)].collect()
+      got.length == rows.length && got.forall { case (id, p) => p == naive(id) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cumeDistByKey: NULL stratum is its own stratum (window semantics)") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq((1L, Some("a"), 1.0), (2L, Some("a"), 2.0),
