@@ -55,8 +55,14 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
       u.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // `nobuild` reuses /tmp/sf1ish from a prior run; `only=q..,q..`
+    // times a subset (the win100 tier's dev-loop knobs, general edition)
+    val generalOnly = args.collectFirst {
+      case a if a.startsWith("only=") => a.stripPrefix("only=").split(",").toSet
+    }
     // `skew` arg → run only the skew-shaped stress below (dev loop)
     if (!args.contains("skew")) {
+    if (!args.contains("nobuild")) {
     rep("lineitem", Seq("l_orderkey"), 100000000L)
     rep("orders", Seq("o_orderkey"), 100000000L)
     // documents: shifted ids AND per-replica text perturbation, so the
@@ -112,6 +118,7 @@ object ScaleSmoke {
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$base/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     println("rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
+    }
     // time key queries at 1x vs 10x
     for (q <- Seq("q01_pricing_summary", "q05_dedup_keepfirst", "q08_join_broadcast_dim",
       "q11_anti_join", "q50_salted_join", "q07_negative_ids", "q26_minhash_lsh",
@@ -132,13 +139,21 @@ object ScaleSmoke {
       "q121_hashed_classifier", "q123_compact_zorder", "q125_pit_join",
       "q126_boilerplate_strip", "q127_rank_normalize",
       "q128_stratified_topn", "q131_manifest_transparent",
-      "q132_pipeline_e2e", "q133_manifest_partitioned")) {
+      "q132_pipeline_e2e", "q133_manifest_partitioned",
+      // round-12 dedup additions: substring windows grow with the corpus
+      // (token-linear, digest-keyed shuffle — 10x row is ~1.5x); semdedup
+      // trains cells from the %97 init, so cell COUNT grows with the
+      // corpus and per-cell pair work stays ~constant — total linear,
+      // and the 10x row runs flat (1x pays first-query JVM warmup)
+      "q139_semdedup", "q140_substring_dedup")
+      .filter(q => generalOnly.forall(_.contains(q)))) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         println(f"$q%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    if (generalOnly.forall(_.contains("grid_spatial_polys")))
     // grid spatial at a 10x POLYGON table (the points side stays 1x:
     // replicating both sides would grow per-cell pair work 100x and
     // measure quadratic pathology, not polygon-table scaling). Replicas
@@ -331,8 +346,10 @@ object ScaleSmoke {
       "q120_shuffle_shards", "q127_rank_normalize", "q128_stratified_topn",
       // dedup/chunk family at 100x documents: banded LSH and the
       // boilerplate chunk pass are the other ops whose naive forms
-      // (all-pairs, global chunk sort) would not survive the decade
-      "q26_minhash_lsh", "q126_boilerplate_strip",
+      // (all-pairs, global chunk sort) would not survive the decade;
+      // q140's window set is token-linear (digest-keyed shuffle), the
+      // substring analog of the chunk pass
+      "q26_minhash_lsh", "q126_boilerplate_strip", "q140_substring_dedup",
       // shuffle-bound joins + the scan/agg baseline: the decade
       // exponent for a 60M x 15M fact-fact join is the other number a
       // 100 TB plan review asks for

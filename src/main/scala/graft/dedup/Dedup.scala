@@ -349,4 +349,45 @@ object Dedup {
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact-substring duplication signal (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better" — the shingle-hash approximation of its suffix-array
+    * ExactSubstr): every k-token window is hashed; a window whose hash
+    * occurs more than once ANYWHERE in the corpus (another doc, or a
+    * repeat inside its own doc) is a duplicated span. Unlike the
+    * document-level families above, this measures substring-level
+    * duplication — the boilerplate/quote/copy-paste signal doc-level
+    * MinHash dilutes away on long documents. Output per doc:
+    * (doc_id, n_windows, n_dup_windows, dup_frac). Docs with fewer than
+    * k tokens (or NULL text) have no windows and are absent.
+    *
+    * Scale: windows are built map-side (one `transform` over the token
+    * array + explode — no shuffle until the hash group-by); the shuffle
+    * key is the 128-bit digest, never the window text, so shuffle bytes
+    * are ~tokens × 40 regardless of token width. The count and the
+    * flag join share the same hash partitioning (exchange reuse), and
+    * the final aggregate is per-doc. This linear-shuffle plan is the
+    * distributable trade for ExactSubstr's single-machine suffix array.
+    */
+  def substringDupStats(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      // guard BEFORE sequence(): sequence(1, 0) would count DOWN
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")).as("win"))
+      .select(col("doc_id"), md5(col("win").cast("binary")).as("h"))
+    val counts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+    wins.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long")
+          .as("n_dup_windows"),
+        (sum(when(col("cnt") > 1, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("dup_frac"))
+  }
 }

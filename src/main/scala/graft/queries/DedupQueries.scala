@@ -551,6 +551,31 @@ object DedupQueries {
             .cast("long").as("ed"))
         .filter(col("ed") >= 0) // threshold form returns -1 past the cap
         .orderBy("d1", "d2")
+    },
+
+    // ---- exact-substring duplication: k-token window hashing -------------
+    // Substring-LEVEL dedup (the ExactSubstr family) vs the doc-level
+    // families above: every 8-token window is hashed, a hash seen more
+    // than once anywhere in the corpus marks a duplicated span, and the
+    // per-doc dup_frac is the boilerplate/copy-paste signal MinHash
+    // dilutes away on long documents. The corpus's re-inserted every-5th
+    // docs guarantee cross-doc spans; natural repetition adds within-doc
+    // ones. Windows are map-side; the digest is the only wide shuffle key.
+    QueryDef.sql(
+      "q140_substring_dedup",
+      s"""WITH $CorpusSql,
+         |tok AS ($TokSql),
+         |w AS (
+         |  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |        FROM tok WHERE len(toks) >= 8)),
+         |st AS (SELECT h, COUNT(*) AS cnt FROM w GROUP BY h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+         |FROM w JOIN st USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      Dedup.substringDupStats(corpus(s, d), 8).orderBy("doc_id")
     }
   )
 }

@@ -756,6 +756,51 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3, rerankDepth = 12)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- SemDeDup: cluster-then-prune semantic dedup ---------------------
+    // The embedding-space dedup family's third member (exact q25 and
+    // LSH-pair q31 are the others): k-means cells from the SAME trained
+    // books as q32 (one CTE chain, bit-identical assignment), then a
+    // greedy keep-first prune WITHIN each cell — a vector is duplicate
+    // iff a lower-id cellmate is ≥ τ cosine. Clustering is what makes
+    // the pairwise term affordable: the only join is the within-cell
+    // self-join (equi-join on cell, reused shuffle), never n². Output
+    // is the per-cell dedup ledger: members, duplicates, first keeper.
+    QueryDef.sql(
+      "q139_semdedup",
+      s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+         |               WHERE vec_id % 4 = 0),
+         |${trainCtesSql("", 1, 64, 2, "train")},
+         |cents AS (SELECT cent_id, cv FROM cb2),
+         |asg AS (SELECT e.vec_id, e.embedding, cent_id,
+         |          ${cosSql("e.embedding", "cv")} AS csim
+         |        FROM embeddings e CROSS JOIN cents),
+         |cell AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+         |           FROM asg) WHERE rn = 1),
+         |dup AS (SELECT DISTINCT l.vec_id
+         |        FROM cell l JOIN cell r ON l.cell = r.cell AND r.vec_id < l.vec_id
+         |        WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.3)
+         |SELECT c.cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  MIN(CASE WHEN d.vec_id IS NULL THEN c.vec_id END) AS first_kept
+         |FROM cell c LEFT JOIN dup d ON c.vec_id = d.vec_id
+         |GROUP BY c.cell ORDER BY c.cell""") { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val cents = Similarity.ivfTrain(e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 97 === 0), 64, 2)
+      // assignment feeds both sides of the within-cell join — one index
+      // build, many consumers (at scale the assigned table IS the index)
+      val assigned = Similarity.ivfAssign(e, cents)
+        .transform(graft.Materialize.checkpoint)
+      Similarity.semDedupFlags(assigned, 0.3)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1).otherwise(0)).cast("long").as("n_dup"),
+          min(when(!col("is_dup"), col("vec_id"))).as("first_kept"))
+        .orderBy("cell")
     }
   )
 

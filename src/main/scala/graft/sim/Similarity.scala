@@ -111,6 +111,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-then-prune. K-means cells bound the pairwise work; WITHIN a
+    * cell a vector is a duplicate iff some lower-id member sits above
+    * `tau` cosine (greedy keep-first — deterministic, and the lowest-id
+    * member of every cell is always kept). Input is [[ivfAssign]] output
+    * (vec_id, embedding, cell); output (cell, vec_id, is_dup).
+    *
+    * Scale: the quadratic term is per-cell only — the semi/anti joins
+    * are equi-joins on `cell` (hash-partitioned both sides, the SAME
+    * shuffle reused across the two joins), never corpus×corpus; with
+    * cells ≈ √n the worst case is ~n^1.5 spread over all cells. This is
+    * precisely the SemDeDup design point: clustering exists to make the
+    * within-cluster O(c²) affordable.
+    */
+  def semDedupFlags(assigned: DataFrame, tau: Double): DataFrame = {
+    VectorFold.register(assigned.sparkSession)
+    val l = assigned.as("l")
+    val r = assigned.select(col("cell"), col("vec_id").as("r_id"),
+      col("embedding").as("r_emb")).as("r")
+    // the join condition carries the threshold so semi/anti see the
+    // identical predicate — one definition, two quantifiers
+    val near = col("l.cell") === col("r.cell") &&
+      col("r.r_id") < col("l.vec_id") &&
+      cosine(col("l.embedding"), col("r.r_emb")) >= tau
+    val dups = l.join(r, near, "left_semi")
+      .select(col("cell"), col("vec_id"), lit(true).as("is_dup"))
+    val kept = l.join(r, near, "left_anti")
+      .select(col("cell"), col("vec_id"), lit(false).as("is_dup"))
+    dups.unionByName(kept)
+  }
+
   /** Query-side probe fan-out for multi-probe IVF: each vector's `nprobe`
     * nearest centroids (ties → lowest centroid id). The corpus keeps its
     * single home cell — probing replicates only the (small) query side,

@@ -44,6 +44,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q109_ann_tombstones", // q107's cross; the tombstone exclusion itself is an equi anti-join
     "q135_ann_rerank", // q106's cross; the refine joins only depth x |queries| winners
     "q110_ann_drift", // centroid-assignment cross + broadcast 1-row train-distortion divisor
+    "q139_semdedup", // centroid-assignment cross; the dedup prune itself is an equi-join on cell
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
     "q87_gap_fill_daily" // calendar x event-type frame: both sides tiny
   )
