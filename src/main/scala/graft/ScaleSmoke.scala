@@ -145,7 +145,11 @@ object ScaleSmoke {
       // trains cells from the %97 init, so cell COUNT grows with the
       // corpus and per-cell pair work stays ~constant — total linear,
       // and the 10x row runs flat (1x pays first-query JVM warmup)
-      "q139_semdedup", "q140_substring_dedup")
+      "q139_semdedup", "q140_substring_dedup",
+      // count-min state: the build is a ×d map-side explode + partial
+      // agg (shuffle carries ≤ days·d·W counter rows, not events), the
+      // probe a broadcast join — expected ~flat at 10x events
+      "q141_cms_state_merge")
       .filter(q => generalOnly.forall(_.contains(q)))) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()

@@ -168,6 +168,43 @@ object AggExtQueries {
         .orderBy("event_type", "p")
     },
 
+    // ---- mergeable count-min state (frequency sketch table) ---------------
+    // Completes the mergeable-state family: distinct (HLL q104),
+    // quantiles (histogram q137) — and here FREQUENCY. Ingest folds one
+    // (day, r, c, cnt) counter table per day — d=4 hash rows × W=8192
+    // columns of longs, ~256 KB per day regardless of corpus size — and
+    // the cross-day merge is exact long addition (order-free,
+    // batching-invariant; q142 drives the same state from the stream).
+    // Read-time per-key frequency estimates touch the merged sketch
+    // (broadcast, ≤ d·W rows) plus the workload's probe keys only —
+    // never a rescan of raw events. The hash family is pure int64
+    // Catalyst arithmetic (functions/Cms.scala), so unlike q45/q64's
+    // tolerance gates this oracle replays every ESTIMATE bit-for-bit,
+    // and the CMS hard guarantee est ≥ exact is emitted as a checked
+    // column. Probe set here = all distinct keys (150–1.5k at test SFs);
+    // in deployment it is the query workload — the state build is the
+    // corpus-sized pass.
+    QueryDef.sql(
+      "q141_cms_state_merge",
+      graft.functions.Cms.eventsOracleSql) { (s, d) =>
+      import graft.functions.Cms
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts_ns"))
+      // the persisted state: per-day counter rows, merged by exact addition
+      val daily = Cms.state(
+        ev.withColumn("day", col("ts_ns") - col("ts_ns") % dayNs),
+        col("user_id"), Seq("day"))
+        .transform(graft.Materialize.checkpoint)
+      val merged = Cms.merge(daily)
+      val probes = ev.select(col("user_id")).distinct()
+      val est = Cms.estimate(probes, merged, "user_id")
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .join(est, "user_id")
+        .select(col("user_id"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("no_undercount"))
+        .orderBy("user_id")
+    },
+
     // ---- quantile sketch --------------------------------------------------
     // Same contract shape as q45: percentile_approx's guarantee is
     // RANK-based (error ≤ n/accuracy), so the verdict joins the estimate

@@ -335,6 +335,49 @@ object StreamQueries {
             (col("p") * col("total") - (col("cum") - col("cnt"))) / col("cnt"))
             * w).as("est"))
         .orderBy("event_type", "p")
+    },
+
+    // ---- streaming count-min state (q141 maintained by foreachBatch) -----
+    // The q141 frequency sketch driven from the event STREAM: each
+    // micro-batch folds its own (r, c, cnt) counter rows through the
+    // idempotent batch-id sink, and the read-time merge + probe is
+    // IDENTICAL to the batch form because exact long addition is
+    // batching-invariant (CmsSketchSpec pins multi-batch ≡ one-shot;
+    // this gate shares q141's oracle verbatim). Like q138, no stateful
+    // operator: the stream side is a pure ×d explode + partial agg per
+    // batch; the state lives in the sink. Probe exactness is checked
+    // against the static table the stream replays.
+    QueryDef.sql(
+      "q142_stream_cms_state",
+      graft.functions.Cms.eventsOracleSql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.functions.Cms
+      import graft.sinks.IdempotentFileSink
+      val root = QueryDef.scratch(d, "stream_cms")
+      // fresh state per run: committed batches from an earlier code
+      // version must not leak into this run's merge
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
+      val q = StreamOps.eventsStream(s, d)
+        .select(col("user_id"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          IdempotentFileSink.writeBatch(
+            Cms.state(batch, col("user_id"), Nil), s"$root/sink", id)
+        }
+        .start()
+      q.awaitTermination()
+      val merged = Cms.merge(IdempotentFileSink.read(s, s"$root/sink"))
+      val ev = graft.Tables.events(s, d).select(col("user_id"))
+      val est = Cms.estimate(ev.distinct(), merged, "user_id")
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .join(est, "user_id")
+        .select(col("user_id"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("no_undercount"))
+        .orderBy("user_id")
     }
   )
 
