@@ -14,6 +14,60 @@ object TextQueries {
   val EnStop = Seq("the", "a", "key", "scan", "fast")
   val EnStopSql = "('the','a','key','scan','fast')"
 
+  /** q143's fixed retrieval query — a literal term set, the shape a
+    * quality-filter or retrieval workload ships to the engine.
+    */
+  val BmTerms = Seq("vector", "stream", "merge", "hash")
+
+  /** DuckDB replay of the whole BM25 path: same tokenizer as q89, same
+    * integer inputs, constants and association order written to mirror
+    * [[graft.text.Bm25]] exactly (see its determinism contract — only ln
+    * may differ by an ulp, absorbed by the 1e-6 score quantization).
+    */
+  private def bm25OracleSql: String = {
+    val is = BmTerms.indices
+    val tfCols = is.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${BmTerms(i)}')) AS BIGINT) AS tf$i")
+      .mkString(",\n        |    ")
+    val anyHit = is.map(i => s"tf$i > 0").mkString(" OR ")
+    val dfCols = is.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n        |    ")
+    val score = is.map { i =>
+      s"""(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * ((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))"""
+    }.mkString(" + ")
+    val nHit = is.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    $tfCols
+        |  FROM t),
+        |cand AS (SELECT * FROM c WHERE $anyHit),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS total_dl
+        |  FROM t),
+        |dfs AS (
+        |  SELECT
+        |    $dfCols
+        |  FROM cand),
+        |sc AS (
+        |  SELECT doc_id, dl, CAST($nHit AS BIGINT) AS n_hit,
+        |    CAST(FLOOR(($score) * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        |  FROM cand
+        |  CROSS JOIN (SELECT n_docs,
+        |    CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st)
+        |  CROSS JOIN dfs),
+        |r AS (
+        |  SELECT doc_id, dl, n_hit, score_e6,
+        |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, dl, n_hit, score_e6, rk FROM r WHERE rk <= 10 ORDER BY rk"""
+  }
+
   private def profileSql(p: Seq[String]): String =
     p.mkString("('", "','", "')")
 
@@ -234,6 +288,60 @@ object TextQueries {
           .otherwise(col("margin").cast("double") / (col("n_tok") * 1000)))
         .withColumn("keep", col("margin") > 0)
         .orderBy("doc_id")
+    },
+
+    // ---- BM25 top-k lexical retrieval ------------------------------------
+    // Inverted-index retrieval without materializing the inverted index:
+    // per-document (dl, tf_i) for the FIXED query-term set is computed
+    // map-side (no token explode, no token shuffle), the candidate
+    // filter (any tf_i > 0) drops the non-matching corpus before
+    // anything moves, and the corpus-level inputs — N, Σdl, per-term
+    // df — are one-row aggregates broadcast back onto the candidates
+    // (the q76 one-row-cross shape). Top-k is TakeOrderedAndProject:
+    // per-partition heap of k, driver merge of k×partitions rows —
+    // never a global sort. At 100 TB the (N, Σdl) corpus scan is the
+    // part a deployment replaces with maintained stats state (one row,
+    // the q104/q137/q141 sketch-table pattern); everything else touches
+    // matching documents only. Scoring determinism: see
+    // [[graft.text.Bm25]] — integer inputs, mirrored association order,
+    // scores compared at 1e-6 granularity, rank tie-broken by doc_id.
+    QueryDef.sql("q143_bm25_topk", bm25OracleSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.{Bm25, TextAnalysis}
+      val is = BmTerms.indices
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val cand = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+          is.map { i =>
+            size(filter(col("toks"), x => x === BmTerms(i)))
+              .cast("long").as(s"tf$i")
+          }: _*)
+        .filter(is.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      val stats = Tables.documents(s, d)
+        .select(toks.as("toks"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks")).cast("long")).as("total_dl"))
+        .select(col("n_docs"),
+          (col("total_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      val dfAgg = cand.agg(
+        sum((col("tf0") > 0).cast("long")).as("df0"),
+        is.tail.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
+      val score = is.map { i =>
+        Bm25.termScore(col(s"tf$i"), col("dl"), col(s"df$i"),
+          col("n_docs"), col("avgdl"))
+      }.reduceLeft(_ + _)
+      val nHit = is.map(i => when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      cand
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(dfAgg))
+        .select(col("doc_id"), col("dl"), nHit.as("n_hit"),
+          floor(score * lit(1e6) + lit(0.5)).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+        .orderBy("rk")
     }
   )
 }

@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q110_ann_drift", // centroid-assignment cross + broadcast 1-row train-distortion divisor
     "q139_semdedup", // centroid-assignment cross; the dedup prune itself is an equi-join on cell
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
-    "q87_gap_fill_daily" // calendar x event-type frame: both sides tiny
+    "q87_gap_fill_daily", // calendar x event-type frame: both sides tiny
+    "q143_bm25_topk" // broadcast 1-row corpus stats + 1-row df vector onto candidates
   )
 
   test("selective queries prune columns and push filters to the scan") {
