@@ -37,6 +37,15 @@ object FileManifest {
 
   private def manifestPath(dataDir: String) = s"$dataDir/_manifest"
 
+  /** The `_manifest` parquet as a (lazy, distributed) DataFrame — the
+    * ONE way planning code touches manifest CONTENT. Bounds and bloom
+    * binaries stay in scan partitions; callers filter/join this frame
+    * with Spark jobs and collect only what is per-query driver-sized
+    * (surviving paths, counts).
+    */
+  private[sources] def manifestFrame(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.parquet(manifestPath(dataDir))
+
   /** One pass over the directory: per-file row count + min/max of each
     * tracked column, written as the `_manifest` parquet (overwrite).
     */
@@ -158,32 +167,41 @@ object FileManifest {
     if (existing.columns.sorted.toSeq != wantCols)
       return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile, fpp)
 
-    val live = FsListing.listDataFiles(hfs, root).toSet
-    // carried entries split DRIVER-SIDE from one collect (the manifest
-    // is metadata-sized by construction — the same class of collect
-    // ManifestFileIndex does): no |files|-literal `isin` expression,
-    // and the local relation makes the overwrite below safe against
-    // reading its own input with no checkpoint needed
-    val fileIdx = existing.schema.fieldIndex("file")
-    val rows = existing.collect()
-    val keptRows = rows.filter(r =>
-      live.contains(FsListing.norm(r.getString(fileIdx))))
-    val kept = spark.createDataFrame(
-      java.util.Arrays.asList(keptRows: _*), existing.schema)
-    val manifested = keptRows
-      .map(r => FsListing.norm(r.getString(fileIdx))).toSet
-    val newFiles = (live -- manifested).toSeq.sorted
+    val live = FsListing.listDataFiles(hfs, root)
+    // carried entries stay DISTRIBUTED: a broadcast semi-join against
+    // the (path-strings-only) live listing keeps every still-live
+    // entry — bounds and bloom binaries never visit the driver. The
+    // only rows collected are the NEW paths (anti-join the other way),
+    // which is exactly the delta the driver must hand to spark.read.
+    import spark.implicits._
+    val liveDf = broadcast(live.toDF("live_file"))
+    val normFile = ManifestFileIndex.normPath(col("file")).as("m_file")
+    val kept = existing.join(liveDf,
+      ManifestFileIndex.normPath(existing("file")) === col("live_file"),
+      "left_semi")
+    val newFiles = liveDf
+      .join(existing.select(normFile), col("live_file") === col("m_file"),
+        "left_anti")
+      .collect().map(_.getString(0)).sorted
     val merged =
       if (newFiles.isEmpty) kept
       else {
         // basePath keeps partition columns resolvable when the tree is
         // hive-partitioned and a partition column is tracked
         val fresh = fileStats(
-          spark.read.option("basePath", dataDir).parquet(newFiles: _*),
+          spark.read.option("basePath", dataDir).parquet(newFiles.toSeq: _*),
           cols, bloomCols, expectedPerFile, fpp)
         kept.unionByName(fresh.select(kept.columns.map(col): _*))
       }
-    merged.coalesce(1).write.mode("overwrite").parquet(manifestPath(dataDir))
+    // `merged` READS the manifest it must replace, so land it beside the
+    // live one and swap by rename (write-temp-then-rename is the same
+    // commit move IdempotentFileSink uses) — no self-overwrite, and a
+    // reader holding the old frame keeps a consistent view
+    val tmp = new org.apache.hadoop.fs.Path(s"${manifestPath(dataDir)}_tmp")
+    val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    hfs.delete(dst, true)
+    require(hfs.rename(tmp, dst), s"manifest swap rename failed under $dataDir")
   }
 
   /** Range scan planned through the manifest: read only the files whose
@@ -239,28 +257,48 @@ object FileManifest {
       s"manifest under $dataDir has no bloom sidecar for '$c' — " +
         s"buildWithBloom(..., bloomCols = Seq(\"$c\")) first")
 
-    val kept = mdf.select(col("file"), col(s"bloom_$c")).collect().iterator
-      .filter { r =>
-        r.isNullAt(1) || {
-          val bf = org.apache.spark.util.sketch.BloomFilter
-            .readFrom(r.getAs[Array[Byte]](1))
-          keys.exists(bf.mightContainLong)
-        }
+    // membership probes run as a Spark job over the manifest — each
+    // executor task deserializes only its partition's sidecars and
+    // tests the (driver-sized, closure-captured) key set; the driver
+    // sees surviving path strings, never filter binaries. O(kept)
+    // driver state; ManifestFileIndexSpec pins the byte bound.
+    val keyArr = keys.toArray
+    val probe = udf { (bytes: Array[Byte]) =>
+      bytes == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        keyArr.exists(bf.mightContainLong)
       }
-      .map(r => norm(r.getString(0))).toSeq
+    }
+    val kept = mdf.filter(probe(col(s"bloom_$c")))
+      .select(ManifestFileIndex.normPath(col("file")))
+      .collect().map(_.getString(0)).toSeq
     val df = readKept(spark, dataDir, kept)
       .filter(col(c).isin(keys: _*))
     (df, kept.size, total)
   }
 
-  /** Read the manifest and enforce COVERAGE: every live data file under
-    * the directory must be manifested — a file landed after the last
-    * build would otherwise be silently absent from every planned query.
-    * Fail loud; the writer owes a rebuild. Returns the manifest frame
-    * and its file count.
+  /** Read the manifest and enforce COVERAGE via [[requireCovering]].
+    * Returns the manifest frame and its file count; manifest CONTENT
+    * (bounds, blooms) stays distributed.
     */
   private[sources] def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) = {
-    val mdf = spark.read.parquet(manifestPath(dataDir))
+    val total = requireCovering(spark, dataDir)
+    (manifestFrame(spark, dataDir), total)
+  }
+
+  /** Enforce COVERAGE: every live data file under the directory must be
+    * manifested — a file landed after the last build would otherwise be
+    * silently absent from every planned query. Fail loud; the writer
+    * owes a rebuild. Runs as a distributed anti-join: the live listing
+    * (already driver-resident by any FileIndex's contract — path
+    * strings, no manifest payload) parallelizes out and subtracts the
+    * manifest's `file` column on executors; the driver receives one
+    * count and at most one example path. Returns the manifest file
+    * count.
+    */
+  private[sources] def requireCovering(spark: SparkSession, dataDir: String): Int = {
+    val mdf = manifestFrame(spark, dataDir)
     val total = mdf.count().toInt
     require(total > 0, s"empty manifest under $dataDir — build() first")
 
@@ -270,14 +308,19 @@ object FileManifest {
     // ledger's delta selection, one definition of "data file": FsListing
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = FsListing.listDataFiles(hfs, root).toSet
-    val manifested = mdf.select("file").collect()
-      .map(r => norm(r.getString(0))).toSet
-    val unknown = live -- manifested
-    require(unknown.isEmpty,
-      s"manifest under $dataDir is stale: ${unknown.size} unmanifested " +
-        s"files (e.g. ${unknown.headOption.getOrElse("")}) — rebuild")
-    (mdf, total)
+    val live = FsListing.listDataFiles(hfs, root)
+    import spark.implicits._
+    val unknown = live.toDF("live_file")
+      .join(mdf.select(ManifestFileIndex.normPath(col("file")).as("m_file")),
+        col("live_file") === col("m_file"), "left_anti")
+    val sample = unknown.take(1).map(_.getString(0))
+    if (sample.nonEmpty) {
+      val n = unknown.count()
+      throw new IllegalArgumentException(
+        s"requirement failed: manifest under $dataDir is stale: $n " +
+          s"unmanifested files (e.g. ${sample.head}) — rebuild")
+    }
+    total
   }
 
   /** See [[FsListing.norm]] — manifest `file` entries come from

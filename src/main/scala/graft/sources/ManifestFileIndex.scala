@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, lit, udf, when}
 
 /** TRANSPARENT manifest skipping: a custom [[org.apache.spark.sql
   * .execution.datasources.FileIndex]] that consults the `_manifest`
@@ -19,66 +20,79 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   * pruning composes with everything downstream (joins, aggregates,
   * AQE) because it happens below the plan.
   *
+  * DISTRIBUTED planning: the keep/drop decision runs as a Spark job
+  * over the `_manifest` table itself (bounds conjuncts and bloom
+  * probes evaluated as expressions on executors — the same move
+  * Delta/Iceberg make when they scan their metadata with Spark jobs),
+  * and ONLY the surviving file paths come back to the driver. Driver
+  * state per listing is O(kept files) path strings; the per-file
+  * bounds and multi-KB bloom sidecar binaries are never materialized
+  * driver-side — at ~10⁶ tracked files that is the difference between
+  * a metadata join and GBs of planner heap.
+  *
   * Soundness rules (identical to `readPruned`): unknown (NULL) bounds
-  * keep the file; only conjuncts of the shape `col (=|<|<=|>|>=) lit`
-  * (either operand order) on numerically-comparable tracked columns
-  * prune — anything else contributes nothing; strict bounds are
-  * relaxed to inclusive (conservative); NULL-valued rows can never
-  * satisfy a range conjunct, so bound-based skipping loses no row. The
-  * construction-time coverage guard fails LOUD on a stale manifest.
+  * keep the file (the drop test is `coalesce(provably-disjoint,
+  * false)` — a NULL bound can never prove disjointness); only
+  * conjuncts of the shape `col (=|<|<=|>|>=) lit` (either operand
+  * order) on numerically-comparable tracked columns prune — anything
+  * else contributes nothing; strict bounds are relaxed to inclusive
+  * (conservative); NULL-valued rows can never satisfy a range
+  * conjunct, so bound-based skipping loses no row. Kept-set membership
+  * is exact because the construction-time coverage guard (which fails
+  * LOUD on a stale manifest) verifies every file of this index's
+  * frozen listing is manifested — a file landed later is absent from
+  * the frozen listing itself, so it can never be wrongly dropped.
   */
 class ManifestFileIndex(spark: SparkSession, dataDir: String)
     extends InMemoryFileIndex(
       spark, Seq(new Path(dataDir)), Map.empty, None,
       FileStatusCache.getOrCreate(spark), None, None) {
 
-  /** norm'd file path → (tracked col → (min, max)); None = unknown.
-    * Only NUMERIC-typed bounds participate: a string column's manifest
-    * min/max is LEXICOGRAPHIC (min "10" < "9"), so comparing it against
-    * a numerically-parsed literal would skip files that match —
+  /** Manifest METADATA only (schema-derived, one footer read): which
+    * columns carry numeric bounds / bloom sidecars. Only NUMERIC-typed
+    * bounds participate: a string column's manifest min/max is
+    * LEXICOGRAPHIC (min "10" < "9"), so comparing it against a
+    * numerically-parsed literal would skip files that match —
     * non-numeric tracked columns simply never prune here (sound;
     * `readPrunedMulti` evaluates them in Spark expression semantics if
     * the explicit form is needed).
     */
-  private val (fileBounds, fileBlooms): (
-      Map[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]],
-      Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]) = {
-    val (mdf, _) = FileManifest.loadCovering(spark, dataDir)
-    val tracked = mdf.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      .filter(c => mdf.columns.contains(s"max_$c"))
-      .filter(c => mdf.schema(s"min_$c").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]).toSeq
-    // bloom sidecars (buildWithBloom): an EQUALITY conjunct on a
-    // bloom-tracked column additionally prunes by MEMBERSHIP — the
-    // point-lookup layer min/max bounds can't provide (a
-    // hash-distributed key intersects every file's range), composed
-    // transparently with the bounds test. Bloom semantics keep it
-    // sound: no false negatives; a NULL sidecar cell keeps the file.
-    val bloomCols = mdf.columns.filter(_.startsWith("bloom_"))
-      .map(_.stripPrefix("bloom_")).toSeq
-    def num(v: Any): Option[BigDecimal] =
-      if (v == null) None
-      else try Some(BigDecimal(v.toString)) catch { case _: NumberFormatException => None }
-    val rows = mdf.select("file",
-      tracked.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-        bloomCols.map(c => s"bloom_$c"): _*).collect()
-    val bounds = rows.map { r =>
-      FsListing.norm(r.getString(0)) ->
-        tracked.zipWithIndex.map { case (c, i) =>
-          c -> (num(r.get(1 + 2 * i)), num(r.get(2 + 2 * i)))
-        }.toMap
-    }.toMap
-    val bloomBase = 1 + 2 * tracked.size
-    val blooms = rows.map { r =>
-      FsListing.norm(r.getString(0)) ->
-        bloomCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(bloomBase + i)) None
-          else Some(c -> org.apache.spark.util.sketch.BloomFilter
-            .readFrom(r.getAs[Array[Byte]](bloomBase + i)))
-        }.toMap
-    }.toMap
-    (bounds, blooms)
+  private val manifestSchema = FileManifest.manifestFrame(spark, dataDir).schema
+  private val trackedNumeric: Set[String] =
+    manifestSchema.fieldNames.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      .filter(c => manifestSchema.fieldNames.contains(s"max_$c"))
+      .filter(c => manifestSchema(s"min_$c").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]).toSet
+  // bloom sidecars (buildWithBloom): an EQUALITY conjunct on a
+  // bloom-tracked column additionally prunes by MEMBERSHIP — the
+  // point-lookup layer min/max bounds can't provide (a
+  // hash-distributed key intersects every file's range), composed
+  // transparently with the bounds test. Bloom semantics keep it
+  // sound: no false negatives; a NULL sidecar cell keeps the file.
+  private val bloomTracked: Set[String] =
+    manifestSchema.fieldNames.filter(_.startsWith("bloom_"))
+      .map(_.stripPrefix("bloom_")).toSet
+
+  // coverage guard at CONSTRUCTION (fail loud on a stale manifest),
+  // run as a distributed anti-join — manifest file names stay on
+  // executors; the live listing is already driver-resident by
+  // InMemoryFileIndex's own contract, so it adds no new driver state
+  locally {
+    FileManifest.requireCovering(spark, dataDir)
   }
+
+  /** Observability for the scale contract: bytes of path text the last
+    * pruned `listFiles` collected to the driver — O(kept files), pinned
+    * by ManifestFileIndexSpec against a manifest whose bloom sidecars
+    * alone are thousands of times larger.
+    */
+  @volatile private[graft] var lastListingDriverBytes: Long = 0L
+
+  /** listing-job memo per pushed-filter signature: a query's planner may
+    * call `listFiles` more than once; the manifest job runs once.
+    */
+  private val keptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** Directory-level partition pruning (hive-style trees) COMPOSES with
     * the per-file bounds/bloom test: `super.listFiles` first drops whole
@@ -102,12 +116,63 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
       val integralAttrs = dataFilters.flatMap(_.collect {
         case a: Attribute if FsListing.isIntegral(a.dataType) => a.name
       }).toSet
+      val kept = keptFiles(ranges, integralAttrs)
       base.map { pd =>
         PartitionDirectory(pd.values, pd.files.filter { f =>
-          keepFile(FsListing.norm(f.getPath.toString), ranges, integralAttrs)
+          kept.contains(FsListing.norm(f.getPath.toString))
         })
       }.filter(_.files.nonEmpty)
     }
+  }
+
+  /** The distributed keep/drop job: one filter over the `_manifest`
+    * parquet, predicates on executors, only surviving path strings
+    * collected.
+    */
+  private def keptFiles(
+      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])],
+      integralAttrs: Set[String]): Set[String] = {
+    val sig = ranges.toSeq.sortBy(_._1).mkString("|") + "§" +
+      integralAttrs.toSeq.sorted.mkString(",")
+    val hit = keptCache.get(sig)
+    if (hit != null) return hit
+
+    val mdf = FileManifest.manifestFrame(spark, dataDir)
+    val keep = ranges.map { case (c, (lo, hi)) =>
+      val bounds: Column =
+        if (!trackedNumeric.contains(c)) lit(true)
+        else {
+          // drop only on PROVABLE disjointness; any NULL (unknown
+          // bound, or a cast that couldn't represent the value) makes
+          // the disjointness test NULL → coalesce(…, false) → keep
+          val disjoint =
+            lo.map(v => col(s"max_$c") < lit(v)).getOrElse(lit(false)) ||
+            hi.map(v => col(s"min_$c") > lit(v)).getOrElse(lit(false))
+          !org.apache.spark.sql.functions.coalesce(disjoint, lit(false))
+        }
+      // a degenerate range (lo == hi — every EqualTo, and any >=v && <=v
+      // pair collapsing to a point) additionally probes the bloom
+      // sidecar ON THE EXECUTOR (deserialize + membership test per
+      // manifest row). Long-representable keys only (the sidecar hashes
+      // longs); a NULL sidecar cell keeps the file.
+      val bloom: Column = (lo, hi) match {
+        case (Some(l), Some(h))
+          if l == h && l.isValidLong && integralAttrs.contains(c) &&
+            bloomTracked.contains(c) =>
+          when(col(s"bloom_$c").isNull, lit(true))
+            .otherwise(ManifestFileIndex.bloomProbe(
+              col(s"bloom_$c"), lit(l.toLongExact)))
+        case _ => lit(true)
+      }
+      bounds && bloom
+    }.reduce(_ && _)
+
+    val kept = mdf.filter(keep)
+      .select(ManifestFileIndex.normPath(col("file")))
+      .collect().map(_.getString(0)).toSet
+    lastListingDriverBytes = kept.iterator.map(_.length.toLong * 2).sum
+    keptCache.put(sig, kept)
+    kept
   }
 
   /** Per tracked column, the tightest [lo, hi] the pushed conjuncts
@@ -121,9 +186,8 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
       case _ => None
     }
     def attr(e: Expression): Option[String] = e match {
-      case a: Attribute if
-        fileBounds.valuesIterator.take(1).exists(_.contains(a.name)) ||
-          fileBlooms.valuesIterator.take(1).exists(_.contains(a.name)) =>
+      case a: Attribute
+        if trackedNumeric.contains(a.name) || bloomTracked.contains(a.name) =>
         Some(a.name)
       case _ => None
     }
@@ -163,38 +227,29 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     }
     perCol.toMap
   }
-
-  private def keepFile(file: String,
-      ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])],
-      integralAttrs: Set[String]): Boolean = {
-    val boundsOk = fileBounds.get(file) match {
-      case None => true // not in the manifest view (raced?) — never skip
-      case Some(bounds) =>
-        ranges.forall { case (c, (lo, hi)) =>
-          bounds.get(c) match {
-            case Some((Some(mn), Some(mx))) =>
-              lo.forall(mx >= _) && hi.forall(mn <= _)
-            case _ => true // unknown bounds: keep
-          }
-        }
-    }
-    // a degenerate range (lo == hi — every EqualTo, and any >=v && <=v
-    // pair that collapses to a point) additionally probes the bloom
-    // sidecar: for the point to match ANY row of the file, the key must
-    // be a member. Long-representable keys only (the sidecar hashes
-    // longs); anything else keeps the file.
-    val bloomsOk = ranges.forall {
-      case (c, (Some(lo), Some(hi)))
-        if lo == hi && lo.isValidLong && integralAttrs.contains(c) =>
-        fileBlooms.get(file).flatMap(_.get(c))
-          .forall(_.mightContainLong(lo.toLongExact))
-      case _ => true
-    }
-    boundsOk && bloomsOk
-  }
 }
 
 object ManifestFileIndex {
+
+  /** Executor-side bloom membership: deserialize the sidecar bytes and
+    * probe — the bytes live in the manifest scan's partition, never on
+    * the driver. Metadata-sized input, so a (non-codegen) UDF is the
+    * right tool; no false negatives by Bloom semantics.
+    */
+  private[sources] val bloomProbe =
+    udf { (bytes: Array[Byte], key: Long) =>
+      bytes == null ||
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(key)
+    }
+
+  /** [[FsListing.norm]] as an executor-side expression, so manifest
+    * `file` entries (percent-encoded `input_file_name()` URIs)
+    * canonicalize inside the planning job rather than after a collect.
+    */
+  private[sources] val normPath =
+    udf { (s: String) => FsListing.norm(s) }
 
   /** The manifest-backed read: a plain DataFrame whose scans consult the
     * `_manifest` transparently for every pushed range/equality filter.

@@ -141,6 +141,78 @@ class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet == want)
   }
 
+  test("10k-file manifest: planning runs as a Spark job, driver retains only surviving paths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_10k").toString
+    (0 until 8).foreach { f =>
+      (0 until 100).map(i => (f * 100L + i, s"v${f}_$i"))
+        .toDF("ts", "payload").coalesce(1).write.mode("append").parquet(dir)
+    }
+    FileManifest.buildWithBloom(spark, dir, Seq("ts"), Seq("ts"),
+      expectedPerFile = 1024, fpp = 0.01)
+
+    // inflate the manifest to 10_008 entries: 10k synthetic files whose
+    // bounds sit far above every query range, each carrying a REAL
+    // multi-KB bloom sidecar — a driver-side planner would have to
+    // materialize ~10 MB of filter binaries; the distributed planner
+    // must never see them. (Superset manifests are legal: coverage
+    // requires live ⊆ manifested, and a fake entry matches no listed
+    // file.)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1024, 0.01)
+    (0 until 1000).foreach(i => bf.putLong(1000000L + i))
+    val os = new java.io.ByteArrayOutputStream(); bf.writeTo(os)
+    val bloomBytes = os.toByteArray
+    val mPath = s"$dir/_manifest"
+    val realCols = spark.read.parquet(mPath).columns.toSeq
+    spark.range(10000).select(
+        concat(lit("file:/graft_fake/f_"), col("id"), lit(".parquet")).as("file"),
+        lit(100L).as("n_rows"),
+        (lit(1000000L) + col("id") * lit(100L)).as("min_ts"),
+        (lit(1000000L) + col("id") * lit(100L) + lit(99L)).as("max_ts"),
+        lit(bloomBytes).as("bloom_ts"))
+      .select(realCols.map(col): _*)
+      .coalesce(1).write.mode("append").parquet(mPath)
+
+    val idx = new ManifestFileIndex(spark, dir)
+    val range = Seq(GreaterThanOrEqual(ts, Literal(250L)),
+      LessThanOrEqual(ts, Literal(420L)))
+    val keptDirs = idx.listFiles(Nil, range)
+    assert(keptDirs.map(_.files.size).sum == 3)
+
+    // bounded driver bytes: three surviving path strings vs ~12 MB of
+    // sidecar binaries the old driver-resident planner would have held
+    val pathBytes = idx.lastListingDriverBytes
+    assert(pathBytes > 0 && pathBytes < 4096,
+      s"driver held $pathBytes bytes of planning state for 3 surviving files")
+    val totalBloomBytes = spark.read.parquet(mPath)
+      .select(sum(length(col("bloom_ts")))).head.getLong(0)
+    assert(totalBloomBytes > 1000L * pathBytes,
+      s"manifest sidecars ($totalBloomBytes B) should dwarf driver state ($pathBytes B)")
+
+    // listing equality with a straightforward driver-side evaluation of
+    // the same manifest (the pre-distribution semantics): intersect
+    // bounds, keep unknowns
+    val fIdx = spark.read.parquet(mPath).schema.fieldIndex("file")
+    val loIdx = spark.read.parquet(mPath).schema.fieldIndex("min_ts")
+    val hiIdx = spark.read.parquet(mPath).schema.fieldIndex("max_ts")
+    val refKeptNames = spark.read.parquet(mPath).collect().iterator
+      .filter { r =>
+        r.isNullAt(loIdx) || r.isNullAt(hiIdx) ||
+          (r.getLong(hiIdx) >= 250L && r.getLong(loIdx) <= 420L)
+      }
+      .map(r => new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(fIdx))).getName).toSet
+    val gotNames = keptDirs.flatMap(_.files.map(_.getPath.getName)).toSet
+    assert(gotNames.nonEmpty && gotNames.subsetOf(refKeptNames),
+      "distributed listing diverged from the reference driver-side evaluation")
+
+    // bloom point probe at the same scale: fakes die on bounds, real
+    // files die on membership — one survivor, still O(kept) driver state
+    assert(idx.listFiles(Nil, Seq(EqualTo(ts, Literal(101L))))
+      .map(_.files.size).sum == 1)
+    assert(idx.lastListingDriverBytes < 2048)
+  }
+
   test("bloom sidecar rejects non-integral key columns at build time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfi_btype").toString
