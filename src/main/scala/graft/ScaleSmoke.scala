@@ -353,7 +353,8 @@ object ScaleSmoke {
       // (all-pairs, global chunk sort) would not survive the decade;
       // q140's window set is token-linear (digest-keyed shuffle), the
       // substring analog of the chunk pass
-      "q26_minhash_lsh", "q126_boilerplate_strip", "q140_substring_dedup",
+      "q26_minhash_lsh", "q144_bucket_clusters", "q126_boilerplate_strip",
+      "q140_substring_dedup",
       // shuffle-bound joins + the scan/agg baseline: the decade
       // exponent for a 60M x 15M fact-fact join is the other number a
       // 100 TB plan review asks for

@@ -173,6 +173,76 @@ object DedupQueries {
       .run(lshPairs(s, d).select(col("d1").as("u"), col("d2").as("v")))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
 
+  /** PAIR-FREE clustering (q144): LSH band buckets fuse DIRECTLY into
+    * connected components as star edges — each bucket member points at
+    * its bucket's minimum doc_id, so a bucket of r co-banded documents
+    * contributes r−1 edges where the q26/q71 pipeline materializes
+    * C(r,2) candidate PAIRS before clustering. At q26's duplicate
+    * density (the 100× smoke plants every original as a ~100-replica
+    * near-dup cluster) pair emission is the quadratic output that kills
+    * the job (README's q26 row: 313 s / growth exponent 1.87); star
+    * edges grow linearly in replicas and the component contraction is
+    * already O(log n) rounds.
+    *
+    * Semantics: components of bucket CO-OCCURRENCE — no est/jaccard
+    * verification. Every verified q71 pair shares ≥1 bucket by
+    * construction, so verified edges ⊆ star-closure edges and each q71
+    * cluster lies entirely inside ONE q144 cluster (a guaranteed
+    * coarsening — never splits a true cluster; the refinement property
+    * BucketClusterSpec pins structurally). At banding's operating point
+    * the false-positive rate is ~0 — on the gate corpus the two
+    * labelings are bit-identical (also spec-pinned) — and a 100 TB run
+    * that wants exact verification applies it WITHIN each (small) q144
+    * cluster instead of across every bucket pair. Null-signature
+    * documents (< 3 tokens) carry no bucket and never cluster, exactly
+    * as they carry no q71 pair.
+    */
+  private def bucketClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = corpus(s, d)
+      .select(col("doc_id"), Dedup.minhashUdf(
+        Dedup.distinctShinglesUdf(col("text"), lit(3))).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id"), posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
+    // ONE shuffle on (band, key): the window min is the bucket root and
+    // the star edges are emitted map-side off the same partitioning —
+    // no self-join, no pair set, output linear in bucket sizes
+    val edges = bands
+      .withColumn("v", min(col("doc_id"))
+        .over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("doc_id") =!= col("v"))
+      .select(col("doc_id").as("u"), col("v"))
+    graft.dedup.ConnectedComponents.run(edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** q144 oracle: reachability over bucket-star edges — the same
+    * declarative-fixpoint style as q71's, with `pairs` replaced by the
+    * bucket→min star relation (mh[1] IS NOT NULL mirrors the Spark
+    * side's null-signature exclusion: DuckDB's list_min([]) renders an
+    * empty document's signature as 16 NULLs, which would otherwise band
+    * on the empty key).
+    */
+  private lazy val BucketClustersCtes: String =
+    s"""$CorpusSql,
+       |${mhChainSql("corpus", "")},
+       |vbands AS (
+       |  SELECT b.doc_id, b.band, b.key FROM bands b
+       |  JOIN mh m ON b.doc_id = m.doc_id WHERE m.mh[1] IS NOT NULL),
+       |bmin AS (SELECT band, key, min(doc_id) AS root FROM vbands GROUP BY band, key),
+       |star AS (
+       |  SELECT b.doc_id AS u, m.root AS v
+       |  FROM vbands b JOIN bmin m ON b.band = m.band AND b.key = m.key
+       |  WHERE b.doc_id <> m.root),
+       |edges AS (SELECT u, v FROM star UNION ALL SELECT v AS u, u AS v FROM star),
+       |reach AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u),
+       |lab AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
   /** SimHash near-pair plan, shared by the 24-bit portable (q28) and
     * 64-bit production (q78) widths — only the signature kernel and the
     * band extraction differ. Hamming runs BEFORE distinct: the filter is
@@ -356,6 +426,24 @@ object DedupQueries {
             .orderBy(col("tlen").desc, col("doc_id"))))
         .select(col("doc_id"), col("cluster_id"), col("tlen"),
           (col("rn") === 1).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- pair-free clustering: band buckets → star edges → components ----
+    // The scale path past q26's quadratic pair emission: see
+    // [[bucketClusters]]. Same presentation as q71 so the two labelings
+    // diff directly; BucketClusterSpec pins equality on the gate corpus
+    // and the coarsening guarantee in general.
+    QueryDef.sql(
+      "q144_bucket_clusters",
+      s"""WITH RECURSIVE $BucketClustersCtes
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+         |FROM lab ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      bucketClusters(s, d)
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy("doc_id")
     },
 
