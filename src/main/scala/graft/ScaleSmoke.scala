@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // `spill` tier delegates BEFORE any session exists: the constrained
+    // pass needs spark.memory.fraction at context construction
+    if (args.contains("spill")) {
+      SpillSmoke.main(args.filterNot(_ == "spill"))
+      return
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
