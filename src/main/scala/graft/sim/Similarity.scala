@@ -509,7 +509,8 @@ object Similarity {
     */
   def ivfPqSearch(index: DataFrame, probes: DataFrame, codebook: DataFrame,
       source: DataFrame, m: Int, dim: Int, k: Int,
-      rerankDepth: Int = 0): DataFrame = {
+      rerankDepth: Int = 0,
+      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     VectorFold.register(index.sparkSession)
     val sub = dim / m
@@ -519,13 +520,22 @@ object Similarity {
           cvsJ => transform(cvsJ, cv => Exact.foldDot(cv, cv)))).as("tn2"),
         col("kk"))
     // per-probe ADC tables: one sub-wide fold per (j, codeword), flat in
-    // (j, position) order; qn once per probe — all on the tiny query side
+    // (j, position) order; qn once per probe — all on the tiny query side.
+    // An OPQ `rotation` applies to the ADC side ONLY (the codebook was
+    // trained in rotated space, so the query must ask its table in that
+    // space); cell probing and the exact re-rank tail stay in the
+    // original space — the raw probe embedding flows to topKRejoin
+    // untouched, so `sim` remains the true cosine.
+    val qvAdc = rotation
+      .map(r => rotateUdf(r)(col("qv").cast("array<double>")))
+      .getOrElse(col("qv"))
     val q = probes
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
+      .withColumn("qvr", qvAdc)
       .crossJoin(broadcast(flat))
       .select(col("q_id"), col("qv"), col("cell"),
-        adcTable(col("qv"), col("allCvs"), sub).as("tdot"),
-        col("tn2"), col("kk"), Exact.foldNorm(col("qv")).as("qn"))
+        adcTable(col("qvr"), col("allCvs"), sub).as("tdot"),
+        col("tn2"), col("kk"), Exact.foldNorm(col("qvr")).as("qn"))
     val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -786,5 +796,175 @@ object Similarity {
         // array per subspace — what [[ivfPqSearch]]'s ADC tables index by
         transform(col("parts"), p => p.getField("bi")).as("pcode"),
         flatten(transform(col("parts"), p => p.getField("sub"))).as("dv"))
+  }
+
+  // ---- OPQ: orthogonal rotation before PQ --------------------------------
+
+  /** Deterministic orthogonal matrix (rows orthonormal): modified
+    * Gram-Schmidt over a SplitMix64-filled matrix with a FIXED seed —
+    * the "fixed random rotation" PQ pre-transform (OPQ's non-parametric
+    * baseline; FAISS ships it as `OPQ`'s init and as `RandomRotation`).
+    * Bit-exact replayable: same seed → same matrix, and applying it is
+    * one matrix multiply per vector.
+    */
+  def rotationMatrix(dim: Int, seed: Long = 0x5DEECE66DL): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val a = Array.fill(dim, dim)(next())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += a(i)(k) * a(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { a(i)(k) -= d * a(j)(k); k += 1 }
+      }
+      var n2 = 0.0
+      var k = 0
+      while (k < dim) { n2 += a(i)(k) * a(i)(k); k += 1 }
+      val n = math.sqrt(n2)
+      require(n > 1e-12, s"degenerate Gram-Schmidt row $i — change the seed")
+      k = 0
+      while (k < dim) { a(i)(k) /= n; k += 1 }
+    }
+    a
+  }
+
+  /** y = R·x per vector, as a broadcast-matrix JVM kernel (dim² mults per
+    * row, map-side, no shuffle). Null vectors stay null. The rotated
+    * column is `array<double>`, which the whole PQ stack accepts
+    * unchanged (its slices cast elementwise anyway).
+    */
+  def rotate(vectors: DataFrame, r: Array[Array[Double]]): DataFrame =
+    vectors.withColumn("embedding",
+      rotateUdf(r)(col("embedding").cast("array<double>")))
+
+  private def rotateUdf(r: Array[Array[Double]]) =
+    udf { (x: Seq[Double]) =>
+      if (x == null) null
+      else {
+        val n = r.length
+        val xa = x.toArray
+        val y = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val ri = r(i)
+          var s = 0.0
+          var j = 0
+          while (j < n) { s += ri(j) * xa(j); j += 1 }
+          y(i) = s
+          i += 1
+        }
+        y
+      }
+    }
+
+  private def matInv(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m0.length
+    // Gauss-Jordan with partial pivoting — deterministic pivot choice
+    val a = Array.tabulate(n, 2 * n)((i, j) =>
+      if (j < n) m0(i)(j) else if (j - n == i) 1.0 else 0.0)
+    for (c <- 0 until n) {
+      var p = c
+      for (r <- c + 1 until n) if (math.abs(a(r)(c)) > math.abs(a(p)(c))) p = r
+      val t = a(c); a(c) = a(p); a(p) = t
+      require(math.abs(a(c)(c)) > 1e-14, "singular matrix in polar iteration")
+      val d = a(c)(c)
+      for (j <- 0 until 2 * n) a(c)(j) /= d
+      for (r <- 0 until n) if (r != c) {
+        val f = a(r)(c)
+        if (f != 0.0) for (j <- 0 until 2 * n) a(r)(j) -= f * a(c)(j)
+      }
+    }
+    Array.tabulate(n, n)((i, j) => a(i)(j + n))
+  }
+
+  /** The orthogonal POLAR factor of `m` (= U·Vᵀ of its SVD) via Newton's
+    * iteration Q ← ½(Q + Q⁻ᵀ) — the closed-form Procrustes solution
+    * `argmax_R tr(Rᵀ m)` over orthogonal R, without needing a full SVD.
+    * Quadratic convergence for nonsingular m; deterministic (fixed
+    * iteration count cap, driver-side d×d arithmetic).
+    */
+  private[graft] def polarOrthogonal(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    var fro = 0.0
+    for (i <- 0 until n; j <- 0 until n) fro += m(i)(j) * m(i)(j)
+    require(fro > 0, "zero matrix has no polar factor")
+    val scale = 1.0 / math.sqrt(fro)
+    var q = Array.tabulate(n, n)((i, j) => m(i)(j) * scale)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < 100 && delta > 1e-13) {
+      val qi = matInv(q)
+      val next = Array.tabulate(n, n)((i, j) => 0.5 * (q(i)(j) + qi(j)(i)))
+      delta = 0.0
+      for (i <- 0 until n; j <- 0 until n)
+        delta = math.max(delta, math.abs(next(i)(j) - q(i)(j)))
+      q = next
+      it += 1
+    }
+    q
+  }
+
+  /** OPQ training (Ge, He, Ke, Sun, "Optimized Product Quantization",
+    * CVPR 2013 — the non-parametric alternating solver): jointly learn
+    * an orthogonal rotation R and a PQ codebook minimizing
+    * Σ‖R·x − q(R·x)‖². Each round (a) Lloyd-refines the codebook in the
+    * CURRENT rotated space ([[pqTrain]] unchanged — warm-started from
+    * the previous round's book), (b) encodes the rotated sample and
+    * accumulates the d×d correlation M = Σ q(R·x)·xᵀ DISTRIBUTED
+    * (treeAggregate of per-partition outer-product sums — d² doubles per
+    * partition, never a per-row collect), and (c) re-solves R as M's
+    * orthogonal polar factor (the Procrustes optimum). The returned
+    * rotation is a plain matrix: applying it is one fixed matrix
+    * multiply per vector, bit-exact replayable at encode and query time.
+    *
+    * Like every trainer here, runs on a SAMPLE by standard practice; the
+    * rotation and codebook are then fixed artifacts for corpus-scale
+    * encoding. `r0` seeds the alternation (the fixed
+    * [[rotationMatrix]] by default — starting from a variance-balancing
+    * rotation beats identity when leading dimensions dominate).
+    */
+  def opqTrain(train: DataFrame, init: DataFrame, m: Int, dim: Int,
+      pqIters: Int, opqIters: Int,
+      r0: Array[Array[Double]] = null): (Array[Array[Double]], DataFrame) = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    var r = if (r0 != null) r0 else rotationMatrix(dim)
+    var cb: DataFrame = null
+    for (_ <- 0 until opqIters) {
+      val rot = rotate(train, r)
+      cb = pqTrain(rot,
+        if (cb == null) pqCodebook(rotate(init, r), m, dim) else cb,
+        m, dim, pqIters)
+      val enc = pqIndex(rot, cb, m, dim).select(col("vec_id"), col("dv"))
+      val pairs = train
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        .join(enc, "vec_id")
+        .select(col("dv"), col("x"))
+      val flatM = pairs.rdd.treeAggregate(new Array[Double](dim * dim))(
+        (acc, row) => {
+          val y = row.getSeq[Double](0)
+          val x = row.getSeq[Double](1)
+          var i = 0
+          while (i < dim) {
+            val yi = y(i)
+            var j = 0
+            while (j < dim) { acc(i * dim + j) += yi * x(j); j += 1 }
+            i += 1
+          }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      r = polarOrthogonal(Array.tabulate(dim, dim)((i, j) => flatM(i * dim + j)))
+    }
+    // final Lloyd pass in the final rotation, so book and rotation agree
+    ((r, pqTrain(rotate(train, r), cb, m, dim, pqIters)))
   }
 }

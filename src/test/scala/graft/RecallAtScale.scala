@@ -79,6 +79,49 @@ object RecallAtScale {
         println(f"K=$k%-4d nprobe=$nprobe%-2d depth=$depth%-3d raw=$rRaw%.3f residual=$rRes%.3f")
       }
     }
+
+    // OPQ tier at the production budget: fixed seeded rotation vs the
+    // learned alternation, against the K=256 raw baseline above. Plain
+    // ADC recall isolates the quantizer (re-rank + coverage ceilings
+    // mask it — CoverageProbe: np=8 caps at 0.600, np=16 at 0.783).
+    val k = 256
+    val cbRaw = Similarity.pqTrain(train,
+      Similarity.pqCodebook(e.filter(col("vec_id") < k), 8, 64), 8, 64, 2)
+    val rawIdx = idxOf(asg, cbRaw)
+    def idxRot(cb: DataFrame, r: Array[Array[Double]]): DataFrame =
+      asg.select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(
+            Similarity.rotate(asg.select("vec_id", "embedding"), r), cb, 8, 64)
+          .select(col("vec_id"), col("pcode")), "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+    val rFixed = Similarity.rotationMatrix(64)
+    val cbFixed = Similarity.pqTrain(
+      Similarity.rotate(train, rFixed),
+      Similarity.pqCodebook(Similarity.rotate(e.filter(col("vec_id") < k), rFixed), 8, 64),
+      8, 64, 2)
+    val fixedIdx = idxRot(cbFixed, rFixed)
+    val (rOpq, cbOpq) = Similarity.opqTrain(train,
+      e.filter(col("vec_id") < k), 8, 64, pqIters = 2, opqIters = 4)
+    val opqIdx = idxRot(cbOpq, rOpq)
+    for (nprobe <- Seq(8, 16, nCells.toInt)) {
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, nprobe)
+      val rRaw = recallOf(Similarity.ivfPqSearch(rawIdx, probes, cbRaw, e, 8, 64, 3))
+      val rFix = recallOf(Similarity.ivfPqSearch(fixedIdx, probes, cbFixed, e, 8, 64, 3,
+        rotation = Some(rFixed)))
+      val rOpt = recallOf(Similarity.ivfPqSearch(opqIdx, probes, cbOpq, e, 8, 64, 3,
+        rotation = Some(rOpq)))
+      println(f"OPQ K=$k nprobe=$nprobe%-2d plain: raw=$rRaw%.3f fixedrot=$rFix%.3f opq=$rOpt%.3f")
+    }
+    for (nprobe <- Seq(8, 16, 24); depth <- Seq(48)) {
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, nprobe)
+      val rRaw = recallOf(Similarity.ivfPqSearch(rawIdx, probes, cbRaw, e, 8, 64, 3,
+        rerankDepth = depth))
+      val rOpt = recallOf(Similarity.ivfPqSearch(opqIdx, probes, cbOpq, e, 8, 64, 3,
+        rerankDepth = depth, rotation = Some(rOpq)))
+      println(f"OPQ K=$k nprobe=$nprobe%-2d depth=$depth raw=$rRaw%.3f opq=$rOpt%.3f")
+    }
     s.stop()
   }
 }

@@ -84,6 +84,9 @@ class RecallAtScaleSpec extends AnyFunSuite with SparkSpec {
     (idxOf(asg, cbRaw), cbRaw, idxOf(res, cbRes), cbRes)
   }
 
+  // shared by both tests — the production books train once per suite run
+  private lazy val books256 = books(256)
+
   private def recallOf(df: DataFrame): Double = {
     val hits = df.select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
@@ -92,7 +95,7 @@ class RecallAtScaleSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("production-shaped books (K=256, cells ~ sqrt n) clear recall floors at the 10x corpus") {
-    val (rawIdx, cbRaw, resIdx, cbRes) = books(256)
+    val (rawIdx, cbRaw, resIdx, cbRes) = books256
     val probes2 = Similarity.ivfProbes(e.filter(col("vec_id") % 100 === 0), cents, 2)
     val probes8 = Similarity.ivfProbes(e.filter(col("vec_id") % 100 === 0), cents, 8)
     val raw2 = recallOf(Similarity.ivfPqSearch(rawIdx, probes2, cbRaw, e, 8, 64, 3))
@@ -136,5 +139,78 @@ class RecallAtScaleSpec extends AnyFunSuite with SparkSpec {
     assert(resR >= 0.55, s"residual K=256 np=8 depth=48 recall $resR (measured 0.583)")
     assert(rawR >= raw8 + 0.15 && resR >= res8 + 0.15,
       s"re-rank lift collapsed: raw $raw8->$rawR, residual $res8->$resR")
+  }
+
+  /** The 0.60 plateau adjudicated: it is the IVF COVERAGE ceiling at
+    * np=8, not a quantizer gap — and recall ≥ 0.7 is reached the moment
+    * coverage allows it.
+    *
+    * Measured structural ceilings (CoverageProbe — fraction of exact
+    * pairs whose true neighbor's home cell is probed; NO codebook can
+    * exceed these at fixed nprobe):
+    * ```
+    * nprobe    1     2     4     8     12    16    24    45
+    * ceiling  .300  .367  .467  .600  .667  .783  .900  1.000
+    * ```
+    * At np=8/depth=48 the existing raw-K=256 tier scores 0.600 —
+    * EXACTLY its ceiling, so the quantizer has nothing left to recover
+    * there (OPQ included). At np=16 (ceiling 0.783) the same tier
+    * scores 0.767; np=24 (ceiling 0.900) scores 0.850.
+    *
+    * OPQ on THIS corpus: the synthetic embeddings are ~isotropic, the
+    * regime where the OPQ objective is already minimized by identity —
+    * measured plain-ADC recall 0.300-0.317 (learned) vs raw 0.350-0.417,
+    * i.e. parity-to-slightly-behind within training noise, and the
+    * re-ranked tier is ceiling-capped anyway (0.700 at np=16). OpqSpec
+    * holds the other half of the story: on ANISOTROPIC data the learned
+    * rotation cuts quantization MSE 2.6× (8.9e-2 → 3.4e-2) — the regime
+    * OPQ exists for.
+    */
+  test("recall >= 0.7 where coverage allows; np=8 saturates its 0.600 ceiling") {
+    val homeCell = asg.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ceiling(np: Int): Double = {
+      val probed = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, np)
+        .select(col("vec_id"), col("cell")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      exact.count { case (q, nb) =>
+        probed.getOrElse(q, Set.empty).contains(homeCell(nb))
+      }.toDouble / exact.size
+    }
+    val c8 = ceiling(8)
+    val c16 = ceiling(16)
+    assert(c8 <= 0.65,
+      s"np=8 coverage ceiling moved ($c8, measured 0.600) — re-adjudicate the plateau")
+    assert(c16 >= 0.70,
+      s"np=16 coverage ceiling moved ($c16, measured 0.783) — the 0.7 gate needs headroom")
+
+    val (rawIdx, cbRaw, _, _) = books256
+    val probes8 = Similarity.ivfProbes(e.filter(col("vec_id") % 100 === 0), cents, 8)
+    val probes16 = Similarity.ivfProbes(e.filter(col("vec_id") % 100 === 0), cents, 16)
+    val r8 = recallOf(Similarity.ivfPqSearch(rawIdx, probes8, cbRaw,
+      e, 8, 64, 3, rerankDepth = 48))
+    val r16 = recallOf(Similarity.ivfPqSearch(rawIdx, probes16, cbRaw,
+      e, 8, 64, 3, rerankDepth = 48))
+    // the quantizer leaves at most one pair on the table at np=8 — the
+    // plateau IS the ceiling
+    assert(r8 >= c8 - 1.0 / 60 - 1e-9,
+      s"np=8 recall $r8 fell below its coverage ceiling $c8 minus granularity")
+    assert(r16 >= 0.70, s"np=16 depth=48 recall $r16 (measured 0.767, ceiling $c16)")
+
+    // OPQ end-to-end through the rotated ADC path: books trained in the
+    // learned rotation, queries rotated at table-build only, exact
+    // re-rank in the original space — must hold the re-ranked tier at
+    // this corpus's parity (isotropic ⇒ no lift to find)
+    val (rO, cbO) = Similarity.opqTrain(train,
+      e.filter(col("vec_id") < 256), 8, 64, pqIters = 2, opqIters = 3)
+    val opqIdx = asg.select(col("vec_id"), col("cell"))
+      .join(Similarity.pqIndex(
+          Similarity.rotate(asg.select("vec_id", "embedding"), rO), cbO, 8, 64)
+        .select(col("vec_id"), col("pcode")), "vec_id")
+      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+    val o16 = recallOf(Similarity.ivfPqSearch(opqIdx, probes16, cbO,
+      e, 8, 64, 3, rerankDepth = 48, rotation = Some(rO)))
+    assert(o16 >= 0.60, s"OPQ re-ranked np=16 recall $o16 (measured 0.700)")
   }
 }
