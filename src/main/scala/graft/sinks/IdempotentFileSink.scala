@@ -42,7 +42,22 @@ object IdempotentFileSink {
   }
 
   /** `foreachBatch` body: write `df` under `root/batch=<batchId>`
-    * exactly once. Safe to call repeatedly with the same id.
+    * exactly once. Safe to call repeatedly with the same id, AND safe
+    * against CONCURRENT writers racing the same (root, batchId):
+    *
+    *  - each attempt stages into its own nonce-suffixed scratch dir, so
+    *    rival write jobs can never tear one another's files;
+    *  - the commit section (orphan sweep → rename → marker) runs under
+    *    the [[graft.sources.CommitLock]] for this batch id — atomic
+    *    create-no-overwrite, the primitive HDFS/local guarantee — and
+    *    RE-CHECKS the marker inside the lock, so exactly one rival
+    *    publishes and the rest observe the marker and discard their
+    *    scratch. First-writer-wins (same batch id ⇒ same logical
+    *    content by the foreachBatch replay contract, so which attempt
+    *    lands is immaterial; MultiWriterSpec pins one-winner/no-torn).
+    *  - a writer that crashes INSIDE the commit section leaves a lock
+    *    a rival breaks after the staleness window, plus at worst an
+    *    unmarked target dir the winner's sweep replaces.
     */
   def writeBatch(df: DataFrame, root: String, batchId: Long): Unit = {
     val (fs, rootP) = fsFor(df.sparkSession, root)
@@ -50,18 +65,25 @@ object IdempotentFileSink {
     val marker = new Path(rootP, s"_COMMITTED_$batchId")
     if (fs.exists(marker)) return // replayed batch: already committed
 
-    val scratch = new Path(rootP, s"_tmp_$batchId")
+    val scratch = new Path(rootP,
+      s"_tmp_${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
     val target = new Path(rootP, s"batch=$batchId")
     df.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
 
-    // commit point: rename then marker. A crash between the two leaves a
-    // committed-looking dir without a marker — readers ignore it, and the
-    // replay overwrites scratch and retries the rename path after
-    // deleting the orphan.
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(scratch, target))
-      throw new java.io.IOException(s"commit rename failed for batch $batchId under $root")
-    fs.create(marker, true).close()
+    graft.sources.CommitLock.withLock(fs, new Path(rootP, s"_LOCK_$batchId")) {
+      if (fs.exists(marker)) {
+        fs.delete(scratch, true) // a rival committed while we staged
+      } else {
+        // commit point: rename then marker. A crash between the two
+        // leaves a committed-looking dir without a marker — readers
+        // ignore it, and the next attempt sweeps the orphan here.
+        if (fs.exists(target)) fs.delete(target, true)
+        if (!fs.rename(scratch, target))
+          throw new java.io.IOException(
+            s"commit rename failed for batch $batchId under $root")
+        fs.create(marker, true).close()
+      }
+    }
   }
 
   /** Committed batch ids under `root` (marker-gated), resolved through

@@ -134,14 +134,30 @@ object FileManifest {
     * after a routine append. The refresh is INCREMENTAL via [[refresh]]:
     * an append stats only the files it just landed.
     */
+  /** MULTI-WRITER: the whole write-through (append + refresh) runs
+    * under the manifest [[CommitLock]] — concurrent Spark jobs writing
+    * one directory race each other's `_temporary/0` staging (the
+    * default FileOutputCommitter keys staging by an appID-local job id,
+    * not a global one), so the data append itself must serialize with
+    * rival writeThrough calls, not just the manifest swap. Each locked
+    * refresh re-lists the live tree, so whichever writer commits last
+    * leaves a manifest covering every rival's files — MultiWriterSpec
+    * races two writers and pins coverage + readability.
+    */
   def writeThrough(df: DataFrame, dataDir: String, cols: Seq[String],
       bloomCols: Seq[String] = Nil, mode: String = "append",
       partitionCols: Seq[String] = Nil,
       expectedPerFile: Long = 65536L, fpp: Double = 0.01): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dataDir)
-    refresh(df.sparkSession, dataDir, cols, bloomCols, expectedPerFile, fpp)
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    CommitLock.withLock(hfs,
+      new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      val w = df.write.mode(mode)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(dataDir)
+      refreshLocked(df.sparkSession, dataDir, root, hfs, cols, bloomCols,
+        expectedPerFile, fpp)
+    }
   }
 
   /** Incremental manifest refresh: stat ONLY files not yet manifested
@@ -157,6 +173,25 @@ object FileManifest {
       fpp: Double = 0.01): Unit = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // MULTI-WRITER: refreshes SERIALIZE on an advisory lock — two
+    // concurrent writeThrough calls would otherwise interleave part
+    // files in one tmp dir and race the delete+rename swap. Each locked
+    // refresh re-LISTS the live tree, so the last refresh to run covers
+    // every rival's appended files (and every append is followed by its
+    // own refresh, so the final manifest always covers the final tree —
+    // MultiWriterSpec races two writeThrough threads and pins coverage).
+    // The data appends themselves need no lock: Spark part-file names
+    // carry job-unique UUIDs.
+    CommitLock.withLock(hfs, new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      refreshLocked(spark, dataDir, root, hfs, cols, bloomCols, expectedPerFile, fpp)
+    }
+  }
+
+  private def refreshLocked(spark: SparkSession, dataDir: String,
+      root: org.apache.hadoop.fs.Path, hfs0: org.apache.hadoop.fs.FileSystem,
+      cols: Seq[String], bloomCols: Seq[String], expectedPerFile: Long,
+      fpp: Double): Unit = {
+    val hfs = hfs0
     val mPath = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     val wantCols = (Seq("file", "n_rows") ++
       cols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
@@ -197,7 +232,8 @@ object FileManifest {
     // live one and swap by rename (write-temp-then-rename is the same
     // commit move IdempotentFileSink uses) — no self-overwrite, and a
     // reader holding the old frame keeps a consistent view
-    val tmp = new org.apache.hadoop.fs.Path(s"${manifestPath(dataDir)}_tmp")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     hfs.delete(dst, true)

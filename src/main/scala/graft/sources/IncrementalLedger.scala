@@ -93,15 +93,48 @@ object IncrementalLedger {
       new org.apache.hadoop.fs.Path(versionDir(ledger, version), "state.parquet").toString)
   }
 
+  /** MULTI-WRITER contract: the entire run (read pointer → compute →
+    * commit) executes under an exclusive [[CommitLock]] on the ledger
+    * root, so concurrent `run` calls SERIALIZE — the second writer
+    * blocks, then observes the first's commit as its starting pointer
+    * and consumes only the delta that remains (usually nothing),
+    * instead of both computing v_{N+1} into the same directory and
+    * racing the pointer rename. Mutual exclusion rather than
+    * optimistic retry because the version dir is the commit artifact:
+    * two writers building `v_{N+1}` concurrently would interleave
+    * parquet part-files into one directory — torn state no pointer
+    * protocol can repair. A writer that dies mid-run leaves a lock
+    * rivals break after `staleMs` (sized generously: the lock spans the
+    * aggregation job, not just the rename); its torn version dir is
+    * clobbered by the next run's overwrite, the existing crash story.
+    * MultiWriterSpec races two threads and pins exactly-once input
+    * consumption and a consistent final state.
+    */
   def run(
       spark: SparkSession,
       inputDir: String,
       ledgerDir: String,
       aggregate: DataFrame => DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): Run = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      lockWaitMs: Long = 600000L,
+      lockStaleMs: Long = 3600000L): Run = {
     val hconf = spark.sessionState.newHadoopConf()
     val ledger = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = ledger.getFileSystem(hconf)
+    CommitLock.withLock(fs, new org.apache.hadoop.fs.Path(ledger, ".lock"),
+      waitMs = lockWaitMs, staleMs = lockStaleMs) {
+      runLocked(spark, inputDir, ledger, fs, aggregate, merge)
+    }
+  }
+
+  private def runLocked(
+      spark: SparkSession,
+      inputDir: String,
+      ledger: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      aggregate: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Run = {
+    val hconf = spark.sessionState.newHadoopConf()
 
     def readSmall(p: org.apache.hadoop.fs.Path): String = {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)

@@ -1,0 +1,133 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.IdempotentFileSink
+import graft.sources.{CommitLock, FileManifest, IncrementalLedger}
+
+/** Contended-writer safety: two threads racing commits on ONE root must
+  * leave no torn state — exactly one winner per idempotent batch,
+  * serialized ledger runs with exactly-once input consumption, and a
+  * manifest that covers every rival's appends. Plus the CommitLock
+  * primitive itself: mutual exclusion and stale-lock breaking.
+  */
+class MultiWriterSpec extends AnyFunSuite with SparkSpec {
+
+  private def race(bodies: (() => Unit)*): Unit = {
+    val pool = Executors.newFixedThreadPool(bodies.length)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val futures = bodies.map { b =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try b() catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  test("CommitLock: mutual exclusion under contention; stale locks break") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val p = new Path(s"$dir/lock")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    race((1 to 4).map(_ => () => {
+      (1 to 5).foreach { _ =>
+        CommitLock.withLock(fs, p) {
+          val in = inside.incrementAndGet()
+          maxInside.accumulateAndGet(in, math.max)
+          total.incrementAndGet()
+          Thread.sleep(5)
+          inside.decrementAndGet()
+        }
+      }
+    }): _*)
+    assert(maxInside.get == 1, s"two writers were inside the critical section")
+    assert(total.get == 20, "lost increments — the lock did not serialize")
+
+    // stale lock left by a "crashed" writer: a waiter breaks it
+    fs.create(p, false).close()
+    val t0 = System.currentTimeMillis()
+    CommitLock.withLock(fs, p, waitMs = 10000L, staleMs = 1L) { total.incrementAndGet() }
+    assert(total.get == 21)
+    assert(System.currentTimeMillis() - t0 < 10000L, "stale break never happened")
+  }
+
+  test("IdempotentFileSink: racing writers on one batch id → one winner, no torn state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mw_sink").toString
+    val a = Seq((1L, "writer_a")).toDF("id", "who")
+    val b = Seq((1L, "writer_b")).toDF("id", "who")
+    race(
+      () => IdempotentFileSink.writeBatch(a, root, 7L),
+      () => IdempotentFileSink.writeBatch(b, root, 7L))
+
+    assert(IdempotentFileSink.committedBatches(spark, root) == Seq(7L))
+    val rows = IdempotentFileSink.read(spark, root).collect()
+    assert(rows.length == 1, s"torn commit: ${rows.length} rows")
+    assert(Set("writer_a", "writer_b").contains(rows.head.getString(1)))
+    // no scratch or lock residue
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val leftovers = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(n => n.startsWith("_tmp_") || n.startsWith("_LOCK_"))
+    assert(leftovers.isEmpty, s"residue: ${leftovers.mkString(",")}")
+
+    // different batch ids race independently — both commit
+    race(
+      () => IdempotentFileSink.writeBatch(a, root, 8L),
+      () => IdempotentFileSink.writeBatch(b, root, 9L))
+    assert(IdempotentFileSink.committedBatches(spark, root) == Seq(7L, 8L, 9L))
+  }
+
+  test("IncrementalLedger: concurrent runs serialize; every input consumed exactly once") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_mw_in").toString
+    val led = java.nio.file.Files.createTempDirectory("graft_mw_led").toString + "/ledger"
+    (1 to 4).foreach { i =>
+      Seq.fill(10)(i.toLong).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    }
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    def merge(s1: org.apache.spark.sql.DataFrame, s2: org.apache.spark.sql.DataFrame) =
+      s1.unionByName(s2).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+
+    race(
+      () => { IncrementalLedger.run(spark, in, led, agg, merge); () },
+      () => { IncrementalLedger.run(spark, in, led, agg, merge); () })
+
+    val fin = IncrementalLedger.run(spark, in, led, agg, merge) // no-op pass
+    assert(fin.newFiles.isEmpty, "post-race run found unconsumed files")
+    val st = fin.state.collect().head
+    assert(st.getLong(0) == 40L && st.getLong(1) == 100L,
+      s"double-counted or lost input: n=${st.getLong(0)} s=${st.getLong(1)}")
+  }
+
+  test("FileManifest.writeThrough: racing writers leave a covering, readable manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mw_manifest").toString
+    def write(lo: Long): Unit = FileManifest.writeThrough(
+      (lo until lo + 100L).map(i => (i, s"p$i")).toDF("ts", "payload").coalesce(1),
+      dir, Seq("ts"))
+    race(() => write(0L), () => write(1000L))
+
+    // the coverage guard passing IS the assertion that no append was
+    // left unmanifested; then the pruned read must see both writers
+    val (df, kept, total) = FileManifest.readPruned(
+      spark, dir, "ts", lit(0L), lit(2000L))
+    assert(df.count() == 200L, "a rival's rows went missing")
+    assert(total >= 2 && kept == total)
+    val (one, kept1, _) = FileManifest.readPruned(spark, dir, "ts", lit(1000L), lit(1099L))
+    assert(one.count() == 100L && kept1 == 1, s"kept $kept1 files for one writer's range")
+  }
+}
