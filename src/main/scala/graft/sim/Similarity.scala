@@ -142,6 +142,85 @@ object Similarity {
     dups.unionByName(kept)
   }
 
+  /** SemDeDup, SEQUENTIAL-GREEDY mode — the paper's literal chain
+    * semantics, opt-in beside [[semDedupFlags]]'s parallel ∃-lower-id
+    * rule: walk each cell in vec_id order and prune a vector iff it is
+    * within `tau` of an already-KEPT lower-id member. The two modes
+    * diverge exactly on chains: for A < B < C with A~B, B~C, A≁C the
+    * parallel rule prunes both B and C (each has *some* lower near
+    * neighbor) while the chain keeps C (its only near-lower neighbor B
+    * was itself pruned, and pruned documents don't suppress anyone).
+    * The parallel rule therefore keeps a SUBSET of the chain's keepers
+    * — never more — and SemDedupSpec pins both labelings on a chain
+    * fixture.
+    *
+    * Distributed form: label propagation to FIXPOINT, never a per-cell
+    * sequential scan. Each round decides every still-undecided vector
+    * whose lower near-neighbors are all labeled: DUP if a KEPT near
+    * lower-id member exists (semi-join vs the kept set), KEPT if no
+    * undecided-or-kept near lower-id member remains (anti-join) — both
+    * equi-joins on `cell` like the parallel mode, per-round lineage cut
+    * by localCheckpoint (the ConnectedComponents loop discipline). The
+    * minimum undecided member of every cell is decidable each round, so
+    * rounds are bounded by the longest similarity CHAIN within a cell —
+    * short at any practical tau — with a fail-loud cap, and each round's
+    * work is cell-bounded exactly like the parallel mode (the SemDeDup
+    * clustering design point, unchanged).
+    */
+  def semDedupFlagsSequential(assigned: DataFrame, tau: Double,
+      maxRounds: Int = 100): DataFrame = {
+    VectorFold.register(assigned.sparkSession)
+    def near(l: DataFrame, r: DataFrame) =
+      l.as("l").join(
+        r.select(col("cell"), col("vec_id").as("r_id"),
+          col("embedding").as("r_emb")).as("r"),
+        col("l.cell") === col("r.cell") &&
+          col("r.r_id") < col("l.vec_id") &&
+          cosine(col("l.embedding"), col("r.r_emb")) >= tau,
+        "left_semi")
+    def anti(l: DataFrame, r: DataFrame) =
+      l.as("l").join(
+        r.select(col("cell"), col("vec_id").as("r_id"),
+          col("embedding").as("r_emb")).as("r"),
+        col("l.cell") === col("r.cell") &&
+          col("r.r_id") < col("l.vec_id") &&
+          cosine(col("l.embedding"), col("r.r_emb")) >= tau,
+        "left_anti")
+
+    var und = assigned.select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
+    var kept = und.filter(lit(false)).localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var remaining = und.count()
+    while (remaining > 0 && round < maxRounds) {
+      val newDup = near(und, kept).localCheckpoint(false)
+      // a vector is safely KEPT when no undecided-or-kept lower near
+      // neighbor remains (every other near-lower member is already DUP,
+      // and duplicates suppress no one in chain semantics)
+      val blockers = und.unionByName(kept)
+      val newKept = anti(und, blockers).localCheckpoint(false)
+      out += newDup.select(col("cell"), col("vec_id"), lit(true).as("is_dup"))
+        .unionByName(
+          newKept.select(col("cell"), col("vec_id"), lit(false).as("is_dup")))
+        .localCheckpoint(false)
+      val decidedIds = newDup.select("cell", "vec_id")
+        .unionByName(newKept.select("cell", "vec_id"))
+      und = und.join(decidedIds, Seq("cell", "vec_id"), "left_anti")
+        .localCheckpoint(false)
+      kept = kept.unionByName(newKept).localCheckpoint(false)
+      remaining = und.count()
+      round += 1
+    }
+    require(remaining == 0,
+      s"semDedup chain did not resolve within $maxRounds rounds " +
+        s"($remaining vectors undecided) — raise maxRounds")
+    if (out.isEmpty)
+      assigned.select(col("cell"), col("vec_id"), lit(true).as("is_dup"))
+        .filter(lit(false))
+    else out.reduce(_ unionByName _)
+  }
+
   /** Query-side probe fan-out for multi-probe IVF: each vector's `nprobe`
     * nearest centroids (ties → lowest centroid id). The corpus keeps its
     * single home cell — probing replicates only the (small) query side,

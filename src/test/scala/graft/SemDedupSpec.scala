@@ -55,6 +55,57 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(flags === Map(1L -> false, 2L -> false))
   }
 
+  private def runSeq(rows: Seq[(Long, Seq[Float], Long)], tau: Double) =
+    Similarity.semDedupFlagsSequential(
+      rows.toDF("vec_id", "embedding", "cell"), tau)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+
+  test("sequential-greedy mode diverges from parallel exactly on chains") {
+    // chain A < B < C: cos(A,B) ≈ cos(B,C) ≈ 0.94 ≥ tau, cos(A,C) ≈
+    // 0.77 < tau. Parallel ∃-lower-id prunes B AND C (each has SOME
+    // near lower member); the paper's sequential chain prunes only B —
+    // C's lone near-lower neighbor B was itself pruned, and pruned
+    // documents suppress no one. Both labelings pinned; the parallel
+    // keeper set is the chain's subset, never the reverse.
+    val a = Seq(1f, 0f)
+    val b = Seq(math.cos(0.35).toFloat, math.sin(0.35).toFloat) // 20°
+    val c = Seq(math.cos(0.70).toFloat, math.sin(0.70).toFloat) // 40°
+    val rows = Seq((1L, a, 5L), (2L, b, 5L), (3L, c, 5L))
+    val par = run(rows, tau = 0.9)
+    val seq = runSeq(rows, tau = 0.9)
+    assert(par === Map(1L -> false, 2L -> true, 3L -> true),
+      s"parallel labeling moved: $par")
+    assert(seq === Map(1L -> false, 2L -> true, 3L -> false),
+      s"sequential chain labeling moved: $seq")
+  }
+
+  test("sequential mode equals a per-cell greedy JVM walk on random cells") {
+    import graft.functions.Exact.{foldDotJvm, foldNormJvm}
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f), (i % 7).toLong)
+    }
+    val tau = 0.2
+    // the literal paper algorithm: walk ids ascending, prune iff near an
+    // already-KEPT lower member
+    val expect = scala.collection.mutable.Map.empty[Long, Boolean]
+    val keptByCell = scala.collection.mutable.Map.empty[Long, List[(Long, Seq[Float])]]
+    rows.sortBy(_._1).foreach { case (id, v, cell) =>
+      val dup = keptByCell.getOrElse(cell, Nil).exists { case (_, kv) =>
+        foldDotJvm(v, kv) / (foldNormJvm(v) * foldNormJvm(kv)) >= tau
+      }
+      expect(id) = dup
+      if (!dup) keptByCell(cell) = (id, v) :: keptByCell.getOrElse(cell, Nil)
+    }
+    assert(runSeq(rows, tau) === expect.toMap)
+    // and the structural relation: every parallel keeper is a chain keeper
+    val par = run(rows, tau)
+    val parKeep = rows.collect { case (id, _, _) if !par(id) => id }.toSet
+    val seqKeep = rows.collect { case (id, _, _) if !expect(id) => id }.toSet
+    assert(parKeep.subsetOf(seqKeep),
+      s"parallel kept a doc the chain pruned: ${parKeep -- seqKeep}")
+  }
+
   test("property: distributed flags equal the naive quantifier on random cells") {
     import graft.functions.Exact.{foldDotJvm, foldNormJvm}
     val rnd = new scala.util.Random(41)
