@@ -29,6 +29,10 @@ object ScaleSmoke {
         })
       spark.stop(); return
     }
+    if (args.contains("sketch100")) {
+      sketch100(spark, base, rebuild = !args.contains("nobuild"))
+      spark.stop(); return
+    }
     // 10x replicate lineitem/orders with shifted keys; copy dims
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
@@ -300,6 +304,94 @@ object ScaleSmoke {
     }
     spark.stop()
   }
+
+  /** 100× tier for the SKETCH-STATE family (q104 HLL / q137 mergeable
+    * quantile histogram / q141 count-min): these claim corpus-size-
+    * INDEPENDENT merge cost — the state is (group, cell, count) rows
+    * whose cardinality is days × types × cells, never corpus rows — so
+    * the proof splits each query at its persistence boundary: the state
+    * BUILD (the one corpus-sized partial-agg pass, written to parquet
+    * like a deployment would) is timed apart from the READ-TIME merge +
+    * estimate (which touches only the state table). Expected shape:
+    * build ~linear in the decade (parallel map work at fixed cores),
+    * merge ~flat (state cardinality does not grow — events replicas
+    * shift USERS, not the time range, exactly how a larger deployment's
+    * day-cell population scales).
+    */
+  private def sketch100(spark: SparkSession, base: String, rebuild: Boolean): Unit = {
+    import graft.functions.Cms
+    val d10 = "/tmp/graft_sketch10x"
+    val d100 = "/tmp/graft_sketch100x"
+    if (rebuild) for ((out, n) <- Seq((d10, 10), (d100, 100))) {
+      val df = spark.read.parquet(s"$base/events.parquet")
+      (0 until n).map { r =>
+        df.withColumn("event_id", col("event_id") + lit(r * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    for ((tag, dir) <- Seq("1x" -> base, "10x" -> d10, "100x" -> d100)) {
+      val stateRoot = s"/tmp/graft_sketch_state/$tag"
+      val ev = Tables.events(spark, dir)
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      // HLL daily sketches
+      val tHb = timed {
+        ev.groupBy(col("event_type"), (col("ts_ns") - col("ts_ns") % dayNs).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(s"$stateRoot/hll")
+      }
+      val tHm = timed {
+        spark.read.parquet(s"$stateRoot/hll").groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .queryExecution.toRdd.count()
+      }
+      val hllRows = spark.read.parquet(s"$stateRoot/hll").count()
+      println(f"sketch100 hll  $tag%-4s build=$tHb%7.2f s merge=$tHm%6.2f s state_rows=$hllRows")
+      // quantile histogram (fixed [0,1]-ish bounds avoid re-deriving
+      // min/max per tier — value range is SF-invariant in testdata)
+      val b = ev.agg(min("value"), max("value")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val w = (hi - lo) / 256
+      val tQb = timed {
+        ev.groupBy(col("event_type"), (col("ts_ns") - col("ts_ns") % dayNs).as("day"),
+          least(lit(255L), floor((col("value") - lo) / w).cast("long")).as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$stateRoot/hist")
+      }
+      val tQm = timed {
+        val merged = spark.read.parquet(s"$stateRoot/hist")
+          .groupBy("event_type", "bin").agg(sum(col("cnt")).as("cnt"))
+        merged.queryExecution.toRdd.count()
+      }
+      val histRows = spark.read.parquet(s"$stateRoot/hist").count()
+      println(f"sketch100 hist $tag%-4s build=$tQb%7.2f s merge=$tQm%6.2f s state_rows=$histRows")
+      // count-min daily counters
+      val tCb = timed {
+        Cms.state(ev.withColumn("day", col("ts_ns") - col("ts_ns") % dayNs),
+          col("user_id"), Seq("day"))
+          .write.mode("overwrite").parquet(s"$stateRoot/cms")
+      }
+      val tCm = timed {
+        Cms.merge(spark.read.parquet(s"$stateRoot/cms"))
+          .queryExecution.toRdd.count()
+      }
+      val cmsRows = spark.read.parquet(s"$stateRoot/cms").count()
+      println(f"sketch100 cms  $tag%-4s build=$tCb%7.2f s merge=$tCm%6.2f s state_rows=$cmsRows")
+      times(tag) = Map("hll" -> (tHb, tHm), "hist" -> (tQb, tQm), "cms" -> (tCb, tCm))
+    }
+    for (fam <- Seq("hll", "hist", "cms");
+         t10 <- times.get("10x"); t100 <- times.get("100x")) {
+      val (b10, m10) = t10(fam)
+      val (b100, m100) = t100(fam)
+      println(f"sketch100 $fam%-4s exponent(10x->100x) build=${math.log10(b100 / b10)}%5.2f " +
+        f"merge=${math.log10(m100 / m10)}%5.2f")
+    }
+  }
+  private val times =
+    scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
 
   /** 100× tier for the WINDOW family — the ops whose naive form is a
     * reducer sort (keep-first dedup, global numbering, percentile
