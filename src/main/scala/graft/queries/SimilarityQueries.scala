@@ -442,6 +442,99 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ---- OPQ: fixed orthogonal rotation before PQ (q145) ------------------
+    // The rotation-aware coding tier gated end-to-end: a FIXED seeded
+    // orthogonal matrix (Similarity.rotationMatrix — bit-exact
+    // replayable, its 4096 doubles injected into the oracle as literals
+    // via shortest-round-trip text) rotates the corpus, the PQ codebook
+    // Lloyd-trains IN ROTATED SPACE (same trainCtesSql replay as q100,
+    // sourced from the rotated CTE), encoding/decoding and the
+    // quantized score live in rotated space, and the true-cosine column
+    // is computed in the ORIGINAL space — so the gate covers the whole
+    // rotate→train→encode→score path bit-for-bit. On isotropic data the
+    // rotation is recall-neutral (RecallAtScaleSpec's adjudication);
+    // the learned opqTrain variant shares every code path but its
+    // trained matrix (OpqSpec pins the anisotropic 2.6× MSE win).
+    QueryDef.sql(
+      "q145_ann_opq", {
+        val iters = 2
+        val rm = graft.sim.Similarity.rotationMatrix(64)
+        // string-cast literals, NOT bare numerics: DuckDB types a bare
+        // 0.1175... as DECIMAL and its decimal→double conversion is not
+        // correctly rounded (measured 1-ULP drift on ~1/64 entries);
+        // '...'::DOUBLE goes through strtod, which is — so the oracle's
+        // matrix is bit-identical to the JVM's
+        val rmLit = rm.flatten.map(v => s"'$v'::DOUBLE").mkString("[", ", ", "]")
+        // one literal fold per output dim: DuckDB inner lambdas can't
+        // capture an outer lambda's variable (the trainCtesSql rule), so
+        // the row index is baked into each fold
+        val dims = (0 until 64).map { i =>
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), " +
+            s"j -> rm[${i * 64} + j + 1] * CAST(e.embedding[j + 1] AS DOUBLE))), (a, b) -> a + b)"
+        }.mkString("list_value(", ",\n      ", ")")
+        s"""WITH rmc AS (SELECT $rmLit AS rm),
+           |rot AS MATERIALIZED (
+           |  SELECT e.vec_id, $dims AS embedding
+           |  FROM embeddings e CROSS JOIN rmc),
+           |rtrain AS (SELECT vec_id, embedding FROM rot WHERE vec_id % 4 = 0),
+           |${trainCtesSql("", 8, 8, iters, "rtrain", initRel = "rot")},
+           |asg AS (
+           |  SELECT vec_id, j, cent_id, ${l2Sql("va", "cv")} AS dist, cv FROM (
+           |    SELECT e.vec_id, c.j, c.cent_id, c.cv,
+           |      list_transform(e.embedding[(c.j*8+1):(c.j*8+8)], x -> CAST(x AS DOUBLE)) AS va
+           |    FROM rot e CROSS JOIN cb$iters c) t),
+           |chosen AS (SELECT vec_id, j,
+           |    CASE WHEN isnan(dist) THEN NULL ELSE cv END AS cv FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |                                 ORDER BY dist, cent_id) AS rn
+           |    FROM asg) WHERE rn = 1),
+           |dec AS (SELECT vec_id, CASE WHEN count(cv) < count(*) THEN NULL
+           |          ELSE flatten(list(cv ORDER BY j)) END AS dv
+           |        FROM chosen GROUP BY vec_id),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM rot
+           |      WHERE vec_id % 100 = 0),
+           |qraw AS (SELECT vec_id AS q_id, embedding AS qvr FROM embeddings
+           |         WHERE vec_id % 100 = 0),
+           |c AS (SELECT e.vec_id AS n_id, e.embedding AS nv, dv
+           |      FROM embeddings e JOIN dec ON e.vec_id = dec.vec_id),
+           |s AS (SELECT q.q_id, n_id,
+           |        ${cosSql("qv", "dv")} AS psim, ${cosSql("qvr", "nv")} AS sim
+           |      FROM c JOIN q ON q.q_id <> n_id JOIN qraw ON qraw.q_id = q.q_id),
+           |r AS (SELECT q_id, n_id, psim, sim,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY psim DESC, n_id) AS BIGINT) AS rank
+           |      FROM s)
+           |SELECT q_id, n_id, psim, sim, rank FROM r WHERE rank <= 3
+           |ORDER BY q_id, rank"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Exact
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val rm = Similarity.rotationMatrix(64)
+      val rote = Similarity.rotate(e.select("vec_id", "embedding"), rm)
+        .transform(graft.Materialize.checkpoint)
+      val cb = Similarity.pqTrain(rote.filter(col("vec_id") % 4 === 0),
+        Similarity.pqCodebook(rote.filter(col("vec_id") % 97 === 0), 8, 64),
+        8, 64, 2)
+      val idx = Similarity.pqIndex(rote, cb, 8, 64)
+      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .join(idx.select(col("vec_id").as("n_id"), col("dv")), "n_id")
+      val q = rote.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .join(e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvr")), "q_id")
+      val w = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
+      corpus
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Exact.foldCosine(col("qv"), col("dv")).as("psim"),
+          Exact.foldCosine(col("qvr"), col("nv")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("q_id", "rank")
+    },
+
     // ---- embedding-space benchmark decontamination (ANN anti-join) -------
     // q67 drops training docs sharing exact shingles with a benchmark;
     // this is the embedding twin, catching PARAPHRASED contamination:

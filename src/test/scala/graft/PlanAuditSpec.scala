@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q30_cosine_topk", // broadcast query set x corpus, q_id <> n_id
     "q80_quantized_ann", // same shape, quantized scores
     "q100_ann_pq", // same shape, PQ-decoded corpus (encode itself is an equi-join on j)
+    "q145_ann_opq", // q100's cross in OPQ-rotated space (broadcast query set x corpus)
     "q39_spatial_join", // broadcast polygons, PointInPolygon predicate
     "q32_ann_ivf", // broadcast centroids x corpus: map-side cell argmin
     "q66_ann_ivf_nprobe", // same centroid-assignment cross
