@@ -57,7 +57,12 @@ object IdempotentFileSink {
     *    lands is immaterial; MultiWriterSpec pins one-winner/no-torn).
     *  - a writer that crashes INSIDE the commit section leaves a lock
     *    a rival breaks after the staleness window, plus at worst an
-    *    unmarked target dir the winner's sweep replaces.
+    *    unmarked target dir the winner's sweep replaces. A loser that
+    *    crashes BEFORE its lock turn leaves only its own `_tmp_*`
+    *    scratch — invisible to readers (underscore-hidden) and safe to
+    *    GC by age out-of-band; it is deliberately NOT swept here, since
+    *    a live rival may still be staging into its scratch while we
+    *    hold the commit lock.
     */
   def writeBatch(df: DataFrame, root: String, batchId: Long): Unit = {
     val (fs, rootP) = fsFor(df.sparkSession, root)

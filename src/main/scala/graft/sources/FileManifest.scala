@@ -232,6 +232,13 @@ object FileManifest {
     // live one and swap by rename (write-temp-then-rename is the same
     // commit move IdempotentFileSink uses) — no self-overwrite, and a
     // reader holding the old frame keeps a consistent view
+    // sweep torn tmp dirs from crashed predecessors BEFORE staging ours:
+    // we hold the manifest lock, so no rival is mid-write under a
+    // different nonce, and underscore-prefixed leftovers are invisible
+    // to readers but would otherwise accumulate forever
+    hfs.listStatus(root).iterator
+      .filter(_.getPath.getName.startsWith("_manifest_tmp_"))
+      .foreach(s => hfs.delete(s.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
