@@ -1046,4 +1046,36 @@ object Similarity {
     // final Lloyd pass in the final rotation, so book and rotation agree
     ((r, pqTrain(rotate(train, r), cb, m, dim, pqIters)))
   }
+
+  /** Persist trained OPQ artifacts — the rotation as (i, j, v) rows, the
+    * codebook in its long (j, cent_id, cv) form — under one root, so an
+    * encode/search session REPLAYS a training session bit-for-bit
+    * without retraining (the operational half of "fixed matrix
+    * multiply": the matrix is data, not code). Parquet doubles
+    * round-trip exactly; [[loadOpq]] restores both.
+    */
+  def saveOpq(root: String, rotation: Array[Array[Double]],
+      codebook: DataFrame): Unit = {
+    val session = codebook.sparkSession
+    import session.implicits._
+    val dim = rotation.length
+    (for (i <- 0 until dim; j <- 0 until dim) yield (i, j, rotation(i)(j)))
+      .toDF("i", "j", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/rotation")
+    codebook.select(col("j"), col("cent_id"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
+  }
+
+  /** Restore [[saveOpq]] artifacts: (rotation, codebook). */
+  def loadOpq(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Array[Array[Double]], DataFrame) = {
+    val rows = spark.read.parquet(s"$root/rotation")
+      .select("i", "j", "v").collect()
+    val dim = math.sqrt(rows.length.toDouble).round.toInt
+    require(dim * dim == rows.length,
+      s"rotation under $root has ${rows.length} entries — not square")
+    val r = Array.ofDim[Double](dim, dim)
+    rows.foreach(x => r(x.getInt(0))(x.getInt(1)) = x.getDouble(2))
+    (r, spark.read.parquet(s"$root/codebook"))
+  }
 }

@@ -95,6 +95,24 @@ class OpqSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.getDouble(1) < 1e-9, "orthogonal rotation changed a norm")
   }
 
+  test("saved OPQ artifacts replay encoding bit-for-bit in a fresh load") {
+    val init = skewed.filter(col("vec_id") < K)
+    val (r, cb) = Similarity.opqTrain(skewed, init, M, Dim,
+      pqIters = 2, opqIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_opq_art").toString
+    Similarity.saveOpq(root, r, cb)
+    val (r2, cb2) = Similarity.loadOpq(spark, root)
+    assert(r.flatten[Double].sameElements(r2.flatten[Double]),
+      "rotation did not round-trip bit-exact")
+    val enc1 = Similarity.pqIndex(Similarity.rotate(skewed, r), cb, M, Dim)
+      .select(col("vec_id"), col("pcode")).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    val enc2 = Similarity.pqIndex(Similarity.rotate(skewed, r2), cb2, M, Dim)
+      .select(col("vec_id"), col("pcode")).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    assert(enc1 == enc2, "reloaded artifacts encoded differently")
+  }
+
   test("OPQ cuts quantization MSE on anisotropic data; fixed rotation helps too") {
     val init = skewed.filter(col("vec_id") < K)
     val cbId = Similarity.pqTrain(skewed,
