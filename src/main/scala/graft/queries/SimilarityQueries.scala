@@ -535,6 +535,114 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ---- index compaction: tombstones reclaimed, delta folded in ---------
+    // q109 serves (base ∪ delta − tombstones) by anti-joining EVERY
+    // query; this is the maintenance job its Scaladoc promises: rewrite
+    // the served code set as the NEW persisted base — cell-range-
+    // clustered parquet behind a write-through manifest with
+    // [min_cell, max_cell] bounds — then serve from it with EMPTY delta
+    // and tombstone sets. The rewrite moves (n_id, cell, pcode) rows
+    // only (index-sized I/O: the raw corpus is never re-read, nothing
+    // re-encodes, no retrain), which is what makes compaction
+    // schedulable at any corpus size; the clustered layout gives a
+    // cell-probing serve file-level pruning via the manifest. The
+    // oracle is IDENTICAL to q109's — the whole point of the gate:
+    // compaction must not change a single answer. CompactAnnSpec pins
+    // the physical claims (served ≡ compacted row-for-row, no
+    // tombstoned id in the persisted files).
+    QueryDef.sql(
+      "q146_ann_compact",
+      ivfPqSql("vec_id % 10 <> 9 AND vec_id % 4 = 0",
+        "vec_id % 97 = 0 AND vec_id % 10 <> 9",
+        "NOT (l.vec_id % 10 <> 9 AND l.vec_id % 7 = 3)")) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val existing = e.filter(col("vec_id") % 10 =!= 9)
+      val delta = e.filter(col("vec_id") % 10 === 9)
+      val tombstones = existing.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("n_id"))
+      val train = existing.filter(col("vec_id") % 4 === 0)
+      val init = existing.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      def indexOf(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+          .join(Similarity.pqIndex(part, cb, 8, 64)
+            .select(col("vec_id"), col("pcode")), "vec_id")
+          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val served = indexOf(existing).unionByName(indexOf(delta))
+        .join(tombstones, Seq("n_id"), "left_anti")
+      val compacted = Similarity.compactIndex(served,
+        QueryDef.scratch(d, "ann_compact_idx"))
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(compacted, probes, cb, e, 8, 64, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- streaming ANN ingest: q107's delta arriving as a stream ---------
+    // The vector-store ingestion loop as Structured Streaming: books and
+    // base index are the same persisted state as q107, and the delta now
+    // ARRIVES as a file stream (3 files, maxFilesPerTrigger=1 — three
+    // real micro-batches). Each batch is assigned and encoded with the
+    // STALE books inside foreachBatch — batch-sized jobs, the base
+    // corpus never re-read — and lands through the idempotent batch-id
+    // sink, so a replayed micro-batch (restart after crash) can never
+    // double-index a vector. Serving unions base + committed sink rows.
+    // Per-row encode is batching-invariant by construction (no
+    // cross-row state in assign/encode; IncrementalAnnSpec pins
+    // encode-then-union ≡ union-then-encode), so the oracle is q107's
+    // VERBATIM — streaming the delta must not change a single answer.
+    QueryDef.sql(
+      "q147_stream_ann_ingest",
+      ivfPqSql("vec_id % 10 <> 9 AND vec_id % 4 = 0",
+        "vec_id % 97 = 0 AND vec_id % 10 <> 9")) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sinks.IdempotentFileSink
+      val root = QueryDef.scratch(d, "stream_ann")
+      // fresh state per run: committed batches from an earlier code
+      // version must not leak into this run's index
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val existing = e.filter(col("vec_id") % 10 =!= 9)
+      val train = existing.filter(col("vec_id") % 4 === 0)
+      val init = existing.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      def indexOf(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+          .join(Similarity.pqIndex(part, cb, 8, 64)
+            .select(col("vec_id"), col("pcode")), "vec_id")
+          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val baseIdx = indexOf(existing).transform(graft.Materialize.checkpoint)
+      // the delta lands as 3 files; the stream consumes one per batch
+      e.filter(col("vec_id") % 10 === 9).select("vec_id", "embedding")
+        .repartition(3).write.parquet(s"$root/delta")
+      val sch = s.read.parquet(s"$root/delta").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/delta")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          IdempotentFileSink.writeBatch(indexOf(batch), s"$root/sink", id)
+        }
+        .start()
+      q.awaitTermination()
+      val idx = baseIdx.unionByName(
+        IdempotentFileSink.read(s, s"$root/sink")
+          .select("n_id", "cell", "pcode"))
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3)
+        .orderBy("q_id", "rank")
+    },
+
     // ---- embedding-space benchmark decontamination (ANN anti-join) -------
     // q67 drops training docs sharing exact shingles with a benchmark;
     // this is the embedding twin, catching PARAPHRASED contamination:

@@ -877,6 +877,42 @@ object Similarity {
         flatten(transform(col("parts"), p => p.getField("sub"))).as("dv"))
   }
 
+  /** INDEX COMPACTION (q146): persist a SERVED code set — base ∪ delta
+    * − tombstones, the exact stream q109 anti-joins per query — as the
+    * new base index, so tombstoned codes are physically reclaimed, the
+    * delta's rows fold into the base files, and serving drops the
+    * per-query anti-join until the next delete lands.
+    *
+    * Scale contract: the rewrite moves (n_id, cell, pcode) rows ONLY —
+    * the raw corpus is never re-read, nothing re-encodes, no retrain —
+    * so compaction I/O is INDEX-sized (m×4 B codes per vector vs the
+    * raw vector's dim×4 B), schedulable at any corpus size. Rows are
+    * range-clustered by home cell before the write, so each parquet
+    * file holds a contiguous cell range and the write-through manifest's
+    * [min_cell, max_cell] bounds give a cell-probing serve path
+    * file-level pruning for free ([[graft.sources.ManifestFileIndex]]
+    * composes over the same `_manifest`). CompactAnnSpec pins the
+    * physical claims (row-set equality with the served stream, no
+    * tombstoned id survives); the q146 gate pins that search answers
+    * are bit-identical to q109's serve — compaction must never change
+    * an answer.
+    */
+  def compactIndex(served: DataFrame, dir: String,
+      numFiles: Option[Int] = None): DataFrame = {
+    val spark = served.sparkSession
+    // default: let the range shuffle size itself (AQE coalesces a small
+    // index into few right-sized files; a 100 TB index keeps the full
+    // partition count). `numFiles` pins the layout where a caller — or
+    // CompactAnnSpec's pruning case — needs a deterministic file count.
+    val clustered = numFiles match {
+      case Some(n) => served.repartitionByRange(n, col("cell"), col("n_id"))
+      case None => served.repartitionByRange(col("cell"), col("n_id"))
+    }
+    graft.sources.FileManifest.writeThrough(
+      clustered, dir, cols = Seq("cell"), mode = "overwrite")
+    spark.read.parquet(dir).select("n_id", "cell", "pcode")
+  }
+
   // ---- OPQ: orthogonal rotation before PQ --------------------------------
 
   /** Deterministic orthogonal matrix (rows orthonormal): modified

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+
+/** q146's physical contract — the maintenance half of the persisted-
+  * index story: compaction rewrites the SERVED code stream
+  * (base ∪ delta − tombstones) as the new base, so the persisted files
+  * (a) contain exactly the served row-set — every delta row folded in,
+  * no tombstoned id anywhere on disk, codes byte-identical — and
+  * (b) serve bit-identically to q109's anti-join path (the q146 gate
+  * re-pins that against the same DuckDB oracle as q109). The spec also
+  * pins the layout claim the Scaladoc prices: the write-through
+  * manifest's per-file [min_cell, max_cell] bounds are present and
+  * consistent, which is what hands a cell-probing serve its file-level
+  * pruning.
+  */
+class CompactAnnSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("compacted index equals the served stream and drops every tombstone") {
+    val e = Tables.embeddings(spark, sf)
+    val existing = e.filter(col("vec_id") % 10 =!= 9)
+    val delta = e.filter(col("vec_id") % 10 === 9)
+    val tombstones = existing.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("n_id"))
+    val train = existing.filter(col("vec_id") % 4 === 0)
+    val init = existing.filter(col("vec_id") % 97 === 0)
+    val cents = Similarity.ivfTrain(train, init, 64, 2)
+    val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+      8, 64, 2)
+    def indexOf(part: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(part, cb, 8, 64)
+          .select(col("vec_id"), col("pcode")), "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+    val served = indexOf(existing).unionByName(indexOf(delta))
+      .join(tombstones, Seq("n_id"), "left_anti")
+
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/ann_compact"
+    val compacted = Similarity.compactIndex(served, dir)
+
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("n_id").cast("long"), col("cell").cast("long"),
+          col("pcode").cast("array<long>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+        .sortBy(_._1)
+    val a = keyed(served)
+    val b = keyed(compacted)
+    assert(a.nonEmpty, "served index is empty")
+    assert(a.toSeq === b.toSeq,
+      "compacted files do not hold exactly the served row-set")
+
+    // no tombstoned id survives ON DISK (not just after an anti-join)
+    val dead = tombstones.collect().map(_.getLong(0)).toSet
+    assert(b.map(_._1).toSet.intersect(dead).isEmpty,
+      "a tombstoned id survived compaction")
+    // every delta row folded into the persisted base
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(b.map(_._1).toSet),
+      "a delta row is missing from the compacted base")
+
+    // manifest bounds on cell exist and bracket the data per file
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.columns.contains("min_cell") && m.columns.contains("max_cell"))
+    val badBounds = m.filter(col("min_cell") > col("max_cell")).count()
+    assert(badBounds === 0L)
+    val lo = m.agg(min(col("min_cell")).cast("long")).collect()(0).getLong(0)
+    val hi = m.agg(max(col("max_cell")).cast("long")).collect()(0).getLong(0)
+    val dlo = compacted.agg(min(col("cell")).cast("long")).collect()(0).getLong(0)
+    val dhi = compacted.agg(max(col("cell")).cast("long")).collect()(0).getLong(0)
+    assert(lo === dlo && hi === dhi,
+      "manifest cell bounds do not cover the compacted data")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("compacted layout prunes: a single-cell probe reads a file subset") {
+    // re-compact the dir from the first test with a PINNED file count:
+    // at spec scale AQE rightly coalesces the tiny range shuffle into
+    // one file (nothing to prune), so the layout claim is pinned with
+    // the explicit numFiles knob a production compactor would size by
+    // target file bytes
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/ann_compact"
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    val hfs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    assume(hfs.exists(mPath), "compacted dir not present — run the suite in order")
+    val dir2 = s"$dir.pinned"
+    Similarity.compactIndex(spark.read.parquet(dir), dir2, numFiles = Some(8))
+    val idx = spark.read.parquet(dir2)
+    // probe the most-populated cell — the realistic serve target
+    val hot = idx.groupBy("cell").count().orderBy(col("count").desc)
+      .limit(1).collect()(0).getLong(0)
+    val (pruned, kept, total) = graft.sources.FileManifest.readPruned(
+      spark, dir2, "cell", lit(hot), lit(hot))
+    assert(total > 1, s"compaction wrote a single file ($total) — nothing to prune")
+    assert(kept < total,
+      s"cell-range clustering bought no pruning: kept $kept of $total files")
+    val exact = idx.filter(col("cell") === hot).count()
+    assert(pruned.filter(col("cell") === hot).count() === exact)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("serve from the compacted base is row-identical to q109's anti-join serve") {
+    val fromCompacted = SparkEntry.queries("q146_ann_compact")(spark, sf)
+      .collect().map(_.toSeq)
+    val fromServe = SparkEntry.queries("q109_ann_tombstones")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(fromCompacted.nonEmpty)
+    assert(fromCompacted.length === fromServe.length)
+    fromCompacted.zip(fromServe).foreach { case (a, b) => assert(a === b) }
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
