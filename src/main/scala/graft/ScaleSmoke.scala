@@ -33,6 +33,10 @@ object ScaleSmoke {
       sketch100(spark, base, rebuild = !args.contains("nobuild"))
       spark.stop(); return
     }
+    if (args.contains("compact100")) {
+      compact100(spark, base, rebuild = !args.contains("nobuild"))
+      spark.stop(); return
+    }
     // 10x replicate lineitem/orders with shifted keys; copy dims
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
@@ -392,6 +396,64 @@ object ScaleSmoke {
   }
   private val times =
     scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
+
+  /** 100× tier for ANN index COMPACTION (q146): the claim is that
+    * compaction cost tracks INDEX rows — (n_id, cell, pcode), ~40 B a
+    * vector — never corpus bytes (the raw embeddings are 256 B each
+    * and compaction must not read them at all). Train real books once
+    * at sf0.1, build the real index, replicate its ROWS 10×/100× by
+    * n_id shift (cells unchanged — a growing corpus under a fixed cell
+    * count, the steady-state shape), then time the full served →
+    * compacted rewrite including the ~1/7 tombstone anti-join and the
+    * manifest refresh. Expected ~linear in index rows (the range
+    * shuffle is the whole job) with second-scale constants; the smoke
+    * exists to catch any accidental corpus-sized dependency creeping
+    * into the rewrite.
+    */
+  private def compact100(spark: SparkSession, base: String,
+      rebuild: Boolean = true): Unit = {
+    import graft.sim.Similarity
+    val idxRoot = "/tmp/graft_compact_idx"
+    if (rebuild) {
+      val e = Tables.spread(Tables.embeddings(spark, base), col("vec_id"))
+        .transform(Materialize.checkpoint)
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val init = e.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(e, cb, 8, 64)
+          .select(col("vec_id"), col("pcode")), "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+        .write.mode("overwrite").parquet(s"$idxRoot/1x")
+      val b = spark.read.parquet(s"$idxRoot/1x")
+      for ((tag, n) <- Seq("10x" -> 10, "100x" -> 100))
+        (0 until n).map(r => b.withColumn("n_id", col("n_id") + lit(r * 100000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$idxRoot/$tag")
+      // 1000x rides on 100x × 10 (a 1000-way union would bloat the plan)
+      val c = spark.read.parquet(s"$idxRoot/100x")
+      (0 until 10).map(r => c.withColumn("n_id", col("n_id") + lit(r * 100000000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$idxRoot/1000x")
+    }
+    val t = scala.collection.mutable.Map.empty[String, Double]
+    for (tag <- Seq("1x", "10x", "100x", "1000x")) {
+      val idx = spark.read.parquet(s"$idxRoot/$tag")
+      val tomb = idx.filter(col("n_id") % 7 === 3).select("n_id")
+      val served = idx.join(tomb, Seq("n_id"), "left_anti")
+      val rows = idx.count()
+      val t0 = System.nanoTime()
+      val out = Similarity.compactIndex(served, s"/tmp/graft_compact_out/$tag")
+      val kept = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      t(tag) = secs
+      println(f"compact100 $tag%-4s index_rows=$rows%9d kept=$kept%9d compact=$secs%7.2f s")
+    }
+    println(f"compact100 exponent(10x->100x) ${math.log10(t("100x") / t("10x"))}%5.2f " +
+      f"exponent(100x->1000x) ${math.log10(t("1000x") / t("100x"))}%5.2f")
+  }
 
   /** 100× tier for the WINDOW family — the ops whose naive form is a
     * reducer sort (keep-first dedup, global numbering, percentile
