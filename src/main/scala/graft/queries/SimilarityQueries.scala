@@ -643,6 +643,108 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ---- vector upsert: updates absorbed as keyed delete + re-encode -----
+    // The remaining CRUD verb (insert q107, delete q109, compact q146,
+    // stream-ingest q147): an UPDATE batch arrives carrying NEW vectors
+    // for already-indexed ids. The persisted base is untouched — the
+    // updated ids are tombstoned out of it (keyed anti-join, exactly
+    // q109's delete path) and the batch re-encodes with the STALE books
+    // (batch-sized jobs; no retrain, base never re-read) and appends.
+    // Training EXCLUDES the updated ids entirely, so the books the
+    // oracle trains over the post-update corpus are bit-identical to
+    // the engine's pre-update books — which is what lets one oracle
+    // replay both sides of the update. The update itself is a
+    // deterministic halving (double-mult then round to float — exact
+    // and bit-replayable in DuckDB as CAST(CAST(x AS DOUBLE)*0.5 AS
+    // REAL)), and the oracle SHADOWS the embeddings table with the
+    // post-update corpus CTE so cell assignment, encode, probes, and
+    // the true-cosine re-join all see updated vectors — serving stale
+    // codes for an updated row fails the gate. UpsertAnnSpec pins
+    // serve ≡ rebuild-over-updated-corpus with the same books.
+    QueryDef.sql(
+      "q148_ann_upsert", {
+        // rewrite the replay body to read the POST-UPDATE corpus: every
+        // `embeddings` table reference becomes the `emb2` CTE (plain
+        // rename, no schema-qualified shadowing — robust to how the
+        // harness registers the parquet views). `embedding` (the
+        // column) never matches the \b-bounded table regex.
+        val body = ivfPqSql("vec_id % 4 = 0 AND vec_id % 13 <> 5",
+          "vec_id % 97 = 0 AND vec_id % 13 <> 5")
+          .replaceAll("\\bembeddings\\b", "emb2")
+        """WITH emb2 AS (
+          |  SELECT vec_id, CASE WHEN vec_id % 13 = 5
+          |    THEN list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 0.5 AS REAL))
+          |    ELSE embedding END AS embedding FROM embeddings),
+          |""".stripMargin + body.stripPrefix("WITH ")
+      }) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val updMask = col("vec_id") % 13 === 5
+      // the update batch: same ids, NEW vectors (exact halving)
+      val upd = e.filter(updMask).withColumn("embedding",
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(0.5)).cast("float")))
+      val corpus2 = e.filter(!updMask).unionByName(upd)
+      val train = e.filter(col("vec_id") % 4 === 0 && !updMask)
+      val init = e.filter(col("vec_id") % 97 === 0 && !updMask)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      def indexOf(part: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+          .join(Similarity.pqIndex(part, cb, 8, 64)
+            .select(col("vec_id"), col("pcode")), "vec_id")
+          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      // persisted pre-update base; the upsert touches only the batch
+      val baseIdx = indexOf(e).transform(graft.Materialize.checkpoint)
+      val served = baseIdx
+        .join(upd.select(col("vec_id").as("n_id")), Seq("n_id"), "left_anti")
+        .unionByName(indexOf(upd))
+      val probes = Similarity.ivfProbes(
+        corpus2.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(served, probes, cb, corpus2, 8, 64, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- filtered ANN: metadata predicate pushed BEFORE ranking ----------
+    // Production vector search is rarely unfiltered ("nearest docs IN
+    // THIS LANGUAGE / tenant / date range"). The sound order is
+    // filter-THEN-rank: the allow-set semi-joins the candidate stream
+    // before any ADC lookup, so excluded rows cost zero table derefs
+    // and the top-k is filter-consistent. The tempting alternative —
+    // rank first, filter the top-k after — under-fills k whenever a
+    // near neighbor is excluded, and silently returns fewer/worse
+    // rows; this gate's oracle (the serveCond hook, evaluated at the
+    // oracle's candidate CTE) fails that ordering. The allow-set
+    // arrives as an id DataFrame (a metadata predicate's projection),
+    // broadcast when small — q109's tombstone shape with the
+    // polarity flipped.
+    QueryDef.sql(
+      "q149_ann_filtered",
+      ivfPqSql("vec_id % 4 = 0", "vec_id % 97 = 0",
+        "l.vec_id % 3 <> 1")) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val train = e.filter(col("vec_id") % 4 === 0)
+      val init = e.filter(col("vec_id") % 97 === 0)
+      val cents = Similarity.ivfTrain(train, init, 64, 2)
+      val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
+        8, 64, 2)
+      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
+          "vec_id")
+        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      // the metadata allow-set: ids surviving the predicate, semi-joined
+      // into the candidate stream BEFORE ADC ranking
+      val allowed = e.filter(col("vec_id") % 3 =!= 1)
+        .select(col("vec_id").as("n_id"))
+      val probes = Similarity.ivfProbes(
+        e.filter(col("vec_id") % 100 === 0), cents, 2)
+      Similarity.ivfPqSearch(idx.join(allowed, Seq("n_id"), "left_semi"),
+        probes, cb, e, 8, 64, 3)
+        .orderBy("q_id", "rank")
+    },
+
     // ---- embedding-space benchmark decontamination (ANN anti-join) -------
     // q67 drops training docs sharing exact shingles with a benchmark;
     // this is the embedding twin, catching PARAPHRASED contamination:
