@@ -716,8 +716,13 @@ object SimilarityQueries {
     // near neighbor is excluded, and silently returns fewer/worse
     // rows; this gate's oracle (the serveCond hook, evaluated at the
     // oracle's candidate CTE) fails that ordering. The allow-set
-    // arrives as an id DataFrame (a metadata predicate's projection),
-    // broadcast when small — q109's tombstone shape with the
+    // arrives as an id DataFrame — the GENERAL case, where the
+    // predicate lives in another table (tenant membership, a dedup
+    // drop-list): broadcast semi-join when small, shuffle semi-join
+    // when corpus-scale. When the predicate is over columns the index
+    // itself carries (a `lang`/date column stored beside the codes),
+    // it is a plain map-side `.filter` on the candidate scan — no join
+    // at all; q109's tombstone anti-join is this same shape with the
     // polarity flipped.
     QueryDef.sql(
       "q149_ann_filtered",
@@ -743,6 +748,55 @@ object SimilarityQueries {
       Similarity.ivfPqSearch(idx.join(allowed, Seq("n_id"), "left_semi"),
         probes, cb, e, 8, 64, 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- index health: cell-occupancy histogram + imbalance --------------
+    // The second ops signal beside q110's drift probe: per-cell
+    // occupancy of the trained IVF partitioning, with each cell's
+    // corpus fraction and the global imbalance factor max/mean — the
+    // number a serving pipeline alerts on BEFORE a hot cell turns
+    // every probe of it into a scan (candidate cost is occupancy ×
+    // nprobe; imbalance ≫ 1 means re-train or split). One broadcast
+    // assignment pass + a 64-group aggregate — no index read, no
+    // ranking; runs against live books at any corpus size. The
+    // unpartitioned window runs over the POST-aggregate table — at most
+    // K = |cells| rows regardless of corpus — so the single-partition
+    // move Spark warns about is a K-row exchange, not a data path. The
+    // oracle replays training + assignment bit-exactly and the same
+    // max/(sum/count) window arithmetic.
+    QueryDef.sql(
+      "q150_ann_cell_stats",
+      s"""WITH train AS (SELECT vec_id, embedding FROM embeddings
+         |               WHERE vec_id % 4 = 0),
+         |${trainCtesSql("iv", 1, 64, 2, "train")},
+         |cents AS (SELECT cent_id, cv FROM ivcb2),
+         |casg AS (SELECT e.vec_id, cent_id,
+         |          ${cosSql("e.embedding", "cv")} AS csim
+         |        FROM embeddings e CROSS JOIN cents),
+         |cell AS (SELECT vec_id, cent_id AS cell FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+         |           FROM casg) WHERE rn = 1),
+         |h AS (SELECT cell, COUNT(*) AS n FROM cell GROUP BY cell)
+         |SELECT cell, n,
+         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS frac,
+         |  CAST(MAX(n) OVER () AS DOUBLE) /
+         |    (CAST(SUM(n) OVER () AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)) AS imbalance
+         |FROM h ORDER BY cell""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .transform(graft.Materialize.checkpoint)
+      val cents = Similarity.ivfTrain(e.filter(col("vec_id") % 4 === 0),
+        e.filter(col("vec_id") % 97 === 0), 64, 2)
+      val w = Window.partitionBy()
+      Similarity.ivfAssign(e, cents)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .select(col("cell"), col("n"),
+          (col("n").cast("double") / sum("n").over(w).cast("double"))
+            .as("frac"),
+          (max("n").over(w).cast("double") /
+            (sum("n").over(w).cast("double") /
+              count(lit(1)).over(w).cast("double"))).as("imbalance"))
+        .orderBy("cell")
     },
 
     // ---- embedding-space benchmark decontamination (ANN anti-join) -------

@@ -46,6 +46,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q135_ann_rerank", // q106's cross; the refine joins only depth x |queries| winners
     "q110_ann_drift", // centroid-assignment cross + broadcast 1-row train-distortion divisor
     "q139_semdedup", // centroid-assignment cross; the dedup prune itself is an equi-join on cell
+    "q146_ann_compact", // q107's cross re-run at compaction (rebuild from live rows)
+    "q147_stream_ann_ingest", // centroid-assignment cross on each micro-batch's delta
+    "q148_ann_upsert", // q107's cross over the upserted corpus state
+    "q149_ann_filtered", // q106's cross; the allow-set restriction is an equi semi-join
+    "q150_ann_cell_stats", // centroid-assignment cross; the histogram is an equi groupBy
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
     "q87_gap_fill_daily", // calendar x event-type frame: both sides tiny
     "q143_bm25_topk" // broadcast 1-row corpus stats + 1-row df vector onto candidates
