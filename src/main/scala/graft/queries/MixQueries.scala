@@ -523,6 +523,64 @@ object MixQueries {
           sum(col("n_tok")).cast("long").as("pack_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("source", "pack_id")
+    },
+
+    // ---- sliding-window context chunking (stride + overlap) --------------
+    // The other half of sequence prep beside q61 (head truncation) and
+    // q62 (packing): long documents split into overlapping fixed-width
+    // training chunks — window W=32 tokens, stride S=24 (8-token overlap
+    // so no span is ever cut mid-context), final chunk clipped to the
+    // tail, short docs emitted whole. Chunk count and offsets are pure
+    // per-row arithmetic and the chunk bodies are slices of the one
+    // token array: the whole operator is map-side (tokenize → sequence
+    // explode → slice → hash), NO shuffle of any kind — chunking 100 TB
+    // is embarrassingly parallel and this plan keeps it that way (the
+    // only exchange in the plan is the output presentation sort). Chunk
+    // identity is hash-gated ([[graft.functions.Exact.foldHash]] of the
+    // rejoined slice), so a off-by-one in either engine's slicing fails
+    // the gate rather than sliding by silently.
+    QueryDef.sql(
+      "q152_chunk_sliding",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 1),
+        |k AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n <= 32 THEN 1
+        |             ELSE 1 + CAST(CEIL(CAST(n - 32 AS DOUBLE) / 24.0) AS BIGINT) END AS n_chunks
+        |      FROM n),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM k),
+        |s AS (SELECT doc_id, chunk_id, n, chunk_id * 24 + 1 AS start_tok,
+        |        LEAST(CAST(32 AS BIGINT), n - (chunk_id * 24 + 1) + 1) AS n_tok,
+        |        toks
+        |      FROM c)
+        |SELECT doc_id, chunk_id, start_tok, n_tok,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(array_to_string(
+        |      toks[start_tok:start_tok + n_tok - 1], ' '), ''),
+        |      ch -> unicode(ch)::BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_id""") { (s, d) =>
+      val W = 32L
+      val S = 24L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 1)
+        .withColumn("n_chunks", when(col("n") <= W, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n") - W).cast("double") / lit(S.toDouble)).cast("long")))
+      t.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("start_tok", col("chunk_id") * S + 1)
+        .withColumn("n_tok", least(lit(W), col("n") - col("start_tok") + 1))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+          graft.functions.Exact.foldHashUdf(concat_ws(" ",
+            slice(col("toks"), col("start_tok").cast("int"),
+              col("n_tok").cast("int")))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 }

@@ -342,6 +342,84 @@ object TextQueries {
         .withColumn("rk", row_number()
           .over(Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
         .orderBy("rk")
+    },
+
+    // ---- bigram-LM perplexity filter (CCNet-style quality gate) -----------
+    // Model-based quality scoring one rung above q121's hashed linear
+    // classifier: an add-α-smoothed bigram language model is TRAINED on a
+    // held-in slice (doc_id % 4 = 0) and every document is scored by its
+    // mean negative log-likelihood — the perplexity signal CCNet-style
+    // pipelines bucket web text by (high NLL ⇒ far from the reference
+    // distribution ⇒ drop or down-weight). Scale shape: tokenize + bigram
+    // zip are map-side; the LM build is ONE (w1,w2) groupBy with map-side
+    // combine over the train slice only; scoring is an equi-join of corpus
+    // bigrams against the ALREADY-AGGREGATED model tables — broadcast here
+    // (and at 100 TB too, after the standard top-N prune that makes a
+    // shipped LM small), shuffle equi-join on the bigram key if unpruned;
+    // the per-doc reduce is an integer groupBy. Never corpus².
+    // Float determinism: each bigram's -ln P is computed from integer
+    // counts in mirrored op order and quantized to 1e-6 BEFORE the per-doc
+    // sum, so the aggregate is exact integer addition (order-free); the
+    // mean is one double division of identical integers. Unseen contexts
+    // degrade smoothly to P = 1/V (α cancels), so held-out docs score
+    // without special cases.
+    QueryDef.sql(
+      "q151_bigram_lm_nll",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 4 = 0)),
+        |nll AS (
+        |  SELECT bg.doc_id,
+        |    CAST(FLOOR((-LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+        |      (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS e6
+        |  FROM bg
+        |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |  LEFT JOIN c1 ON bg.w1 = c1.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(e6) AS BIGINT) AS nll_e6,
+        |  CAST(SUM(e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nll_e6
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      import graft.text.TextAnalysis
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val t = Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      val train = bg.filter(col("doc_id") % 4 === 0)
+      val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = t.filter(col("doc_id") % 4 === 0)
+        .select(explode(col("toks")).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(0.5)) /
+        (coalesce(col("c1"), lit(0L)).cast("double") +
+          lit(0.5) * col("v").cast("double"))
+      bg
+        .join(broadcast(c2), Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          floor((-log(p)) * lit(1e6) + lit(0.5)).as("e6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("e6")).as("nll_e6"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_e6"),
+          (col("nll_e6").cast("double") / col("n_bigrams").cast("double"))
+            .as("mean_nll_e6"))
+        .orderBy("doc_id")
     }
   )
 }
