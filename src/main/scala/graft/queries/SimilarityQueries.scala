@@ -1158,6 +1158,73 @@ object SimilarityQueries {
           sum(when(col("is_dup"), 1).otherwise(0)).cast("long").as("n_dup"),
           min(when(!col("is_dup"), col("vec_id"))).as("first_kept"))
         .orderBy("cell")
+    },
+
+    // ---- approximate kNN graph (banded LSH candidates, per-node top-k) ---
+    // The graph primitive under graph-based curation — NN-Descent seeds,
+    // label propagation, diversity sampling, cluster summarization: every
+    // node's top-3 neighbors among its RP-LSH band candidates ([[
+    // Similarity.bandedNearDupPairs]] with no similarity floor — the
+    // graph wants each node's BEST edges, however weak). 24 planes / 3
+    // bands of 8 bits: per-band buckets hold ~n/256 members, so candidate
+    // pairs stay Σr² ≲ n·(n/256) per band — and the documented scale rule
+    // (grow r with log n to hold bucket membership flat) makes that
+    // linear-in-n at any corpus size; a node isolated in all its buckets
+    // simply has < k edges (approximate-kNN semantics, replayed by the
+    // oracle exactly). Plan: signatures map-side; only (band, key) rows
+    // shuffle for candidate generation; vectors join back BY ID for the
+    // exact cosine (the index never carries raw vectors); the symmetric
+    // union doubles edges linearly, and the rank window partitions by
+    // src — no global sort anywhere.
+    QueryDef.sql(
+      "q153_knn_graph", {
+        val nPlanes = 24
+        val bands = 3
+        val rpb = nPlanes / bands
+        def dotSqlPlane(j: Int): String =
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * (CAST((($j * 1000003 + (i - 1) * 7919) % 97 - 48) AS DOUBLE) / 48.0::DOUBLE))), (x, y) -> x + y)"
+        val bucketSql = (0 until nPlanes).map { j =>
+          s"CASE WHEN ${dotSqlPlane(j)} >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        val bandsSql = (0 until bands).map { b =>
+          s"SELECT vec_id, $b AS band, (bucket >> ${b * rpb}) & ${(1 << rpb) - 1} AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sig AS (
+           |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+           |bands AS (
+           |  $bandsSql),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+           |s AS (
+           |  SELECT d1, d2, ${cosSql("a.embedding", "b.embedding")} AS sim
+           |  FROM cand JOIN embeddings a ON d1 = a.vec_id
+           |            JOIN embeddings b ON d2 = b.vec_id),
+           |e AS (SELECT d1 AS src, d2 AS dst, sim FROM s
+           |      UNION ALL SELECT d2 AS src, d1 AS dst, sim FROM s),
+           |r AS (SELECT src, dst, sim,
+           |        CAST(row_number() OVER (PARTITION BY src
+           |               ORDER BY sim DESC, dst) AS BIGINT) AS rank
+           |      FROM e)
+           |SELECT src, dst, sim, rank FROM r WHERE rank <= 3
+           |ORDER BY src, rank"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Similarity.bandedNearDupPairs(
+        Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+          .withColumn("g", lit(0)),
+        "g", Similarity.rpPlanes(24, 64), 3, -1.0)
+        // one candidate+cosine pass feeds both edge directions
+        .transform(graft.Materialize.checkpoint)
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"), col("sim"))
+        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst"), col("sim")))
+      val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+      edges
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("src", "rank")
     }
   )
 
