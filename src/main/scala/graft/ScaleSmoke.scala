@@ -163,7 +163,11 @@ object ScaleSmoke {
       // count-min state: the build is a ×d map-side explode + partial
       // agg (shuffle carries ≤ days·d·W counter rows, not events), the
       // probe a broadcast join — expected ~flat at 10x events
-      "q141_cms_state_merge")
+      "q141_cms_state_merge",
+      // round-14 sequence-prep: q151's LM build/score shuffles bigram
+      // KEYS (vocab-bounded) while the corpus side is map-side — ~linear;
+      // q152 is pure map-side chunking — linear by construction
+      "q151_bigram_lm_nll", "q152_chunk_sliding")
       .filter(q => generalOnly.forall(_.contains(q)))) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
@@ -198,6 +202,35 @@ object ScaleSmoke {
         println(f"${"grid_spatial_polys"}%-28s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    }
+    // ---- kNN-graph r-scaling (q153's scale mechanism, demonstrated) ----
+    // A fixed band width at 10x data grows per-bucket membership 10x and
+    // candidate-pair work ~100x — the exact quadratic pathology q26 was
+    // flagged for. q153's documented rule (r ≈ log2(n / target_bucket))
+    // instead holds bucket occupancy flat: +ceil(log2(10)) ≈ 3 extra
+    // planes per band at 10x (24 → 33; buckets 256 → 2048 per band), so
+    // candidate work grows with n, not n². Both tiers run the full
+    // construction (candidates → exact cosine → symmetric top-3).
+    if (!args.contains("skew") && generalOnly.forall(_.contains("knn_graph_rscale")))
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      for ((tag, dir, nPlanes) <- Seq(("1x", base, 24), ("10x", out, 33))) {
+        val t0 = System.nanoTime()
+        val pairs = graft.sim.Similarity.bandedNearDupPairs(
+          Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
+            .withColumn("g", lit(0)),
+          "g", graft.sim.Similarity.rpPlanes(nPlanes, 64), 3, -1.0)
+          .transform(graft.Materialize.checkpoint)
+        val edges = pairs
+          .select(col("d1").as("src"), col("d2").as("dst"), col("sim"))
+          .unionAll(pairs
+            .select(col("d2").as("src"), col("d1").as("dst"), col("sim")))
+        val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+        val n = edges.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .queryExecution.toRdd.count()
+        println(f"knn_graph_rscale $tag%-4s planes=$nPlanes edges=$n ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
     // ---- skew-shaped stress (dedup/CC family) --------------------------
     // Everything above replicates UNIFORM testdata; the scale claims for

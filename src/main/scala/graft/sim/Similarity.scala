@@ -273,7 +273,9 @@ object Similarity {
     */
   def rpLshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (w, j) =>
-      when(Exact.foldDot(v, typedlit(w)) >= 0, lit(1 << j)).otherwise(lit(0))
+      // long bits: signatures wider than 31 planes (the grow-r-with-n
+      // scale rule at large corpora) must not overflow the bucket id
+      when(Exact.foldDot(v, typedlit(w)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Banded RP-LSH near-duplicate pairs — the OR-construction: the

@@ -253,8 +253,8 @@ class DedupSimSpec extends AnyFunSuite with SparkSpec {
     graft.functions.VectorFold.register(spark) // fold_dot, like st_contains
     val planes = Similarity.rpPlanes(8, 4)
     val v = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f)).toDF("e")
-    val b1 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Int].head()
-    val b2 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Int].head()
+    val b1 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Long].head()
+    val b2 = v.select(Similarity.rpLshBucket(col("e"), planes)).as[Long].head()
     assert(b1 == b2 && b1 >= 0 && b1 < 256)
   }
 
