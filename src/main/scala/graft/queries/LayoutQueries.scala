@@ -501,6 +501,54 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
         .orderBy("event_type")
+    },
+
+    // ---- orphan-file vacuum: the remove-orphans lifecycle verb -----------
+    // A crashed/raced writer leaves data files the manifest never heard
+    // of: manifest READERS are immune, but a naive directory read
+    // double-counts the orphans and the bytes leak forever. The gate
+    // stages a write-through table, plants a rival's crashed append (two
+    // files landed, no refresh), measures the naive pre-vacuum listing
+    // view (inflated — n_pre counts base + orphans), vacuums under the
+    // writer lock, and pins THREE things at once: the post-vacuum naive
+    // read equals the manifest content exactly (orphans gone), the
+    // surviving rows are untouched (min/max/count per type), and exactly
+    // the two planted files died (over-deletion would change the counts;
+    // under-deletion leaves n_post inflated). The orphan decision is a
+    // distributed anti-join (listing × manifest paths); only doomed
+    // paths reach the driver.
+    QueryDef.sql(
+      "q154_manifest_vacuum",
+      """WITH pre AS (SELECT event_type, COUNT(*) AS n_pre FROM events GROUP BY 1),
+        |post AS (SELECT event_type, COUNT(*) AS n_post,
+        |           MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+        |         FROM events WHERE event_id % 3 <> 2 GROUP BY 1)
+        |SELECT p.event_type, pre.n_pre, p.n_post, p.min_ts, p.max_ts,
+        |  CAST(2 AS BIGINT) AS orphans_deleted
+        |FROM post p JOIN pre ON p.event_type = pre.event_type
+        |ORDER BY p.event_type""") { (s, d) =>
+      import s.implicits._
+      val dir = QueryDef.scratch(d, "manifest_vac")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      graft.sources.FileManifest.writeThrough(
+        ev.filter(col("event_id") % 3 =!= 2).repartitionByRange(4, col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite")
+      // the crashed rival: data lands, the manifest never covers it
+      ev.filter(col("event_id") % 3 === 2).repartition(2)
+        .write.mode("append").parquet(dir)
+      // naive listing view BEFORE the vacuum — materialized eagerly, or
+      // the lazy plan would list the tree after the files are gone
+      val pre = s.read.parquet(dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n_pre")).as[(String, Long)].collect().toSeq
+      val orphans = graft.sources.FileManifest.vacuum(s, dir)
+      s.read.parquet(dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n_post"),
+          min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))
+        .join(broadcast(pre.toDF("event_type", "n_pre")), Seq("event_type"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          col("min_ts"), col("max_ts"),
+          lit(orphans.length.toLong).as("orphans_deleted"))
+        .orderBy("event_type")
     }
   )
 }

@@ -187,6 +187,48 @@ object FileManifest {
     }
   }
 
+  /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
+    * table-format lifecycle, beside write-through / compact / time
+    * travel): delete every data file under `dataDir` the live manifest
+    * does not reference — the residue of crashed or raced writers whose
+    * append landed but whose refresh never committed. Manifest readers
+    * ([[ManifestFileIndex]]) never see orphans, but a naive directory
+    * read double-counts them and they leak storage forever.
+    *
+    * Safety contract: runs under the SAME advisory lock as
+    * writeThrough/refresh, so an in-flight rival's freshly-landed (not
+    * yet manifested) files can never be reaped mid-commit — by the time
+    * the lock is held, every committed writer's refresh has run. Refuses
+    * to operate without a manifest (everything would be "orphan").
+    *
+    * Scale contract: the orphan decision is a distributed anti-join of
+    * the live listing against the manifest's path column; only the
+    * doomed paths are collected — O(orphans) driver bytes, the same
+    * distributed-planning rule as [[ManifestFileIndex.listFiles]].
+    * Returns the deleted paths, sorted.
+    */
+  def vacuum(spark: SparkSession, dataDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    CommitLock.withLock(hfs,
+      new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      require(hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))),
+        s"no manifest under $dataDir — vacuum without one would reap the whole table")
+      import spark.implicits._
+      val manifested = spark.read.parquet(manifestPath(dataDir))
+        .select(ManifestFileIndex.normPath(col("file")).as("m_file"))
+      val orphans = FsListing.listDataFiles(hfs, root).toDF("live_file")
+        .join(manifested, col("live_file") === col("m_file"), "left_anti")
+        .collect().map(_.getString(0)).sorted.toSeq
+      orphans.foreach(p =>
+        hfs.delete(new org.apache.hadoop.fs.Path(p), false))
+      // drop any cached listings/footers for the pruned tree so a reader
+      // planned after the vacuum never references a deleted file
+      spark.catalog.refreshByPath(dataDir)
+      orphans
+    }
+  }
+
   private def refreshLocked(spark: SparkSession, dataDir: String,
       root: org.apache.hadoop.fs.Path, hfs0: org.apache.hadoop.fs.FileSystem,
       cols: Seq[String], bloomCols: Seq[String], expectedPerFile: Long,

@@ -130,4 +130,30 @@ class MultiWriterSpec extends AnyFunSuite with SparkSpec {
     val (one, kept1, _) = FileManifest.readPruned(spark, dir, "ts", lit(1000L), lit(1099L))
     assert(one.count() == 100L && kept1 == 1, s"kept $kept1 files for one writer's range")
   }
+
+  test("FileManifest.vacuum: racing a writer reaps orphans, never committed files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mw_vacuum").toString
+    def df(lo: Long) = (lo until lo + 100L).map(i => (i, s"p$i")).toDF("ts", "payload")
+    FileManifest.writeThrough(df(0L).coalesce(1), dir, Seq("ts"))
+    // a crashed rival's residue: landed, never manifested
+    df(5000L).coalesce(1).write.mode("append").parquet(dir)
+
+    // vacuum races a live writer: whichever order the lock grants, the
+    // committed writer's files are manifested before its lock releases,
+    // so only the planted orphan can die
+    val reaped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    race(
+      () => FileManifest.writeThrough(df(1000L).coalesce(1), dir, Seq("ts")),
+      () => FileManifest.vacuum(spark, dir).foreach(reaped.add))
+    spark.catalog.refreshByPath(dir)
+
+    assert(reaped.size == 1, s"vacuum reaped ${reaped.size} files, expected the 1 orphan")
+    // both committed writers fully present, orphan rows gone
+    val ts = spark.read.parquet(dir).select(sum(col("ts")).cast("long")).head().getLong(0)
+    val want = (0L until 100L).sum + (1000L until 1100L).sum
+    assert(ts == want, s"post-vacuum content drifted: $ts != $want")
+    // a second vacuum is a no-op on a clean tree
+    assert(FileManifest.vacuum(spark, dir).isEmpty, "clean-tree vacuum deleted files")
+  }
 }
