@@ -455,10 +455,7 @@ object ScaleSmoke {
       val cents = Similarity.ivfTrain(train, init, 64, 2)
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
-      Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(e, cb, 8, 64)
-          .select(col("vec_id"), col("pcode")), "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      Similarity.buildIvfPqIndex(e, cents, cb, 8, 64)
         .write.mode("overwrite").parquet(s"$idxRoot/1x")
       val b = spark.read.parquet(s"$idxRoot/1x")
       for ((tag, n) <- Seq("10x" -> 10, "100x" -> 100))

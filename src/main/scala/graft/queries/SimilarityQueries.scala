@@ -567,10 +567,7 @@ object SimilarityQueries {
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
       def indexOf(part: org.apache.spark.sql.DataFrame) =
-        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
-          .join(Similarity.pqIndex(part, cb, 8, 64)
-            .select(col("vec_id"), col("pcode")), "vec_id")
-          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+        Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
       val served = indexOf(existing).unionByName(indexOf(delta))
         .join(tombstones, Seq("n_id"), "left_anti")
       val compacted = Similarity.compactIndex(served,
@@ -615,10 +612,7 @@ object SimilarityQueries {
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
       def indexOf(part: org.apache.spark.sql.DataFrame) =
-        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
-          .join(Similarity.pqIndex(part, cb, 8, 64)
-            .select(col("vec_id"), col("pcode")), "vec_id")
-          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+        Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
       val baseIdx = indexOf(existing).transform(graft.Materialize.checkpoint)
       // the delta lands as 3 files; the stream consumes one per batch
       e.filter(col("vec_id") % 10 === 9).select("vec_id", "embedding")
@@ -691,10 +685,7 @@ object SimilarityQueries {
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
       def indexOf(part: org.apache.spark.sql.DataFrame) =
-        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
-          .join(Similarity.pqIndex(part, cb, 8, 64)
-            .select(col("vec_id"), col("pcode")), "vec_id")
-          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+        Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
       // persisted pre-update base; the upsert touches only the batch
       val baseIdx = indexOf(e).transform(graft.Materialize.checkpoint)
       val served = baseIdx
@@ -735,10 +726,7 @@ object SimilarityQueries {
       val cents = Similarity.ivfTrain(train, init, 64, 2)
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
-      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
-          "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val idx = Similarity.buildIvfPqIndex(e, cents, cb, 8, 64)
       // the metadata allow-set: ids surviving the predicate, semi-joined
       // into the candidate stream BEFORE ADC ranking
       val allowed = e.filter(col("vec_id") % 3 =!= 1)
@@ -878,10 +866,7 @@ object SimilarityQueries {
       // embedding, no decoded vector; built once, queried many (at scale
       // this join is the one-time index build, both sides keyed and
       // co-sized by vec_id)
-      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
-          "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val idx = Similarity.buildIvfPqIndex(e, cents, cb, 8, 64)
         .transform(graft.Materialize.checkpoint)
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
@@ -914,10 +899,7 @@ object SimilarityQueries {
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
       def indexOf(part: org.apache.spark.sql.DataFrame) =
-        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
-          .join(Similarity.pqIndex(part, cb, 8, 64)
-            .select(col("vec_id"), col("pcode")), "vec_id")
-          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+        Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
       // base index = persisted state (checkpoint stands in for the index
       // table a production run reads back); the delta encode is the ONLY
       // job sized to new data
@@ -1004,10 +986,7 @@ object SimilarityQueries {
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
       def indexOf(part: org.apache.spark.sql.DataFrame) =
-        Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
-          .join(Similarity.pqIndex(part, cb, 8, 64)
-            .select(col("vec_id"), col("pcode")), "vec_id")
-          .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+        Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
       val baseIdx = indexOf(existing).transform(graft.Materialize.checkpoint)
       val served = baseIdx.unionByName(indexOf(delta))
         .join(tombstones, Seq("n_id"), "left_anti")
@@ -1105,10 +1084,7 @@ object SimilarityQueries {
       val cents = Similarity.ivfTrain(train, init, 64, 2)
       val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
         8, 64, 2)
-      val idx = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
-          "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      val idx = Similarity.buildIvfPqIndex(e, cents, cb, 8, 64)
       val probes = Similarity.ivfProbes(
         e.filter(col("vec_id") % 100 === 0), cents, 2)
       Similarity.ivfPqSearch(idx, probes, cb, e, 8, 64, 3, rerankDepth = 12)

@@ -81,6 +81,22 @@ object Similarity {
     nearestCentroid(vectors, centroids, carryEmbedding = true)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
 
+  /** The served IVF+PQ index rows — (n_id, cell, pcode): home-cell
+    * assignment joined to the PQ encoding by id. The ONE definition of
+    * the index row shape shared by build (q106), delta ingest
+    * (q107/q147), upsert (q148), tombstones (q109), filtered serve
+    * (q149), compaction (q146) and their specs/smokes — a drift here
+    * would silently fork a gate from its spec. Both sides are keyed and
+    * co-sized by vec_id, so at scale this equi-join IS the one-time
+    * index-build job; nothing downstream re-touches raw embeddings.
+    */
+  def buildIvfPqIndex(part: DataFrame, cents: DataFrame, cb: DataFrame,
+      m: Int, dim: Int): DataFrame =
+    ivfAssign(part, cents).select(col("vec_id"), col("cell"))
+      .join(pqIndex(part, cb, m, dim).select(col("vec_id"), col("pcode")),
+        "vec_id")
+      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+
   /** Per-vector assignment distortion: `1 − cos` to the nearest trained
     * centroid (the quantity [[ivfTrain]]'s assignment minimizes, so it is
     * directly comparable across batches). This is the books-staleness

@@ -30,23 +30,57 @@ private[graft] object CommitLock {
     * both "win" it. A per-path JVM mutex closes that window exactly;
     * the lock FILE remains the cross-process tier, with HDFS-grade
     * atomicity where the filesystem provides it.
+    *
+    * Entries are REFCOUNTED and removed when the last holder/waiter
+    * releases: a streaming sink takes a distinct lock path per batch id,
+    * so a map that only ever grew would leak one mutex per micro-batch
+    * for the driver's lifetime. Both the increment and the
+    * decrement-and-maybe-remove run inside `compute` (atomic per key),
+    * so a ref can never attach to an entry another thread is removing.
     */
+  private final class JvmLock {
+    val lock = new java.util.concurrent.locks.ReentrantLock()
+    var refs = 0
+  }
   private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+    new java.util.concurrent.ConcurrentHashMap[String, JvmLock]()
+
+  private def acquireJvm(key: String): JvmLock =
+    jvmLocks.compute(key, (_, v) => {
+      val e = if (v == null) new JvmLock else v
+      e.refs += 1
+      e
+    })
+
+  private def releaseJvm(key: String): Unit =
+    jvmLocks.compute(key, (_, v) => {
+      v.refs -= 1
+      if (v.refs == 0) null else v
+    })
 
   /** Run `body` holding the exclusive lock at `path`: first the JVM
     * per-path mutex (same-process writers), then the lock file (rival
     * processes), both bounded by `waitMs` (50 ms polls). Breaks lock
     * files staler than `staleMs`; throws `java.io.IOException` on
     * timeout.
+    *
+    * Stale-break protocol: break by RENAME to a unique tombstone, never
+    * by deleting the live path — a delete decided on a stale stat could
+    * land on a FRESH lock a faster waiter just created (stat-then-delete
+    * TOCTOU: both waiters would then enter the critical section). The
+    * rename atomically claims one specific inode for one breaker; the
+    * breaker re-verifies staleness ON THE TOMBSTONE (which no rival can
+    * touch) and, if it turns out it grabbed a fresh lock in the
+    * stat→rename gap, renames it straight back and keeps waiting.
     */
   def withLock[T](fs: FileSystem, path: Path,
       waitMs: Long = 60000L, staleMs: Long = 600000L)(body: => T): T = {
-    val jl = jvmLocks.computeIfAbsent(path.toString,
-      _ => new java.util.concurrent.locks.ReentrantLock())
-    if (!jl.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    val jl = acquireJvm(path.toString)
+    if (!jl.lock.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+      releaseJvm(path.toString)
       throw new java.io.IOException(
         s"timed out after ${waitMs}ms waiting for in-process commit lock $path")
+    }
     try {
       val deadline = System.currentTimeMillis() + waitMs
       var acquired = false
@@ -60,8 +94,20 @@ private[graft] object CommitLock {
             // held by a rival process (or just broken): stale-break, wait
             try {
               val st = fs.getFileStatus(path)
-              if (System.currentTimeMillis() - st.getModificationTime > staleMs)
-                fs.delete(path, false) // abandoned by a crashed writer
+              if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+                val tomb = new Path(path.getParent,
+                  s".${path.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+                if (fs.rename(path, tomb)) {
+                  val got = fs.getFileStatus(tomb)
+                  if (System.currentTimeMillis() - got.getModificationTime > staleMs)
+                    fs.delete(tomb, false) // truly abandoned: broken
+                  else if (!fs.rename(tomb, path))
+                    // grabbed a fresh lock in the stat→rename gap and a
+                    // third waiter already claimed the freed path: the
+                    // stolen inode must not stay behind as a phantom
+                    fs.delete(tomb, false)
+                }
+              }
             } catch { case _: java.io.FileNotFoundException => () }
             if (System.currentTimeMillis() > deadline)
               throw new java.io.IOException(
@@ -71,6 +117,9 @@ private[graft] object CommitLock {
       }
       try body
       finally fs.delete(path, false)
-    } finally jl.unlock()
+    } finally {
+      jl.lock.unlock()
+      releaseJvm(path.toString)
+    }
   }
 }

@@ -152,7 +152,22 @@ object FileManifest {
     val hfs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
-      val w = df.write.mode(mode)
+      // overwrite must NOT go through Spark's Overwrite mode: that
+      // recursively deletes the root — including the _manifest.lock
+      // file THIS writer is holding — so a rival would re-create the
+      // lock and enter the critical section mid-overwrite (and this
+      // writer's unlock would then delete the rival's live lock,
+      // cascading the violation). Clear the tree manually, sparing the
+      // lock, and land the data as an append into the emptied root.
+      val effMode =
+        if (mode == "overwrite") {
+          if (hfs.exists(root))
+            hfs.listStatus(root).iterator
+              .filterNot(_.getPath.getName == "_manifest.lock")
+              .foreach(s => hfs.delete(s.getPath, true))
+          "append"
+        } else mode
+      val w = df.write.mode(effMode)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dataDir)
       refreshLocked(df.sparkSession, dataDir, root, hfs, cols, bloomCols,

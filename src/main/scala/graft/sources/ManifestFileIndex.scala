@@ -144,10 +144,17 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
         else {
           // drop only on PROVABLE disjointness; any NULL (unknown
           // bound, or a cast that couldn't represent the value) makes
-          // the disjointness test NULL → coalesce(…, false) → keep
+          // the disjointness test NULL → coalesce(…, false) → keep.
+          // A bound Catalyst cannot even hold as a literal (decimal
+          // precision > 38, e.g. a pushed `> 1e45`) proves nothing
+          // here either — it contributes lit(false) and the file is
+          // kept for the main filter to decide, instead of crashing
+          // the planning job.
+          def safeLit(v: BigDecimal): Option[Column] =
+            try Some(lit(v)) catch { case _: Exception => None }
           val disjoint =
-            lo.map(v => col(s"max_$c") < lit(v)).getOrElse(lit(false)) ||
-            hi.map(v => col(s"min_$c") > lit(v)).getOrElse(lit(false))
+            lo.flatMap(safeLit).map(v => col(s"max_$c") < v).getOrElse(lit(false)) ||
+            hi.flatMap(safeLit).map(v => col(s"min_$c") > v).getOrElse(lit(false))
           !org.apache.spark.sql.functions.coalesce(disjoint, lit(false))
         }
       // a degenerate range (lo == hi — every EqualTo, and any >=v && <=v

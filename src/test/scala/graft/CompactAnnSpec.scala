@@ -33,10 +33,7 @@ class CompactAnnSpec extends AnyFunSuite with SparkSpec {
     val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
       8, 64, 2)
     def indexOf(part: org.apache.spark.sql.DataFrame) =
-      Similarity.ivfAssign(part, cents).select(col("vec_id"), col("cell"))
-        .join(Similarity.pqIndex(part, cb, 8, 64)
-          .select(col("vec_id"), col("pcode")), "vec_id")
-        .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+      Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
     val served = indexOf(existing).unionByName(indexOf(delta))
       .join(tombstones, Seq("n_id"), "left_anti")
 

@@ -26,11 +26,7 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkSpec {
     val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
       8, 64, 2)
     // monolithic rebuild: one assignment+encode pass over the FULL corpus
-    val rebuilt = Similarity.ivfAssign(e, cents)
-      .select(col("vec_id"), col("cell"))
-      .join(Similarity.pqIndex(e, cb, 8, 64).select(col("vec_id"), col("pcode")),
-        "vec_id")
-      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+    val rebuilt = Similarity.buildIvfPqIndex(e, cents, cb, 8, 64)
     val probes = Similarity.ivfProbes(
       e.filter(col("vec_id") % 100 === 0), cents, 2)
     val fromRebuild = Similarity.ivfPqSearch(rebuilt, probes, cb, e, 8, 64, 3)

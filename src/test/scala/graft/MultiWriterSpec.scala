@@ -156,4 +156,32 @@ class MultiWriterSpec extends AnyFunSuite with SparkSpec {
     // a second vacuum is a no-op on a clean tree
     assert(FileManifest.vacuum(spark, dir).isEmpty, "clean-tree vacuum deleted files")
   }
+
+  test("writeThrough overwrite races an appender: lock survives, no torn tree") {
+    // Spark's Overwrite mode recursively deletes the root INCLUDING a
+    // held _manifest.lock — writeThrough must clear the tree manually so
+    // the rival stays excluded for the whole overwrite+refresh section.
+    // Legal serializations: overwrite→append = {O, A}; append→overwrite
+    // = {O}. Anything else (seed surviving an overwrite, a partial
+    // appender wipe, a manifest not covering the final tree) is the bug.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mw_ow").toString
+    def df(lo: Long) = (lo until lo + 100L).map(i => (i, s"p$i")).toDF("ts", "payload")
+    FileManifest.writeThrough(df(0L).coalesce(1), dir, Seq("ts")) // seed
+    race(
+      () => FileManifest.writeThrough(df(1000L).coalesce(1), dir, Seq("ts"),
+        mode = "overwrite"),
+      () => FileManifest.writeThrough(df(2000L).coalesce(1), dir, Seq("ts")))
+    spark.catalog.refreshByPath(dir)
+
+    // readPruned's coverage guard passing pins manifest ⊇ final tree
+    val (all, _, _) = FileManifest.readPruned(spark, dir, "ts", lit(0L), lit(3000L))
+    val got = all.agg(sum(col("ts")).cast("long")).head().getLong(0)
+    val o = (1000L until 1100L).sum
+    val a = (2000L until 2100L).sum
+    assert(got == o || got == o + a,
+      s"post-race content $got is neither {overwrite}=$o nor {overwrite,append}=${o + a}")
+    assert(!new java.io.File(s"$dir/_manifest.lock").exists(),
+      "lock file leaked past both writers' releases")
+  }
 }

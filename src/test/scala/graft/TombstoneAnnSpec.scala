@@ -30,11 +30,7 @@ class TombstoneAnnSpec extends AnyFunSuite with SparkSpec {
       8, 64, 2)
     // rebuild WITHOUT the deleted rows, same (stale) books
     val survivors = e.filter(!deleted)
-    val rebuilt = Similarity.ivfAssign(survivors, cents)
-      .select(col("vec_id"), col("cell"))
-      .join(Similarity.pqIndex(survivors, cb, 8, 64)
-        .select(col("vec_id"), col("pcode")), "vec_id")
-      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+    val rebuilt = Similarity.buildIvfPqIndex(survivors, cents, cb, 8, 64)
     // the query set stays the FULL corpus slice (a deleted vector may
     // still arrive as an external query — vec_id 500 is deleted AND a
     // query at sf0.01, so that case is exercised, not hypothetical)

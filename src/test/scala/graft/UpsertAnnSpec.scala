@@ -32,11 +32,7 @@ class UpsertAnnSpec extends AnyFunSuite with SparkSpec {
     val cb = Similarity.pqTrain(train, Similarity.pqCodebook(init, 8, 64),
       8, 64, 2)
     // rebuild over the UPDATED corpus, same books
-    val rebuilt = Similarity.ivfAssign(corpus2, cents)
-      .select(col("vec_id"), col("cell"))
-      .join(Similarity.pqIndex(corpus2, cb, 8, 64)
-        .select(col("vec_id"), col("pcode")), "vec_id")
-      .select(col("vec_id").as("n_id"), col("cell"), col("pcode"))
+    val rebuilt = Similarity.buildIvfPqIndex(corpus2, cents, cb, 8, 64)
     val probes = Similarity.ivfProbes(
       corpus2.filter(col("vec_id") % 100 === 0), cents, 2)
     val fromRebuild = Similarity.ivfPqSearch(rebuilt, probes, cb, corpus2,
