@@ -150,8 +150,19 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
           // here either — it contributes lit(false) and the file is
           // kept for the main filter to decide, instead of crashing
           // the planning job.
-          def safeLit(v: BigDecimal): Option[Column] =
-            try Some(lit(v)) catch { case _: Exception => None }
+          // NB: lit() itself is lazy in the Column-node API — the throw
+          // happens at Column→Expression conversion inside filter(), so
+          // representability is probed eagerly with the same arithmetic
+          // Literal.apply→DecimalType.fromDecimal uses: negative scales
+          // normalize to 0 by widening precision; precision and scale
+          // must both land within the 38-digit ceiling
+          def safeLit(v: BigDecimal): Option[Column] = {
+            val bd = v.underlying
+            val (p, s) =
+              if (bd.scale < 0) (bd.precision.toLong - bd.scale, 0L)
+              else (math.max(bd.precision, bd.scale).toLong, bd.scale.toLong)
+            if (p <= 38 && s <= 38) Some(lit(v)) else None
+          }
           val disjoint =
             lo.flatMap(safeLit).map(v => col(s"max_$c") < v).getOrElse(lit(false)) ||
             hi.flatMap(safeLit).map(v => col(s"min_$c") > v).getOrElse(lit(false))

@@ -63,6 +63,20 @@ class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
       s"scan opened ${scan.metrics("numFiles").value} files, expected 3")
   }
 
+  test("bounds Catalyst cannot hold as literals keep files, never crash planning") {
+    // a pushed bound like > 1e45 (precision 46) or <= 1e-45 (scale 46)
+    // exceeds DecimalType's 38-digit ceiling: building the pruning
+    // literal would throw at listFiles time. The contract is the same
+    // as any unknown bound — prove nothing, keep the file, let the
+    // main filter decide — not a planning crash on a legal query.
+    val dir = mkDir()
+    val idx = new ManifestFileIndex(spark, dir)
+    def kept(filters: org.apache.spark.sql.catalyst.expressions.Expression*): Int =
+      idx.listFiles(Nil, filters).map(_.files.size).sum
+    assert(kept(GreaterThan(ts, Literal(1.0e45))) == 8)
+    assert(kept(LessThanOrEqual(ts, Literal(1.0e-45))) == 8)
+  }
+
   test("equality conjuncts compose with the bloom sidecar under a hash layout") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfi_bloom").toString
