@@ -71,6 +71,77 @@ object TextQueries {
   private def profileSql(p: Seq[String]): String =
     p.mkString("('", "','", "')")
 
+  /** Adjacent-token bigrams of `documents`-shaped rows — map-side zip of
+    * the one token array (shared by the batch q151 gate and its q155
+    * streaming twin so the two can never drift).
+    */
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(lower(col("text")))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+  }
+
+  /** Score bigram rows against the (c2, c1, v) bigram LM: per-bigram
+    * smoothed −ln P quantized to 1e-6 BEFORE the per-doc sum (exact
+    * integer aggregate, order-free), mean as one double division.
+    * Per-row semantics carry no cross-doc state, so scoring a stream
+    * micro-batch and scoring the whole corpus agree row-for-row.
+    */
+  private def lmScore(bg: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame, c1: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(0.5)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") +
+        lit(0.5) * col("v").cast("double"))
+    bg
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor((-log(p)) * lit(1e6) + lit(0.5)).as("e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("e6")).as("nll_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_e6"),
+        (col("nll_e6").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_nll_e6"))
+  }
+
+  /** q151's oracle — also q155's verbatim: streaming the scoring pass
+    * must not change an answer.
+    */
+  private val BigramLmSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+      |  FROM t WHERE len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |      FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 4 = 0)),
+      |nll AS (
+      |  SELECT bg.doc_id,
+      |    CAST(FLOOR((-LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+      |      (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS e6
+      |  FROM bg
+      |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      |  LEFT JOIN c1 ON bg.w1 = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(e6) AS BIGINT) AS nll_e6,
+      |  CAST(SUM(e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nll_e6
+      |FROM nll GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting: whitespace + BPE-ish pre-tokenizer --------------
@@ -363,62 +434,66 @@ object TextQueries {
     // mean is one double division of identical integers. Unseen contexts
     // degrade smoothly to P = 1/V (α cancels), so held-out docs score
     // without special cases.
-    QueryDef.sql(
-      "q151_bigram_lm_nll",
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
-        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
-        |  FROM t WHERE len(toks) >= 2),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1),
-        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-        |      FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 4 = 0)),
-        |nll AS (
-        |  SELECT bg.doc_id,
-        |    CAST(FLOOR((-LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
-        |      (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS e6
-        |  FROM bg
-        |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
-        |  LEFT JOIN c1 ON bg.w1 = c1.w1
-        |  CROSS JOIN v)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  CAST(SUM(e6) AS BIGINT) AS nll_e6,
-        |  CAST(SUM(e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nll_e6
-        |FROM nll GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
-      import graft.text.TextAnalysis
-      val toks = TextAnalysis.tokens(lower(col("text")))
-      val t = Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
-      val bg = t.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
-        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    QueryDef.sql("q151_bigram_lm_nll", BigramLmSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = bigramsOf(docs)
       val train = bg.filter(col("doc_id") % 4 === 0)
       val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = t.filter(col("doc_id") % 4 === 0)
-        .select(explode(col("toks")).as("tok"))
+      val v = docs.filter(col("doc_id") % 4 === 0)
+        .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
+          .as("tok"))
         .agg(count_distinct(col("tok")).as("v"))
-      val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(0.5)) /
-        (coalesce(col("c1"), lit(0L)).cast("double") +
-          lit(0.5) * col("v").cast("double"))
-      bg
-        .join(broadcast(c2), Seq("w1", "w2"), "left")
-        .join(broadcast(c1), Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          floor((-log(p)) * lit(1e6) + lit(0.5)).as("e6"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("e6")).as("nll_e6"))
-        .select(col("doc_id"), col("n_bigrams"), col("nll_e6"),
-          (col("nll_e6").cast("double") / col("n_bigrams").cast("double"))
-            .as("mean_nll_e6"))
+      lmScore(bg, c2, c1, v).orderBy("doc_id")
+    },
+
+    // ---- streaming twin of q151: model inference over a document stream --
+    // The LM is STATIC state (trained batch-side, checkpointed once);
+    // documents arrive as a file stream consumed one file per trigger —
+    // three real micro-batches — and each batch scores against the
+    // broadcast model inside foreachBatch, committing through the
+    // idempotent batch-id sink (a replayed batch can never double-score
+    // a doc). Scoring carries no cross-doc state (the per-doc reduce is
+    // within the doc's own rows, and a doc rides in exactly one file),
+    // so batching cannot change an answer: the oracle is q151's
+    // VERBATIM. This is the online shape of quality filtering — a
+    // fresh crawl scored on arrival against the reference LM, the
+    // q147 ingest pattern with a model in place of an index.
+    QueryDef.sql("q155_stream_lm_score", BigramLmSql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sinks.IdempotentFileSink
+      val root = QueryDef.scratch(d, "stream_lm")
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
+      val docs = Tables.documents(s, d)
+      val train = bigramsOf(docs).filter(col("doc_id") % 4 === 0)
+      val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .transform(graft.Materialize.checkpoint)
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+        .transform(graft.Materialize.checkpoint)
+      val v = docs.filter(col("doc_id") % 4 === 0)
+        .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
+          .as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+        .transform(graft.Materialize.checkpoint)
+      // the corpus arrives as 3 files, one per micro-batch
+      docs.select("doc_id", "text").repartition(3)
+        .write.parquet(s"$root/arrivals")
+      val sch = s.read.parquet(s"$root/arrivals").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          IdempotentFileSink.writeBatch(
+            lmScore(bigramsOf(batch), c2, c1, v), s"$root/sink", id)
+        }
+        .start()
+      q.awaitTermination()
+      IdempotentFileSink.read(s, s"$root/sink")
+        .select("doc_id", "n_bigrams", "nll_e6", "mean_nll_e6")
         .orderBy("doc_id")
     }
   )

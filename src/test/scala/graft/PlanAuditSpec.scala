@@ -55,6 +55,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q87_gap_fill_daily", // calendar x event-type frame: both sides tiny
     "q143_bm25_topk", // broadcast 1-row corpus stats + 1-row df vector onto candidates
     "q151_bigram_lm_nll" // broadcast 1-row vocab size onto the bigram stream
+    // (q155 shares q151's cross but it runs inside foreachBatch — the
+    // audited return plan is just the sink read, so no whitelist entry)
   )
 
   test("selective queries prune columns and push filters to the scan") {
