@@ -540,7 +540,9 @@ object LayoutQueries {
       // the lazy plan would list the tree after the files are gone
       val pre = s.read.parquet(dir).groupBy("event_type")
         .agg(count(lit(1)).as("n_pre")).as[(String, Long)].collect().toSeq
-      val orphans = graft.sources.FileManifest.vacuum(s, dir)
+      // graceMs=0: the gate plants its orphans seconds before vacuuming
+      // and every writer here goes through the locked writeThrough path
+      val orphans = graft.sources.FileManifest.vacuum(s, dir, graceMs = 0L)
       s.read.parquet(dir).groupBy("event_type")
         .agg(count(lit(1)).as("n_post"),
           min("ts_ns").as("min_ts"), max("ts_ns").as("max_ts"))

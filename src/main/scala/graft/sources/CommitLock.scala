@@ -72,21 +72,41 @@ private[graft] object CommitLock {
     * breaker re-verifies staleness ON THE TOMBSTONE (which no rival can
     * touch) and, if it turns out it grabbed a fresh lock in the
     * stat→rename gap, renames it straight back and keeps waiting.
+    * Release is token-guarded: each holder writes a UUID into its lock
+    * file and deletes only a file still carrying its own token, so a
+    * holder whose lock was (correctly or mistakenly) broken can never
+    * release a RIVAL's live lock — the violation never cascades.
+    * Residual honesty: without an atomic compare-and-delete verb (no
+    * Hadoop FS has one) a crashed-writer break with ≥3 concurrent
+    * waiters retains a µs-scale window (steal → restore-fails) where
+    * two waiters overlap; the token guard stops it propagating, and
+    * the commit protocols above this lock (idempotent batch markers,
+    * versioned ledger dirs, manifest swap-by-rename) are themselves
+    * last-writer-wins safe, so the exposure is wasted work, not torn
+    * state.
     */
   def withLock[T](fs: FileSystem, path: Path,
       waitMs: Long = 60000L, staleMs: Long = 600000L)(body: => T): T = {
     val jl = acquireJvm(path.toString)
-    if (!jl.lock.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+    // interruption (Spark stopping a streaming micro-batch thread mid-
+    // wait) must release the refcount like every other exit, or the map
+    // entry pins forever — the leak the refcount exists to prevent
+    val locked =
+      try jl.lock.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case t: Throwable => releaseJvm(path.toString); throw t }
+    if (!locked) {
       releaseJvm(path.toString)
       throw new java.io.IOException(
         s"timed out after ${waitMs}ms waiting for in-process commit lock $path")
     }
+    val token = java.util.UUID.randomUUID().toString
     try {
       val deadline = System.currentTimeMillis() + waitMs
       var acquired = false
       while (!acquired) {
         try {
           val out = fs.create(path, false)
+          out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close()
           acquired = true
         } catch {
@@ -116,7 +136,22 @@ private[graft] object CommitLock {
         }
       }
       try body
-      finally fs.delete(path, false)
+      finally {
+        // release only OUR lock: if a breaker replaced it (we overran
+        // staleMs, or the steal/restore corner hit), the file at `path`
+        // is a RIVAL's live lock — deleting it blindly would let a
+        // further waiter in and cascade the violation. Token mismatch →
+        // leave it; the rightful owner (or the stale-break) cleans up.
+        try {
+          val in = fs.open(path)
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          in.close()
+          if (n > 0 &&
+              new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8) == token)
+            fs.delete(path, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
     } finally {
       jl.lock.unlock()
       releaseJvm(path.toString)

@@ -222,7 +222,8 @@ object FileManifest {
     * distributed-planning rule as [[ManifestFileIndex.listFiles]].
     * Returns the deleted paths, sorted.
     */
-  def vacuum(spark: SparkSession, dataDir: String): Seq[String] = {
+  def vacuum(spark: SparkSession, dataDir: String,
+      graceMs: Long = 600000L): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     CommitLock.withLock(hfs,
@@ -230,11 +231,26 @@ object FileManifest {
       require(hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))),
         s"no manifest under $dataDir — vacuum without one would reap the whole table")
       import spark.implicits._
-      val manifested = spark.read.parquet(manifestPath(dataDir))
+      val manifested = manifestFrame(spark, dataDir)
         .select(ManifestFileIndex.normPath(col("file")).as("m_file"))
-      val orphans = FsListing.listDataFiles(hfs, root).toDF("live_file")
+      val candidates = FsListing.listDataFiles(hfs, root).toDF("live_file")
         .join(manifested, col("live_file") === col("m_file"), "left_anti")
         .collect().map(_.getString(0)).sorted.toSeq
+      // retention threshold: the lock only serializes against
+      // writeThrough users; refresh()'s contract blesses UNLOCKED data
+      // appends followed by a locked refresh, and a vacuum landing in
+      // that gap would see the append as orphaned and destroy committed
+      // rows. A file younger than `graceMs` is treated as possibly
+      // in-flight and spared (the standard remove-orphans retention;
+      // size graceMs above the longest append→refresh latency). The
+      // stats are O(candidate) driver RPCs — already the doomed set,
+      // never the table.
+      val cutoff = System.currentTimeMillis() - graceMs
+      val orphans = candidates.filter { p =>
+        try hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+          .getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      }
       orphans.foreach(p =>
         hfs.delete(new org.apache.hadoop.fs.Path(p), false))
       // drop any cached listings/footers for the pruned tree so a reader

@@ -145,7 +145,9 @@ class MultiWriterSpec extends AnyFunSuite with SparkSpec {
     val reaped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     race(
       () => FileManifest.writeThrough(df(1000L).coalesce(1), dir, Seq("ts")),
-      () => FileManifest.vacuum(spark, dir).foreach(reaped.add))
+      // graceMs=0: this spec PLANTS the orphan and relies on the lock
+      // tier alone (writeThrough holds it through append+refresh)
+      () => FileManifest.vacuum(spark, dir, graceMs = 0L).foreach(reaped.add))
     spark.catalog.refreshByPath(dir)
 
     assert(reaped.size == 1, s"vacuum reaped ${reaped.size} files, expected the 1 orphan")
@@ -154,7 +156,8 @@ class MultiWriterSpec extends AnyFunSuite with SparkSpec {
     val want = (0L until 100L).sum + (1000L until 1100L).sum
     assert(ts == want, s"post-vacuum content drifted: $ts != $want")
     // a second vacuum is a no-op on a clean tree
-    assert(FileManifest.vacuum(spark, dir).isEmpty, "clean-tree vacuum deleted files")
+    assert(FileManifest.vacuum(spark, dir, graceMs = 0L).isEmpty,
+      "clean-tree vacuum deleted files")
   }
 
   test("writeThrough overwrite races an appender: lock survives, no torn tree") {
