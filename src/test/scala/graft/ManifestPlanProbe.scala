@@ -58,9 +58,20 @@ object ManifestPlanProbe {
       val tList = (System.nanoTime() - t1) / 1e9
       val sidecarMb = s.read.parquet(mPath)
         .select(sum(length(col("bloom_ts")))).head().getLong(0) / 1048576.0
+      // the vacuum verb over the same tree: two planted orphans against
+      // the n-entry manifest — the orphan decision is the same
+      // distributed anti-join shape, so the verb must stay ~flat as the
+      // manifest grows (driver work is O(orphans), never O(entries))
+      (0 until 2).foreach { k =>
+        Seq((9000L + k, "orphan")).toDF("ts", "payload")
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val t2 = System.nanoTime()
+      val reaped = FileManifest.vacuum(s, dir, graceMs = 0L).size
+      val tVac = (System.nanoTime() - t2) / 1e9
       println(f"manifest_plan n=${n + 8}%-7d construct=$tCons%6.2f s " +
         f"prune_listing=$tList%6.2f s kept=$kept driver_bytes=${idx.lastListingDriverBytes} " +
-        f"sidecar_total=$sidecarMb%.1f MB")
+        f"sidecar_total=$sidecarMb%.1f MB vacuum=$tVac%6.2f s reaped=$reaped")
     }
     s.stop()
   }
