@@ -495,6 +495,91 @@ object TextQueries {
       IdempotentFileSink.read(s, s"$root/sink")
         .select("doc_id", "n_bigrams", "nll_e6", "mean_nll_e6")
         .orderBy("doc_id")
+    },
+
+    // ---- sparse TF-IDF cosine retrieval (inverted-index join) ------------
+    // The SPARSE twin of the dense embedding path (q30/q106): documents
+    // as tf-idf vectors over the vocabulary, query docs retrieving their
+    // top-3 nearest by cosine THROUGH AN INVERTED INDEX — candidates
+    // meet only on shared tokens (the posting-list equi-join), so a pair
+    // with no overlap costs nothing, ever; there is no all-pairs stage
+    // at any corpus size. Plan: one tokenize+explode (map-side), one
+    // (doc,token) tf shuffle, df as a second aggregate of the SAME tf
+    // table (never a second corpus scan), the tiny query-doc postings
+    // broadcast onto the posting join, per-pair integer dot aggregate,
+    // per-query rank window. Float determinism, the q151 rule: each
+    // token's weight product quantizes to 1e-6 BEFORE the per-pair sum
+    // (exact integer aggregate; same for the norms' squared sums), so
+    // the only double ops are one division and one multiply chain on
+    // identical integers — bit-exact in DuckDB.
+    QueryDef.sql(
+      "q156_tfidf_cosine",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |w AS (SELECT doc_id, tf.token AS token,
+        |        CAST(tf AS DOUBLE) * LN(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |      FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN nd),
+        |nrm AS (SELECT doc_id,
+        |          sqrt(CAST(SUM(CAST(FLOOR(w * w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / 1000000.0) AS nrm
+        |        FROM w GROUP BY 1),
+        |p AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+        |        CAST(SUM(CAST(FLOOR(q.w * c.w * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dot_e6
+        |      FROM w q JOIN w c ON q.token = c.token AND q.doc_id <> c.doc_id
+        |      WHERE q.doc_id % 100 = 0
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT q_id, n_id,
+        |         (CAST(dot_e6 AS DOUBLE) / 1000000.0) / (a.nrm * b.nrm) AS sim
+        |       FROM p JOIN nrm a ON q_id = a.doc_id JOIN nrm b ON n_id = b.doc_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |               ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY q_id, rank""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextAnalysis
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val w = tf.join(broadcast(dft), "token")
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") *
+            log(col("n").cast("double") / col("df").cast("double"))).as("w"))
+        // weights feed the norms AND both sides of the posting join
+        .transform(graft.Materialize.checkpoint)
+      val nrm = w.groupBy("doc_id")
+        .agg(sum(floor(col("w") * col("w") * lit(1e6) + lit(0.5))).as("n2e6"))
+        .select(col("doc_id"),
+          sqrt(col("n2e6").cast("double") / lit(1e6)).as("nrm"))
+      val q = w.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("token"), col("w").as("wq"))
+      val pairs = broadcast(q)
+        .join(w.select(col("doc_id").as("n_id"), col("token"), col("w").as("wc")),
+          "token")
+        .filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(floor(col("wq") * col("wc") * lit(1e6) + lit(0.5))).as("dot_e6"))
+      val win = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      pairs
+        .join(nrm.select(col("doc_id").as("q_id"), col("nrm").as("nq")), "q_id")
+        .join(nrm.select(col("doc_id").as("n_id"), col("nrm").as("nc")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          ((col("dot_e6").cast("double") / lit(1e6)) /
+            (col("nq") * col("nc"))).as("sim"))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("q_id", "rank")
     }
   )
 }

@@ -54,9 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
     "q87_gap_fill_daily", // calendar x event-type frame: both sides tiny
     "q143_bm25_topk", // broadcast 1-row corpus stats + 1-row df vector onto candidates
-    "q151_bigram_lm_nll" // broadcast 1-row vocab size onto the bigram stream
+    "q151_bigram_lm_nll", // broadcast 1-row vocab size onto the bigram stream
     // (q155 shares q151's cross but it runs inside foreachBatch — the
     // audited return plan is just the sink read, so no whitelist entry)
+    "q156_tfidf_cosine" // broadcast 1-row corpus count onto the tf table
   )
 
   test("selective queries prune columns and push filters to the scan") {
