@@ -232,6 +232,55 @@ object ScaleSmoke {
         println(f"knn_graph_rscale $tag%-4s planes=$nPlanes edges=$n ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    // ---- sparse retrieval under corpus growth (q156's shape) -----------
+    // The registered q156 grows its QUERY SET with the corpus (doc_id %
+    // 100 matches in every replica), which would measure queries ×
+    // corpus. Production retrieval holds the query set fixed while the
+    // corpus grows, so this block pins 5 query docs (the 1x set) and
+    // re-times the full inverted-index retrieval at 1x and 10x: cost
+    // per query tracks POSTING-LIST LENGTH — linear in the corpus,
+    // never corpus² (pairs exist only where tokens are shared).
+    if (!args.contains("skew") && generalOnly.forall(_.contains("tfidf_fixedq")))
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
+        val t0 = System.nanoTime()
+        val docs = Tables.documents(spark, dir)
+        val tf = docs.select(col("doc_id"),
+            explode(graft.text.TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val w = tf.join(broadcast(dft), "token").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("token"),
+            (col("tf").cast("double") *
+              log(col("n").cast("double") / col("df").cast("double"))).as("w"))
+          .transform(Materialize.checkpoint)
+        val nrm = w.groupBy("doc_id")
+          .agg(sum(floor(col("w") * col("w") * lit(1e6) + lit(0.5))).as("n2e6"))
+          .select(col("doc_id"), sqrt(col("n2e6").cast("double") / lit(1e6)).as("nrm"))
+        // FIXED query set: the 1x queries only, in every tier
+        val q = w.filter(col("doc_id") < 500 && col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"), col("token"), col("w").as("wq"))
+        val pairs = broadcast(q)
+          .join(w.select(col("doc_id").as("n_id"), col("token"), col("w").as("wc")),
+            "token")
+          .filter(col("q_id") =!= col("n_id"))
+          .groupBy("q_id", "n_id")
+          .agg(sum(floor(col("wq") * col("wc") * lit(1e6) + lit(0.5))).as("dot_e6"))
+        val win = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+        val rows = pairs
+          .join(nrm.select(col("doc_id").as("q_id"), col("nrm").as("nq")), "q_id")
+          .join(nrm.select(col("doc_id").as("n_id"), col("nrm").as("nc")), "n_id")
+          .select(col("q_id"), col("n_id"),
+            ((col("dot_e6").cast("double") / lit(1e6)) /
+              (col("nq") * col("nc"))).as("sim"))
+          .withColumn("rank", row_number().over(win))
+          .filter(col("rank") <= 3)
+          .queryExecution.toRdd.count()
+        println(f"tfidf_fixedq $tag%-4s rows=$rows ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
     // ---- skew-shaped stress (dedup/CC family) --------------------------
     // Everything above replicates UNIFORM testdata; the scale claims for
     // q26/q28/q71 rest on SKEW behavior no uniform smoke exercises. Three
