@@ -581,6 +581,88 @@ object MixQueries {
             slice(col("toks"), col("start_tok").cast("int"),
               col("n_tok").cast("int")))).as("chunk_hash"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- mixture planning: water-filling token allocation -----------------
+    // The PLANNING step between q60 (apply sampling rates) and q68 (cap
+    // by quality): given per-source token capacity, target mixture
+    // weights, and a total token budget, allocate tokens ∝ weight —
+    // except sources whose capacity runs out first SATURATE (take all
+    // they have) and their shortfall redistributes to the rest at a
+    // common water level λ. Closed form, no iteration: sort sources by
+    // capacity/weight, prefix-sum both, λ(k) = (B − Σ_sat c)/(Σ_unsat w);
+    // the saturation set is the longest ratio-sorted prefix whose own
+    // ratio is under its λ. At 90% budget 13 of 20 sources saturate, so
+    // BOTH branches are gate-exercised. Scale shape: the only
+    // corpus-sized work is ONE token-count groupBy; every window and
+    // cross after it runs on the K-source aggregate (K rows — the q150
+    // post-aggregate rule), so mixture planning costs the same at 100 TB
+    // as at 100 MB.
+    QueryDef.sql(
+      "q157_mixture_waterfill",
+      """WITH t AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS c,
+        |    CAST(CAST(SUBSTR(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT CAST(9 * SUM(c) // 10 AS BIGINT) AS budget,
+        |             CAST(SUM(w) AS BIGINT) AS wtot FROM t),
+        |r AS (SELECT source, c, w,
+        |        CAST(c AS DOUBLE) / CAST(w AS DOUBLE) AS ratio,
+        |        CAST(row_number() OVER (ORDER BY CAST(c AS DOUBLE)/CAST(w AS DOUBLE), source) AS BIGINT) AS rk,
+        |        CAST(SUM(c) OVER (ORDER BY CAST(c AS DOUBLE)/CAST(w AS DOUBLE), source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ck,
+        |        CAST(SUM(w) OVER (ORDER BY CAST(c AS DOUBLE)/CAST(w AS DOUBLE), source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS wk
+        |      FROM t),
+        |l AS (SELECT r.*, budget, wtot,
+        |        CASE WHEN wtot - wk > 0
+        |             THEN CAST(budget - ck AS DOUBLE) / CAST(wtot - wk AS DOUBLE) END AS lam_k
+        |      FROM r CROSS JOIN b),
+        |star AS (SELECT COALESCE(MAX(CASE WHEN ratio <= lam_k THEN rk END), 0) AS kstar FROM l),
+        |lam AS (SELECT CASE WHEN s.kstar = 0
+        |               THEN CAST(b2.budget AS DOUBLE) / CAST(b2.wtot AS DOUBLE)
+        |               ELSE MAX(CASE WHEN l.rk = s.kstar THEN l.lam_k END) END AS lam
+        |        FROM l CROSS JOIN star s CROSS JOIN b b2
+        |        GROUP BY s.kstar, b2.budget, b2.wtot)
+        |SELECT l.source, l.c, l.w, l.rk <= s.kstar AS saturated,
+        |  CASE WHEN l.rk <= s.kstar THEN l.c
+        |       ELSE CAST(FLOOR(lam.lam * CAST(l.w AS DOUBLE)) AS BIGINT) END AS alloc
+        |FROM l CROSS JOIN star s CROSS JOIN lam
+        |ORDER BY l.source""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("c"))
+        .withColumn("w",
+          (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
+      val b = t.agg(sum("c").as("sc"), sum("w").as("wtot"))
+        .selectExpr("9 * sc div 10 as budget", "wtot")
+      val ratio = col("c").cast("double") / col("w").cast("double")
+      val ord = Window.orderBy(ratio, col("source"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l = t
+        .withColumn("ratio", ratio)
+        .withColumn("rk", row_number().over(ord).cast("long"))
+        .withColumn("ck", sum(col("c")).over(cum))
+        .withColumn("wk", sum(col("w")).over(cum))
+        .crossJoin(broadcast(b))
+        .withColumn("lam_k", when(col("wtot") - col("wk") > 0,
+          (col("budget") - col("ck")).cast("double") /
+            (col("wtot") - col("wk")).cast("double")))
+        .transform(graft.Materialize.checkpoint)
+      val star = l.agg(coalesce(
+        max(when(col("ratio") <= col("lam_k"), col("rk"))), lit(0L)).as("kstar"))
+      val lam = l.crossJoin(broadcast(star))
+        .groupBy("kstar", "budget", "wtot")
+        .agg(max(when(col("rk") === col("kstar"), col("lam_k"))).as("lamk"))
+        .select(when(col("kstar") === 0,
+            col("budget").cast("double") / col("wtot").cast("double"))
+          .otherwise(col("lamk")).as("lam"))
+      l.crossJoin(broadcast(star)).crossJoin(broadcast(lam))
+        .select(col("source"), col("c"), col("w"),
+          (col("rk") <= col("kstar")).as("saturated"),
+          when(col("rk") <= col("kstar"), col("c"))
+            .otherwise(floor(col("lam") * col("w").cast("double"))).as("alloc"))
+        .orderBy("source")
     }
   )
 }

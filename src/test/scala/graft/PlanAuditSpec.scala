@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q151_bigram_lm_nll", // broadcast 1-row vocab size onto the bigram stream
     // (q155 shares q151's cross but it runs inside foreachBatch — the
     // audited return plan is just the sink read, so no whitelist entry)
-    "q156_tfidf_cosine" // broadcast 1-row corpus count onto the tf table
+    "q156_tfidf_cosine", // broadcast 1-row corpus count onto the tf table
+    "q157_mixture_waterfill" // 1-row budget/kstar/lam frames onto the K-source table
   )
 
   test("selective queries prune columns and push filters to the scan") {
