@@ -293,6 +293,47 @@ object DedupQueries {
       lshPairs(s, d).orderBy("d1", "d2")
     },
 
+    // ---- cross-source duplication matrix (dedup ANALYTICS) ---------------
+    // Which sources copy from which: every verified near-dup pair mapped
+    // to its (source, source) cell — the cross-crawl contamination
+    // matrix a curation team reads before deciding which feed to drop or
+    // down-weight. The pair relation is q26's VERBATIM (shared
+    // lshPairs), so this is a reporting aggregate over an already-gated
+    // edge set: two broadcast dim joins (corpus replica ids fold back to
+    // their original doc via % 100000) and one K²-cell groupBy. Per-pair
+    // jaccard quantizes to 1e-6 BEFORE the cell sum (the q151 rule:
+    // integer aggregate, order-free), mean as one double division.
+    QueryDef.sql(
+      "q158_dup_source_matrix",
+      s"""WITH $PairsCtes,
+         |s1 AS (SELECT doc_id, source FROM documents),
+         |m AS (SELECT p.jac, a.source AS sa, b.source AS sb
+         |      FROM pairs p JOIN s1 a ON (p.d1 % 100000) = a.doc_id
+         |                   JOIN s1 b ON (p.d2 % 100000) = b.doc_id),
+         |g AS (SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |        CAST(SUM(CAST(FLOOR(jac * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS jac_e6
+         |      FROM m GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_pairs, jac_e6,
+         |  CAST(jac_e6 AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean_jac_e6
+         |FROM g ORDER BY src_a, src_b""") { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      lshPairs(s, d)
+        .join(broadcast(src.select(col("doc_id").as("k1"), col("source").as("sa"))),
+          col("d1") % 100000 === col("k1"))
+        .join(broadcast(src.select(col("doc_id").as("k2"), col("source").as("sb"))),
+          col("d2") % 100000 === col("k2"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          floor(col("jac") * lit(1e6) + lit(0.5)).as("e6"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("e6")).as("jac_e6"))
+        .select(col("src_a"), col("src_b"), col("n_pairs"), col("jac_e6"),
+          (col("jac_e6").cast("double") / col("n_pairs").cast("double"))
+            .as("mean_jac_e6"))
+        .orderBy("src_a", "src_b")
+    },
+
     // ---- SimHash signatures ----------------------------------------------
     QueryDef.sql(
       "q27_simhash", {
