@@ -166,8 +166,12 @@ object ScaleSmoke {
       "q141_cms_state_merge",
       // round-14 sequence-prep: q151's LM build/score shuffles bigram
       // KEYS (vocab-bounded) while the corpus side is map-side — ~linear;
-      // q152 is pure map-side chunking — linear by construction
-      "q151_bigram_lm_nll", "q152_chunk_sliding")
+      // q152 is pure map-side chunking — linear by construction;
+      // q157's only corpus-sized work is one token-count groupBy (the
+      // windows run on the K-source aggregate) — expected flat; q158 is
+      // a reporting aggregate over q26's pair relation — q26's growth
+      "q151_bigram_lm_nll", "q152_chunk_sliding",
+      "q157_mixture_waterfill", "q158_dup_source_matrix")
       .filter(q => generalOnly.forall(_.contains(q)))) {
       for ((tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
         val t0 = System.nanoTime()
