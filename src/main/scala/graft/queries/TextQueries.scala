@@ -497,6 +497,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- CCNet head/middle/tail buckets over the LM score -----------------
+    // CCNet's actual OUTPUT shape: per source, documents split into
+    // perplexity terciles (head = closest to the reference LM, tail =
+    // furthest), the buckets a pretraining mix samples at different
+    // rates. Composes q151's NLL with a per-source ntile — the window
+    // partitions by source, so no global sort; ordering is on the
+    // mean-NLL double, bit-identical across engines because it is one
+    // division of identical integers (doc_id tie-break). The gated
+    // output is the per-(source, bucket) roll-up with integer NLL
+    // bounds — a drifted bucket boundary moves a doc between buckets
+    // and fails the hash.
+    QueryDef.sql(
+      "q159_ccnet_buckets", {
+        val inner = BigramLmSql.stripMargin
+          .replace("FROM nll GROUP BY doc_id ORDER BY doc_id",
+            "FROM nll GROUP BY doc_id")
+        s"""WITH scored AS ($inner),
+           |b AS (SELECT d.source, s.doc_id, s.nll_e6, s.n_bigrams,
+           |        CAST(ntile(3) OVER (PARTITION BY d.source
+           |               ORDER BY CAST(s.nll_e6 AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE),
+           |                        s.doc_id) AS BIGINT) AS bucket
+           |      FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+           |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(MIN(nll_e6) AS BIGINT) AS min_nll_e6,
+           |  CAST(MAX(nll_e6) AS BIGINT) AS max_nll_e6
+           |FROM b GROUP BY source, bucket ORDER BY source, bucket"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val bg = bigramsOf(docs)
+      val train = bg.filter(col("doc_id") % 4 === 0)
+      val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = docs.filter(col("doc_id") % 4 === 0)
+        .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
+          .as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("nll_e6").cast("double") / col("n_bigrams").cast("double"),
+          col("doc_id"))
+      lmScore(bg, c2, c1, v)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll_e6")).as("min_nll_e6"),
+          max(col("nll_e6")).as("max_nll_e6"))
+        .orderBy("source", "bucket")
+    },
+
     // ---- sparse TF-IDF cosine retrieval (inverted-index join) ------------
     // The SPARSE twin of the dense embedding path (q30/q106): documents
     // as tf-idf vectors over the vocabulary, query docs retrieving their

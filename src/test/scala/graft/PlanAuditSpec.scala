@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // (q155 shares q151's cross but it runs inside foreachBatch — the
     // audited return plan is just the sink read, so no whitelist entry)
     "q156_tfidf_cosine", // broadcast 1-row corpus count onto the tf table
-    "q157_mixture_waterfill" // 1-row budget/kstar/lam frames onto the K-source table
+    "q157_mixture_waterfill", // 1-row budget/kstar/lam frames onto the K-source table
+    "q159_ccnet_buckets" // q151's 1-row vocab cross under the bucket roll-up
   )
 
   test("selective queries prune columns and push filters to the scan") {
