@@ -361,6 +361,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- uncertainty sampling: the labeling queue -------------------------
+    // Active-learning selection over q121's classifier: per source, the
+    // 5 documents with the SMALLEST |margin| — the rows the model is
+    // least sure about, exactly the ones a labeling budget buys the
+    // most from. Margin inference stays the q121 map-side JVM kernel;
+    // the per-source top-N runs through `operators/StratifiedTopN`
+    // (count → prefilter → rank only survivors, shortfall-guarded), so
+    // one giant source never sorts in a single reducer — the same
+    // scale posture as q128, keyed by |margin| instead of a hash.
+    QueryDef.sql(
+      "q160_uncertainty_sample",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(COALESCE(list_sum(list_transform(toks, tok ->
+        |      ((list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(string_split(tok, ''), c -> unicode(c)::BIGINT)),
+        |          (a, x) -> (a * 31 + x) % 1000000007) % 4096)
+        |        * 2654435761) % 2001 - 1000)), 0) AS BIGINT) AS margin
+        |  FROM t),
+        |f AS (SELECT * FROM w WHERE n_tok > 0),
+        |r AS (SELECT source, doc_id, n_tok, margin,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY ABS(margin), doc_id) AS BIGINT) AS rk
+        |      FROM f)
+        |SELECT source, doc_id, n_tok, margin, rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""") { (s, d) =>
+      import graft.text.TextAnalysis
+      val m = Tables.documents(s, d)
+        .transform(graft.Tables.spread(_, col("doc_id")))
+        .withColumn("hl", TextAnalysis.hashedLinearUdf(col("text")))
+        .select(col("doc_id"), col("source"),
+          col("hl._1").as("n_tok"), col("hl._2").as("margin"))
+        .filter(col("n_tok") > 0)
+        .withColumn("umargin", abs(col("margin")))
+      graft.operators.StratifiedTopN.byHashOrder(
+          m, Seq("source"), "umargin", 1L << 40, "doc_id", n = 5)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("margin"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("source", "rk")
+    },
+
     // ---- BM25 top-k lexical retrieval ------------------------------------
     // Inverted-index retrieval without materializing the inverted index:
     // per-document (dl, tf_i) for the FIXED query-term set is computed
