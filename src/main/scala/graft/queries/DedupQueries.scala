@@ -334,6 +334,64 @@ object DedupQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- split leakage: near-dup pairs straddling train/val/test ----------
+    // Eval hygiene DISTINCT from benchmark decontamination (q67/q101):
+    // a random split leaks whenever a val/test doc has a near-dup in
+    // train — the eval score then measures memorization. q77's
+    // production split keys on doc_id % 1000, which exact replicas
+    // (+100000) share, so it is leak-free BY CONSTRUCTION for planted
+    // dups; this gate deliberately splits NAIVELY (mod 100003, which
+    // replicas do not share) and measures what leaks: every verified
+    // q26 pair whose endpoints fall in different splits, rolled up per
+    // split-pair cell with the distinct leaked-doc count. The pair
+    // relation is q26's verbatim — the detector is a reporting
+    // aggregate over an already-gated edge set, one broadcast split-dim
+    // join away.
+    QueryDef.sql(
+      "q161_split_leakage",
+      s"""WITH $PairsCtes,
+         |sp AS (SELECT doc_id AS cid,
+         |         CASE WHEN ((doc_id % 100003) * 2654435761) % 1000 < 900 THEN 'train'
+         |              WHEN ((doc_id % 100003) * 2654435761) % 1000 < 950 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM corpus),
+         |m AS (SELECT p.d1, p.d2, a.split AS s1, b.split AS s2
+         |      FROM pairs p JOIN sp a ON p.d1 = a.cid
+         |                   JOIN sp b ON p.d2 = b.cid
+         |      WHERE a.split <> b.split),
+         |x AS (SELECT LEAST(s1, s2) AS split_a, GREATEST(s1, s2) AS split_b,
+         |             d1, d2 FROM m),
+         |g AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |      FROM x GROUP BY 1, 2),
+         |di AS (SELECT split_a, split_b, d1 AS doc FROM x
+         |       UNION SELECT split_a, split_b, d2 AS doc FROM x),
+         |dg AS (SELECT split_a, split_b,
+         |         CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         |       FROM di GROUP BY 1, 2)
+         |SELECT g.split_a, g.split_b, g.n_pairs, dg.n_docs
+         |FROM g JOIN dg ON g.split_a = dg.split_a AND g.split_b = dg.split_b
+         |ORDER BY g.split_a, g.split_b""") { (s, d) =>
+      val h = (col("cid") % 100003 * 2654435761L) % 1000
+      val sp = corpus(s, d).select(col("doc_id").as("cid"))
+        .select(col("cid"), when(h < 900, "train").when(h < 950, "val")
+          .otherwise("test").as("split"))
+      val m = lshPairs(s, d)
+        .join(broadcast(sp.select(col("cid").as("d1"), col("split").as("s1"))), "d1")
+        .join(broadcast(sp.select(col("cid").as("d2"), col("split").as("s2"))), "d2")
+        .filter(col("s1") =!= col("s2"))
+        .select(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"), col("d1"), col("d2"))
+        .transform(graft.Materialize.checkpoint)
+      val g = m.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      val dg = m.select(col("split_a"), col("split_b"), col("d1").as("doc"))
+        .unionByName(m.select(col("split_a"), col("split_b"), col("d2").as("doc")))
+        .distinct()
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_docs"))
+      g.join(dg, Seq("split_a", "split_b"))
+        .select("split_a", "split_b", "n_pairs", "n_docs")
+        .orderBy("split_a", "split_b")
+    },
+
     // ---- SimHash signatures ----------------------------------------------
     QueryDef.sql(
       "q27_simhash", {
