@@ -627,7 +627,6 @@ object MixQueries {
         |       ELSE CAST(FLOOR(lam.lam * CAST(l.w AS DOUBLE)) AS BIGINT) END AS alloc
         |FROM l CROSS JOIN star s CROSS JOIN lam
         |ORDER BY l.source""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, d)
         .groupBy("source")
         .agg(sum(size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"))
@@ -636,33 +635,7 @@ object MixQueries {
           (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("long"))
       val b = t.agg(sum("c").as("sc"), sum("w").as("wtot"))
         .selectExpr("9 * sc div 10 as budget", "wtot")
-      val ratio = col("c").cast("double") / col("w").cast("double")
-      val ord = Window.orderBy(ratio, col("source"))
-      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val l = t
-        .withColumn("ratio", ratio)
-        .withColumn("rk", row_number().over(ord).cast("long"))
-        .withColumn("ck", sum(col("c")).over(cum))
-        .withColumn("wk", sum(col("w")).over(cum))
-        .crossJoin(broadcast(b))
-        .withColumn("lam_k", when(col("wtot") - col("wk") > 0,
-          (col("budget") - col("ck")).cast("double") /
-            (col("wtot") - col("wk")).cast("double")))
-        .transform(graft.Materialize.checkpoint)
-      val star = l.agg(coalesce(
-        max(when(col("ratio") <= col("lam_k"), col("rk"))), lit(0L)).as("kstar"))
-      val lam = l.crossJoin(broadcast(star))
-        .groupBy("kstar", "budget", "wtot")
-        .agg(max(when(col("rk") === col("kstar"), col("lam_k"))).as("lamk"))
-        .select(when(col("kstar") === 0,
-            col("budget").cast("double") / col("wtot").cast("double"))
-          .otherwise(col("lamk")).as("lam"))
-      l.crossJoin(broadcast(star)).crossJoin(broadcast(lam))
-        .select(col("source"), col("c"), col("w"),
-          (col("rk") <= col("kstar")).as("saturated"),
-          when(col("rk") <= col("kstar"), col("c"))
-            .otherwise(floor(col("lam") * col("w").cast("double"))).as("alloc"))
-        .orderBy("source")
+      graft.operators.Waterfill.allocate(t, b)
     }
   )
 }
