@@ -299,10 +299,14 @@ object DedupQueries {
     // matrix a curation team reads before deciding which feed to drop or
     // down-weight. The pair relation is q26's VERBATIM (shared
     // lshPairs), so this is a reporting aggregate over an already-gated
-    // edge set: two broadcast dim joins (corpus replica ids fold back to
-    // their original doc via % 100000) and one K²-cell groupBy. Per-pair
-    // jaccard quantizes to 1e-6 BEFORE the cell sum (the q151 rule:
-    // integer aggregate, order-free), mean as one double division.
+    // edge set: two shuffled equi-joins against the documents table
+    // (corpus replica ids fold back to their original doc via % 100000)
+    // and one K²-cell groupBy. NO broadcast hint on the documents side:
+    // one row per document is corpus-sized, not a dim — at 100 TB it is
+    // billions of rows, and a forced broadcast is a driver/executor OOM.
+    // AQE still broadcasts it when it measures small. Per-pair jaccard
+    // quantizes to 1e-6 BEFORE the cell sum (the q151 rule: integer
+    // aggregate, order-free), mean as one double division.
     QueryDef.sql(
       "q158_dup_source_matrix",
       s"""WITH $PairsCtes,
@@ -319,9 +323,9 @@ object DedupQueries {
          |FROM g ORDER BY src_a, src_b""") { (s, d) =>
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       lshPairs(s, d)
-        .join(broadcast(src.select(col("doc_id").as("k1"), col("source").as("sa"))),
+        .join(src.select(col("doc_id").as("k1"), col("source").as("sa")),
           col("d1") % 100000 === col("k1"))
-        .join(broadcast(src.select(col("doc_id").as("k2"), col("source").as("sb"))),
+        .join(src.select(col("doc_id").as("k2"), col("source").as("sb")),
           col("d2") % 100000 === col("k2"))
         .select(least(col("sa"), col("sb")).as("src_a"),
           greatest(col("sa"), col("sb")).as("src_b"),
@@ -345,22 +349,24 @@ object DedupQueries {
     // q26 pair whose endpoints fall in different splits, rolled up per
     // split-pair cell with the distinct leaked-doc count. The pair
     // relation is q26's verbatim — the detector is a reporting
-    // aggregate over an already-gated edge set, one broadcast split-dim
-    // join away.
+    // aggregate over an already-gated edge set. The split label is PURE
+    // doc_id arithmetic, so it computes INLINE on each pair endpoint —
+    // map-side expressions, zero joins; a corpus-cardinality split dim
+    // (one row per document) would be a broadcast that grows with the
+    // corpus, an OOM at 10⁹ docs for a frame that never needed to exist.
     QueryDef.sql(
       "q161_split_leakage",
       s"""WITH $PairsCtes,
-         |sp AS (SELECT doc_id AS cid,
-         |         CASE WHEN ((doc_id % 100003) * 2654435761) % 1000 < 900 THEN 'train'
-         |              WHEN ((doc_id % 100003) * 2654435761) % 1000 < 950 THEN 'val'
-         |              ELSE 'test' END AS split
-         |       FROM corpus),
-         |m AS (SELECT p.d1, p.d2, a.split AS s1, b.split AS s2
-         |      FROM pairs p JOIN sp a ON p.d1 = a.cid
-         |                   JOIN sp b ON p.d2 = b.cid
-         |      WHERE a.split <> b.split),
+         |m AS (SELECT d1, d2,
+         |        CASE WHEN ((d1 % 100003) * 2654435761) % 1000 < 900 THEN 'train'
+         |             WHEN ((d1 % 100003) * 2654435761) % 1000 < 950 THEN 'val'
+         |             ELSE 'test' END AS s1,
+         |        CASE WHEN ((d2 % 100003) * 2654435761) % 1000 < 900 THEN 'train'
+         |             WHEN ((d2 % 100003) * 2654435761) % 1000 < 950 THEN 'val'
+         |             ELSE 'test' END AS s2
+         |      FROM pairs),
          |x AS (SELECT LEAST(s1, s2) AS split_a, GREATEST(s1, s2) AS split_b,
-         |             d1, d2 FROM m),
+         |             d1, d2 FROM m WHERE s1 <> s2),
          |g AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |      FROM x GROUP BY 1, 2),
          |di AS (SELECT split_a, split_b, d1 AS doc FROM x
@@ -371,13 +377,13 @@ object DedupQueries {
          |SELECT g.split_a, g.split_b, g.n_pairs, dg.n_docs
          |FROM g JOIN dg ON g.split_a = dg.split_a AND g.split_b = dg.split_b
          |ORDER BY g.split_a, g.split_b""") { (s, d) =>
-      val h = (col("cid") % 100003 * 2654435761L) % 1000
-      val sp = corpus(s, d).select(col("doc_id").as("cid"))
-        .select(col("cid"), when(h < 900, "train").when(h < 950, "val")
-          .otherwise("test").as("split"))
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val h = (c % 100003 * 2654435761L) % 1000
+        when(h < 900, "train").when(h < 950, "val").otherwise("test")
+      }
       val m = lshPairs(s, d)
-        .join(broadcast(sp.select(col("cid").as("d1"), col("split").as("s1"))), "d1")
-        .join(broadcast(sp.select(col("cid").as("d2"), col("split").as("s2"))), "d2")
+        .select(col("d1"), col("d2"),
+          splitOf(col("d1")).as("s1"), splitOf(col("d2")).as("s2"))
         .filter(col("s1") =!= col("s2"))
         .select(least(col("s1"), col("s2")).as("split_a"),
           greatest(col("s1"), col("s2")).as("split_b"), col("d1"), col("d2"))

@@ -644,9 +644,15 @@ object TextQueries {
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // dft grows with DISTINCT TOKENS (Heaps' law — 10⁸-10⁹ at web
+      // scale), so it must NOT be broadcast: the tf ⋈ dft equi-join on
+      // token reuses the hash partitioning the df aggregate itself just
+      // produced, so the plain join costs zero extra exchange on the df
+      // side. Only the 1-row corpus count and the fixed query postings
+      // below are broadcast-sized.
       val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n"))
-      val w = tf.join(broadcast(dft), "token")
+      val w = tf.join(dft, "token")
         .crossJoin(broadcast(nd))
         .select(col("doc_id"), col("token"),
           (col("tf").cast("double") *
