@@ -111,6 +111,41 @@ object TextQueries {
           .as("mean_nll_e6"))
   }
 
+  /** Shipped-LM size caps: the trained bigram/context tables are pruned to
+    * the top-K most frequent entries (count desc, key tie-break — a total
+    * order, so both engines pick the identical K) BEFORE they feed
+    * scoring. An unpruned bigram table grows with the train slice (Heaps'
+    * law), so broadcasting it would OOM at 100 TB; a production LM ships
+    * pruned, and out-of-model entries smooth to the same α-backoff as any
+    * unseen bigram. K is sized to BITE at the sf0.01 gate (903 distinct
+    * train bigrams / 30 unigrams there) so the pruning semantics are what
+    * the hash actually pins.
+    */
+  private val LmTopBigrams = 512
+  private val LmTopUnigrams = 24
+
+  /** Train the pruned (c2, c1, v) bigram LM from `docs` (held-in slice
+    * doc_id % 4 = 0) — ONE builder shared by q151, its q155 streaming
+    * twin, and q159's buckets so the three models can never drift. The
+    * top-K prune is an ordered LIMIT (TakeOrderedAndProject — K rows to
+    * the driver-side of the broadcast no matter the corpus size), which
+    * is also what proves these frames bounded to the plan audit.
+    */
+  private def lmTrain(docs: org.apache.spark.sql.DataFrame)
+    : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame) = {
+    val train = bigramsOf(docs).filter(col("doc_id") % 4 === 0)
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(LmTopBigrams)
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w1")).limit(LmTopUnigrams)
+    val v = docs.filter(col("doc_id") % 4 === 0)
+      .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
+        .as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    (c2, c1, v)
+  }
+
   /** q151's oracle — also q155's verbatim: streaming the scoring pass
     * must not change an answer.
     */
@@ -124,8 +159,10 @@ object TextQueries {
       |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
       |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
       |  FROM t WHERE len(toks) >= 2),
-      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2),
-      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2
+      |       ORDER BY c2 DESC, w1, w2 LIMIT 512),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1
+      |       ORDER BY c1 DESC, w1 LIMIT 24),
       |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
       |      FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 4 = 0)),
       |nll AS (
@@ -481,15 +518,8 @@ object TextQueries {
     // without special cases.
     QueryDef.sql("q151_bigram_lm_nll", BigramLmSql) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val bg = bigramsOf(docs)
-      val train = bg.filter(col("doc_id") % 4 === 0)
-      val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = docs.filter(col("doc_id") % 4 === 0)
-        .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
-          .as("tok"))
-        .agg(count_distinct(col("tok")).as("v"))
-      lmScore(bg, c2, c1, v).orderBy("doc_id")
+      val (c2, c1, v) = lmTrain(docs)
+      lmScore(bigramsOf(docs), c2, c1, v).orderBy("doc_id")
     },
 
     // ---- streaming twin of q151: model inference over a document stream --
@@ -512,16 +542,10 @@ object TextQueries {
       val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
       if (hfs.exists(rootP)) hfs.delete(rootP, true)
       val docs = Tables.documents(s, d)
-      val train = bigramsOf(docs).filter(col("doc_id") % 4 === 0)
-      val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        .transform(graft.Materialize.checkpoint)
-      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-        .transform(graft.Materialize.checkpoint)
-      val v = docs.filter(col("doc_id") % 4 === 0)
-        .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
-          .as("tok"))
-        .agg(count_distinct(col("tok")).as("v"))
-        .transform(graft.Materialize.checkpoint)
+      val (c2t, c1t, vt) = lmTrain(docs)
+      val c2 = c2t.transform(graft.Materialize.checkpoint)
+      val c1 = c1t.transform(graft.Materialize.checkpoint)
+      val v = vt.transform(graft.Materialize.checkpoint)
       // the corpus arrives as 3 files, one per micro-batch
       docs.select("doc_id", "text").repartition(3)
         .write.parquet(s"$root/arrivals")
@@ -571,18 +595,11 @@ object TextQueries {
       }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val bg = bigramsOf(docs)
-      val train = bg.filter(col("doc_id") % 4 === 0)
-      val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = docs.filter(col("doc_id") % 4 === 0)
-        .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
-          .as("tok"))
-        .agg(count_distinct(col("tok")).as("v"))
+      val (c2, c1, v) = lmTrain(docs)
       val w = Window.partitionBy("source")
         .orderBy(col("nll_e6").cast("double") / col("n_bigrams").cast("double"),
           col("doc_id"))
-      lmScore(bg, c2, c1, v)
+      lmScore(bigramsOf(docs), c2, c1, v)
         .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn("bucket", ntile(3).over(w).cast("long"))
         .groupBy("source", "bucket")
