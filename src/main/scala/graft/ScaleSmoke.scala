@@ -598,6 +598,10 @@ object ScaleSmoke {
       // substring analog of the chunk pass
       "q26_minhash_lsh", "q144_bucket_clusters", "q126_boilerplate_strip",
       "q140_substring_dedup",
+      // pair-free dedup analytics: combinatorial tallies over q144's
+      // clusters — the exp here is what separates them from the
+      // pair-fed q158/q161 forms, which inherit q26's quadratic feed
+      "q162_dup_matrix_clustered",
       // shuffle-bound joins + the scan/agg baseline: the decade
       // exponent for a 60M x 15M fact-fact join is the other number a
       // 100 TB plan review asks for

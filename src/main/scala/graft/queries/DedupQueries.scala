@@ -398,6 +398,100 @@ object DedupQueries {
         .orderBy("split_a", "split_b")
     },
 
+    // ---- PAIR-FREE dup-source matrix (q158's scale path) ------------------
+    // q158 aggregates the verified pair relation directly, so its cost is
+    // the TRUE pair count — quadratic in replica depth (q26's 313 s /
+    // exp 1.87 at the 100× smoke). This twin never touches pairs: it
+    // tallies q144's bucket clusters per source (one groupBy, linear in
+    // corpus) and derives the per-cell pair counts COMBINATORIALLY —
+    // C(n,2) within a source, n_a·n_b across — via a label-co-located
+    // self-join of the K-row-per-cluster tally table. The oracle stays
+    // PAIR-BASED (q158's relation, counts only): near-dup components are
+    // complete graphs at gate density (exact replicas inherit their
+    // original's buckets and jaccard), so the two formulations
+    // hash-match — measured, not assumed: 139 verified pairs == 139
+    // within-cluster combinations at sf0.01. A corpus where LSH
+    // transitivity makes a component incomplete would split the two
+    // numbers; this gate deliberately pins the regime where the cheap
+    // form is exact.
+    QueryDef.sql(
+      "q162_dup_matrix_clustered",
+      s"""WITH $PairsCtes,
+         |s1 AS (SELECT doc_id, source FROM documents),
+         |m AS (SELECT a.source AS sa, b.source AS sb
+         |      FROM pairs p JOIN s1 a ON (p.d1 % 100000) = a.doc_id
+         |                   JOIN s1 b ON (p.d2 % 100000) = b.doc_id)
+         |SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""") { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val t = bucketClusters(s, d)
+        .join(src.select(col("doc_id").as("k"), col("source")),
+          col("doc_id") % 100000 === col("k"))
+        .groupBy("cluster_id", "source").agg(count(lit(1)).as("n"))
+      val within = t.filter(col("n") >= 2)
+        .select(col("source").as("src_a"), col("source").as("src_b"),
+          expr("n * (n - 1) div 2").as("p"))
+      val cross = t.as("a")
+        .join(t.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (col("a.n") * col("b.n")).as("p"))
+      within.unionByName(cross)
+        .groupBy("src_a", "src_b").agg(sum(col("p")).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // ---- PAIR-FREE split-leakage detector (q161's scale path) -------------
+    // Same reroute for the leakage report: per-cluster per-split tallies
+    // (split labels are inline doc_id arithmetic, the q161 rule), then
+    // straddling pair counts n_a·n_b and leaked-doc counts n_a + n_b per
+    // cell from the tally self-join — within a complete component every
+    // a-split doc pairs with every b-split doc, so each member is an
+    // endpoint of some straddling pair, and clusters partition the
+    // corpus, so per-cluster doc tallies sum to the global distinct
+    // count. Oracle = q161's pair-based relation verbatim.
+    QueryDef.sql(
+      "q163_leakage_clustered",
+      s"""WITH $PairsCtes,
+         |m AS (SELECT d1, d2,
+         |        CASE WHEN ((d1 % 100003) * 2654435761) % 1000 < 900 THEN 'train'
+         |             WHEN ((d1 % 100003) * 2654435761) % 1000 < 950 THEN 'val'
+         |             ELSE 'test' END AS s1,
+         |        CASE WHEN ((d2 % 100003) * 2654435761) % 1000 < 900 THEN 'train'
+         |             WHEN ((d2 % 100003) * 2654435761) % 1000 < 950 THEN 'val'
+         |             ELSE 'test' END AS s2
+         |      FROM pairs),
+         |x AS (SELECT LEAST(s1, s2) AS split_a, GREATEST(s1, s2) AS split_b,
+         |             d1, d2 FROM m WHERE s1 <> s2),
+         |g AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |      FROM x GROUP BY 1, 2),
+         |di AS (SELECT split_a, split_b, d1 AS doc FROM x
+         |       UNION SELECT split_a, split_b, d2 AS doc FROM x),
+         |dg AS (SELECT split_a, split_b,
+         |         CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         |       FROM di GROUP BY 1, 2)
+         |SELECT g.split_a, g.split_b, g.n_pairs, dg.n_docs
+         |FROM g JOIN dg ON g.split_a = dg.split_a AND g.split_b = dg.split_b
+         |ORDER BY g.split_a, g.split_b""") { (s, d) =>
+      val h = (col("doc_id") % 100003 * 2654435761L) % 1000
+      val t = bucketClusters(s, d)
+        .select(col("cluster_id"),
+          when(h < 900, "train").when(h < 950, "val")
+            .otherwise("test").as("split"))
+        .groupBy("cluster_id", "split").agg(count(lit(1)).as("n"))
+      t.as("a")
+        .join(t.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.split") < col("b.split"))
+        .select(col("a.split").as("split_a"), col("b.split").as("split_b"),
+          (col("a.n") * col("b.n")).as("p"), (col("a.n") + col("b.n")).as("d"))
+        .groupBy("split_a", "split_b")
+        .agg(sum(col("p")).as("n_pairs"), sum(col("d")).as("n_docs"))
+        .orderBy("split_a", "split_b")
+    },
+
     // ---- SimHash signatures ----------------------------------------------
     QueryDef.sql(
       "q27_simhash", {

@@ -261,12 +261,20 @@ object MixQueries {
     // when it appears in ≥2 DISTINCT documents (within-doc repetition is
     // q69's signal, deliberately exempt). Documents reassemble from
     // their surviving chunks in order; per-doc chunk tallies + the
-    // rebuilt text's hash are gated row-for-row. Scale shape: chunks
-    // shuffle once to count; the boilerplate set is SMALL by
-    // construction (the repeated tail — 341 of 7k chunks at sf0.01) so
-    // the removal is a broadcast anti-join, map-side over the corpus;
-    // one chunk pass is shared by the counter and the filter via
-    // localCheckpoint.
+    // rebuilt text's hash are gated row-for-row. Scale shape: the ONLY
+    // shuffle is the boilerplate counter, and it exchanges 128-bit chunk
+    // DIGESTS (two independent xxhash64 lanes — the q140 pattern), never
+    // chunk text; the boilerplate set is SMALL by construction (the
+    // repeated tail — 341 of 7k chunks at sf0.01), collected into a
+    // single-row collect_set and broadcast, so removal AND reassembly
+    // are map-side: each doc filters its own in-order chunk array
+    // against the digest set and rebuilds its text per row — the corpus
+    // text itself is never exchanged (the r14 shape shuffled it twice:
+    // a string anti-join, then a collect_list regroup; 100x exp 1.05).
+    // One chunk-array pass is shared by counter and rebuild via
+    // localCheckpoint. A global aggregate always yields exactly one row,
+    // so a boilerplate-free corpus broadcasts one empty set rather than
+    // annihilating the cross join.
     QueryDef.sql(
       "q126_boilerplate_strip",
       """WITH t AS (
@@ -291,35 +299,34 @@ object MixQueries {
         |         (a, x) -> (a * 31 + x) % 1000000007) END AS cleaned_hash
         |FROM tot LEFT JOIN kag USING (doc_id) ORDER BY doc_id""") { (s, d) =>
       import graft.text.TextAnalysis
+      def digest(c: org.apache.spark.sql.Column) =
+        struct(xxhash64(c), xxhash64(lit(1), c))
       val t = Tables.documents(s, d)
         .transform(graft.Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) > 0) // sequence(0,-1) would DESCEND
-      val ch = t
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), expr("(size(toks) + 3) div 4 - 1"))).as("k"))
-        .select(col("doc_id"), col("k").as("chunk_no"),
-          array_join(slice(col("toks"), (col("k") * 4 + 1).cast("int"), lit(4)), " ")
-            .as("chunk"))
-        .transform(graft.Materialize.checkpoint) // shared by counter + filter
-      val bp = ch.groupBy("chunk")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("chunk")
-      // no broadcast HINT: the boilerplate set is small on real corpora
-      // (the repeated tail — AQE broadcasts it), but a pathological
-      // corpus where most chunks repeat must degrade to a shuffled
-      // anti-join, not a forced-broadcast OOM
-      val kept = ch.join(bp, Seq("chunk"), "left_anti")
-      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      val kag = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("chunk_no"), col("chunk")))),
-          x => x.getField("chunk"))).as("cleaned"))
-      tot.join(kag, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          transform(sequence(lit(0), expr("(size(toks) + 3) div 4 - 1")),
+            k => array_join(
+              slice(col("toks"), (k * 4 + 1).cast("int"), lit(4)), " "))
+            .as("chunks"))
+        .transform(graft.Materialize.checkpoint) // shared by counter + rebuild
+      val bpSet = t
+        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        .select(col("doc_id"), digest(col("chunk")).as("dg"))
+        .groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .agg(collect_set(col("dg")).as("bpset"))
+      t.crossJoin(broadcast(bpSet))
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          filter(col("chunks"),
+            c => !array_contains(col("bpset"), digest(c))).as("keptc"))
         .select(col("doc_id"), col("n_chunks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          when(col("cleaned").isNull, lit(0L))
-            .otherwise(graft.functions.Exact.foldHashUdf(col("cleaned")))
+          size(col("keptc")).cast("long").as("n_kept"),
+          when(size(col("keptc")) === 0, lit(0L))
+            .otherwise(graft.functions.Exact.foldHashUdf(
+              array_join(col("keptc"), " ")))
             .as("cleaned_hash"))
         .orderBy("doc_id")
     },
