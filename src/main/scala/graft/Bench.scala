@@ -91,11 +91,16 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").queryExecution.toRdd.count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> medMin((1 to Reps).map { _ =>
+    // each query's main-pass quad carries the 1-min load read right after
+    // its reps: the full-artifact consumer (below) needs per-measurement
+    // trustworthiness for ALL queries, not just the quiet-repass tail
+    val resultsLoad = SparkEntry.queries.map { case (name, fn) =>
+      val (med, min) = medMin((1 to Reps).map { _ =>
         timeOnce(spark, fn(spark, sfDir).queryExecution.toRdd.count())
       })
+      name -> (med, min, loadAvg1())
     }
+    val results = resultsLoad.map { case (k, (med, min, _)) => k -> (med, min) }
     // Layout is tail-truncation-resilient: the harness keeps only the LAST
     // ~2k chars of stdout, so the per-query MIN map (contention detector:
     // median >> min flags a noisy machine, not a regression) prints first
@@ -204,6 +209,31 @@ object Bench {
     // judge time re-adjudicating load-distorted means; value_quiet is
     // the number to read whenever the suite ran on a busy box (the
     // per-query [med, min, load] triples above say how busy).
+    // FULL per-query artifact: the stdout tail fits only the slowest ~24
+    // medians, so round-over-round drift on the other ~140 queries was
+    // invisible (a regression had to get SLOW before it became
+    // adjudicable). bench_full.json carries every query's
+    // [median, min, load, valid] quad — the quiet re-measurement where
+    // one ran (and improved on the contended median), the main-pass quad
+    // otherwise; main-pass loads are usually the bench's own wake, which
+    // the valid flag then says honestly.
+    val quietByName = quiet.toMap
+    val fullQuads = results.toSeq.sortBy(_._1).map { case (k, (med, min)) =>
+      val (_, _, mainLoad) = resultsLoad(k)
+      val (m2, n2, l2) = quietByName.get(k) match {
+        case Some((qm, qn, ql)) if qm >= 0 && (med < 0 || qm <= med) =>
+          (qm, qn, ql)
+        case _ => (med, min, mainLoad)
+      }
+      "\"" + k + "\":[" + r3(m2) + "," + r3(n2) + "," +
+        "%.1f".formatLocal(java.util.Locale.ROOT, l2) + "," +
+        (if (l2 >= 0 && l2 < QuietLoad) "1" else "0") + "]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"unit":"sec","reps":$Reps,"sf":"$sfDir","quads":$fullQuads}\n""")
+    catch { case e: Throwable =>
+      System.err.println(s"bench_full.json write failed: $e") }
     val quietMed = quiet.collect {
       case (k, (qm, _, _)) if qm >= 0 => k -> qm
     }.toMap

@@ -926,8 +926,14 @@ object Similarity {
       case Some(n) => served.repartitionByRange(n, col("cell"), col("n_id"))
       case None => served.repartitionByRange(col("cell"), col("n_id"))
     }
-    graft.sources.FileManifest.writeThrough(
-      clustered, dir, cols = Seq("cell"), mode = "overwrite")
+    // stage-and-swap, NOT writeThrough(overwrite): the natural production
+    // call compacts the base index IN PLACE, i.e. `served` READS `dir` —
+    // an overwrite would clear the tree before the lazy plan scans it,
+    // destroying the input it is compacting. publishVia materializes into
+    // a sibling staging dir first and swaps by rename under the writer
+    // lock, so self-referential compaction is safe by construction.
+    graft.sources.FileManifest.publishVia(
+      clustered, s"${dir}_compact_staging", dir, cols = Seq("cell"))
     spark.read.parquet(dir).select("n_id", "cell", "pcode")
   }
 
@@ -1069,6 +1075,10 @@ object Similarity {
       pqIters: Int, opqIters: Int,
       r0: Array[Array[Double]] = null): (Array[Array[Double]], DataFrame) = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    // cb is only assigned inside the alternation loop: opqIters = 0 would
+    // feed a null codebook into the final pqTrain — fail with the real
+    // contract instead of an NPE three calls deep
+    require(opqIters >= 1, s"opqIters=$opqIters: OPQ needs >= 1 alternation round")
     var r = if (r0 != null) r0 else rotationMatrix(dim)
     var cb: DataFrame = null
     for (_ <- 0 until opqIters) {

@@ -135,8 +135,33 @@ private[graft] object CommitLock {
             Thread.sleep(50)
         }
       }
+      // HEARTBEAT: a live holder must never be judged stale. The
+      // stale-break protocol keys on the lock file's modification time,
+      // so a critical section longer than staleMs (a ledger whole-run
+      // lock over a long aggregation job) would get its live lock broken
+      // by a healthy waiter — the one residual mutual-exclusion window
+      // ADVICE flagged. A daemon thread refreshes the mtime every
+      // staleMs/3 while the body runs; now staleness genuinely means
+      // "holder stopped heartbeating" (crashed/hung), not "body was
+      // slow", whatever staleMs a caller picked. Touching a path that
+      // was broken out from under us is harmless: the file there is a
+      // rival's LIVE lock, and freshening a live lock changes nothing.
+      val hb = new Thread(() => {
+        try {
+          val interval = math.max(staleMs / 3, 50L)
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(interval)
+            try fs.setTimes(path, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: InterruptedException => () }
+      })
+      hb.setDaemon(true)
+      hb.setName(s"commitlock-heartbeat-${path.getName}")
+      hb.start()
       try body
       finally {
+        hb.interrupt()
         // release only OUR lock: if a breaker replaced it (we overran
         // staleMs, or the steal/restore corner hit), the file at `path`
         // is a RIVAL's live lock — deleting it blindly would let a

@@ -43,8 +43,26 @@ object FileManifest {
     * with Spark jobs and collect only what is per-query driver-sized
     * (surviving paths, counts).
     */
-  private[sources] def manifestFrame(spark: SparkSession, dataDir: String): DataFrame =
+  private[sources] def manifestFrame(spark: SparkSession, dataDir: String): DataFrame = {
+    // the refresh swap is delete(dst) → rename(tmp, dst): readers take no
+    // lock, so planning that lands in that gap sees a healthy table with
+    // a momentarily-absent `_manifest`. Tolerate-and-retry bridges the
+    // window (metadata-rename-sized, not job-sized); a manifest that
+    // stays missing through the backoff is a REAL absence and still
+    // fails loud on the last attempt.
+    var attempt = 0
+    while (attempt < 5) {
+      try return spark.read.parquet(manifestPath(dataDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+              e.getMessage.contains("Path does not exist") =>
+          attempt += 1
+          Thread.sleep(20L << attempt)
+      }
+    }
     spark.read.parquet(manifestPath(dataDir))
+  }
 
   /** One pass over the directory: per-file row count + min/max of each
     * tracked column, written as the `_manifest` parquet (overwrite).
@@ -172,6 +190,52 @@ object FileManifest {
         .parquet(dataDir)
       refreshLocked(df.sparkSession, dataDir, root, hfs, cols, bloomCols,
         expectedPerFile, fpp)
+    }
+  }
+
+  /** Stage-and-swap publish for plans that READ the directory they
+    * replace (index compaction rewriting its base in place): a
+    * [[writeThrough]] with mode = overwrite clears the target BEFORE the
+    * lazy plan executes, destroying its own input. Here `df` first
+    * materializes into a sibling staging dir — the write job scans the
+    * untouched target freely — and only then, under the target's writer
+    * lock, the old tree is cleared (sparing the lock file), the staged
+    * part-files are MOVED in (renames, no data copy), and the manifest
+    * rebuilds over the final paths. A reader planning mid-swap sees
+    * either the old tree or the new one plus the manifestFrame retry
+    * window — never a half-published mix of both trees.
+    */
+  def publishVia(df: DataFrame, stagingDir: String, dataDir: String,
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01): Unit = {
+    val spark = df.sparkSession
+    val stg = new org.apache.hadoop.fs.Path(stagingDir)
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(stg != root, s"staging dir must differ from target: $dataDir")
+    if (hfs.exists(stg)) hfs.delete(stg, true)
+    df.write.parquet(stagingDir) // may read dataDir: still untouched
+    CommitLock.withLock(hfs,
+      new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      if (hfs.exists(root))
+        hfs.listStatus(root).iterator
+          .filterNot(_.getPath.getName == "_manifest.lock")
+          .foreach(s => hfs.delete(s.getPath, true))
+      else hfs.mkdirs(root)
+      hfs.listStatus(stg).iterator
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .foreach { s =>
+          require(hfs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(root, s.getPath.getName)),
+            s"publish rename failed: ${s.getPath} -> $dataDir")
+        }
+      hfs.delete(stg, true)
+      refreshLocked(spark, dataDir, root, hfs, cols, bloomCols,
+        expectedPerFile, fpp)
+      spark.catalog.refreshByPath(dataDir)
     }
   }
 

@@ -90,7 +90,13 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
 
   /** listing-job memo per pushed-filter signature: a query's planner may
     * call `listFiles` more than once; the manifest job runs once.
+    * BOUNDED: a long-lived index serving many distinct point-lookup
+    * literals (bloom probes keyed by user input) would otherwise pin one
+    * kept-path Set per distinct key forever. Entries are cheap to
+    * recompute (one small manifest job), so on overflow the memo just
+    * clears — cap-and-clear beats LRU bookkeeping at this entry cost.
     */
+  private val KeptCacheMax = 64
   private val keptCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
@@ -189,6 +195,7 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
       .select(ManifestFileIndex.normPath(col("file")))
       .collect().map(_.getString(0)).toSet
     lastListingDriverBytes = kept.iterator.map(_.length.toLong * 2).sum
+    if (keptCache.size >= KeptCacheMax) keptCache.clear()
     keptCache.put(sig, kept)
     kept
   }

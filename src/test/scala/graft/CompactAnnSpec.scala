@@ -101,6 +101,32 @@ class CompactAnnSpec extends AnyFunSuite with SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("IN-PLACE compaction: rewriting the base index into its own dir is safe") {
+    // the natural production call — compact the served base back into the
+    // directory it is read from. A writeThrough(overwrite) here cleared
+    // the tree before the lazy plan scanned it, destroying the input
+    // (adjudicated medium in round-14 advice); compactIndex now stages to
+    // a sibling dir and swaps by rename, so the self-referential rewrite
+    // must succeed and preserve the exact row-set.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/ann_compact"
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    val hfs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    assume(hfs.exists(mPath), "compacted dir not present — run the suite in order")
+    val before = spark.read.parquet(dir)
+      .select(col("n_id").cast("long")).collect().map(_.getLong(0)).sorted
+    val out = Similarity.compactIndex(
+      spark.read.parquet(dir).select("n_id", "cell", "pcode"), dir)
+    val after = out.select(col("n_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(before.nonEmpty)
+    assert(before.toSeq === after.toSeq,
+      "in-place compaction lost or duplicated rows")
+    assert(hfs.exists(mPath), "manifest missing after in-place swap")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"${dir}_compact_staging")),
+      "staging dir left behind after publish")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("serve from the compacted base is row-identical to q109's anti-join serve") {
     val fromCompacted = SparkEntry.queries("q146_ann_compact")(spark, sf)
       .collect().map(_.toSeq)

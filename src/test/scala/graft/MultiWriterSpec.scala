@@ -64,6 +64,57 @@ class MultiWriterSpec extends AnyFunSuite with SparkSpec {
     assert(System.currentTimeMillis() - t0 < 10000L, "stale break never happened")
   }
 
+  test("CommitLock: live holder heartbeats past staleMs; fresh mtime is never broken") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_hb").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // (a) the holder's own heartbeat: a critical section 3x longer than
+    // the refresh interval must leave the lock file's mtime ADVANCING —
+    // a live holder never looks abandoned, whatever staleMs a caller set
+    val p1 = new Path(s"$dir/hb.lock")
+    val mtimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    CommitLock.withLock(fs, p1, waitMs = 10000L, staleMs = 900L) {
+      val t0 = fs.getFileStatus(p1).getModificationTime
+      mtimes.add(t0)
+      Thread.sleep(2500) // ~8 heartbeats at staleMs/3 = 300 ms
+      mtimes.add(fs.getFileStatus(p1).getModificationTime)
+    }
+    val Seq(first, last) = mtimes.toArray(Array.empty[java.lang.Long]).toSeq.map(_.toLong)
+    assert(last > first,
+      s"lock mtime never refreshed during a long critical section ($first -> $last)")
+
+    // (b) the waiter side: a lock whose mtime keeps refreshing (a rival
+    // PROCESS's heartbeat, simulated by touching) is never stale-broken
+    // even when its AGE far exceeds staleMs; the waiter enters only
+    // after the file is released
+    val p2 = new Path(s"$dir/rival.lock")
+    fs.create(p2, false).close()
+    @volatile var touching = true
+    val toucher = new Thread(() => {
+      while (touching) {
+        try fs.setTimes(p2, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+        Thread.sleep(100)
+      }
+    })
+    toucher.setDaemon(true)
+    toucher.start()
+    val releaseAt = System.currentTimeMillis() + 1200L
+    val releaser = new Thread(() => {
+      Thread.sleep(1200)
+      touching = false
+      toucher.join()
+      fs.delete(p2, false)
+      ()
+    })
+    releaser.start()
+    val t0 = System.currentTimeMillis()
+    CommitLock.withLock(fs, p2, waitMs = 10000L, staleMs = 300L) { () }
+    releaser.join()
+    assert(System.currentTimeMillis() >= releaseAt,
+      "waiter broke a lock whose mtime was actively refreshing — live holder evicted")
+  }
+
   test("IdempotentFileSink: racing writers on one batch id → one winner, no torn state") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mw_sink").toString
