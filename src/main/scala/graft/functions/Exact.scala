@@ -115,6 +115,36 @@ object Exact {
       Option(xs).map(_.map(s =>
         if (s == null) null else java.lang.Long.valueOf(foldHashJvm(s)))))
 
+  /** 128-bit string digest as two independent 64-bit lanes (FNV-1a and
+    * a 31-polynomial, each splitmix-finalized): the identity for content
+    * equality at shuffle time when the content itself must not move —
+    * two strings colliding on BOTH lanes across a corpus of n distinct
+    * values has probability ~n²/2¹²⁹. Pure JVM on both the aggregate and
+    * probe sides so the two can never disagree on a digest.
+    */
+  def digest128Jvm(s: String): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var a = 0xCBF29CE484222325L
+    var b = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toLong
+      a = (a ^ c) * 0x100000001B3L
+      b = b * 31L + c
+      i += 1
+    }
+    (mix(a), mix(b ^ s.length.toLong))
+  }
+
+  /** Null-safe column form of [[digest128Jvm]] (a struct of the two lanes). */
+  val digest128Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => Option(s).map(digest128Jvm))
+
   /** Seeded re-hash of a base hash: `(a*h + b) mod P` — the classic
     * universal-hash family used for minhash permutations.
     */

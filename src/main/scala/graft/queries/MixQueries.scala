@@ -14,6 +14,80 @@ import graft.dedup.Dedup
   */
 object MixQueries {
 
+  /** Boilerplate strip (q126), both execution paths behind a MEASURED
+    * switch. Chunk membership is decided on 128-bit JVM digests
+    * ([[graft.functions.Exact.digest128Jvm]]) so corpus text never rides
+    * the counting shuffle. The boilerplate set's cardinality is then
+    * counted (one small job over the already-shuffled digests) and picks
+    * the plan:
+    *
+    *  - `|bp| <= bpMax` (every real corpus: boilerplate is the repeated
+    *    TAIL — 341 of 7k chunks at sf0.01): the digest set collects into
+    *    a JVM hash set closed over by one rebuild UDF — each document
+    *    filters its own in-order chunk array and rebuilds map-side. Zero
+    *    text movement, O(1) membership per chunk.
+    *  - `|bp| > bpMax` (pathological density — the 100× smoke replicates
+    *    every doc ~100×, so nearly EVERY chunk repeats and the "small
+    *    set" premise inverts): collecting would be a driver OOM and a
+    *    broadcast scan per element; instead the digests anti-join (16-B
+    *    rows), surviving (doc_id, chunk_no) INT positions regroup, and
+    *    one doc_id join rebuilds from each doc's own array — corpus text
+    *    moves exactly once, where the r14 shape moved it twice.
+    *
+    * Both paths are bit-identical (BoilerplateStripSpec forces each on
+    * the gate corpus); the oracle never changes. The measured switch is
+    * the q29/GlobalRowNumber posture: fast path as an optimization,
+    * never an assumption.
+    */
+  private[graft] def boilerplateStrip(s: org.apache.spark.sql.SparkSession,
+      d: String, bpMax: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    import graft.text.TextAnalysis
+    import graft.functions.Exact
+    val t = Tables.documents(s, d)
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // sequence(0,-1) would DESCEND
+      .select(col("doc_id"),
+        transform(sequence(lit(0), expr("(size(toks) + 3) div 4 - 1")),
+          k => array_join(
+            slice(col("toks"), (k * 4 + 1).cast("int"), lit(4)), " "))
+          .as("chunks"))
+      .transform(graft.Materialize.checkpoint) // shared by counter + rebuild
+    val dg = t
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_no", "chunk")))
+      .select(col("doc_id"), col("chunk_no"),
+        Exact.digest128Udf(col("chunk")).as("dg"))
+      .transform(graft.Materialize.checkpoint) // counter + (fallback) anti-join
+    val bp = dg.groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("dg")
+    if (bp.count() <= bpMax) {
+      val set = bp.collect().map { r =>
+        val st = r.getStruct(0); (st.getLong(0), st.getLong(1))
+      }.toSet
+      val rebuild = udf((chunks: Seq[String]) => {
+        val kept = chunks.filterNot(c => set(Exact.digest128Jvm(c)))
+        (chunks.size.toLong, kept.size.toLong,
+          if (kept.isEmpty) 0L else Exact.foldHashJvm(kept.mkString(" ")))
+      })
+      t.select(col("doc_id"), rebuild(col("chunks")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_chunks"),
+          col("r._2").as("n_kept"), col("r._3").as("cleaned_hash"))
+        .orderBy("doc_id")
+    } else {
+      val keptPos = dg.join(bp, Seq("dg"), "left_anti")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("chunk_no"))).as("pos"))
+      t.join(keptPos, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          coalesce(size(col("pos")), lit(0)).cast("long").as("n_kept"),
+          when(col("pos").isNull || size(col("pos")) === 0, lit(0L))
+            .otherwise(graft.functions.Exact.foldHashUdf(array_join(
+              transform(col("pos"), p => element_at(col("chunks"), p + 1)), " ")))
+            .as("cleaned_hash"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- mixture sampling: per-language keep-rates, hash-gated -----------
@@ -261,20 +335,13 @@ object MixQueries {
     // when it appears in ≥2 DISTINCT documents (within-doc repetition is
     // q69's signal, deliberately exempt). Documents reassemble from
     // their surviving chunks in order; per-doc chunk tallies + the
-    // rebuilt text's hash are gated row-for-row. Scale shape: the ONLY
-    // shuffle is the boilerplate counter, and it exchanges 128-bit chunk
-    // DIGESTS (two independent xxhash64 lanes — the q140 pattern), never
-    // chunk text; the boilerplate set is SMALL by construction (the
-    // repeated tail — 341 of 7k chunks at sf0.01), collected into a
-    // single-row collect_set and broadcast, so removal AND reassembly
-    // are map-side: each doc filters its own in-order chunk array
-    // against the digest set and rebuilds its text per row — the corpus
-    // text itself is never exchanged (the r14 shape shuffled it twice:
-    // a string anti-join, then a collect_list regroup; 100x exp 1.05).
-    // One chunk-array pass is shared by counter and rebuild via
-    // localCheckpoint. A global aggregate always yields exactly one row,
-    // so a boilerplate-free corpus broadcasts one empty set rather than
-    // annihilating the cross join.
+    // rebuilt text's hash are gated row-for-row. Scale shape: see
+    // [[boilerplateStrip]] — digest-only counting shuffle, then a
+    // MEASURED switch between the map-side hash-set rebuild (real
+    // corpora: boilerplate is the small repeated tail) and a
+    // digest-anti-join fallback for pathological density where the
+    // small-set premise inverts; corpus text moves zero or one time,
+    // where the r14 shape shuffled it twice (100x exp 1.05).
     QueryDef.sql(
       "q126_boilerplate_strip",
       """WITH t AS (
@@ -298,37 +365,7 @@ object MixQueries {
         |         list_transform(string_split(cleaned, ''), c -> unicode(c)::BIGINT)),
         |         (a, x) -> (a * 31 + x) % 1000000007) END AS cleaned_hash
         |FROM tot LEFT JOIN kag USING (doc_id) ORDER BY doc_id""") { (s, d) =>
-      import graft.text.TextAnalysis
-      def digest(c: org.apache.spark.sql.Column) =
-        struct(xxhash64(c), xxhash64(lit(1), c))
-      val t = Tables.documents(s, d)
-        .transform(graft.Tables.spread(_, col("doc_id")))
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0) // sequence(0,-1) would DESCEND
-        .select(col("doc_id"),
-          transform(sequence(lit(0), expr("(size(toks) + 3) div 4 - 1")),
-            k => array_join(
-              slice(col("toks"), (k * 4 + 1).cast("int"), lit(4)), " "))
-            .as("chunks"))
-        .transform(graft.Materialize.checkpoint) // shared by counter + rebuild
-      val bpSet = t
-        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
-        .select(col("doc_id"), digest(col("chunk")).as("dg"))
-        .groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .agg(collect_set(col("dg")).as("bpset"))
-      t.crossJoin(broadcast(bpSet))
-        .select(col("doc_id"),
-          size(col("chunks")).cast("long").as("n_chunks"),
-          filter(col("chunks"),
-            c => !array_contains(col("bpset"), digest(c))).as("keptc"))
-        .select(col("doc_id"), col("n_chunks"),
-          size(col("keptc")).cast("long").as("n_kept"),
-          when(size(col("keptc")) === 0, lit(0L))
-            .otherwise(graft.functions.Exact.foldHashUdf(
-              array_join(col("keptc"), " ")))
-            .as("cleaned_hash"))
-        .orderBy("doc_id")
+      boilerplateStrip(s, d)
     },
 
     // ---- per-source rank normalization of quality scores ------------------

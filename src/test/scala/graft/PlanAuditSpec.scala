@@ -53,7 +53,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q150_ann_cell_stats", // centroid-assignment cross; the histogram is an equi groupBy
     "q76_freq_sketch", // broadcast 1-row total for the support threshold
     "q87_gap_fill_daily", // calendar x event-type frame: both sides tiny
-    "q126_boilerplate_strip", // broadcast 1-row boilerplate digest set onto the per-doc chunk arrays
     "q143_bm25_topk", // broadcast 1-row corpus stats + 1-row df vector onto candidates
     "q151_bigram_lm_nll", // broadcast 1-row vocab size onto the bigram stream
     // (q155 shares q151's cross but it runs inside foreachBatch — the
