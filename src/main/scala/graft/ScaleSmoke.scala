@@ -255,7 +255,8 @@ object ScaleSmoke {
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val nd = docs.agg(count(lit(1)).as("n"))
-        val w = tf.join(broadcast(dft), "token").crossJoin(broadcast(nd))
+        // no hint on dft (vocab-sized, Heaps' law): mirrors q156's plan
+        val w = tf.join(dft, "token").crossJoin(broadcast(nd))
           .select(col("doc_id"), col("token"),
             (col("tf").cast("double") *
               log(col("n").cast("double") / col("df").cast("double"))).as("w"))
