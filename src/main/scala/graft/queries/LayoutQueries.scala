@@ -551,6 +551,48 @@ object LayoutQueries {
           col("min_ts"), col("max_ts"),
           lit(orphans.length.toLong).as("orphans_deleted"))
         .orderBy("event_type")
+    },
+
+    // ---- versioned manifests: time-travel reads ---------------------------
+    // The table-format lifecycle's last missing verb (write-through /
+    // skip / compact / vacuum / TIME TRAVEL): every manifest refresh
+    // retires the outgoing `_manifest` by RENAME to `_manifest_v{N}` —
+    // a complete file-level snapshot that costs zero extra writes — and
+    // `readAsOf(v)` plans the table exactly as it stood at version v
+    // (parquet files are immutable, so the old bytes stay correct;
+    // appends never invalidate them). The gate lands three versions of
+    // an orders slice through the write-through sink and pins every
+    // version's (count, key-sum) against the from-source oracle — a
+    // snapshot that leaked a later append, dropped a file, or renamed
+    // into the wrong slot fails the hash. Retention is vacuum's
+    // `keepVersions`: beyond it the old manifest dir itself is reaped,
+    // so an expired as-of read fails LOUD at version resolution (named
+    // retained range), never as a half-missing file scan.
+    QueryDef.sql(
+      "q164_time_travel",
+      """WITH v AS (SELECT 1 AS version UNION ALL SELECT 2 UNION ALL SELECT 3)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM v JOIN orders ON o_orderkey % 7 < version
+        |GROUP BY version ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_tt")
+      val o = Tables.orders(s, d).select("o_orderkey")
+      // v1: initial land (overwrite resets scratch history between runs);
+      // v2, v3: appends — each writeThrough refresh retires a snapshot
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 7 === 0).repartition(2),
+        dir, Seq("o_orderkey"), mode = "overwrite")
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 7 === 1).repartition(2), dir, Seq("o_orderkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 7 === 2).repartition(2), dir, Seq("o_orderkey"))
+      graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
     }
   )
 }

@@ -36,6 +36,36 @@ import org.apache.spark.sql.functions._
 object FileManifest {
 
   private def manifestPath(dataDir: String) = s"$dataDir/_manifest"
+  private def histPath(dataDir: String, v: Long) = s"$dataDir/_manifest_v$v"
+
+  /** Version stamped inside a manifest dir as an empty `_v{N}` marker
+    * file — underscore-prefixed, so every parquet/Spark reader ignores
+    * it, and it RIDES THE RENAME when a manifest becomes history.
+    * Manifests written before versioning carry no marker and read as
+    * version 1.
+    */
+  private def versionOf(hfs: org.apache.hadoop.fs.FileSystem,
+      mdir: org.apache.hadoop.fs.Path): Long =
+    hfs.listStatus(mdir).iterator.map(_.getPath.getName)
+      .collectFirst {
+        case n if n.startsWith("_v") && n.length > 2 && n.drop(2).forall(_.isDigit) =>
+          n.drop(2).toLong
+      }
+      .getOrElse(1L)
+
+  /** Retained HISTORY versions under `dataDir` (ascending) — the
+    * manifests a [[readAsOf]] can still plan from, current excluded.
+    */
+  private def historyVersions(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    hfs.listStatus(root).iterator.map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("_manifest_v") &&
+            n.stripPrefix("_manifest_v").nonEmpty &&
+            n.stripPrefix("_manifest_v").forall(_.isDigit) =>
+          n.stripPrefix("_manifest_v").toLong
+      }
+      .toSeq.sorted
 
   /** The `_manifest` parquet as a (lazy, distributed) DataFrame — the
     * ONE way planning code touches manifest CONTENT. Bounds and bloom
@@ -266,6 +296,49 @@ object FileManifest {
     }
   }
 
+  /** All readable versions under `dataDir`, ascending — retained history
+    * plus the current manifest's stamped version.
+    */
+  def versions(spark: SparkSession, dataDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    (historyVersions(hfs, root) ++
+      (if (hfs.exists(cur)) Seq(versionOf(hfs, cur)) else Nil)).distinct.sorted
+  }
+
+  /** TIME TRAVEL: plan the table as it stood at `version`. Every
+    * versioned manifest is a complete snapshot of the file set live at
+    * its refresh, so an as-of read is just "read exactly those paths" —
+    * append-only file immutability (parquet files never rewrite in
+    * place) makes the old bytes still correct. Validity window: a
+    * version is readable until [[vacuum]]'s `keepVersions` retention
+    * reaps its manifest (resolution then fails loud here, naming the
+    * retained range) or reaps data files no newer version references.
+    * The driver holds one path string per file of that version — the
+    * same O(listing) any FileIndex already holds, never manifest
+    * payload (bounds/blooms stay unread).
+    */
+  def readAsOf(spark: SparkSession, dataDir: String, version: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    val mdir =
+      if (hfs.exists(cur) && versionOf(hfs, cur) == version) cur
+      else {
+        val h = new org.apache.hadoop.fs.Path(histPath(dataDir, version))
+        require(hfs.exists(h),
+          s"version $version not retained under $dataDir " +
+            s"(readable: ${versions(spark, dataDir).mkString(", ")})")
+        h
+      }
+    val files = spark.read.parquet(mdir.toString)
+      .select(ManifestFileIndex.normPath(col("file")))
+      .collect().map(_.getString(0)).sorted
+    require(files.nonEmpty, s"version $version is an empty snapshot")
+    spark.read.option("basePath", dataDir).parquet(files.toIndexedSeq: _*)
+  }
+
   /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
     * table-format lifecycle, beside write-through / compact / time
     * travel): delete every data file under `dataDir` the live manifest
@@ -287,7 +360,8 @@ object FileManifest {
     * Returns the deleted paths, sorted.
     */
   def vacuum(spark: SparkSession, dataDir: String,
-      graceMs: Long = 600000L): Seq[String] = {
+      graceMs: Long = 600000L, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions=$keepVersions: must retain the current version")
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     CommitLock.withLock(hfs,
@@ -295,8 +369,24 @@ object FileManifest {
       require(hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))),
         s"no manifest under $dataDir — vacuum without one would reap the whole table")
       import spark.implicits._
-      val manifested = manifestFrame(spark, dataDir)
-        .select(ManifestFileIndex.normPath(col("file")).as("m_file"))
+      // TIME-TRAVEL retention: the live set is the UNION of the newest
+      // `keepVersions` snapshots (current + that many minus one history
+      // manifests), so files an old-but-retained version still
+      // references survive; history manifests beyond retention are
+      // reaped here too, making "version not retained" a loud
+      // resolution failure in readAsOf rather than a half-missing read.
+      // keepVersions = 1 is exactly the classic semantics: live =
+      // current manifest, every historical-only file is an orphan.
+      val hist = historyVersions(hfs, root)
+      val keptHist = hist.takeRight(keepVersions - 1)
+      hist.dropRight(keepVersions - 1).foreach { v =>
+        hfs.delete(new org.apache.hadoop.fs.Path(histPath(dataDir, v)), true)
+      }
+      val manifested = (manifestFrame(spark, dataDir) +:
+        keptHist.map(v => spark.read.parquet(histPath(dataDir, v))))
+        .map(_.select(ManifestFileIndex.normPath(col("file")).as("m_file")))
+        .reduce(_ unionByName _)
+        .distinct()
       val candidates = FsListing.listDataFiles(hfs, root).toDF("live_file")
         .join(manifested, col("live_file") === col("m_file"), "left_anti")
         .collect().map(_.getString(0)).sorted.toSeq
@@ -380,7 +470,23 @@ object FileManifest {
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    hfs.delete(dst, true)
+    // VERSIONED swap: the outgoing manifest RENAMES to `_manifest_v{N}`
+    // instead of deleting — history costs zero extra writes (one
+    // metadata rename per refresh, manifest-sized dirs), and each
+    // retained version is a complete file-level snapshot [[readAsOf]]
+    // can plan from until [[vacuum]]'s retention reaps it. The new
+    // manifest is stamped `_v{N+1}` before it lands, so versions stay
+    // monotonic whatever the history retention deleted.
+    if (hfs.exists(dst)) {
+      val v = versionOf(hfs, dst)
+      hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_v${v + 1}"), true).close()
+      val hist = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
+      hfs.delete(hist, true) // a build() reset can reuse a version number
+      require(hfs.rename(dst, hist),
+        s"manifest history rename failed under $dataDir")
+    } else {
+      hfs.create(new org.apache.hadoop.fs.Path(tmp, "_v1"), true).close()
+    }
     require(hfs.rename(tmp, dst), s"manifest swap rename failed under $dataDir")
   }
 
