@@ -926,15 +926,19 @@ object Similarity {
       case Some(n) => served.repartitionByRange(n, col("cell"), col("n_id"))
       case None => served.repartitionByRange(col("cell"), col("n_id"))
     }
-    // stage-and-swap, NOT writeThrough(overwrite): the natural production
+    // MVCC publish, NOT writeThrough(overwrite): the natural production
     // call compacts the base index IN PLACE, i.e. `served` READS `dir` —
     // an overwrite would clear the tree before the lazy plan scans it,
     // destroying the input it is compacting. publishVia materializes into
-    // a sibling staging dir first and swaps by rename under the writer
-    // lock, so self-referential compaction is safe by construction.
+    // a sibling staging dir first and version-swaps the manifest under
+    // the writer lock; the pre-compaction snapshot's files stay on disk
+    // (readable via FileManifest.readAsOf) until vacuum retention. The
+    // returned frame plans through the manifest — membership is the
+    // CURRENT version, never the raw directory union.
     graft.sources.FileManifest.publishVia(
       clustered, s"${dir}_compact_staging", dir, cols = Seq("cell"))
-    spark.read.parquet(dir).select("n_id", "cell", "pcode")
+    graft.sources.ManifestFileIndex.read(spark, dir)
+      .select("n_id", "cell", "pcode")
   }
 
   // ---- OPQ: orthogonal rotation before PQ --------------------------------

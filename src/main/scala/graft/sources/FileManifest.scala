@@ -53,6 +53,23 @@ object FileManifest {
       }
       .getOrElse(1L)
 
+  /** Union of every retained history manifest's file paths (normed,
+    * one column `h_file`) — None when the table has no history. The
+    * set of files that are PRIOR-SNAPSHOT members rather than current
+    * data or fresh appends; refresh, coverage, and vacuum all consult
+    * it so MVCC leftovers are never re-manifested, never flagged
+    * uncovered, and never reaped while their version is retained.
+    */
+  private def historyFiles(spark: SparkSession, dataDir: String,
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[DataFrame] = {
+    val hs = historyVersions(hfs, root)
+    if (hs.isEmpty) None
+    else Some(hs.map(v => spark.read.parquet(histPath(dataDir, v))
+        .select(ManifestFileIndex.normPath(col("file")).as("h_file")))
+      .reduce(_ unionByName _).distinct())
+  }
+
   /** Retained HISTORY versions under `dataDir` (ascending) — the
     * manifests a [[readAsOf]] can still plan from, current excluded.
     */
@@ -223,17 +240,20 @@ object FileManifest {
     }
   }
 
-  /** Stage-and-swap publish for plans that READ the directory they
-    * replace (index compaction rewriting its base in place): a
-    * [[writeThrough]] with mode = overwrite clears the target BEFORE the
-    * lazy plan executes, destroying its own input. Here `df` first
+  /** MVCC publish — replace the table's CURRENT version with `df`
+    * without touching prior versions' bytes (index compaction rewriting
+    * its base in place, OPTIMIZE-style file rewrites): `df` first
     * materializes into a sibling staging dir — the write job scans the
-    * untouched target freely — and only then, under the target's writer
-    * lock, the old tree is cleared (sparing the lock file), the staged
-    * part-files are MOVED in (renames, no data copy), and the manifest
-    * rebuilds over the final paths. A reader planning mid-swap sees
-    * either the old tree or the new one plus the manifestFrame retry
-    * window — never a half-published mix of both trees.
+    * untouched target freely even when it READS `dataDir` — then, under
+    * the target's writer lock, the staged part-files MOVE in (renames,
+    * job-unique names, no data copy), a manifest covering EXACTLY the
+    * published file set is stamped and version-swapped, and the
+    * outgoing snapshot's files are left on disk: still readable through
+    * [[readAsOf]] until [[vacuum]]'s `keepVersions` retention reaps
+    * them. Readers are snapshot-isolated — [[ManifestFileIndex]] plans
+    * membership from the current manifest, never the raw directory, so
+    * a query planned mid-publish sees wholly the old version or wholly
+    * the new one.
     */
   def publishVia(df: DataFrame, stagingDir: String, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -247,24 +267,27 @@ object FileManifest {
     df.write.parquet(stagingDir) // may read dataDir: still untouched
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
-      if (hfs.exists(root))
-        hfs.listStatus(root).iterator
-          .filterNot(_.getPath.getName == "_manifest.lock")
-          .foreach(s => hfs.delete(s.getPath, true))
-      else hfs.mkdirs(root)
-      hfs.listStatus(stg).iterator
+      if (!hfs.exists(root)) hfs.mkdirs(root)
+      val moved = hfs.listStatus(stg).iterator
         .filterNot { s =>
           val n = s.getPath.getName
           n.startsWith("_") || n.startsWith(".")
         }
-        .foreach { s =>
-          require(hfs.rename(s.getPath,
-            new org.apache.hadoop.fs.Path(root, s.getPath.getName)),
+        .map { s =>
+          val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+          require(hfs.rename(s.getPath, dst),
             s"publish rename failed: ${s.getPath} -> $dataDir")
-        }
+          dst.toString
+        }.toSeq
       hfs.delete(stg, true)
-      refreshLocked(spark, dataDir, root, hfs, cols, bloomCols,
-        expectedPerFile, fpp)
+      require(moved.nonEmpty, s"publish produced no data files for $dataDir")
+      val stats = fileStats(
+        spark.read.option("basePath", dataDir).parquet(moved: _*),
+        cols, bloomCols, expectedPerFile, fpp)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      swapVersioned(hfs, dataDir, tmp)
       spark.catalog.refreshByPath(dataDir)
     }
   }
@@ -441,9 +464,16 @@ object FileManifest {
     val kept = existing.join(liveDf,
       ManifestFileIndex.normPath(existing("file")) === col("live_file"),
       "left_semi")
-    val newFiles = liveDf
-      .join(existing.select(normFile), col("live_file") === col("m_file"),
-        "left_anti")
+    // "new" means never-manifested: a file referenced only by RETAINED
+    // HISTORY versions is a prior snapshot's member (an MVCC publish
+    // left it for as-of readers), not a fresh append — re-manifesting it
+    // would double-count its rows in the current version
+    val newFiles = historyFiles(spark, dataDir, hfs, root)
+      .foldLeft(liveDf
+        .join(existing.select(normFile), col("live_file") === col("m_file"),
+          "left_anti")) { (acc, h) =>
+        acc.join(h, col("live_file") === col("h_file"), "left_anti")
+      }
       .collect().map(_.getString(0)).sorted
     val merged =
       if (newFiles.isEmpty) kept
@@ -468,15 +498,21 @@ object FileManifest {
       .foreach(s => hfs.delete(s.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    // VERSIONED swap: the outgoing manifest RENAMES to `_manifest_v{N}`
-    // instead of deleting — history costs zero extra writes (one
-    // metadata rename per refresh, manifest-sized dirs), and each
-    // retained version is a complete file-level snapshot [[readAsOf]]
-    // can plan from until [[vacuum]]'s retention reaps it. The new
-    // manifest is stamped `_v{N+1}` before it lands, so versions stay
-    // monotonic whatever the history retention deleted.
+    swapVersioned(hfs, dataDir, tmp)
+  }
+
+  /** VERSIONED manifest swap: the outgoing `_manifest` RENAMES to
+    * `_manifest_v{N}` instead of deleting — history costs zero extra
+    * writes (one metadata rename per refresh, manifest-sized dirs), and
+    * each retained version is a complete file-level snapshot
+    * [[readAsOf]] can plan from until [[vacuum]]'s retention reaps it.
+    * The new manifest at `tmp` is stamped `_v{N+1}` before it lands, so
+    * versions stay monotonic whatever the history retention deleted.
+    */
+  private def swapVersioned(hfs: org.apache.hadoop.fs.FileSystem,
+      dataDir: String, tmp: org.apache.hadoop.fs.Path): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     if (hfs.exists(dst)) {
       val v = versionOf(hfs, dst)
       hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_v${v + 1}"), true).close()
@@ -596,9 +632,16 @@ object FileManifest {
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live = FsListing.listDataFiles(hfs, root)
     import spark.implicits._
-    val unknown = live.toDF("live_file")
-      .join(mdf.select(ManifestFileIndex.normPath(col("file")).as("m_file")),
-        col("live_file") === col("m_file"), "left_anti")
+    // coverage = every live file is CURRENT data or a retained prior
+    // snapshot's member (an MVCC publish leaves old files on disk for
+    // as-of readers until vacuum retention) — only a file NO retained
+    // version knows is a staleness trip
+    val unknown = historyFiles(spark, dataDir, hfs, root)
+      .foldLeft(live.toDF("live_file")
+        .join(mdf.select(ManifestFileIndex.normPath(col("file")).as("m_file")),
+          col("live_file") === col("m_file"), "left_anti")) { (acc, h) =>
+        acc.join(h, col("live_file") === col("h_file"), "left_anti")
+      }
     val sample = unknown.take(1).map(_.getString(0))
     if (sample.nonEmpty) {
       val n = unknown.count()

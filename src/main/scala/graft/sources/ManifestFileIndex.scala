@@ -111,24 +111,28 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     val ranges = extractRanges(dataFilters)
-    if (ranges.isEmpty) base
-    else {
-      // bloom probes are sound only for INTEGRAL-typed attributes: the
-      // sidecar stores cast-to-long keys, and a non-integral equality
-      // literal (timestamp micros vs stored seconds, fractional double)
-      // could false-negative — the buildWithBloom guard enforces this at
-      // build time, and this read-side check keeps even an off-contract
-      // legacy sidecar from pruning unsoundly.
-      val integralAttrs = dataFilters.flatMap(_.collect {
-        case a: Attribute if FsListing.isIntegral(a.dataType) => a.name
-      }).toSet
-      val kept = keptFiles(ranges, integralAttrs)
-      base.map { pd =>
-        PartitionDirectory(pd.values, pd.files.filter { f =>
-          kept.contains(FsListing.norm(f.getPath.toString))
-        })
-      }.filter(_.files.nonEmpty)
-    }
+    // bloom probes are sound only for INTEGRAL-typed attributes: the
+    // sidecar stores cast-to-long keys, and a non-integral equality
+    // literal (timestamp micros vs stored seconds, fractional double)
+    // could false-negative — the buildWithBloom guard enforces this at
+    // build time, and this read-side check keeps even an off-contract
+    // legacy sidecar from pruning unsoundly.
+    val integralAttrs = dataFilters.flatMap(_.collect {
+      case a: Attribute if FsListing.isIntegral(a.dataType) => a.name
+    }).toSet
+    // the manifest defines TABLE MEMBERSHIP, not just skipping: an MVCC
+    // publish (index compaction rewriting its own dir) leaves prior
+    // snapshots' files on disk for as-of readers until vacuum retention,
+    // so even a filterless read must restrict the listing to the CURRENT
+    // manifest's file set — a raw directory union would double-count.
+    // With no pushed ranges the kept set is the full membership list
+    // (same driver bytes any FileIndex already holds for its listing).
+    val kept = keptFiles(ranges, integralAttrs)
+    base.map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter { f =>
+        kept.contains(FsListing.norm(f.getPath.toString))
+      })
+    }.filter(_.files.nonEmpty)
   }
 
   /** The distributed keep/drop job: one filter over the `_manifest`
@@ -189,7 +193,7 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
         case _ => lit(true)
       }
       bounds && bloom
-    }.reduce(_ && _)
+    }.reduceOption(_ && _).getOrElse(lit(true)) // no ranges → membership-only
 
     val kept = mdf.filter(keep)
       .select(ManifestFileIndex.normPath(col("file")))

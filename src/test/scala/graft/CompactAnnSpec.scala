@@ -86,8 +86,13 @@ class CompactAnnSpec extends AnyFunSuite with SparkSpec {
     val hfs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     assume(hfs.exists(mPath), "compacted dir not present — run the suite in order")
     val dir2 = s"$dir.pinned"
-    Similarity.compactIndex(spark.read.parquet(dir), dir2, numFiles = Some(8))
-    val idx = spark.read.parquet(dir2)
+    // MVCC: prior suite runs' snapshots persist in /tmp until vacuumed —
+    // reads of a published table must plan through the manifest (a naive
+    // directory read unions every retained version)
+    val idx = Similarity.compactIndex(
+      graft.sources.ManifestFileIndex.read(spark, dir)
+        .select("n_id", "cell", "pcode"),
+      dir2, numFiles = Some(8))
     // probe the most-populated cell — the realistic serve target
     val hot = idx.groupBy("cell").count().orderBy(col("count").desc)
       .limit(1).collect()(0).getLong(0)
@@ -112,10 +117,12 @@ class CompactAnnSpec extends AnyFunSuite with SparkSpec {
     val mPath = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
     val hfs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     assume(hfs.exists(mPath), "compacted dir not present — run the suite in order")
-    val before = spark.read.parquet(dir)
+    val preVersions = graft.sources.FileManifest.versions(spark, dir)
+    val before = graft.sources.ManifestFileIndex.read(spark, dir)
       .select(col("n_id").cast("long")).collect().map(_.getLong(0)).sorted
     val out = Similarity.compactIndex(
-      spark.read.parquet(dir).select("n_id", "cell", "pcode"), dir)
+      graft.sources.ManifestFileIndex.read(spark, dir)
+        .select("n_id", "cell", "pcode"), dir)
     val after = out.select(col("n_id").cast("long"))
       .collect().map(_.getLong(0)).sorted
     assert(before.nonEmpty)
@@ -124,6 +131,24 @@ class CompactAnnSpec extends AnyFunSuite with SparkSpec {
     assert(hfs.exists(mPath), "manifest missing after in-place swap")
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"${dir}_compact_staging")),
       "staging dir left behind after publish")
+    // MVCC: the pre-compaction snapshot survives the publish — its files
+    // stay on disk and readAsOf plans them — until vacuum retention
+    val vs = graft.sources.FileManifest.versions(spark, dir)
+    assert(vs.length === preVersions.length + 1, s"publish must add a version: $vs")
+    val prior = graft.sources.FileManifest.readAsOf(spark, dir, vs.init.last)
+      .select(col("n_id").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(prior.toSeq === before.toSeq,
+      "pre-compaction snapshot unreadable or changed after in-place publish")
+    // a raw directory union would double-count old + new files; the
+    // manifest-planned read must NOT
+    val naive = spark.read.parquet(dir).count()
+    assert(naive > after.length,
+      s"expected prior snapshot's files still on disk (naive=$naive, current=${after.length})")
+    // retention: vacuum to the current version reaps the old snapshot
+    graft.sources.FileManifest.vacuum(spark, dir, graceMs = 0L, keepVersions = 1)
+    assert(spark.read.parquet(dir).count() === after.length.toLong,
+      "vacuum(keepVersions=1) did not reclaim the prior snapshot's files")
+    assert(graft.sources.FileManifest.versions(spark, dir) === Seq(vs.last))
     spark.sharedState.cacheManager.clearCache()
   }
 
