@@ -145,6 +145,32 @@ object Exact {
   val digest128Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((s: String) => Option(s).map(digest128Jvm))
 
+  /** Feature-hashing text embedding (hashing trick, signed — Weinberger
+    * et al. 2009): token t adds ±1 to component `foldHash(t) mod dim`,
+    * sign from the next hash bit-run `(h div dim) mod 2`. INTEGER
+    * vector, so downstream dot products and norms are exact and the
+    * DuckDB oracle reproduces every component from the same rendered
+    * fold — the deterministic text→vector bridge the retrieval capstone
+    * (q165) runs on. Pure map-side per row; at 100 TB the embedding is
+    * a projection, never a shuffle.
+    */
+  def hashEmbedJvm(toks: Seq[String], dim: Int): Array[Long] = {
+    val v = new Array[Long](dim)
+    toks.foreach { t =>
+      if (t != null) {
+        val h = foldHashJvm(t) // in [0, 1e9+7): nonnegative, so mod/div are safe
+        val j = (h % dim).toInt
+        v(j) += (if ((h / dim) % 2 == 0) 1L else -1L)
+      }
+    }
+    v
+  }
+
+  /** Null-safe column form of [[hashEmbedJvm]]; pass dim as a literal. */
+  val hashEmbedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((toks: Seq[String], dim: Int) =>
+      Option(toks).map(hashEmbedJvm(_, dim)))
+
   /** Seeded re-hash of a base hash: `(a*h + b) mod P` — the classic
     * universal-hash family used for minhash permutations.
     */

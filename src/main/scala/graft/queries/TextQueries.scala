@@ -698,6 +698,97 @@ object TextQueries {
         .withColumn("rank", row_number().over(win).cast("long"))
         .filter(col("rank") <= 3)
         .orderBy("q_id", "rank")
+    },
+
+    // ---- chunk-level retrieval capstone (RAG-ingest shape) ----------------
+    // The text→vector BRIDGE composed end-to-end: documents split into
+    // 16-token chunks (q152's granularity — retrieval wants passages,
+    // not whole documents), every chunk embedded map-side by the SIGNED
+    // FEATURE-HASHING trick (integer vector: token t adds ±1 to
+    // component foldHash(t) mod 16 — deterministic, so the oracle
+    // reproduces every component), query documents embedded the same
+    // way, and each query retrieves its top-3 nearest chunks by cosine
+    // (own document excluded). Exactness: integer dots/norms via the
+    // codegen fold_dot_long kernel, one double division of identical
+    // integers — bit-exact in DuckDB. Scale shape: embedding is a
+    // PROJECTION (zero shuffle — the q152 rule), the gate serves
+    // brute-force against the broadcast query workload (q30's shape);
+    // at 100 TB the same chunk-embedding table feeds the gated IVF/PQ
+    // lifecycle (q106/q107/q147) unchanged — the capstone's new
+    // semantics is the bridge, not the index.
+    QueryDef.sql(
+      "q165_chunk_retrieval", {
+        val fold = "list_reduce(list_prepend(0::BIGINT, " +
+          "list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)), " +
+          "(a, x) -> (a * 31 + x) % 1000000007)"
+        val emb = (0 until 16).map { j =>
+          s"CAST(list_sum(list_transform(hs, h -> CASE WHEN h % 16 = $j " +
+            "THEN CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END " +
+            "ELSE 0 END)) AS BIGINT)"
+        }.mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |tn AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+           |ch AS (SELECT doc_id, k AS chunk_no, toks[16*k+1:16*k+16] AS ctoks
+           |       FROM (SELECT doc_id, toks, unnest(range(0, (len(toks)+15)//16)) AS k FROM tn)),
+           |ce AS (SELECT doc_id, chunk_no, $emb AS emb
+           |       FROM (SELECT doc_id, chunk_no, list_transform(ctoks, t -> $fold) AS hs FROM ch)),
+           |cn AS (SELECT * FROM (
+           |         SELECT doc_id, chunk_no, emb,
+           |           CAST(list_sum(list_transform(range(1, 17), i -> emb[i]*emb[i])) AS BIGINT) AS n2
+           |         FROM ce) WHERE n2 > 0),
+           |qe AS (SELECT doc_id AS q_id, $emb AS emb
+           |       FROM (SELECT doc_id, list_transform(toks, t -> $fold) AS hs
+           |             FROM tn WHERE doc_id % 100 = 0)),
+           |qn AS (SELECT * FROM (
+           |         SELECT q_id, emb,
+           |           CAST(list_sum(list_transform(range(1, 17), i -> emb[i]*emb[i])) AS BIGINT) AS qn2
+           |         FROM qe) WHERE qn2 > 0),
+           |sc AS (SELECT q_id, c.doc_id AS n_doc, c.chunk_no,
+           |         CAST(list_sum(list_transform(range(1, 17), i -> q.emb[i]*c.emb[i])) AS DOUBLE)
+           |           / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS sim
+           |       FROM qn q JOIN cn c ON q.q_id <> c.doc_id),
+           |r AS (SELECT q_id, n_doc, chunk_no, sim,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY sim DESC, n_doc, chunk_no) AS BIGINT) AS rank
+           |      FROM sc)
+           |SELECT q_id, n_doc, CAST(chunk_no AS BIGINT) AS chunk_no, sim, rank
+           |FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{Exact, VectorFold}
+      VectorFold.register(s)
+      val docs = Tables.documents(s, d)
+        .transform(graft.Tables.spread(_, col("doc_id")))
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .transform(graft.Materialize.checkpoint) // feeds chunks AND queries
+      val chunks = docs
+        .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), expr("(size(toks) + 15) div 16 - 1")),
+            k => slice(col("toks"), (k * 16 + 1).cast("int"), lit(16))))
+          .as(Seq("chunk_no", "ctoks")))
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          Exact.hashEmbedUdf(col("ctoks"), lit(16)).as("emb"))
+        .withColumn("n2", VectorFold.dotLong(col("emb"), col("emb")))
+        .filter(col("n2") > 0)
+      val q = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          Exact.hashEmbedUdf(col("toks"), lit(16)).as("qemb"))
+        .withColumn("qn2", VectorFold.dotLong(col("qemb"), col("qemb")))
+        .filter(col("qn2") > 0)
+      val win = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_doc"), col("chunk_no"))
+      broadcast(q).join(chunks, col("q_id") =!= col("doc_id"))
+        .select(col("q_id"), col("doc_id").as("n_doc"), col("chunk_no"),
+          (VectorFold.dotLong(col("qemb"), col("emb")).cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+            .as("sim"))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("q_id", "rank")
     }
   )
 }

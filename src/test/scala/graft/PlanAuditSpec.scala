@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // (q155 shares q151's cross but it runs inside foreachBatch — the
     // audited return plan is just the sink read, so no whitelist entry)
     "q156_tfidf_cosine", // broadcast 1-row corpus count onto the tf table
+    "q165_chunk_retrieval", // broadcast query-embedding set x chunk table, q_id <> doc_id
     "q157_mixture_waterfill", // 1-row budget/kstar/lam frames onto the K-source table
     "q159_ccnet_buckets" // q151's 1-row vocab cross under the bucket roll-up
   )
@@ -236,7 +237,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q157_mixture_waterfill" -> Seq(("kstar",
       "water-level frames over the K-source allocation table: K rows by construction")),
     "q160_uncertainty_sample" -> Seq(("count(1) AS __cnt",
-      "StratifiedTopN per-source counts: K = |source domain| rows"))
+      "StratifiedTopN per-source counts: K = |source domain| rows")),
+    "q165_chunk_retrieval" -> Seq((probeSlice,
+      "query-document embedding set: retrieval workload, not the corpus"))
   )
 
   private def hintedSides(df: org.apache.spark.sql.DataFrame)
