@@ -593,6 +593,53 @@ object LayoutQueries {
           .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
       }.reduce(_ unionByName _)
         .orderBy("version")
+    },
+
+    // ---- range DELETE with file-level surgery (MVCC) -----------------------
+    // The retention / right-to-be-forgotten verb: delete a ts window by
+    // rewriting ONLY the files whose manifest bounds intersect it —
+    // untouched files carry by reference (entries, stats, blooms
+    // byte-for-byte), so cost is O(intersecting files) never a table
+    // rewrite. Publishes as an MVCC version: the pre-delete snapshot
+    // stays readable via readAsOf (this gate reads BOTH versions) until
+    // vacuum retention — which is when deleted bytes actually leave
+    // disk, exactly Delta's DELETE→VACUUM purge contract. The gate
+    // lands a ts-range-clustered events slice, deletes the second
+    // quarter of the ts span, and pins each version's (count, id-sum)
+    // against the from-source oracle; DeleteRangeSpec pins the file
+    // surgery itself (carried entries byte-identical, only
+    // intersecting files rewritten, vacuum purge).
+    QueryDef.sql(
+      "q166_delete_range",
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |           FROM events),
+        |r AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi FROM b)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(event_id) AS BIGINT)
+        |FROM events, r
+        |WHERE NOT (epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi)
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_del")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      graft.sources.FileManifest.writeThrough(
+        ev.repartitionByRange(4, col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite")
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "ts_ns", lit(lo), lit(hi), Seq("ts_ns"))
+      graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("id_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
     }
   )
 }

@@ -362,6 +362,80 @@ object FileManifest {
     spark.read.option("basePath", dataDir).parquet(files.toIndexedSeq: _*)
   }
 
+  /** Range DELETE with FILE-LEVEL SURGERY (the Delta/Iceberg DELETE
+    * shape — also the retention/right-to-be-forgotten verb a
+    * training-data table needs): delete every row with `c` in
+    * `[lo, hi]` by rewriting ONLY the files whose manifest `[min, max]`
+    * bounds intersect the range (files with unknown bounds are
+    * conservatively rewritten). Untouched files are CARRIED BY
+    * REFERENCE — their manifest entries, per-file stats and bloom
+    * binaries ride into the new version byte-for-byte, so the cost is
+    * O(intersecting files), never a table rewrite. Publishes as an MVCC
+    * version swap: the pre-delete snapshot stays readable through
+    * [[readAsOf]] until [[vacuum]]'s retention reaps it — which is when
+    * the deleted bytes actually leave disk (the compliance purge point,
+    * exactly Delta's VACUUM contract).
+    *
+    * Returns (files rewritten, files carried).
+    */
+  def deleteRange(spark: SparkSession, dataDir: String, c: String,
+      lo: Column, hi: Column, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = manifestFrame(spark, dataDir)
+    require(m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c"),
+      s"deleteRange needs tracked bounds for $c under $dataDir")
+    // a file is a rewrite candidate unless its bounds PROVE disjointness
+    // (NULL bounds prove nothing → candidate) — the same soundness rule
+    // as read-side pruning, pointed the other way
+    val disjoint = coalesce(
+      col(s"max_$c") < lo || col(s"min_$c") > hi, lit(false))
+    val candPaths = m.filter(!disjoint)
+      .select(ManifestFileIndex.normPath(col("file")))
+      .collect().map(_.getString(0)).sorted
+    val carried = m.filter(disjoint)
+    // count BEFORE the swap: these frames lazily read the manifest this
+    // delete is about to retire
+    val nCarried = carried.count().toInt
+    if (candPaths.isEmpty) return (0, nCarried)
+    val survivors = spark.read.option("basePath", dataDir)
+      .parquet(candPaths.toIndexedSeq: _*)
+      .filter(!(col(c) >= lo && col(c) <= hi))
+    val stg = new org.apache.hadoop.fs.Path(s"${dataDir}_delete_staging")
+    if (hfs.exists(stg)) hfs.delete(stg, true)
+    survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    CommitLock.withLock(hfs,
+      new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      val moved = hfs.listStatus(stg).iterator
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .map { s =>
+          val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+          require(hfs.rename(s.getPath, dst),
+            s"delete publish rename failed: ${s.getPath} -> $dataDir")
+          dst.toString
+        }.toSeq
+      hfs.delete(stg, true)
+      val merged =
+        if (moved.isEmpty) carried
+        else carried.unionByName(fileStats(
+          spark.read.option("basePath", dataDir).parquet(moved: _*),
+          cols, bloomCols, expectedPerFile, fpp)
+          .select(carried.columns.map(col).toIndexedSeq: _*))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      // `merged` reads the manifest it replaces — land beside, then swap
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      swapVersioned(hfs, dataDir, tmp)
+      spark.catalog.refreshByPath(dataDir)
+      (candPaths.length, nCarried)
+    }
+  }
+
   /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
     * table-format lifecycle, beside write-through / compact / time
     * travel): delete every data file under `dataDir` the live manifest
