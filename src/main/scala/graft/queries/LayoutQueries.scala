@@ -640,6 +640,63 @@ object LayoutQueries {
           .select(lit(v).as("version"), col("n_rows"), col("id_sum"))
       }.reduce(_ unionByName _)
         .orderBy("version")
+    },
+
+    // ---- keyed MERGE with bloom-pruned file surgery (MVCC) ----------------
+    // The table-format MERGE verb: an upsert batch (updates to existing
+    // keys + brand-new keys) REPLACES matched rows and inserts the rest,
+    // rewriting only the files whose bloom sidecar / bounds might hold a
+    // matched key — the skipping stack pointed at a WRITE. Every other
+    // file carries by reference (entries, stats, bloom bytes intact), so
+    // a small CDC batch against a huge table costs O(touched files).
+    // Publishes as an MVCC version: this gate reads BOTH the pre-merge
+    // and post-merge snapshots and pins (count, key-sum, cust-sum)
+    // against the from-source oracle — a lost update, a duplicated
+    // matched row, a dropped insert, or a carried file that should have
+    // been rewritten all move a sum. MergeKeysSpec pins the surgery
+    // (bounds-deterministic single-file rewrite, byte-identical carried
+    // entries, bloom-pruned variant).
+    QueryDef.sql(
+      "q167_merge_files",
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN -1 ELSE o_custkey END AS o_custkey
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 900000000, -2 FROM orders WHERE o_orderkey % 4999 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_orderkey) AS BIGINT), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM merged
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_merge")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val updates = o.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), lit(-1L).as("o_custkey"))
+        .unionByName(o.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+            lit(-2L).as("o_custkey")))
+      graft.sources.FileManifest.mergeKeys(
+        s, dir, updates, "o_orderkey", Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("key_sum"), col("cust_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
     }
   )
 }

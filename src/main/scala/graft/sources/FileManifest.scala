@@ -436,6 +436,89 @@ object FileManifest {
     }
   }
 
+  /** Keyed MERGE (upsert) with bloom/bounds-pruned FILE SURGERY — the
+    * table-format MERGE verb: rows of `updates` REPLACE same-key rows
+    * and insert the rest, rewriting only the files that might hold a
+    * matched key. Candidate selection is the skipping stack pointed at
+    * a write: a file whose bloom sidecar rejects EVERY update key (no
+    * false negatives — skipping is sound), or whose `[min, max]` bounds
+    * exclude them all, carries BY REFERENCE with its stats and bloom
+    * bytes intact; unknown evidence → conservatively rewritten. The
+    * update batch's key set is operationally bounded (a CDC/upsert
+    * payload), collected once for the executor-side probes — the same
+    * contract as the bloom point-lookup read path. Publishes as an MVCC
+    * version: the pre-merge snapshot stays readable until vacuum
+    * retention. Long-typed keys only (the sidecar hashes longs).
+    *
+    * Returns (files rewritten, files carried).
+    */
+  def mergeKeys(spark: SparkSession, dataDir: String, updates: DataFrame,
+      key: String, cols: Seq[String], bloomCols: Seq[String] = Nil,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = manifestFrame(spark, dataDir)
+    val keyArr = updates.select(col(key).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    require(keyArr.nonEmpty, "mergeKeys: empty update batch")
+    val bloomProbe = udf { (bytes: Array[Byte]) =>
+      bytes == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        keyArr.exists(bf.mightContainLong)
+      }
+    }
+    val boundsProbe = udf { (mn: java.lang.Long, mx: java.lang.Long) =>
+      mn == null || mx == null || keyArr.exists(k => k >= mn && k <= mx)
+    }
+    val isCand: Column =
+      if (m.columns.contains(s"bloom_$key")) bloomProbe(col(s"bloom_$key"))
+      else if (m.columns.contains(s"min_$key"))
+        boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
+      else lit(true)
+    val candPaths = m.filter(isCand)
+      .select(ManifestFileIndex.normPath(col("file")))
+      .collect().map(_.getString(0)).sorted
+    val carried = m.filter(!isCand)
+    val nCarried = carried.count().toInt
+    val survivors =
+      if (candPaths.isEmpty) updates
+      else spark.read.option("basePath", dataDir)
+        .parquet(candPaths.toIndexedSeq: _*)
+        .join(updates.select(col(key)), Seq(key), "left_anti")
+        .unionByName(updates)
+    val stg = new org.apache.hadoop.fs.Path(s"${dataDir}_merge_staging")
+    if (hfs.exists(stg)) hfs.delete(stg, true)
+    survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    CommitLock.withLock(hfs,
+      new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      val moved = hfs.listStatus(stg).iterator
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .map { s =>
+          val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+          require(hfs.rename(s.getPath, dst),
+            s"merge publish rename failed: ${s.getPath} -> $dataDir")
+          dst.toString
+        }.toSeq
+      hfs.delete(stg, true)
+      val merged =
+        if (moved.isEmpty) carried
+        else carried.unionByName(fileStats(
+          spark.read.option("basePath", dataDir).parquet(moved: _*),
+          cols, bloomCols, expectedPerFile, fpp)
+          .select(carried.columns.map(col).toIndexedSeq: _*))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      swapVersioned(hfs, dataDir, tmp)
+      spark.catalog.refreshByPath(dataDir)
+      (candPaths.length, nCarried)
+    }
+  }
+
   /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
     * table-format lifecycle, beside write-through / compact / time
     * travel): delete every data file under `dataDir` the live manifest
