@@ -37,6 +37,10 @@ object ScaleSmoke {
       compact100(spark, base, rebuild = !args.contains("nobuild"))
       spark.stop(); return
     }
+    if (args.contains("mvcc")) {
+      mvccSmoke(spark)
+      spark.stop(); return
+    }
     // 10x replicate lineitem/orders with shifted keys; copy dims
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
@@ -497,6 +501,46 @@ object ScaleSmoke {
     * exists to catch any accidental corpus-sized dependency creeping
     * into the rewrite.
     */
+  /** MVCC write-surgery smoke: deleteRange and mergeKeys claim
+    * O(touched files) — a narrow delete / small upsert batch against a
+    * table of N files must cost ~flat wall as N (and table rows with
+    * it) grow 16×, because only the 1-3 evidence-intersecting files
+    * rewrite and every other manifest entry carries by reference. The
+    * contrast row is the naive full-table rewrite at the same N, which
+    * grows with the data. A super-flat delete/merge row here would mean
+    * an accidental table-sized dependency crept into the surgery.
+    */
+  private def mvccSmoke(spark: SparkSession): Unit = {
+    import graft.sources.FileManifest
+    for (n <- Seq(64, 256, 1024)) {
+      val dir = s"/tmp/graft_mvcc/$n"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (hfs.exists(p)) hfs.delete(p, true)
+      val rows = n * 20000L
+      val df = spark.range(rows).select(col("id").as("k"), (col("id") % 97).as("v"))
+      FileManifest.writeThrough(df.repartitionByRange(n, col("k")), dir,
+        Seq("k"), mode = "overwrite")
+      var t0 = System.nanoTime()
+      val (dRw, dCar) = FileManifest.deleteRange(
+        spark, dir, "k", lit(15000L), lit(25000L), Seq("k"))
+      val dDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_delete files=$n%-5d rows=$rows%-9d rewritten=$dRw carried=$dCar $dDt%7.2f s")
+      t0 = System.nanoTime()
+      import spark.implicits._
+      val ups = Seq((100L, -1L), (40000L, -1L), (rows + 5L, -2L)).toDF("k", "v")
+      val (mRw, mCar) = FileManifest.mergeKeys(spark, dir, ups, "k", Seq("k"))
+      val mDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_merge  files=$n%-5d rows=$rows%-9d rewritten=$mRw carried=$mCar $mDt%7.2f s")
+      // contrast: what a non-surgical engine pays — rewrite the table
+      t0 = System.nanoTime()
+      graft.sources.ManifestFileIndex.read(spark, dir)
+        .filter(!col("k").between(30000L, 31000L))
+        .write.mode("overwrite").parquet(s"$dir.naive")
+      println(f"mvcc_naive_rewrite files=$n%-5d rows=$rows%-9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+  }
+
   private def compact100(spark: SparkSession, base: String,
       rebuild: Boolean = true): Unit = {
     import graft.sim.Similarity
