@@ -697,6 +697,79 @@ object LayoutQueries {
             col("key_sum"), col("cust_sum"))
       }.reduce(_ unionByName _)
         .orderBy("version")
+    },
+
+    // ---- streaming CDC upserts into the MVCC table (q167 online) ----------
+    // The online shape of the MERGE verb: upsert batches ARRIVE as a
+    // file stream (3 real micro-batches, one file per trigger) and each
+    // applies through mergeKeys inside foreachBatch — bloom/bounds file
+    // surgery per batch, one MVCC version per commit, the q147 ingest
+    // pattern with a TABLE in place of an index. Replay safety comes
+    // from merge semantics itself: re-applying an upsert batch yields
+    // the identical row set (replacement is keyed), so a recovered
+    // stream converges to the same table whatever the retry history —
+    // and batches touch DISJOINT key residues, so arrival order cannot
+    // change the answer either. The gate pins the final table's
+    // (count, key-sum, cust-sum) against the from-source oracle; a
+    // double-applied update, a lost insert, or a carried file that
+    // should have rewritten all move a sum.
+    QueryDef.sql(
+      "q168_stream_merge",
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 1009 = 0 THEN -1
+        |         WHEN o_orderkey % 1009 = 1 THEN -2
+        |         WHEN o_orderkey % 1009 = 2 THEN -3
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (900000000, -100), (900000001, -101),
+        |                        (900000002, -102)) v(k, c))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |FROM merged""") { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = QueryDef.scratch(d, "stream_merge")
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
+      val table = s"$root/table"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        table, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      // 3 upsert batches, one parquet file each: batch b rewrites the
+      // %1009=b residue class to -(b+1) and inserts one brand-new key
+      (0 until 3).foreach { b =>
+        o.filter(col("o_orderkey") % 1009 === b)
+          .select(col("o_orderkey"), lit(-(b + 1).toLong).as("o_custkey"))
+          .unionByName(Seq((900000000L + b, -100L - b))
+            .toDF("o_orderkey", "o_custkey"))
+          .coalesce(1)
+          .write.parquet(s"$root/arrivals/b$b")
+      }
+      val sch = s.read.parquet(s"$root/arrivals/b0").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals/b*")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.FileManifest.mergeKeys(
+              s, table, batch, "o_orderkey", Seq("o_orderkey"),
+              bloomCols = Seq("o_orderkey"))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.sources.ManifestFileIndex.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_custkey")).as("cust_sum"))
     }
   )
 }
