@@ -91,24 +91,78 @@ object FileManifest {
     * (surviving paths, counts).
     */
   private[sources] def manifestFrame(spark: SparkSession, dataDir: String): DataFrame = {
-    // the refresh swap is delete(dst) → rename(tmp, dst): readers take no
-    // lock, so planning that lands in that gap sees a healthy table with
-    // a momentarily-absent `_manifest`. Tolerate-and-retry bridges the
-    // window (metadata-rename-sized, not job-sized); a manifest that
-    // stays missing through the backoff is a REAL absence and still
-    // fails loud on the last attempt.
+    // the refresh swap is rename(dst, hist) → rename(tmp, dst): readers
+    // take no lock, so planning that lands in that gap sees a healthy
+    // table with a momentarily-absent `_manifest`. Tolerate-and-retry
+    // bridges the window (metadata-rename-sized, not job-sized) — but
+    // ONLY when the directory actually carries manifest machinery (a
+    // history version, the writer lock, or an in-flight tmp): a read of
+    // a dir with none of those is a REAL absence — an unmanifested or
+    // nonexistent table — and must fail immediately rather than pay the
+    // full backoff on every such probe. A manifest that stays missing
+    // through the backoff still fails loud on the last attempt.
+    def swapMaybeInFlight(): Boolean = {
+      val root = new org.apache.hadoop.fs.Path(dataDir)
+      val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      hfs.exists(root) && hfs.listStatus(root).exists { s =>
+        val n = s.getPath.getName
+        n == "_manifest.lock" || n.startsWith("_manifest_v") ||
+          n.startsWith("_manifest_tmp_")
+      }
+    }
     var attempt = 0
     while (attempt < 5) {
       try return spark.read.parquet(manifestPath(dataDir))
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" ||
-              e.getMessage.contains("Path does not exist") =>
+            if (e.getErrorClass == "PATH_NOT_FOUND" ||
+              e.getMessage.contains("Path does not exist")) &&
+              swapMaybeInFlight() =>
           attempt += 1
           Thread.sleep(20L << attempt)
       }
     }
     spark.read.parquet(manifestPath(dataDir))
+  }
+
+  /** Version stamped on the CURRENT manifest — 0 when the table has no
+    * manifest yet. The optimistic-concurrency token every write-surgery
+    * verb validates under the commit lock before publishing.
+    */
+  private def currentVersion(hfs: org.apache.hadoop.fs.FileSystem,
+      dataDir: String): Long = {
+    val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    if (hfs.exists(cur)) versionOf(hfs, cur) else 0L
+  }
+
+  /** TEST SEAM: invoked once per write-surgery call (deleteRange /
+    * mergeKeys / publishVia) after staging completes and right before
+    * the commit lock is taken — specs inject a rival committer here to
+    * pin the optimistic-concurrency conflict path deterministically.
+    * No-op in production; mutated only by single-threaded specs.
+    */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Validate the optimistic token under the commit lock: the surgery's
+    * plan read manifest version `plannedV`; a different current version
+    * means a rival committed in between and the staged output was built
+    * from a stale snapshot — publishing it would silently discard the
+    * rival's committed work (lost update). Fail loud; the caller re-runs
+    * the surgery against the new version (Delta's conflict-and-retry
+    * protocol). `stg` is this writer's private staging dir, cleaned up
+    * before the throw.
+    */
+  private def requireUnchanged(hfs: org.apache.hadoop.fs.FileSystem,
+      dataDir: String, plannedV: Long,
+      stg: org.apache.hadoop.fs.Path): Unit = {
+    val cur = currentVersion(hfs, dataDir)
+    if (cur != plannedV) {
+      hfs.delete(stg, true)
+      throw new ConcurrentWriteException(
+        s"table $dataDir moved v$plannedV -> v$cur while this surgery " +
+          "was planned/staged — a rival writer committed; re-run the " +
+          "surgery against the current version")
+    }
   }
 
   /** One pass over the directory: per-file row count + min/max of each
@@ -263,10 +317,17 @@ object FileManifest {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(stg != root, s"staging dir must differ from target: $dataDir")
+    // optimistic token: `df` is typically a read-modify-write of the
+    // current snapshot (compaction), so a rival commit between this
+    // point and the locked publish would be silently overwritten —
+    // validate under the lock, fail loud on movement
+    val plannedV = currentVersion(hfs, dataDir)
     if (hfs.exists(stg)) hfs.delete(stg, true)
     df.write.parquet(stagingDir) // may read dataDir: still untouched
+    beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      requireUnchanged(hfs, dataDir, plannedV, stg)
       if (!hfs.exists(root)) hfs.mkdirs(root)
       val moved = hfs.listStatus(stg).iterator
         .filterNot { s =>
@@ -338,6 +399,17 @@ object FileManifest {
     * version is readable until [[vacuum]]'s `keepVersions` retention
     * reaps its manifest (resolution then fails loud here, naming the
     * retained range) or reaps data files no newer version references.
+    *
+    * RETENTION/READ RACE (the same contract Delta documents for
+    * VACUUM): resolution pins the file PATHS, not the bytes — a reader
+    * that resolved an as-of frame and is still scanning (or has not yet
+    * scanned) when vacuum reaps that version fails MID-SCAN with the
+    * task's FileNotFound/PATH_NOT_FOUND error, not with this method's
+    * named resolution failure. That failure is loud, never silent
+    * partial results; the operational remedy is retention sizing —
+    * keepVersions/graceMs longer than the longest reader —
+    * VacuumReaderRaceSpec pins the failure mode.
+    *
     * The driver holds one path string per file of that version — the
     * same O(listing) any FileIndex already holds, never manifest
     * payload (bounds/blooms stay unread).
@@ -384,6 +456,10 @@ object FileManifest {
       fpp: Double = 0.01): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // optimistic token: plan + staging run OUTSIDE the lock (long Spark
+    // jobs must not serialize rival readers/writers); the locked commit
+    // validates the version is still the one this plan read
+    val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
     require(m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c"),
       s"deleteRange needs tracked bounds for $c under $dataDir")
@@ -403,11 +479,18 @@ object FileManifest {
     val survivors = spark.read.option("basePath", dataDir)
       .parquet(candPaths.toIndexedSeq: _*)
       .filter(!(col(c) >= lo && col(c) <= hi))
-    val stg = new org.apache.hadoop.fs.Path(s"${dataDir}_delete_staging")
-    if (hfs.exists(stg)) hfs.delete(stg, true)
+    // WRITER-PRIVATE staging (UUID dir): two concurrent surgeries on one
+    // table must never clobber each other's in-progress staging — the
+    // fixed-name dir a rival would delete is exactly the lost-update
+    // race the version token then can't even see
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
     survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      requireUnchanged(hfs, dataDir, plannedV, stg)
       val moved = hfs.listStatus(stg).iterator
         .filterNot { s =>
           val n = s.getPath.getName
@@ -434,6 +517,7 @@ object FileManifest {
       spark.catalog.refreshByPath(dataDir)
       (candPaths.length, nCarried)
     }
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
   }
 
   /** Keyed MERGE (upsert) with bloom/bounds-pruned FILE SURGERY — the
@@ -454,28 +538,68 @@ object FileManifest {
     */
   def mergeKeys(spark: SparkSession, dataDir: String, updates: DataFrame,
       key: String, cols: Seq[String], bloomCols: Seq[String] = Nil,
-      expectedPerFile: Long = 65536L, fpp: Double = 0.01): (Int, Int) = {
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01,
+      maxCollectedKeys: Int = 100000): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
-    val keyArr = updates.select(col(key).cast("long"))
-      .distinct().collect().map(_.getLong(0))
-    require(keyArr.nonEmpty, "mergeKeys: empty update batch")
-    val bloomProbe = udf { (bytes: Array[Byte]) =>
-      bytes == null || {
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-        keyArr.exists(bf.mightContainLong)
-      }
+    // ONE distributed pass over the batch answers every precondition and
+    // sizing question: per-key multiplicity (MERGE replaces exactly one
+    // row per key — Delta fails loud on multiple matches, and so do we:
+    // the anti-join-then-append would otherwise silently insert BOTH
+    // rows of a doubled key), null keys (match nothing — reject), the
+    // distinct-key count (the measured guard below), and the global key
+    // range (the above-cap pruning evidence).
+    val keyStats = updates.select(col(key).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val st = keyStats.agg(count(lit(1)).as("nk"), max("c").as("maxc"),
+      sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+      min("k").as("kmin"), max("k").as("kmax")).head()
+    require(st.getLong(0) > 0, "mergeKeys: empty update batch")
+    require(st.getLong(2) == 0L,
+      s"mergeKeys: update batch has NULL '$key' keys — a NULL key " +
+        "matches no row and cannot MERGE; filter or fill the batch first")
+    if (st.getLong(1) > 1L) {
+      val ex = keyStats.filter(col("c") > 1).select("k").head().getLong(0)
+      throw new IllegalArgumentException(
+        s"mergeKeys: update batch has multiple rows for key $key=$ex — " +
+          "MERGE replaces exactly one row per matched key; dedup the " +
+          "batch (e.g. keep-last by an ordering column) before merging")
     }
-    val boundsProbe = udf { (mn: java.lang.Long, mx: java.lang.Long) =>
-      mn == null || mx == null || keyArr.exists(k => k >= mn && k <= mx)
-    }
+    val nKeys = st.getLong(0)
+    // MEASURED-COUNT GUARD: the per-key probes below capture the
+    // collected key set in a closure — operationally bounded for a
+    // CDC/upsert payload, but nothing enforced it. Above the cap, fall
+    // back to bounds-only candidate selection against the batch's global
+    // key range: zero driver key state, still sound (a file disjoint
+    // from [kmin, kmax] holds no matched key), and a batch that large is
+    // dense over its range anyway, so per-key bloom precision would
+    // rescue few files while the probe cost itself turns O(files × keys).
     val isCand: Column =
-      if (m.columns.contains(s"bloom_$key")) bloomProbe(col(s"bloom_$key"))
-      else if (m.columns.contains(s"min_$key"))
-        boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
-      else lit(true)
+      if (nKeys > maxCollectedKeys) {
+        val (kmin, kmax) = (st.getLong(3), st.getLong(4))
+        if (m.columns.contains(s"min_$key"))
+          coalesce(!(col(s"max_$key").cast("long") < kmin ||
+            col(s"min_$key").cast("long") > kmax), lit(true))
+        else lit(true)
+      } else {
+        val keyArr = keyStats.select("k").collect().map(_.getLong(0))
+        val bloomProbe = udf { (bytes: Array[Byte]) =>
+          bytes == null || {
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+            keyArr.exists(bf.mightContainLong)
+          }
+        }
+        val boundsProbe = udf { (mn: java.lang.Long, mx: java.lang.Long) =>
+          mn == null || mx == null || keyArr.exists(k => k >= mn && k <= mx)
+        }
+        if (m.columns.contains(s"bloom_$key")) bloomProbe(col(s"bloom_$key"))
+        else if (m.columns.contains(s"min_$key"))
+          boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
+        else lit(true)
+      }
     val candPaths = m.filter(isCand)
       .select(ManifestFileIndex.normPath(col("file")))
       .collect().map(_.getString(0)).sorted
@@ -487,11 +611,16 @@ object FileManifest {
         .parquet(candPaths.toIndexedSeq: _*)
         .join(updates.select(col(key)), Seq(key), "left_anti")
         .unionByName(updates)
-    val stg = new org.apache.hadoop.fs.Path(s"${dataDir}_merge_staging")
-    if (hfs.exists(stg)) hfs.delete(stg, true)
+    // writer-private UUID staging + locked version validation: see
+    // [[deleteRange]] — same optimistic-concurrency commit protocol
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
     survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+      requireUnchanged(hfs, dataDir, plannedV, stg)
       val moved = hfs.listStatus(stg).iterator
         .filterNot { s =>
           val n = s.getPath.getName
@@ -517,6 +646,7 @@ object FileManifest {
       spark.catalog.refreshByPath(dataDir)
       (candPaths.length, nCarried)
     }
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
   }
 
   /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
@@ -549,21 +679,72 @@ object FileManifest {
       require(hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))),
         s"no manifest under $dataDir — vacuum without one would reap the whole table")
       import spark.implicits._
+      val cutoff = System.currentTimeMillis() - graceMs
+      // a file already gone counts as reapable; a LIVE file younger than
+      // graceMs is possibly in-flight (see the orphan-sweep note below)
+      def pastGrace(p: String): Boolean =
+        try hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+          .getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => true }
       // TIME-TRAVEL retention: the live set is the UNION of the newest
       // `keepVersions` snapshots (current + that many minus one history
-      // manifests), so files an old-but-retained version still
-      // references survive; history manifests beyond retention are
-      // reaped here too, making "version not retained" a loud
-      // resolution failure in readAsOf rather than a half-missing read.
-      // keepVersions = 1 is exactly the classic semantics: live =
-      // current manifest, every historical-only file is an orphan.
+      // manifests); history manifests beyond retention are reaped,
+      // making "version not retained" a loud resolution failure in
+      // readAsOf rather than a half-missing read. keepVersions = 1 is
+      // the classic semantics: live = current manifest only.
+      //
+      // RESURRECTION GUARD: an expired history manifest and the data
+      // files ONLY IT references must leave disk TOGETHER. Reaping the
+      // manifest while graceMs spares its young files would strand them
+      // as unreferenced-but-live — the next refresh, no longer seeing
+      // them in any history manifest, would re-manifest them as fresh
+      // appends, and a pre-surgery file's rows (deleted ranges, stale
+      // pre-merge key values) would silently REJOIN the current version.
+      // So an expired manifest is reaped only once every file it
+      // exclusively references (not referenced by any retained version
+      // or any other still-present history manifest) is past the grace
+      // cutoff; otherwise it is SPARED this pass — still covering its
+      // young files against re-manifesting — and retried next vacuum.
+      // The per-version reference sets are collected path strings:
+      // O(files-per-version) driver bytes, the listing-sized state any
+      // FileIndex already holds, never manifest payload.
       val hist = historyVersions(hfs, root)
       val keptHist = hist.takeRight(keepVersions - 1)
-      hist.dropRight(keepVersions - 1).foreach { v =>
-        hfs.delete(new org.apache.hadoop.fs.Path(histPath(dataDir, v)), true)
+      val expired = hist.dropRight(keepVersions - 1)
+      def refsOf(mdir: String): Set[String] =
+        spark.read.parquet(mdir)
+          .select(ManifestFileIndex.normPath(col("file")))
+          .collect().map(_.getString(0)).toSet
+      val reapedWith = Seq.newBuilder[String]
+      if (expired.nonEmpty) {
+        val retainedRefs = refsOf(manifestPath(dataDir)) ++
+          keptHist.flatMap(v => refsOf(histPath(dataDir, v)))
+        val expiredRefs: Map[Long, Set[String]] =
+          expired.map(v => v -> refsOf(histPath(dataDir, v))).toMap
+        val reaped = scala.collection.mutable.Set.empty[Long]
+        // oldest-first: a file shared between two expired versions stays
+        // until the LAST manifest referencing it is itself reapable
+        expired.foreach { v =>
+          val coveredElsewhere = retainedRefs ++
+            (expired.toSet -- reaped - v).iterator.flatMap(expiredRefs)
+          val exclusive = expiredRefs(v) -- coveredElsewhere
+          if (exclusive.forall(pastGrace)) {
+            hfs.delete(new org.apache.hadoop.fs.Path(histPath(dataDir, v)), true)
+            exclusive.foreach { p =>
+              if (hfs.delete(new org.apache.hadoop.fs.Path(p), false))
+                reapedWith += p
+            }
+            reaped += v
+          }
+        }
       }
+      // ORPHAN SWEEP: a live file no still-present manifest references —
+      // current, retained history, or an expired-but-SPARED manifest
+      // (re-list after the reaping loop so spared versions keep
+      // protecting their files) — is crashed/raced writer residue.
       val manifested = (manifestFrame(spark, dataDir) +:
-        keptHist.map(v => spark.read.parquet(histPath(dataDir, v))))
+        historyVersions(hfs, root)
+          .map(v => spark.read.parquet(histPath(dataDir, v))))
         .map(_.select(ManifestFileIndex.normPath(col("file")).as("m_file")))
         .reduce(_ unionByName _)
         .distinct()
@@ -579,7 +760,6 @@ object FileManifest {
       // size graceMs above the longest append→refresh latency). The
       // stats are O(candidate) driver RPCs — already the doomed set,
       // never the table.
-      val cutoff = System.currentTimeMillis() - graceMs
       val orphans = candidates.filter { p =>
         try hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
           .getModificationTime < cutoff
@@ -590,7 +770,7 @@ object FileManifest {
       // drop any cached listings/footers for the pruned tree so a reader
       // planned after the vacuum never references a deleted file
       spark.catalog.refreshByPath(dataDir)
-      orphans
+      (orphans ++ reapedWith.result()).sorted
     }
   }
 
@@ -826,3 +1006,14 @@ object FileManifest {
       spark.read.parquet(dataDir).filter(lit(false)) // schema-stable empty
     else spark.read.option("basePath", dataDir).parquet(kept: _*)
 }
+
+/** Thrown when a write surgery (deleteRange / mergeKeys / publishVia)
+  * finds, under the commit lock, that the table is no longer at the
+  * manifest version its plan read: a rival writer committed between plan
+  * and publish, and publishing the staged output would silently discard
+  * that rival's work. The caller's remedy is to re-run the surgery
+  * against the current version — the same optimistic
+  * conflict-and-retry protocol Delta raises as
+  * ConcurrentModificationException.
+  */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)

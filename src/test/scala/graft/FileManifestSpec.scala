@@ -219,4 +219,21 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
       lit(0L), lit(10L))
     assert(total == 2 && kept == 2 && df.count() == 2)
   }
+
+  test("manifest read of an absent table fails immediately, no swap backoff") {
+    // the PATH_NOT_FOUND retry exists only to bridge the refresh swap's
+    // rename gap — it must trigger solely when the dir carries manifest
+    // machinery (lock / history / tmp). A genuinely absent or
+    // unmanifested dir fails on the first attempt: the full backoff is
+    // ~1.2s, so an under-1s failure proves no retry loop ran.
+    val t0 = System.nanoTime()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      FileManifest.readPruned(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_io/spec/definitely_absent_table",
+        "ts", lit(0L), lit(1L))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 1000L,
+      s"absent-table probe took ${elapsedMs}ms — the swap backoff ran")
+  }
 }
