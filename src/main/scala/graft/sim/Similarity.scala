@@ -937,6 +937,20 @@ object Similarity {
     // CURRENT version, never the raw directory union.
     graft.sources.FileManifest.publishVia(
       clustered, s"${dir}_compact_staging", dir, cols = Seq("cell"))
+    // compaction is the maintenance point where table formats hook
+    // snapshot expiration (Delta OPTIMIZE→VACUUM, Iceberg
+    // expire_snapshots) — without it, every publish adds a history
+    // manifest that all later refresh/coverage passes must union, so an
+    // often-compacted index degrades without bound. Amortized: vacuum
+    // only once history depth exceeds 4× the retention target (a pure
+    // directory listing — zero Spark jobs on the no-op path), so a
+    // compaction burst pays no cleanup inline while depth stays bounded
+    // at threshold + burst width. keepVersions=2 keeps the
+    // pre-compaction snapshot readable for in-flight as-of readers; the
+    // grace window additionally spares anything younger than the
+    // default retention.
+    if (graft.sources.FileManifest.versions(spark, dir).size > 8)
+      graft.sources.FileManifest.vacuum(spark, dir, keepVersions = 2)
     graft.sources.ManifestFileIndex.read(spark, dir)
       .select("n_id", "cell", "pcode")
   }

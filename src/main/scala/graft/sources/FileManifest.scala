@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** File-level min/max MANIFEST over a staging directory — the
   * table-format-lite skipping layer (Iceberg/Delta keep the same
@@ -65,9 +66,14 @@ object FileManifest {
       root: org.apache.hadoop.fs.Path): Option[DataFrame] = {
     val hs = historyVersions(hfs, root)
     if (hs.isEmpty) None
-    else Some(hs.map(v => spark.read.parquet(histPath(dataDir, v))
-        .select(ManifestFileIndex.normPath(col("file")).as("h_file")))
-      .reduce(_ unionByName _).distinct())
+    // ONE multi-path read, not one read per version: each spark.read
+    // pays driver-side schema inference and plan analysis, so a deep
+    // history made every coverage check O(versions) in fixed overhead.
+    // Only `file` is selected — present in every manifest whatever
+    // tracked-column drift the versions carry.
+    else Some(spark.read.parquet(hs.map(histPath(dataDir, _)): _*)
+      .select(ManifestFileIndex.normPath(col("file")).as("h_file"))
+      .distinct())
   }
 
   /** Retained HISTORY versions under `dataDir` (ascending) — the
@@ -188,10 +194,237 @@ object FileManifest {
   def buildWithBloom(spark: SparkSession, dataDir: String, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long = 65536L,
       fpp: Double = 0.01): Unit = {
-    fileStats(spark.read.parquet(dataDir), cols, bloomCols,
-      expectedPerFile, fpp)
-      .coalesce(1)
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val paths = FsListing.listDataFiles(hfs, root)
+    val stats =
+      if (paths.isEmpty) // surface the same empty-dir failure a scan would
+        fileStats(spark.read.parquet(dataDir), cols, bloomCols,
+          expectedPerFile, fpp)
+      else statsForFiles(spark, dataDir, paths, cols, bloomCols,
+        expectedPerFile, fpp)
+    stats.coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(dataDir))
+  }
+
+  /** Spark types whose parquet footer statistics are BOTH trustworthy
+    * and exactly convertible back to the values a Spark `min`/`max`
+    * aggregate over the data would produce — the eligibility gate for
+    * [[footerStats]]. Float/Double are excluded: a writer that saw NaN
+    * may have persisted NaN-free bounds, and under Spark's
+    * NaN-is-largest comparison semantics a range probe (`col >= lo` IS
+    * true for NaN) could then skip a file whose NaN rows qualify.
+    * Timestamp is excluded (Spark's default INT96 layout carries no
+    * usable footer stats); Decimal for scale/precision re-encoding
+    * complexity. Ineligible types simply keep the data-scan path.
+    */
+  private def footerEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Per-file `(n_rows, min_c, max_c, ...)` manifest entries read from
+    * PARQUET FOOTER row-group statistics — metadata-sized reads instead
+    * of re-scanning every data page the writer just finished writing.
+    * This removes the avoidable half of a publish's read amplification:
+    * [[publishVia]]/[[refresh]] used to land files and then re-READ
+    * them wholesale just to re-derive bounds parquet had already
+    * persisted per column chunk (Iceberg/Delta commit the same way —
+    * per-file stats come off the write tasks' footers, never a second
+    * scan).
+    *
+    * Soundness: row counts come from block metadata — always present,
+    * exact. A column chunk with absent or unusable statistics (stats
+    * dropped by parquet's corrupt-stats quarantine, physical type not
+    * matching the expected Spark type, a partition column absent from
+    * the file) makes that file's bound NULL, which every read-side
+    * consumer already treats as unknown-never-skip. An all-null chunk
+    * (no non-null value, numNulls == valueCount) contributes nothing,
+    * matching `min(col)` over NULLs. String bounds merge in unsigned
+    * UTF-8 byte order — the same ordering Spark's UTF8String comparison
+    * and parquet's UNSIGNED_LEXICOGRAPHICAL comparator use.
+    * FooterStatsSpec pins footer ≡ scan equality per eligible type and
+    * the null-bound degradation cases.
+    *
+    * Distribution: the footers are opened in a Spark job over the path
+    * list (a task reads only its partition's footers); the driver holds
+    * the path strings it already had, never stats.
+    */
+  private[graft] def footerStats(spark: SparkSession, paths: Seq[String],
+      schema: StructType, cols: Seq[String]): DataFrame = {
+    val fields = cols.map(c => schema(c)).toIndexedSeq
+    val outSchema = StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("n_rows", LongType, nullable = false) +:
+        fields.flatMap(f => Seq(
+          StructField(s"min_${f.name}", f.dataType),
+          StructField(s"max_${f.name}", f.dataType))))
+    // Hadoop Configuration is Writable, not Serializable — ship it to
+    // tasks as its own wire format
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(baos)
+      spark.sessionState.newHadoopConf().write(dos)
+      dos.close()
+      baos.toByteArray
+    }
+    val colNames = fields.map(_.name)
+    val colTypes = fields.map(_.dataType)
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1,
+        math.min(paths.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(confBytes)))
+        it.map { p =>
+          // scheme-QUALIFY before storing: callers hand over bare
+          // "/tmp/..." rename targets, but manifest entries must compare
+          // against the qualified ("file:/...") live listing
+          val p0 = new org.apache.hadoop.fs.Path(p)
+          val tfs = p0.getFileSystem(conf)
+          val qualified = p0.makeQualified(tfs.getUri, tfs.getWorkingDirectory)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(qualified, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            var nRows = 0L
+            val iter0 = blocks.iterator()
+            while (iter0.hasNext) nRows += iter0.next().getRowCount
+            // per tracked column: merge chunk stats in an internal rep
+            // (Long for integrals/date/boolean, bytes for strings)
+            val mins = new Array[Any](colNames.length)
+            val maxs = new Array[Any](colNames.length)
+            val unknown = new Array[Boolean](colNames.length)
+            val biter = blocks.iterator()
+            while (biter.hasNext) {
+              val b = biter.next()
+              var i = 0
+              while (i < colNames.length) {
+                if (!unknown(i)) {
+                  var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+                  val citer = b.getColumns.iterator()
+                  while (citer.hasNext && chunk == null) {
+                    val c = citer.next()
+                    if (c.getPath.size() == 1 &&
+                      c.getPath.toDotString == colNames(i)) chunk = c
+                  }
+                  if (chunk == null) unknown(i) = true
+                  else {
+                    val stats = chunk.getStatistics
+                    if (stats == null) unknown(i) = true
+                    else if (stats.isNumNullsSet &&
+                      stats.getNumNulls == chunk.getValueCount) {
+                      // proven all-null chunk: contributes nothing (some
+                      // writers still populate zeroed min/max here, so
+                      // this test must run BEFORE trusting hasNonNullValue)
+                    } else if (!stats.hasNonNullValue) unknown(i) = true
+                    else {
+                      footerValue(colTypes(i), stats) match {
+                        case Some((mn, mx)) =>
+                          if (mins(i) == null ||
+                            internalCompare(colTypes(i), mn, mins(i)) < 0)
+                            mins(i) = mn
+                          if (maxs(i) == null ||
+                            internalCompare(colTypes(i), mx, maxs(i)) > 0)
+                            maxs(i) = mx
+                        case None => unknown(i) = true
+                      }
+                    }
+                  }
+                }
+                i += 1
+              }
+            }
+            val vals = (0 until colNames.length).flatMap { i =>
+              // mins(i) == null: every chunk was all-null — bounds are
+              // NULL exactly like min() over an all-NULL column
+              if (unknown(i) || mins(i) == null) Seq(null, null)
+              else Seq(internalFinish(colTypes(i), mins(i)),
+                internalFinish(colTypes(i), maxs(i)))
+            }
+            Row.fromSeq(FsListing.norm(qualified.toString) +: nRows +: vals)
+          } finally reader.close()
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Chunk min/max in the internal merge representation, or None when
+    * the physical type doesn't match the expected Spark type (schema
+    * evolution — bounds go unknown, never wrong).
+    */
+  private def footerValue(dt: DataType,
+      stats: org.apache.parquet.column.statistics.Statistics[_]): Option[(Any, Any)] = {
+    import org.apache.parquet.column.statistics._
+    (dt, stats) match {
+      case (ByteType | ShortType | IntegerType | DateType, s: IntStatistics) =>
+        Some((s.getMin.toLong, s.getMax.toLong))
+      case (LongType, s: LongStatistics) => Some((s.getMin, s.getMax))
+      case (BooleanType, s: BooleanStatistics) =>
+        Some((if (s.getMin) 1L else 0L, if (s.getMax) 1L else 0L))
+      case (StringType, s: BinaryStatistics) =>
+        Some((s.genericGetMin.getBytes, s.genericGetMax.getBytes))
+      case _ => None
+    }
+  }
+
+  private def internalCompare(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType => java.util.Arrays.compareUnsigned(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case _ => java.lang.Long.compare(
+      a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  private def internalFinish(dt: DataType, v: Any): Any = dt match {
+    case ByteType => v.asInstanceOf[Long].toByte
+    case ShortType => v.asInstanceOf[Long].toShort
+    case IntegerType => v.asInstanceOf[Long].toInt
+    case LongType => v.asInstanceOf[Long]
+    case BooleanType => v.asInstanceOf[Long] != 0L
+    case DateType => java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long]))
+    case StringType => new String(v.asInstanceOf[Array[Byte]],
+      java.nio.charset.StandardCharsets.UTF_8)
+    case other => throw new IllegalStateException(s"not footer-eligible: $other")
+  }
+
+  /** Stats for exactly `paths`: FOOTER-derived when no bloom sidecars
+    * are requested (blooms must see every key value, so they pay the
+    * scan anyway) and every tracked column is [[footerEligible]] and
+    * physically present in the files (a partition column lives in the
+    * directory name, not the footer); the [[fileStats]] data-scan
+    * aggregation otherwise. Both paths produce the identical manifest
+    * schema, so callers never care which ran.
+    */
+  private[graft] def statsForFiles(spark: SparkSession, dataDir: String,
+      paths: Seq[String], cols: Seq[String], bloomCols: Seq[String],
+      expectedPerFile: Long, fpp: Double): DataFrame = {
+    val df = spark.read.option("basePath", dataDir).parquet(paths: _*)
+    val physical = physicalFields(spark, paths.head)
+    if (bloomCols.isEmpty && cols.forall(c =>
+        physical.contains(c) && footerEligible(df.schema(c).dataType)))
+      footerStats(spark, paths, df.schema, cols)
+    else fileStats(df, cols, bloomCols, expectedPerFile, fpp)
+  }
+
+  /** Top-level primitive field names of ONE file's parquet footer — the
+    * physical-presence probe for [[statsForFiles]] (batches are
+    * single-writer uniform; a straggler that differs anyway just
+    * degrades to null bounds inside the footer job).
+    */
+  private def physicalFields(spark: SparkSession, path: String): Set[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val s = reader.getFooter.getFileMetaData.getSchema
+      import scala.jdk.CollectionConverters._
+      s.getFields.asScala.filter(_.isPrimitive).map(_.getName).toSet
+    } finally reader.close()
   }
 
   /** The one per-file stats aggregation both [[buildWithBloom]] and the
@@ -203,7 +436,7 @@ object FileManifest {
     * silent false NEGATIVES, the one failure Bloom semantics must never
     * allow; fail loud at build time instead).
     */
-  private def fileStats(data: DataFrame, cols: Seq[String],
+  private[graft] def fileStats(data: DataFrame, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long, fpp: Double): DataFrame = {
     bloomCols.foreach { c =>
       val dt = data.schema(c).dataType
@@ -342,8 +575,7 @@ object FileManifest {
         }.toSeq
       hfs.delete(stg, true)
       require(moved.nonEmpty, s"publish produced no data files for $dataDir")
-      val stats = fileStats(
-        spark.read.option("basePath", dataDir).parquet(moved: _*),
+      val stats = statsForFiles(spark, dataDir, moved,
         cols, bloomCols, expectedPerFile, fpp)
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -505,9 +737,9 @@ object FileManifest {
       hfs.delete(stg, true)
       val merged =
         if (moved.isEmpty) carried
-        else carried.unionByName(fileStats(
-          spark.read.option("basePath", dataDir).parquet(moved: _*),
-          cols, bloomCols, expectedPerFile, fpp)
+        else carried.unionByName(
+          statsForFiles(spark, dataDir, moved, cols, bloomCols,
+            expectedPerFile, fpp)
           .select(carried.columns.map(col).toIndexedSeq: _*))
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -635,9 +867,9 @@ object FileManifest {
       hfs.delete(stg, true)
       val merged =
         if (moved.isEmpty) carried
-        else carried.unionByName(fileStats(
-          spark.read.option("basePath", dataDir).parquet(moved: _*),
-          cols, bloomCols, expectedPerFile, fpp)
+        else carried.unionByName(
+          statsForFiles(spark, dataDir, moved, cols, bloomCols,
+            expectedPerFile, fpp)
           .select(carried.columns.map(col).toIndexedSeq: _*))
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -711,16 +943,25 @@ object FileManifest {
       val hist = historyVersions(hfs, root)
       val keptHist = hist.takeRight(keepVersions - 1)
       val expired = hist.dropRight(keepVersions - 1)
-      def refsOf(mdir: String): Set[String] =
-        spark.read.parquet(mdir)
-          .select(ManifestFileIndex.normPath(col("file")))
-          .collect().map(_.getString(0)).toSet
       val reapedWith = Seq.newBuilder[String]
       if (expired.nonEmpty) {
-        val retainedRefs = refsOf(manifestPath(dataDir)) ++
-          keptHist.flatMap(v => refsOf(histPath(dataDir, v)))
+        // ONE Spark job over every version's manifest (the per-version
+        // loop was a collect per history dir — job-scheduling overhead
+        // linear in history depth); the owning version is recovered from
+        // each row's source path ("" = the current, unsuffixed manifest)
+        val byVersion: Map[String, Set[String]] =
+          spark.read.parquet(
+            (manifestPath(dataDir) +: hist.map(histPath(dataDir, _))): _*)
+            .select(
+              regexp_extract(input_file_name(), "_manifest_v(\\d+)/", 1).as("v"),
+              ManifestFileIndex.normPath(col("file")).as("f"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (v, rows) => v -> rows.map(_.getString(1)).toSet }
+        val retainedRefs = byVersion.getOrElse("", Set.empty) ++
+          keptHist.flatMap(v => byVersion.getOrElse(v.toString, Set.empty))
         val expiredRefs: Map[Long, Set[String]] =
-          expired.map(v => v -> refsOf(histPath(dataDir, v))).toMap
+          expired.map(v => v -> byVersion.getOrElse(v.toString, Set.empty)).toMap
         val reaped = scala.collection.mutable.Set.empty[Long]
         // oldest-first: a file shared between two expired versions stays
         // until the LAST manifest referencing it is itself reapable
@@ -817,8 +1058,7 @@ object FileManifest {
       else {
         // basePath keeps partition columns resolvable when the tree is
         // hive-partitioned and a partition column is tracked
-        val fresh = fileStats(
-          spark.read.option("basePath", dataDir).parquet(newFiles.toSeq: _*),
+        val fresh = statsForFiles(spark, dataDir, newFiles.toSeq,
           cols, bloomCols, expectedPerFile, fpp)
         kept.unionByName(fresh.select(kept.columns.map(col): _*))
       }
@@ -958,8 +1198,6 @@ object FileManifest {
     */
   private[sources] def requireCovering(spark: SparkSession, dataDir: String): Int = {
     val mdf = manifestFrame(spark, dataDir)
-    val total = mdf.count().toInt
-    require(total > 0, s"empty manifest under $dataDir — build() first")
 
     // RECURSIVE data-file listing (build() reads through
     // spark.read.parquet, which descends into partition subdirs) with
@@ -979,7 +1217,18 @@ object FileManifest {
           col("live_file") === col("m_file"), "left_anti")) { (acc, h) =>
         acc.join(h, col("live_file") === col("h_file"), "left_anti")
       }
-    val sample = unknown.take(1).map(_.getString(0))
+    // ONE job for the green path: the manifest row count and the (empty,
+    // when healthy) uncovered sample ride one union — this guard runs at
+    // every index construction, and a second count-job per read is pure
+    // scheduling overhead at metadata scale
+    val probe = mdf.agg(count(lit(1)).cast("long").as("n"))
+      .select(lit(null).cast("string").as("u"), col("n"))
+      .unionByName(unknown.limit(2)
+        .select(col("live_file").as("u"), lit(-1L).as("n")))
+      .collect()
+    val total = probe.find(_.isNullAt(0)).map(_.getLong(1).toInt).getOrElse(0)
+    require(total > 0, s"empty manifest under $dataDir — build() first")
+    val sample = probe.filter(!_.isNullAt(0)).map(_.getString(0))
     if (sample.nonEmpty) {
       val n = unknown.count()
       throw new IllegalArgumentException(

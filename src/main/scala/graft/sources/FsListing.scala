@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * delta selection, which must agree on it (a divergence silently
   * reclassifies files between "metadata" and "unconsumed input").
   */
-private[sources] object FsListing {
+private[graft] object FsListing {
 
   /** Canonical path text. Spark's `input_file_name()` emits
     * percent-ENCODED `file:///x` URIs (a space is `%20`) while Hadoop's
