@@ -770,6 +770,69 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("key_sum"),
           sum(col("o_custkey")).as("cust_sum"))
+    },
+
+    // ---- change-data-feed read: row-level diff of two MVCC versions ------
+    // The incremental-consumer verb that completes the table-format set
+    // (Delta table_changes, Iceberg incremental read): diff two
+    // versioned manifests into inserted/deleted FILE sets — files in
+    // both versions are provably unchanged (immutability) and are never
+    // opened — then net row-level changes with multiset EXCEPTs so
+    // carried rows a surgery rewrote byte-identically vanish. The gate
+    // drives the table through a range DELETE (v2) and a keyed MERGE
+    // with updates + brand-new keys (v3), then emits every change
+    // v1 → v3: the oracle recomputes the identical delta from source —
+    // a leaked carried row, a lost delete, a doubled update, or a
+    // missed insert all change the row set. CdfSpec pins version-pair
+    // selection, empty-side/append-only shapes, and the
+    // vacuumed-version loud failure.
+    QueryDef.sql(
+      "q169_change_feed",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |r AS (SELECT mn + (mx - mn) // 10 AS lo,
+        |             mn + 2 * ((mx - mn) // 10) AS hi FROM b),
+        |del AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |        WHERE o_orderkey >= lo AND o_orderkey <= hi),
+        |surv AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |         WHERE NOT (o_orderkey >= lo AND o_orderkey <= hi)),
+        |upd AS (SELECT o_orderkey FROM surv WHERE o_orderkey % 1013 = 0)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       'delete' AS change_type FROM del
+        |UNION ALL
+        |SELECT CAST(s.o_orderkey AS BIGINT), CAST(s.o_custkey AS BIGINT), 'delete'
+        |  FROM surv s JOIN upd ON s.o_orderkey = upd.o_orderkey
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT), CAST(-5 AS BIGINT), 'insert' FROM upd
+        |UNION ALL
+        |SELECT CAST(o_orderkey + 800000000 AS BIGINT), CAST(-9 AS BIGINT), 'insert'
+        |  FROM surv WHERE o_orderkey % 4999 = 0
+        |ORDER BY change_type, o_orderkey, o_custkey""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_cdf")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 10, mn + 2 * ((mx - mn) / 10))
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "o_orderkey", lit(lo), lit(hi), Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      val surv = o.filter(!(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+      val updates = surv.filter(col("o_orderkey") % 1013 === 0)
+        .select(col("o_orderkey"), lit(-5L).as("o_custkey"))
+        .unionByName(surv.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 800000000L).as("o_orderkey"),
+            lit(-9L).as("o_custkey")))
+      graft.sources.FileManifest.mergeKeys(
+        s, dir, updates, "o_orderkey", Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.changesBetween(s, dir, 1L, 3L)
+        .orderBy("change_type", "o_orderkey", "o_custkey")
     }
   )
 }

@@ -647,6 +647,17 @@ object FileManifest {
     * payload (bounds/blooms stay unread).
     */
   def readAsOf(spark: SparkSession, dataDir: String, version: Long): DataFrame = {
+    val files = filesOfVersion(spark, dataDir, version)
+    require(files.nonEmpty, s"version $version is an empty snapshot")
+    spark.read.option("basePath", dataDir).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** The file set of a retained `version`, resolved loud (named retained
+    * range) when the version has been vacuumed — the shared resolution
+    * step of [[readAsOf]] and [[changesBetween]].
+    */
+  private def filesOfVersion(spark: SparkSession, dataDir: String,
+      version: Long): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
@@ -659,11 +670,55 @@ object FileManifest {
             s"(readable: ${versions(spark, dataDir).mkString(", ")})")
         h
       }
-    val files = spark.read.parquet(mdir.toString)
+    spark.read.parquet(mdir.toString)
       .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).sorted
-    require(files.nonEmpty, s"version $version is an empty snapshot")
-    spark.read.option("basePath", dataDir).parquet(files.toIndexedSeq: _*)
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** CHANGE DATA FEED between two retained versions — the incremental-
+    * consumer verb beside append/compact/delete/merge/time-travel/
+    * vacuum (Delta's table_changes, Iceberg's incremental read): emit
+    * every row-level change that takes the table from `fromV` to `toV`
+    * as the data columns plus a `change_type` of 'insert' or 'delete'
+    * (an update surfaces as delete-of-old + insert-of-new, the
+    * primitive CDC shape any downstream MERGE can re-apply).
+    *
+    * The diff is FILE-level first — versioned manifests are complete
+    * file-set snapshots, so files present in both versions are PROVABLY
+    * unchanged (parquet files are immutable) and are never opened; only
+    * the file-set difference is read, O(touched files) I/O however
+    * large the table. Row-level netting then cancels the carried rows a
+    * file surgery rewrote byte-identically: multiset EXCEPT in both
+    * directions (a row rewritten unchanged appears on both sides and
+    * vanishes; a doubled row that lost one copy nets to exactly one
+    * delete). The shuffle is over changed-file rows only.
+    *
+    * Both versions must still be retained — resolution fails loud with
+    * the named retained range otherwise (same contract as [[readAsOf]],
+    * including the mid-scan vacuum race documented there).
+    */
+  def changesBetween(spark: SparkSession, dataDir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV,
+      s"changesBetween needs fromV < toV, got $fromV >= $toV")
+    val from = filesOfVersion(spark, dataDir, fromV)
+    val to = filesOfVersion(spark, dataDir, toV)
+    val fromSet = from.toSet
+    val toSet = to.toSet
+    val inserted = to.filterNot(fromSet)
+    val deleted = from.filterNot(toSet)
+    // schema anchor for empty sides: any file of either version (the
+    // newer version is never empty — readAsOf's invariant)
+    val anchor = (inserted ++ deleted ++ to ++ from).head
+    def readSet(fs: Seq[String]): DataFrame =
+      if (fs.isEmpty)
+        spark.read.option("basePath", dataDir).parquet(anchor)
+          .filter(lit(false))
+      else spark.read.option("basePath", dataDir).parquet(fs: _*)
+    val ins = readSet(inserted)
+    val del = readSet(deleted)
+    ins.exceptAll(del).withColumn("change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("change_type", lit("delete")))
   }
 
   /** Range DELETE with FILE-LEVEL SURGERY (the Delta/Iceberg DELETE

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FileManifest
+
+/** Change-data-feed mechanics behind q169 (changesBetween): version-pair
+  * resolution, file-level diff (rows of files present in both versions
+  * are never emitted), row-level netting of carried rows across file
+  * surgery, update = delete-old + insert-new, and the loud failures
+  * (inverted pair, vacuumed version).
+  */
+class CdfSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/cdf_$tag"
+    val p = new Path(dir)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(p)) hfs.delete(p, true)
+    dir
+  }
+
+  private def changes(dir: String, from: Long, to: Long): Seq[(Long, String)] =
+    FileManifest.changesBetween(spark, dir, from, to)
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+  test("append-only: each version pair yields exactly the appended inserts") {
+    import spark.implicits._
+    val dir = freshDir("append")
+    FileManifest.writeThrough(Seq(1L, 2L, 3L).toDF("k"), dir, Seq("k"),
+      mode = "overwrite")
+    FileManifest.writeThrough(Seq(10L, 20L).toDF("k"), dir, Seq("k"))
+    FileManifest.writeThrough(Seq(100L).toDF("k"), dir, Seq("k"))
+    assert(changes(dir, 1, 2) === Seq((10L, "insert"), (20L, "insert")))
+    assert(changes(dir, 2, 3) === Seq((100L, "insert")))
+    assert(changes(dir, 1, 3) ===
+      Seq((10L, "insert"), (20L, "insert"), (100L, "insert")))
+  }
+
+  test("delete surgery: carried rows net out, only deleted rows surface") {
+    import spark.implicits._
+    val dir = freshDir("delete")
+    // 2 range files: [1..50], [51..100]; delete [10..20] rewrites only
+    // the first file — its ~40 carried rows ride into the new file and
+    // MUST vanish in the row-level netting
+    FileManifest.writeThrough(
+      (1L to 100L).toDF("k").repartitionByRange(2, col("k")),
+      dir, Seq("k"), mode = "overwrite")
+    FileManifest.deleteRange(spark, dir, "k", lit(10L), lit(20L), Seq("k"))
+    assert(changes(dir, 1, 2) === (10L to 20L).map((_, "delete")))
+  }
+
+  test("keyed merge: update = delete-old + insert-new, insert = insert only") {
+    import spark.implicits._
+    val dir = freshDir("merge")
+    FileManifest.writeThrough(
+      (1L to 40L).map(k => (k, k * 2L)).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      dir, Seq("k"), mode = "overwrite")
+    FileManifest.mergeKeys(spark, dir,
+      Seq((7L, -7L), (200L, -200L)).toDF("k", "v"), "k", Seq("k"))
+    val ch = FileManifest.changesBetween(spark, dir, 1, 2)
+      .select("k", "v", "change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(ch === Seq((7L, -7L, "insert"), (7L, 14L, "delete"),
+      (200L, -200L, "insert")))
+  }
+
+  test("inverted pair and vacuumed versions fail loud") {
+    import spark.implicits._
+    val dir = freshDir("fail")
+    FileManifest.writeThrough(Seq(1L).toDF("k"), dir, Seq("k"), mode = "overwrite")
+    FileManifest.writeThrough(Seq(2L).toDF("k"), dir, Seq("k"))
+    intercept[IllegalArgumentException] {
+      FileManifest.changesBetween(spark, dir, 2, 2)
+    }
+    FileManifest.vacuum(spark, dir, graceMs = 0L, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.changesBetween(spark, dir, 1, 2)
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+}
