@@ -539,6 +539,45 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir.naive")
       println(f"mvcc_naive_rewrite files=$n%-5d rows=$rows%-9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
+    // measured-count guard tier: the update BATCH grows 10×/100× across
+    // the collected-key cap (default 100k). Above it mergeKeys switches
+    // to bounds-only candidate selection — ZERO driver-resident key
+    // state — so driver heap must stay flat while only the (genuinely
+    // data-sized) rewrite grows. Keys stride the whole table, so every
+    // file is a candidate under either path and the rows are
+    // like-for-like.
+    locally {
+      import spark.implicits._
+      import graft.sources.FileManifest
+      def usedMB: Long = {
+        // settle before measuring: broadcast blocks (the anti-join ships
+        // the update keys executor-side) release through the async
+        // ContextCleaner after refs drop, and gc is advisory — without
+        // the pause the reading mostly shows not-yet-collected garbage
+        System.gc(); Thread.sleep(1500); System.gc()
+        val r = Runtime.getRuntime
+        (r.totalMemory() - r.freeMemory()) >> 20
+      }
+      val rows = 256 * 20000L
+      for (bs <- Seq(10000L, 100000L, 1000000L)) {
+        val dir = s"/tmp/graft_mvcc/batch"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (hfs.exists(p)) hfs.delete(p, true)
+        val df = spark.range(rows).select(col("id").as("k"), (col("id") % 97).as("v"))
+        FileManifest.writeThrough(df.repartitionByRange(256, col("k")), dir,
+          Seq("k"), mode = "overwrite")
+        val stride = math.max(1L, rows / bs)
+        val ups = spark.range(bs)
+          .select((col("id") * stride).as("k"), lit(-1L).as("v"))
+        val before = usedMB
+        val t0 = System.nanoTime()
+        val (rw, car) = FileManifest.mergeKeys(spark, dir, ups, "k", Seq("k"))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"mvcc_merge_batch batch=$bs%-8d rewritten=$rw carried=$car " +
+          f"driver_heap=${before}%4d->${usedMB}%4d MB $dt%7.2f s")
+      }
+    }
   }
 
   private def compact100(spark: SparkSession, base: String,
