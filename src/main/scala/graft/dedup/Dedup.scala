@@ -379,7 +379,10 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> array_join(slice(toks, i, $k), ' '))")).as("win"))
-      .select(col("doc_id"), md5(col("win").cast("binary")).as("h"))
+      // 16-byte binary digest, not md5's 32-char hex STRING: `h` is the
+      // wide shuffle key (one per window, token-linear volume), so hex
+      // doubles every exchange this operator pays for zero information
+      .select(col("doc_id"), unhex(md5(col("win").cast("binary"))).as("h"))
     val counts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
     wins.join(counts, "h")
       .groupBy("doc_id")

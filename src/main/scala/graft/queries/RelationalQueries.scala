@@ -106,8 +106,13 @@ object RelationalQueries {
     // ---- A4/W3: keep-first dedup with pinned order ---------------------
     // Reference: drop_duplicates(subset, keep='first'), cleaner.py:353-355.
     // Spark's dropDuplicates keeps an arbitrary row; the reference's
-    // "first" is reproduced with an explicit row_number over a stable
-    // ordering — deterministic on any cluster size.
+    // "first" is a total order, reproduced as a MIN-BY aggregation:
+    // min(struct(ordering cols)) per key is the keep-first row, and the
+    // hash aggregate beats the row_number window at scale — partial
+    // aggregation collapses duplicate keys MAP-SIDE (a dup-heavy corpus,
+    // the whole point of dedup, shuffles only survivors) and nothing
+    // sort-buffers whole partitions. The oracle keeps the window
+    // formulation — same rows by construction, pinned by the hash gate.
     QueryDef.sql(
       "q05_dedup_keepfirst",
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
@@ -117,13 +122,26 @@ object RelationalQueries {
         |      FROM lineitem)
         |WHERE rn = 1
         |ORDER BY l_orderkey, l_partkey""") { (s, d) =>
-      val w = Window.partitionBy("l_orderkey", "l_partkey")
-        .orderBy("l_linenumber", "l_suppkey")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-        .orderBy("l_orderkey", "l_partkey")
+        // ONE exchange for dedup + pinned output order (the
+        // GlobalRowNumber posture): range partitioning on the dedup key
+        // both satisfies the aggregate's clustering requirement AND
+        // makes partition order the global order, so the gate's ORDER BY
+        // is a free sortWithinPartitions instead of a second full
+        // shuffle. Trade: the explicit exchange sits below the
+        // aggregate, so there is no map-side combine — on a dup-heavy
+        // corpus, drop the repartitionByRange + sortWithinPartitions and
+        // let groupBy's own exchange collapse duplicates map-side.
+        .repartitionByRange(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey", "l_partkey")
+        // struct comparison is lexicographic in field order — exactly the
+        // (l_linenumber, l_suppkey) keep-first ordering
+        .agg(min(struct(col("l_linenumber"), col("l_suppkey"))).as("f"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("f.l_suppkey").as("l_suppkey"),
+          col("f.l_linenumber").as("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_partkey")
     },
 
     // ---- A6/W2: distinct dimension extraction + surrogate ids ----------
