@@ -833,6 +833,79 @@ object LayoutQueries {
         bloomCols = Seq("o_orderkey"))
       graft.sources.FileManifest.changesBetween(s, dir, 1L, 3L)
         .orderBy("change_type", "o_orderkey", "o_custkey")
+    },
+
+    // ---- incremental view maintenance from the change feed ---------------
+    // WHY a change feed exists: a downstream aggregate (the materialized
+    // view every reporting/training-mix pipeline keeps) updates from the
+    // row-level delta WITHOUT re-reading the table — inserts contribute
+    // +1/+value, deletes −1/−value, groups netting to zero drop. Cost is
+    // O(view + delta) however large the table grew; the recompute the
+    // delta replaces is O(table). The gate materializes the view at v1,
+    // drives the same delete+merge as q169, applies changesBetween(1,3)
+    // as signed increments, and hash-gates the maintained view against
+    // the oracle's from-scratch aggregate of the FINAL state — any
+    // leaked carried row, sign error, or undropped empty group moves a
+    // sum. (Exact integer arithmetic end-to-end: counts and key sums.)
+    QueryDef.sql(
+      "q170_incremental_view",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |r AS (SELECT mn + (mx - mn) // 10 AS lo,
+        |             mn + 2 * ((mx - mn) // 10) AS hi FROM b),
+        |surv AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |         WHERE NOT (o_orderkey >= lo AND o_orderkey <= hi)),
+        |final AS (
+        |  SELECT o_orderkey, o_custkey FROM surv WHERE o_orderkey % 1013 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, -5 FROM surv WHERE o_orderkey % 1013 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 800000000, -9 FROM surv WHERE o_orderkey % 4999 = 0)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_ivm")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      // the view, materialized ONCE at v1
+      val mv1 = graft.sources.FileManifest.readAsOf(s, dir, 1L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .transform(graft.Materialize.checkpoint)
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 10, mn + 2 * ((mx - mn) / 10))
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "o_orderkey", lit(lo), lit(hi), Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      val surv = o.filter(!(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+      val updates = surv.filter(col("o_orderkey") % 1013 === 0)
+        .select(col("o_orderkey"), lit(-5L).as("o_custkey"))
+        .unionByName(surv.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 800000000L).as("o_orderkey"),
+            lit(-9L).as("o_custkey")))
+      graft.sources.FileManifest.mergeKeys(
+        s, dir, updates, "o_orderkey", Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      // maintenance: the view never re-reads the table — only the delta
+      val delta = graft.sources.FileManifest.changesBetween(s, dir, 1L, 3L)
+        .select(col("o_custkey"),
+          when(col("change_type") === "insert", lit(1L))
+            .otherwise(lit(-1L)).as("sgn"),
+          col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("sgn").as("n"),
+          sum(col("sgn") * col("o_orderkey")).as("key_sum"))
+      mv1.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n").as("n"), sum("key_sum").as("key_sum"))
+        .filter(col("n") > 0)
+        .orderBy("o_custkey")
     }
   )
 }

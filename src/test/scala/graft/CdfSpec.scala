@@ -69,6 +69,35 @@ class CdfSpec extends AnyFunSuite with SparkSpec {
       (200L, -200L, "insert")))
   }
 
+  test("incremental view maintenance from the feed equals recompute") {
+    import spark.implicits._
+    val dir = freshDir("ivm")
+    FileManifest.writeThrough(
+      (1L to 30L).map(k => (k, k % 5)).toDF("k", "v")
+        .repartitionByRange(3, col("k")),
+      dir, Seq("k"), mode = "overwrite")
+    val mv1 = FileManifest.readAsOf(spark, dir, 1L)
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("k").as("ksum"))
+      .transform(graft.Materialize.checkpoint)
+    FileManifest.deleteRange(spark, dir, "k", lit(5L), lit(10L), Seq("k"))
+    FileManifest.mergeKeys(spark, dir,
+      Seq((12L, 99L), (100L, 99L)).toDF("k", "v"), "k", Seq("k"))
+    val delta = FileManifest.changesBetween(spark, dir, 1L, 3L)
+      .select(col("v"),
+        when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L)).as("sgn"),
+        col("k"))
+      .groupBy("v").agg(sum("sgn").as("n"), sum(col("sgn") * col("k")).as("ksum"))
+    val maintained = mv1.unionByName(delta)
+      .groupBy("v").agg(sum("n").as("n"), sum("ksum").as("ksum"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val recomputed = graft.sources.ManifestFileIndex.read(spark, dir)
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("k").as("ksum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(maintained === recomputed,
+      "view maintained from the change feed diverged from recompute")
+  }
+
   test("inverted pair and vacuumed versions fail loud") {
     import spark.implicits._
     val dir = freshDir("fail")
