@@ -675,6 +675,28 @@ object FileManifest {
       .collect().map(_.getString(0)).sorted.toSeq
   }
 
+  /** Run a write surgery with optimistic-conflict retries — the caller
+    * loop the OCC protocol assumes (Delta's retry-on-
+    * ConcurrentModification): each attempt re-plans against the CURRENT
+    * version, so a retry never republishes stale staging; any other
+    * failure propagates untouched. Backoff is short — the conflict
+    * window is commit-sized, not job-sized.
+    */
+  def withConflictRetry[T](attempts: Int = 3)(body: => T): T = {
+    require(attempts >= 1, s"attempts=$attempts")
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          i += 1
+          if (i >= attempts) throw e
+          Thread.sleep(50L << i)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** CHANGE DATA FEED between two retained versions — the incremental-
     * consumer verb beside append/compact/delete/merge/time-travel/
     * vacuum (Delta's table_changes, Iceberg's incremental read): emit

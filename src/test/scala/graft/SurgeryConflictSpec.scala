@@ -102,6 +102,25 @@ class SurgeryConflictSpec extends AnyFunSuite with SparkSpec {
     } finally FileManifest.beforeCommitHook = () => ()
   }
 
+  test("withConflictRetry re-plans and lands after a one-shot rival") {
+    import spark.implicits._
+    val dir = freshDir("retry")
+    FileManifest.writeThrough(
+      (1L to 60L).toDF("k").repartitionByRange(3, col("k")),
+      dir, Seq("k"), mode = "overwrite")
+    try {
+      oneShot {
+        FileManifest.deleteRange(spark, dir, "k", lit(50L), lit(60L), Seq("k"))
+      }
+      // first attempt conflicts on the rival's commit; the retry re-plans
+      // against the post-delete version and must land BOTH effects
+      FileManifest.withConflictRetry() {
+        FileManifest.mergeKeys(spark, dir, Seq(500L).toDF("k"), "k", Seq("k"))
+      }
+      assert(keysOf(dir) === ((1L to 49L) :+ 500L).sorted)
+    } finally FileManifest.beforeCommitHook = () => ()
+  }
+
   test("publishVia aborts loud when the table moved under the compaction") {
     import spark.implicits._
     val dir = freshDir("pub")
