@@ -568,6 +568,10 @@ object SimilarityQueries {
         8, 64, 2)
       def indexOf(part: org.apache.spark.sql.DataFrame) =
         Similarity.buildIvfPqIndex(part, cents, cb, 8, 64)
+      // NOT checkpointed before compaction (measured r16): the range
+      // sampler inside compactIndex does re-execute this pipeline, but
+      // it is map-side encode over the already-checkpointed base — the
+      // recompute costs less than materializing the full index twice.
       val served = indexOf(existing).unionByName(indexOf(delta))
         .join(tombstones, Seq("n_id"), "left_anti")
       val compacted = Similarity.compactIndex(served,
