@@ -110,10 +110,13 @@ object Bench {
     }
     val calibBase = (1 to 5).map(_ => calibOnce()).min
     val CalibSlowdown = 1.5
-    // each query's main-pass quad carries the 1-min load AND the
-    // calibration ratio read right before its reps: the full-artifact
-    // consumer (below) needs per-measurement trustworthiness for ALL
-    // queries, not just the quiet-repass tail
+    // each query's main-pass record carries the calibration ratio read
+    // right BEFORE its reps (the trustworthiness signal) and the 1-min
+    // load read right AFTER them — the latter is usually the bench's own
+    // wake, which is exactly why the validity OR-gate leans on the
+    // calibration arm; the full-artifact consumer (below) needs
+    // per-measurement trustworthiness for ALL queries, not just the
+    // quiet-repass tail
     val resultsLoad = SparkEntry.queries.map { case (name, fn) =>
       val cf = calibOnce() / calibBase
       val (med, min) = medMin((1 to Reps).map { _ =>

@@ -203,8 +203,23 @@ object FileManifest {
           expectedPerFile, fpp)
       else statsForFiles(spark, dataDir, paths, cols, bloomCols,
         expectedPerFile, fpp)
-    stats.coalesce(1)
-      .write.mode("overwrite").parquet(manifestPath(dataDir))
+    // land beside, then swap — NOT an in-place overwrite: (a) the version
+    // token must stay MONOTONIC even across a from-scratch rebuild (a
+    // marker-less overwrite would read as v1 again, and a surgery that
+    // planned at v1 could then false-pass its commit check and publish
+    // stale staging over the rebuild — the OCC ABA hole), and (b) the
+    // reader-facing gap shrinks from a whole stats job (Spark overwrite
+    // deletes the dir first) to one delete→rename window that leaves a
+    // `_manifest_tmp_` sibling visible, which is exactly what
+    // manifestFrame's retry gate looks for.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    hfs.create(new org.apache.hadoop.fs.Path(tmp,
+      s"_v${currentVersion(hfs, dataDir) + 1}"), true).close()
+    if (hfs.exists(dst)) hfs.delete(dst, true) // reset: no history rename
+    require(hfs.rename(tmp, dst), s"manifest swap rename failed under $dataDir")
   }
 
   /** Spark types whose parquet footer statistics are BOTH trustworthy
@@ -403,9 +418,14 @@ object FileManifest {
       paths: Seq[String], cols: Seq[String], bloomCols: Seq[String],
       expectedPerFile: Long, fpp: Double): DataFrame = {
     val df = spark.read.option("basePath", dataDir).parquet(paths: _*)
-    val physical = physicalFields(spark, paths.head)
-    if (bloomCols.isEmpty && cols.forall(c =>
-        physical.contains(c) && footerEligible(df.schema(c).dataType)))
+    // short-circuit order matters: the physical-presence probe opens a
+    // footer on the driver — skip it entirely when blooms or an
+    // ineligible type already force the scan path
+    if (bloomCols.isEmpty &&
+        cols.forall(c => footerEligible(df.schema(c).dataType)) && {
+          val physical = physicalFields(spark, paths.head)
+          cols.forall(physical.contains)
+        })
       footerStats(spark, paths, df.schema, cols)
     else fileStats(df, cols, bloomCols, expectedPerFile, fpp)
   }
@@ -546,17 +566,25 @@ object FileManifest {
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       expectedPerFile: Long = 65536L, fpp: Double = 0.01): Unit = {
     val spark = df.sparkSession
-    val stg = new org.apache.hadoop.fs.Path(stagingDir)
+    // WRITER-PRIVATE staging: `stagingDir` names the caller's staging
+    // LOCATION (its filesystem/volume), but the dir actually written is
+    // suffixed per-call — two concurrent publishes sharing the
+    // conventional fixed name must never delete each other's in-progress
+    // staging (the clobber the version token alone can't see; same rule
+    // as deleteRange/mergeKeys)
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${stagingDir}_${java.util.UUID.randomUUID().toString.take(8)}")
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(stg != root, s"staging dir must differ from target: $dataDir")
+    require(new org.apache.hadoop.fs.Path(stagingDir) != root,
+      s"staging dir must differ from target: $dataDir")
     // optimistic token: `df` is typically a read-modify-write of the
     // current snapshot (compaction), so a rival commit between this
     // point and the locked publish would be silently overwritten —
     // validate under the lock, fail loud on movement
     val plannedV = currentVersion(hfs, dataDir)
-    if (hfs.exists(stg)) hfs.delete(stg, true)
-    df.write.parquet(stagingDir) // may read dataDir: still untouched
+    try {
+    df.write.parquet(stg.toString) // may read dataDir: still untouched
     beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
@@ -583,6 +611,7 @@ object FileManifest {
       swapVersioned(hfs, dataDir, tmp)
       spark.catalog.refreshByPath(dataDir)
     }
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
   }
 
   /** Incremental manifest refresh: stat ONLY files not yet manifested
@@ -729,8 +758,13 @@ object FileManifest {
     val toSet = to.toSet
     val inserted = to.filterNot(fromSet)
     val deleted = from.filterNot(toSet)
-    // schema anchor for empty sides: any file of either version (the
-    // newer version is never empty — readAsOf's invariant)
+    // schema anchor for empty sides: any file of either version. Both
+    // versions empty (a delete-everything publish then an empty refresh)
+    // has no schema to anchor and no changes to report — fail loud like
+    // every other resolution error here rather than NPE on head
+    require(from.nonEmpty || to.nonEmpty,
+      s"changesBetween: versions $fromV and $toV of $dataDir are both " +
+        "empty snapshots — no schema to derive and no changes to emit")
     val anchor = (inserted ++ deleted ++ to ++ from).head
     def readSet(fs: Seq[String]): DataFrame =
       if (fs.isEmpty)
@@ -853,30 +887,26 @@ object FileManifest {
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
-    // ONE distributed pass over the batch answers every precondition and
-    // sizing question: per-key multiplicity (MERGE replaces exactly one
-    // row per key — Delta fails loud on multiple matches, and so do we:
+    // Preconditions — per-key multiplicity (MERGE replaces exactly one
+    // row per key: Delta fails loud on multiple matches, and so do we —
     // the anti-join-then-append would otherwise silently insert BOTH
-    // rows of a doubled key), null keys (match nothing — reject), the
-    // distinct-key count (the measured guard below), and the global key
-    // range (the above-cap pruning evidence).
+    // rows of a doubled key) and null keys (match nothing — reject) —
+    // plus the measured-size decision, all from ONE job in the common
+    // case: pull at most cap+1 grouped (key, count) rows; length ≤ cap
+    // means the COMPLETE key set is in hand and every check derives
+    // driver-side. Only a genuinely huge batch pays a second,
+    // aggregate-only pass for its guards and global bounds.
     val keyStats = updates.select(col(key).cast("long").as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))
-    val st = keyStats.agg(count(lit(1)).as("nk"), max("c").as("maxc"),
-      sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
-      min("k").as("kmin"), max("k").as("kmax")).head()
-    require(st.getLong(0) > 0, "mergeKeys: empty update batch")
-    require(st.getLong(2) == 0L,
+    val capped = keyStats.limit(maxCollectedKeys + 1).collect()
+    require(capped.nonEmpty, "mergeKeys: empty update batch")
+    val nullMsg =
       s"mergeKeys: update batch has NULL '$key' keys — a NULL key " +
-        "matches no row and cannot MERGE; filter or fill the batch first")
-    if (st.getLong(1) > 1L) {
-      val ex = keyStats.filter(col("c") > 1).select("k").head().getLong(0)
-      throw new IllegalArgumentException(
-        s"mergeKeys: update batch has multiple rows for key $key=$ex — " +
-          "MERGE replaces exactly one row per matched key; dedup the " +
-          "batch (e.g. keep-last by an ordering column) before merging")
-    }
-    val nKeys = st.getLong(0)
+        "matches no row and cannot MERGE; filter or fill the batch first"
+    def dupMsg(k: Long) =
+      s"mergeKeys: update batch has multiple rows for key $key=$k — " +
+        "MERGE replaces exactly one row per matched key; dedup the " +
+        "batch (e.g. keep-last by an ordering column) before merging"
     // MEASURED-COUNT GUARD: the per-key probes below capture the
     // collected key set in a closure — operationally bounded for a
     // CDC/upsert payload, but nothing enforced it. Above the cap, fall
@@ -886,14 +916,25 @@ object FileManifest {
     // dense over its range anyway, so per-key bloom precision would
     // rescue few files while the probe cost itself turns O(files × keys).
     val isCand: Column =
-      if (nKeys > maxCollectedKeys) {
-        val (kmin, kmax) = (st.getLong(3), st.getLong(4))
+      if (capped.length > maxCollectedKeys) {
+        val st = keyStats.agg(max("c").as("maxc"),
+          sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+          min("k").as("kmin"), max("k").as("kmax")).head()
+        require(st.getLong(1) == 0L, nullMsg)
+        if (st.getLong(0) > 1L)
+          throw new IllegalArgumentException(dupMsg(
+            keyStats.filter(col("c") > 1).select("k").head().getLong(0)))
+        val (kmin, kmax) = (st.getLong(2), st.getLong(3))
         if (m.columns.contains(s"min_$key"))
           coalesce(!(col(s"max_$key").cast("long") < kmin ||
             col(s"min_$key").cast("long") > kmax), lit(true))
         else lit(true)
       } else {
-        val keyArr = keyStats.select("k").collect().map(_.getLong(0))
+        capped.find(_.isNullAt(0)).foreach { _ =>
+          throw new IllegalArgumentException(nullMsg) }
+        capped.find(_.getLong(1) > 1L).foreach { r =>
+          throw new IllegalArgumentException(dupMsg(r.getLong(0))) }
+        val keyArr = capped.map(_.getLong(0))
         val bloomProbe = udf { (bytes: Array[Byte]) =>
           bytes == null || {
             val bf = org.apache.spark.util.sketch.BloomFilter
@@ -1039,20 +1080,30 @@ object FileManifest {
           keptHist.flatMap(v => byVersion.getOrElse(v.toString, Set.empty))
         val expiredRefs: Map[Long, Set[String]] =
           expired.map(v => v -> byVersion.getOrElse(v.toString, Set.empty)).toMap
-        val reaped = scala.collection.mutable.Set.empty[Long]
+        // ONE-PASS reference counting, not a per-version set rebuild
+        // (that was O(versions² × files-per-version) driver work on
+        // exactly the deep-history tables this file optimizes elsewhere):
+        // a file is exclusive to v iff no retained version knows it and
+        // v is the only still-present expired manifest referencing it.
+        // Reaping v decrements its files' counts, so a file shared with
+        // an already-reaped older version re-qualifies at the younger
+        // one's turn; sparing v leaves counts intact, so the spared
+        // manifest keeps covering its files.
+        val refCount = scala.collection.mutable.Map.empty[String, Int]
+        expiredRefs.valuesIterator.foreach(_.foreach { p =>
+          refCount(p) = refCount.getOrElse(p, 0) + 1 })
         // oldest-first: a file shared between two expired versions stays
         // until the LAST manifest referencing it is itself reapable
         expired.foreach { v =>
-          val coveredElsewhere = retainedRefs ++
-            (expired.toSet -- reaped - v).iterator.flatMap(expiredRefs)
-          val exclusive = expiredRefs(v) -- coveredElsewhere
+          val exclusive = expiredRefs(v)
+            .filter(p => !retainedRefs(p) && refCount(p) == 1)
           if (exclusive.forall(pastGrace)) {
             hfs.delete(new org.apache.hadoop.fs.Path(histPath(dataDir, v)), true)
             exclusive.foreach { p =>
               if (hfs.delete(new org.apache.hadoop.fs.Path(p), false))
                 reapedWith += p
             }
-            reaped += v
+            expiredRefs(v).foreach(p => refCount(p) -= 1)
           }
         }
       }
