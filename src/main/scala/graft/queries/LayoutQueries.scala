@@ -577,6 +577,15 @@ object LayoutQueries {
         |FROM v JOIN orders ON o_orderkey % 7 < version
         |GROUP BY version ORDER BY version""") { (s, d) =>
       val dir = QueryDef.scratch(d, "manifest_tt")
+      // version numbers are part of this gate's OUTPUT (the oracle
+      // hard-codes v1..): reset the scratch table so the monotonic
+      // version token (kept across overwrite rebuilds since r16 — the
+      // OCC ABA fix) restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
       val o = Tables.orders(s, d).select("o_orderkey")
       // v1: initial land (overwrite resets scratch history between runs);
       // v2, v3: appends — each writeThrough refresh retires a snapshot
@@ -625,6 +634,15 @@ object LayoutQueries {
         |WHERE NOT (epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi)
         |ORDER BY version""") { (s, d) =>
       val dir = QueryDef.scratch(d, "manifest_del")
+      // version numbers are part of this gate's OUTPUT (the oracle
+      // hard-codes v1..): reset the scratch table so the monotonic
+      // version token (kept across overwrite rebuilds since r16 — the
+      // OCC ABA fix) restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
       val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
       graft.sources.FileManifest.writeThrough(
         ev.repartitionByRange(4, col("ts_ns")),
@@ -675,6 +693,15 @@ object LayoutQueries {
         |FROM merged
         |ORDER BY version""") { (s, d) =>
       val dir = QueryDef.scratch(d, "manifest_merge")
+      // version numbers are part of this gate's OUTPUT (the oracle
+      // hard-codes v1..): reset the scratch table so the monotonic
+      // version token (kept across overwrite rebuilds since r16 — the
+      // OCC ABA fix) restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
       val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       graft.sources.FileManifest.writeThrough(
         o.repartitionByRange(4, col("o_orderkey")),
@@ -809,6 +836,15 @@ object LayoutQueries {
         |  FROM surv WHERE o_orderkey % 4999 = 0
         |ORDER BY change_type, o_orderkey, o_custkey""") { (s, d) =>
       val dir = QueryDef.scratch(d, "manifest_cdf")
+      // version numbers are part of this gate's OUTPUT (the oracle
+      // hard-codes v1..): reset the scratch table so the monotonic
+      // version token (kept across overwrite rebuilds since r16 — the
+      // OCC ABA fix) restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
       val o = Tables.orders(s, d).select(
         col("o_orderkey").cast("long").as("o_orderkey"),
         col("o_custkey").cast("long").as("o_custkey"))
@@ -865,6 +901,15 @@ object LayoutQueries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM final GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
       val dir = QueryDef.scratch(d, "manifest_ivm")
+      // version numbers are part of this gate's OUTPUT (the oracle
+      // hard-codes v1..): reset the scratch table so the monotonic
+      // version token (kept across overwrite rebuilds since r16 — the
+      // OCC ABA fix) restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
       val o = Tables.orders(s, d).select(
         col("o_orderkey").cast("long").as("o_orderkey"),
         col("o_custkey").cast("long").as("o_custkey"))

@@ -193,7 +193,7 @@ object FileManifest {
     */
   def buildWithBloom(spark: SparkSession, dataDir: String, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long = 65536L,
-      fpp: Double = 0.01): Unit = {
+      fpp: Double = 0.01, versionFloor: Long = 0L): Unit = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val paths = FsListing.listDataFiles(hfs, root)
@@ -216,8 +216,14 @@ object FileManifest {
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    // versionFloor carries monotonicity ACROSS a rebuild that destroyed
+    // the previous manifest (writeThrough overwrite records the version
+    // before clearing the tree): without it the fresh manifest would
+    // stamp v1 again and a surgery planned at v1 could false-pass its
+    // commit check — the OCC ABA hole
     hfs.create(new org.apache.hadoop.fs.Path(tmp,
-      s"_v${currentVersion(hfs, dataDir) + 1}"), true).close()
+      s"_v${math.max(currentVersion(hfs, dataDir), versionFloor) + 1}"),
+      true).close()
     if (hfs.exists(dst)) hfs.delete(dst, true) // reset: no history rename
     require(hfs.rename(tmp, dst), s"manifest swap rename failed under $dataDir")
   }
@@ -427,7 +433,35 @@ object FileManifest {
           cols.forall(physical.contains)
         })
       footerStats(spark, paths, df.schema, cols)
-    else fileStats(df, cols, bloomCols, expectedPerFile, fpp)
+    else {
+      val scanned = fileStats(df, cols, bloomCols, expectedPerFile, fpp)
+      // a ZERO-ROW part file produces no group (input_file_name never
+      // fires) but IS live data — an all-rows-deleted rewrite lands one
+      // schema-preserving empty file, and without an explicit
+      // n_rows=0/null-stats entry the coverage guard bricks every later
+      // read as "stale". The footer path emits these naturally; complete
+      // the scan path to match. Null bounds/blooms keep the file on
+      // every probe — sound, and the exact row filter reads nothing.
+      val schema = scanned.schema
+      // scheme-QUALIFY like the footer path: callers hand bare "/tmp/..."
+      // rename targets, but these entries must join against
+      // input_file_name's qualified form and the qualified live listing
+      val conf = spark.sessionState.newHadoopConf()
+      def qualified(p: String): String = {
+        val pp = new org.apache.hadoop.fs.Path(p)
+        val pfs = pp.getFileSystem(conf)
+        FsListing.norm(
+          pp.makeQualified(pfs.getUri, pfs.getWorkingDirectory).toString)
+      }
+      val zeroes = spark.createDataFrame(
+        spark.sparkContext.parallelize(paths.map(p =>
+          Row.fromSeq(qualified(p) +: 0L +:
+            Seq.fill(schema.length - 2)(null))), 1),
+        schema)
+      scanned.unionByName(zeroes.join(
+        scanned.select(ManifestFileIndex.normPath(col("file")).as("f2")),
+        ManifestFileIndex.normPath(col("file")) === col("f2"), "left_anti"))
+    }
   }
 
   /** Top-level primitive field names of ONE file's parquet footer — the
@@ -531,6 +565,12 @@ object FileManifest {
       // writer's unlock would then delete the rival's live lock,
       // cascading the violation). Clear the tree manually, sparing the
       // lock, and land the data as an append into the emptied root.
+      // the version token must stay MONOTONIC across the reset: record
+      // the outgoing version before the clear and floor the rebuild one
+      // past it, or a surgery planned pre-overwrite would see the same
+      // version again at commit and publish stale staging (OCC ABA)
+      val prevV =
+        if (mode == "overwrite") currentVersion(hfs, dataDir) else 0L
       val effMode =
         if (mode == "overwrite") {
           if (hfs.exists(root))
@@ -543,7 +583,7 @@ object FileManifest {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dataDir)
       refreshLocked(df.sparkSession, dataDir, root, hfs, cols, bloomCols,
-        expectedPerFile, fpp)
+        expectedPerFile, fpp, versionFloor = prevV)
     }
   }
 
@@ -576,8 +616,18 @@ object FileManifest {
       s"${stagingDir}_${java.util.UUID.randomUUID().toString.take(8)}")
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(new org.apache.hadoop.fs.Path(stagingDir) != root,
-      s"staging dir must differ from target: $dataDir")
+    // staging must live OUTSIDE the table tree entirely (qualified-path
+    // prefix test, not bare equality): a staging dir under the root is
+    // non-underscore, so its in-progress part files would list as live
+    // data — tripping coverage for concurrent readers mid-publish
+    locally {
+      val rootQ = root.makeQualified(hfs.getUri, hfs.getWorkingDirectory).toString
+      val stgQ = new org.apache.hadoop.fs.Path(stagingDir)
+        .makeQualified(hfs.getUri, hfs.getWorkingDirectory).toString
+      require(stgQ != rootQ && !stgQ.startsWith(rootQ + "/"),
+        s"staging dir must be outside the target table: $stagingDir is " +
+          s"at or under $dataDir")
+    }
     // optimistic token: `df` is typically a read-modify-write of the
     // current snapshot (compaction), so a rival commit between this
     // point and the locked publish would be silently overwritten —
@@ -821,7 +871,11 @@ object FileManifest {
     if (candPaths.isEmpty) return (0, nCarried)
     val survivors = spark.read.option("basePath", dataDir)
       .parquet(candPaths.toIndexedSeq: _*)
-      .filter(!(col(c) >= lo && col(c) <= hi))
+      // NULL-c rows SURVIVE: a NULL never satisfies the range predicate
+      // (the same rule that makes read-side bound pruning sound), but a
+      // bare !(between) evaluates to NULL for them and the filter would
+      // silently delete every NULL row in a rewritten file
+      .filter(col(c).isNull || !(col(c) >= lo && col(c) <= hi))
     // WRITER-PRIVATE staging (UUID dir): two concurrent surgeries on one
     // table must never clobber each other's in-progress staging — the
     // fixed-name dir a rival would delete is exactly the lost-update
@@ -885,6 +939,16 @@ object FileManifest {
       maxCollectedKeys: Int = 100000): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // "long-typed keys only" is ENFORCED, not just documented: the
+    // probes below compare cast-to-long values against bounds whose
+    // native ordering can differ (string "99" > "500" but 99 < 500), so
+    // a non-integral key could false-negative a file out of the rewrite
+    // set — the silent lost-update Bloom/bounds semantics must never
+    // allow. Same guard fileStats applies to bloom columns.
+    require(FsListing.isIntegral(updates.schema(key).dataType),
+      s"mergeKeys key '$key' is ${updates.schema(key).dataType} — only " +
+        "integral key columns merge (cast-to-long must be value- and " +
+        "order-preserving)")
     val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
     // Preconditions — per-key multiplicity (MERGE replaces exactly one
@@ -1111,10 +1175,10 @@ object FileManifest {
       // current, retained history, or an expired-but-SPARED manifest
       // (re-list after the reaping loop so spared versions keep
       // protecting their files) — is crashed/raced writer residue.
-      val manifested = (manifestFrame(spark, dataDir) +:
-        historyVersions(hfs, root)
-          .map(v => spark.read.parquet(histPath(dataDir, v))))
-        .map(_.select(ManifestFileIndex.normPath(col("file")).as("m_file")))
+      val manifested = (manifestFrame(spark, dataDir)
+          .select(ManifestFileIndex.normPath(col("file")).as("m_file")) +:
+        historyFiles(spark, dataDir, hfs, root) // re-listed: spared only
+          .map(_.select(col("h_file").as("m_file"))).toSeq)
         .reduce(_ unionByName _)
         .distinct()
       val candidates = FsListing.listDataFiles(hfs, root).toDF("live_file")
@@ -1146,17 +1210,19 @@ object FileManifest {
   private def refreshLocked(spark: SparkSession, dataDir: String,
       root: org.apache.hadoop.fs.Path, hfs0: org.apache.hadoop.fs.FileSystem,
       cols: Seq[String], bloomCols: Seq[String], expectedPerFile: Long,
-      fpp: Double): Unit = {
+      fpp: Double, versionFloor: Long = 0L): Unit = {
     val hfs = hfs0
     val mPath = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     val wantCols = (Seq("file", "n_rows") ++
       cols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
       bloomCols.map(c => s"bloom_$c")).sorted
     if (!hfs.exists(mPath))
-      return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile, fpp)
+      return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile,
+        fpp, versionFloor)
     val existing = spark.read.parquet(manifestPath(dataDir))
     if (existing.columns.sorted.toSeq != wantCols)
-      return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile, fpp)
+      return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile,
+        fpp, versionFloor)
 
     val live = FsListing.listDataFiles(hfs, root)
     // carried entries stay DISTRIBUTED: a broadcast semi-join against
@@ -1254,6 +1320,11 @@ object FileManifest {
       bounds: Seq[(String, Column, Column)]): (DataFrame, Int, Int) = {
     require(bounds.nonEmpty, "readPrunedMulti with no bounds")
     val (mdf, total) = loadCovering(spark, dataDir)
+    bounds.foreach { case (c, _, _) =>
+      require(mdf.columns.contains(s"min_$c") && mdf.columns.contains(s"max_$c"),
+        s"manifest under $dataDir has no tracked bounds for '$c' — " +
+          s"rebuild with the column in cols")
+    }
 
     // bound test in Spark expression semantics (same coercions the data
     // filter gets), on the tiny manifest frame
@@ -1309,10 +1380,8 @@ object FileManifest {
     * Returns the manifest frame and its file count; manifest CONTENT
     * (bounds, blooms) stays distributed.
     */
-  private[sources] def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) = {
-    val total = requireCovering(spark, dataDir)
-    (manifestFrame(spark, dataDir), total)
-  }
+  private[sources] def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) =
+    requireCovering(spark, dataDir) // one manifest read serves guard + plan
 
   /** Enforce COVERAGE: every live data file under the directory must be
     * manifested — a file landed after the last build would otherwise be
@@ -1324,7 +1393,8 @@ object FileManifest {
     * count and at most one example path. Returns the manifest file
     * count.
     */
-  private[sources] def requireCovering(spark: SparkSession, dataDir: String): Int = {
+  private[sources] def requireCovering(spark: SparkSession,
+      dataDir: String): (DataFrame, Int) = {
     val mdf = manifestFrame(spark, dataDir)
 
     // RECURSIVE data-file listing (build() reads through
@@ -1363,7 +1433,7 @@ object FileManifest {
         s"requirement failed: manifest under $dataDir is stale: $n " +
           s"unmanifested files (e.g. ${sample.head}) — rebuild")
     }
-    total
+    (mdf, total)
   }
 
   /** See [[FsListing.norm]] — manifest `file` entries come from

@@ -64,6 +64,45 @@ class DeleteRangeSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() === 4000L - 101L)
   }
 
+  test("NULL-keyed rows SURVIVE a range delete (NULL never satisfies the range)") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/del_null"
+    val p = new Path(dir)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(p)) hfs.delete(p, true)
+    // NULLs land in the same files as the doomed range (coalesce(1)), so
+    // the candidate rewrite MUST carry them through its survivors filter
+    // — a bare !(between) evaluates NULL for them and silently drops them
+    val df = ((1L to 10L).map(Option(_)) ++ Seq(None, None))
+      .toDF("k").coalesce(1)
+    FileManifest.writeThrough(df, dir, Seq("k"), mode = "overwrite")
+    FileManifest.deleteRange(spark, dir, "k", lit(3L), lit(5L), Seq("k"))
+    val cur = graft.sources.ManifestFileIndex.read(spark, dir)
+    assert(cur.filter(col("k").isNull).count() === 2L,
+      "NULL rows deleted by a range they cannot satisfy")
+    assert(cur.count() === 9L)
+  }
+
+  test("deleting every row of the candidate set keeps the table readable") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/del_all"
+    val p = new Path(dir)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(p)) hfs.delete(p, true)
+    // bloom tracking forces the data-scan stats path: its groupBy emits
+    // no entry for a zero-row rewrite output, and without the explicit
+    // n_rows=0 completion the coverage guard bricks every later read
+    FileManifest.writeThrough(
+      spark.range(100L).select(col("id").as("k"))
+        .repartitionByRange(2, col("k")),
+      dir, Seq("k"), bloomCols = Seq("k"), mode = "overwrite")
+    FileManifest.deleteRange(spark, dir, "k", lit(0L), lit(49L), Seq("k"),
+      bloomCols = Seq("k"))
+    val cur = graft.sources.ManifestFileIndex.read(spark, dir)
+    assert(cur.count() === 50L)
+    assert(cur.filter(col("k") < 50L).count() === 0L)
+  }
+
   test("a range matching nothing rewrites nothing and bumps no version") {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_io/spec/del_none"

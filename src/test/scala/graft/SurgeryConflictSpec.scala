@@ -102,6 +102,29 @@ class SurgeryConflictSpec extends AnyFunSuite with SparkSpec {
     } finally FileManifest.beforeCommitHook = () => ()
   }
 
+  test("a rival overwrite-rebuild cannot ABA the version token") {
+    import spark.implicits._
+    val dir = freshDir("aba")
+    FileManifest.writeThrough(
+      (1L to 40L).toDF("k").repartitionByRange(2, col("k")),
+      dir, Seq("k"), mode = "overwrite")
+    try {
+      oneShot {
+        // overwrite destroys the manifest AND its history — the rebuilt
+        // manifest must stamp a version PAST the destroyed one, or the
+        // staged surgery below would see its planned version again and
+        // publish stale files over the rival's fresh table
+        FileManifest.writeThrough((100L to 120L).toDF("k"), dir,
+          Seq("k"), mode = "overwrite")
+      }
+      intercept[ConcurrentWriteException] {
+        FileManifest.deleteRange(spark, dir, "k", lit(1L), lit(10L), Seq("k"))
+      }
+      assert(keysOf(dir) === (100L to 120L).toSeq,
+        "stale surgery staging leaked into the overwritten table")
+    } finally FileManifest.beforeCommitHook = () => ()
+  }
+
   test("withConflictRetry re-plans and lands after a one-shot rival") {
     import spark.implicits._
     val dir = freshDir("retry")
