@@ -951,6 +951,101 @@ object LayoutQueries {
         .agg(sum("n").as("n"), sum("key_sum").as("key_sum"))
         .filter(col("n") > 0)
         .orderBy("o_custkey")
+    },
+
+    // ---- the full online loop: CDC in → MVCC commit → CDF out → view -----
+    // q168 (streaming upserts) composed with q170 (incremental view
+    // maintenance), the production serving topology: upsert batches
+    // arrive as a file stream, each commits through mergeKeys as one
+    // MVCC version, and the SAME foreachBatch turns the commit's change
+    // feed into signed increments on a downstream grouped view — the
+    // table is never re-read. View snapshots are keyed BY TABLE VERSION
+    // (mv/v{N}), which makes replay correct for free: a recovered batch
+    // re-merges idempotently (keyed replacement), its changesBetween
+    // nets to EMPTY (the rewritten files carry identical rows), and the
+    // chain extends with a no-op snapshot that already holds the batch's
+    // effect — no batch-id bookkeeping in the view itself. The gate pins
+    // the final view (count + key-sum per customer) against the oracle's
+    // from-scratch aggregate of the fully-merged state; CdfSpec pins the
+    // empty-netting replay property directly.
+    QueryDef.sql(
+      "q171_stream_view_maintenance",
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 1009 = 0 THEN -1
+        |         WHEN o_orderkey % 1009 = 1 THEN -2
+        |         WHEN o_orderkey % 1009 = 2 THEN -3
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (900000000, -100), (900000001, -101),
+        |                        (900000002, -102)) v(k, c))
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = QueryDef.scratch(d, "stream_ivm")
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootP)) hfs.delete(rootP, true)
+      val table = s"$root/table"
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        table, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      // the view at v1 — the last time the table itself is aggregated
+      graft.sources.FileManifest.readAsOf(s, table, 1L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .write.mode("overwrite").parquet(s"$root/mv/v1")
+      (0 until 3).foreach { b =>
+        o.filter(col("o_orderkey") % 1009 === b)
+          .select(col("o_orderkey"), lit(-(b + 1).toLong).as("o_custkey"))
+          .unionByName(Seq((900000000L + b, -100L - b))
+            .toDF("o_orderkey", "o_custkey"))
+          .coalesce(1)
+          .write.parquet(s"$root/arrivals/b$b")
+      }
+      val sch = s.read.parquet(s"$root/arrivals/b0").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals/b*")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val vBefore = graft.sources.FileManifest.versions(s, table).max
+            graft.sources.FileManifest.mergeKeys(
+              s, table, batch, "o_orderkey", Seq("o_orderkey"),
+              bloomCols = Seq("o_orderkey"))
+            val vAfter = graft.sources.FileManifest.versions(s, table).max
+            val delta = graft.sources.FileManifest
+              .changesBetween(s, table, vBefore, vAfter)
+              .select(col("o_custkey"),
+                when(col("change_type") === "insert", lit(1L))
+                  .otherwise(lit(-1L)).as("sgn"),
+                col("o_orderkey"))
+              .groupBy("o_custkey")
+              .agg(sum("sgn").as("n"),
+                sum(col("sgn") * col("o_orderkey")).as("key_sum"))
+            s.read.parquet(s"$root/mv/v$vBefore")
+              .unionByName(delta)
+              .groupBy("o_custkey")
+              .agg(sum("n").as("n"), sum("key_sum").as("key_sum"))
+              .filter(col("n") > 0)
+              .write.mode("overwrite").parquet(s"$root/mv/v$vAfter")
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val vFinal = graft.sources.FileManifest.versions(s, table).max
+      s.read.parquet(s"$root/mv/v$vFinal").orderBy("o_custkey")
     }
   )
 }

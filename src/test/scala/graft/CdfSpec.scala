@@ -98,6 +98,27 @@ class CdfSpec extends AnyFunSuite with SparkSpec {
       "view maintained from the change feed diverged from recompute")
   }
 
+  test("a replayed upsert batch nets to an EMPTY feed (q171 replay safety)") {
+    import spark.implicits._
+    val dir = freshDir("replay")
+    FileManifest.writeThrough(
+      (1L to 30L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      dir, Seq("k"), bloomCols = Seq("k"), mode = "overwrite")
+    val batch = Seq((7L, -7L), (100L, -100L)).toDF("k", "v")
+    FileManifest.mergeKeys(spark, dir, batch, "k", Seq("k"),
+      bloomCols = Seq("k"))
+    // replay: keyed replacement is idempotent, so the re-merge's
+    // rewritten files carry row-identical content — the multiset EXCEPTs
+    // must cancel everything, which is exactly what makes a
+    // version-keyed downstream view recover correctly after a crash
+    FileManifest.mergeKeys(spark, dir, batch, "k", Seq("k"),
+      bloomCols = Seq("k"))
+    val vs = FileManifest.versions(spark, dir)
+    assert(FileManifest.changesBetween(spark, dir, vs.init.last, vs.last)
+      .count() === 0L, "replayed batch leaked row-level changes")
+  }
+
   test("inverted pair and vacuumed versions fail loud") {
     import spark.implicits._
     val dir = freshDir("fail")
