@@ -970,13 +970,14 @@ object LayoutQueries {
     // empty-netting replay property directly.
     QueryDef.sql(
       "q171_stream_view_maintenance",
-      """WITH merged AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 1009 = 0 THEN -1
-        |         WHEN o_orderkey % 1009 = 1 THEN -2
-        |         WHEN o_orderkey % 1009 = 2 THEN -3
-        |         ELSE o_custkey END AS o_custkey
-        |  FROM orders
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |           FROM orders),
+        |m AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 997 = 0
+        |             THEN -1 - (((o_orderkey - mn) * 3) // (mx - mn + 1))
+        |             ELSE o_custkey END AS o_custkey
+        |      FROM orders, b),
+        |merged AS (SELECT * FROM m
         |  UNION ALL
         |  SELECT * FROM (VALUES (900000000, -100), (900000001, -101),
         |                        (900000002, -102)) v(k, c))
@@ -1003,8 +1004,18 @@ object LayoutQueries {
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
         .write.mode("overwrite").parquet(s"$root/mv/v1")
+      // RANGE-CLUSTERED CDC (vs q168's residue-spread worst case, where
+      // every batch touches every file): batch b updates the %997 keys of
+      // the b-th THIRD of the key range + one brand-new key, so the
+      // bloom/bounds skipping stack actually bites per commit and the
+      // change feed stays O(touched files) — the shape a partitioned
+      // upstream (per-region/per-day CDC) delivers.
+      val bnd = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mnK, mxK) = (bnd.getLong(0), bnd.getLong(1))
+      val spanK = mxK - mnK + 1
       (0 until 3).foreach { b =>
-        o.filter(col("o_orderkey") % 1009 === b)
+        o.filter(col("o_orderkey") % 997 === 0 &&
+            expr(s"((o_orderkey - $mnK) * 3) div $spanK") === b)
           .select(col("o_orderkey"), lit(-(b + 1).toLong).as("o_custkey"))
           .unionByName(Seq((900000000L + b, -100L - b))
             .toDF("o_orderkey", "o_custkey"))
