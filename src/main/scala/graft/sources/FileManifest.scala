@@ -823,8 +823,24 @@ object FileManifest {
       else spark.read.option("basePath", dataDir).parquet(fs: _*)
     val ins = readSet(inserted)
     val del = readSet(deleted)
-    ins.exceptAll(del).withColumn("change_type", lit("insert"))
-      .unionByName(del.exceptAll(ins).withColumn("change_type", lit("delete")))
+    // ONE signed-net pass, not two directional EXCEPT ALLs (which read
+    // each side twice and shuffle twice): tag rows ±1, group by the full
+    // row, keep the nonzero nets and expand |net| copies with the sign's
+    // change_type. Multiset-identical to insEXCEPTdel ∪ delEXCEPTins —
+    // a row appearing i times inserted and d times deleted nets to
+    // max(i−d,0) inserts / max(d−i,0) deletes either way — and float
+    // grouping normalizes NaN/−0.0 exactly as EXCEPT ALL does.
+    val dataCols = ins.columns.toIndexedSeq
+    val net = ins.withColumn("_sgn", lit(1L))
+      .unionByName(del.withColumn("_sgn", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum("_sgn").as("_net"))
+      .filter(col("_net") =!= 0L)
+    net.select(dataCols.map(col) :+
+        explode(expr("sequence(1, abs(_net))")).as("_i") :+
+        when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("change_type"): _*)
+      .drop("_i")
   }
 
   /** Range DELETE with FILE-LEVEL SURGERY (the Delta/Iceberg DELETE
