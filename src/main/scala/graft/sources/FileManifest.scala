@@ -112,8 +112,13 @@ object FileManifest {
       val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
       hfs.exists(root) && hfs.listStatus(root).exists { s =>
         val n = s.getPath.getName
-        n == "_manifest.lock" || n.startsWith("_manifest_v") ||
-          n.startsWith("_manifest_tmp_")
+        // "_manifest" itself: the swap COMPLETED in the gap between the
+        // failed read and this probe — on a table whose very first build
+        // leaves no lock/history/tmp sibling visible (direct
+        // buildWithBloom), the machinery test alone would misread the
+        // transient as a real absence and propagate it un-retried
+        n == "_manifest" || n == "_manifest.lock" ||
+          n.startsWith("_manifest_v") || n.startsWith("_manifest_tmp_")
       }
     }
     var attempt = 0
@@ -836,11 +841,26 @@ object FileManifest {
       .groupBy(dataCols.map(col): _*)
       .agg(sum("_sgn").as("_net"))
       .filter(col("_net") =!= 0L)
-    net.select(dataCols.map(col) :+
-        explode(expr("sequence(1, abs(_net))")).as("_i") :+
+    // BOUNDED expansion: a single explode(sequence(1, abs(_net)))
+    // materializes one O(|net|) array per group inside one task — a row
+    // value duplicated millions of times and deleted in one surgery
+    // would build a multi-million-element array and risk executor OOM.
+    // Two nested generators instead: an outer one over ≤ B-sized chunk
+    // ids, an inner one over the within-chunk count — identical multiset
+    // output, per-task array never larger than B. The common |net| = 1
+    // case costs two one-element generators (generator rows are
+    // streamed, not buffered — negligible).
+    val B = 65536L
+    net
+      .select(dataCols.map(col) :+ col("_net") :+
+        explode(expr(s"sequence(0L, (abs(_net) - 1L) div ${B}L)"))
+          .as("_chunk"): _*)
+      .select(dataCols.map(col) :+ col("_net") :+
+        explode(expr(s"sequence(1L, least(${B}L, abs(_net) - _chunk * ${B}L))"))
+          .as("_i"): _*)
+      .select(dataCols.map(col) :+
         when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
           .as("change_type"): _*)
-      .drop("_i")
   }
 
   /** Range DELETE with FILE-LEVEL SURGERY (the Delta/Iceberg DELETE
@@ -1014,20 +1034,69 @@ object FileManifest {
           throw new IllegalArgumentException(nullMsg) }
         capped.find(_.getLong(1) > 1L).foreach { r =>
           throw new IllegalArgumentException(dupMsg(r.getLong(0))) }
-        val keyArr = capped.map(_.getLong(0))
-        val bloomProbe = udf { (bytes: Array[Byte]) =>
-          bytes == null || {
-            val bf = org.apache.spark.util.sketch.BloomFilter
-              .readFrom(new java.io.ByteArrayInputStream(bytes))
-            keyArr.exists(bf.mightContainLong)
-          }
+        val keyArr = capped.map(_.getLong(0)).sorted
+        val (kmin, kmax) = (keyArr.head, keyArr.last)
+        val hasBounds = m.columns.contains(s"min_$key")
+        val hasBloom = m.columns.contains(s"bloom_$key")
+        // PRE-FILTER BY BOUNDS INTERSECTION before any per-file probe:
+        // (a) a pure-column test against the batch's global [kmin, kmax]
+        // — And short-circuits, so a file whose bounds prove disjointness
+        // never pays the bloom UDF (deserialize + probes); (b) inside the
+        // probe, BINARY SEARCH restricts the key set to the slice inside
+        // that file's own bounds — O(log keys + keys-in-file-range) per
+        // file instead of keyArr.exists over the whole batch, which on a
+        // range-laid-out tree (each file covering a sliver of the key
+        // space) turned candidate selection O(files × keys).
+        val boundsPre: Column =
+          if (hasBounds)
+            coalesce(!(col(s"max_$key").cast("long") < kmin ||
+              col(s"min_$key").cast("long") > kmax), lit(true))
+          else lit(true)
+        // [from, until) of sorted keyArr inside [mn, mx]; keys are
+        // distinct (the dup guard above threw otherwise), so a
+        // binarySearch hit is unique
+        def keySlice(mn: Long, mx: Long): (Int, Int) = {
+          val i = java.util.Arrays.binarySearch(keyArr, mn)
+          val from = if (i >= 0) i else -i - 1
+          val j = java.util.Arrays.binarySearch(keyArr, mx)
+          val until = if (j >= 0) j + 1 else -j - 1
+          (from, until)
+        }
+        val bloomProbe = udf {
+          (bytes: Array[Byte], mn: java.lang.Long, mx: java.lang.Long) =>
+            bytes == null || {
+              // unknown bounds → probe every key (sound); known bounds →
+              // only the slice they admit; an empty slice means the
+              // bounds already prove no key matches — skip without even
+              // deserializing the filter
+              val (from, until) =
+                if (mn == null || mx == null) (0, keyArr.length)
+                else keySlice(mn, mx)
+              from < until && {
+                val bf = org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(bytes))
+                var i = from
+                var hit = false
+                while (i < until && !hit) {
+                  hit = bf.mightContainLong(keyArr(i)); i += 1
+                }
+                hit
+              }
+            }
         }
         val boundsProbe = udf { (mn: java.lang.Long, mx: java.lang.Long) =>
-          mn == null || mx == null || keyArr.exists(k => k >= mn && k <= mx)
+          mn == null || mx == null || {
+            val (from, until) = keySlice(mn, mx)
+            from < until
+          }
         }
-        if (m.columns.contains(s"bloom_$key")) bloomProbe(col(s"bloom_$key"))
-        else if (m.columns.contains(s"min_$key"))
-          boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
+        if (hasBloom)
+          boundsPre && bloomProbe(col(s"bloom_$key"),
+            (if (hasBounds) col(s"min_$key") else lit(null)).cast("long"),
+            (if (hasBounds) col(s"max_$key") else lit(null)).cast("long"))
+        else if (hasBounds)
+          boundsPre &&
+            boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
         else lit(true)
       }
     val candPaths = m.filter(isCand)
@@ -1178,11 +1247,20 @@ object FileManifest {
           val exclusive = expiredRefs(v)
             .filter(p => !retainedRefs(p) && refCount(p) == 1)
           if (exclusive.forall(pastGrace)) {
-            hfs.delete(new org.apache.hadoop.fs.Path(histPath(dataDir, v)), true)
+            // DATA FILES FIRST, manifest LAST: a crash between the two
+            // deletes must leave the safe half. Files-gone-manifest-alive
+            // only degrades to the loud readAsOf/mid-scan failure already
+            // documented, and the next vacuum reaps the manifest (a
+            // missing file counts as pastGrace). The other order strands
+            // past-grace files unreferenced-but-live, and the next
+            // refresh would re-manifest them — deleted/stale rows
+            // silently REJOINING the current version, the exact
+            // resurrection this guard exists to prevent.
             exclusive.foreach { p =>
               if (hfs.delete(new org.apache.hadoop.fs.Path(p), false))
                 reapedWith += p
             }
+            hfs.delete(new org.apache.hadoop.fs.Path(histPath(dataDir, v)), true)
             expiredRefs(v).foreach(p => refCount(p) -= 1)
           }
         }
