@@ -1057,6 +1057,63 @@ object LayoutQueries {
       q.awaitTermination()
       val vFinal = graft.sources.FileManifest.versions(s, table).max
       s.read.parquet(s"$root/mv/v$vFinal").orderBy("o_custkey")
+    },
+
+    // ---- pruned time travel: a FILTERED as-of read skips files ------------
+    // The common audit query — "yesterday's slice of one key range" —
+    // must not open the whole historical snapshot. readAsOf plans
+    // through a version-pinned ManifestFileIndex, so the retained
+    // manifest's bounds/bloom stats prune the as-of listing exactly like
+    // a current read: on the range-clustered v1 below, the [15%, 25%]
+    // probe opens ~1-2 of 8 files (AsOfPrunedSpec pins the count; this
+    // gate pins the VALUES — both versions' filtered aggregates against
+    // the from-source oracle, including the deleted slice still visible
+    // at v1 and gone at v2).
+    QueryDef.sql(
+      "q172_asof_pruned_read",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |r AS (SELECT mn + (mx - mn) // 10 AS dlo,
+        |             mn + 2 * ((mx - mn) // 10) AS dhi,
+        |             mn + 15 * ((mx - mn) // 100) AS qlo,
+        |             mn + 25 * ((mx - mn) // 100) AS qhi FROM b)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, r WHERE o_orderkey >= qlo AND o_orderkey <= qhi
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders, r WHERE o_orderkey >= qlo AND o_orderkey <= qhi
+        |  AND NOT (o_orderkey >= dlo AND o_orderkey <= dhi)
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_asof_pruned")
+      // version numbers are part of this gate's OUTPUT: reset scratch so
+      // the monotonic version token restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(8, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (dlo, dhi) = (mn + (mx - mn) / 10, mn + 2 * ((mx - mn) / 10))
+      val (qlo, qhi) = (mn + 15 * ((mx - mn) / 100), mn + 25 * ((mx - mn) / 100))
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "o_orderkey", lit(dlo), lit(dhi), Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      Seq(1L, 2L).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .filter(col("o_orderkey") >= qlo && col("o_orderkey") <= qhi)
+          .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
     }
   )
 }

@@ -136,6 +136,41 @@ object FileManifest {
     spark.read.parquet(manifestPath(dataDir))
   }
 
+  /** The manifest frame of a specific RETAINED version — history-first
+    * resolution (a history manifest is immutable once renamed, so the
+    * read can never tear), falling back to the current manifest when it
+    * carries the requested version. A version that moved current→history
+    * between the probe and the read (a rival surgery committed) is
+    * re-resolved once — the rename window is metadata-sized. Fails loud
+    * with the retained range when the version was vacuumed.
+    */
+  private[sources] def manifestFrameAt(spark: SparkSession, dataDir: String,
+      version: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 0
+    while (true) {
+      val h = new org.apache.hadoop.fs.Path(histPath(dataDir, version))
+      if (hfs.exists(h)) return spark.read.parquet(h.toString)
+      val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+      if (hfs.exists(cur) && versionOf(hfs, cur) == version)
+        try return spark.read.parquet(cur.toString)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if (e.getErrorClass == "PATH_NOT_FOUND" ||
+                e.getMessage.contains("Path does not exist")) &&
+                attempt < 3 => // swap raced us: re-resolve via history
+        }
+      else if (attempt >= 3)
+        throw new IllegalArgumentException(
+          s"requirement failed: version $version not retained under " +
+            s"$dataDir (readable: ${versions(spark, dataDir).mkString(", ")})")
+      attempt += 1
+      Thread.sleep(20L << attempt)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Version stamped on the CURRENT manifest — 0 when the table has no
     * manifest yet. The optimistic-concurrency token every write-surgery
     * verb validates under the commit lock before publishing.
@@ -730,11 +765,18 @@ object FileManifest {
     * same O(listing) any FileIndex already holds, never manifest
     * payload (bounds/blooms stay unread).
     */
-  def readAsOf(spark: SparkSession, dataDir: String, version: Long): DataFrame = {
-    val files = filesOfVersion(spark, dataDir, version)
-    require(files.nonEmpty, s"version $version is an empty snapshot")
-    spark.read.option("basePath", dataDir).parquet(files.toIndexedSeq: _*)
-  }
+  def readAsOf(spark: SparkSession, dataDir: String, version: Long): DataFrame =
+    // PRUNED time travel: plan through a version-pinned
+    // [[ManifestFileIndex]], so an as-of read gets the SAME bounds/bloom
+    // file skipping a current-version read gets — the retained manifest
+    // carries identical per-file stats, and the common audit query
+    // ("yesterday's slice of one key range") should never open the whole
+    // snapshot. Membership comes from the version's manifest; pushed
+    // filters prune within it; a vacuumed file fails loud at index
+    // construction (liveness check) instead of silently thinning the
+    // snapshot. AsOfPrunedSpec pins result-equality with the raw
+    // path-list read and the actual file-skip count.
+    ManifestFileIndex.read(spark, dataDir, asOf = Some(version))
 
   /** The file set of a retained `version`, resolved loud (named retained
     * range) when the version has been vacuumed — the shared resolution

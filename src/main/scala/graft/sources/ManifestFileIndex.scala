@@ -43,10 +43,23 @@ import org.apache.spark.sql.functions.{col, lit, udf, when}
   * frozen listing is manifested — a file landed later is absent from
   * the frozen listing itself, so it can never be wrongly dropped.
   */
-class ManifestFileIndex(spark: SparkSession, dataDir: String)
+class ManifestFileIndex(spark: SparkSession, dataDir: String,
+    asOf: Option[Long] = None)
     extends InMemoryFileIndex(
       spark, Seq(new Path(dataDir)), Map.empty, None,
       FileStatusCache.getOrCreate(spark), None, None) {
+
+  /** The manifest this index plans from: the CURRENT one, or — PRUNED
+    * TIME TRAVEL — the retained manifest of `asOf`. A history manifest
+    * carries the same per-file bounds/bloom stats it had when it was
+    * current, so an as-of read skips files exactly like a live read;
+    * resolution fails loud (named retained range) when the version was
+    * vacuumed.
+    */
+  private def planningFrame: DataFrame = asOf match {
+    case None => FileManifest.manifestFrame(spark, dataDir)
+    case Some(v) => FileManifest.manifestFrameAt(spark, dataDir, v)
+  }
 
   /** Manifest METADATA only (schema-derived, one footer read): which
     * columns carry numeric bounds / bloom sidecars. Only NUMERIC-typed
@@ -57,7 +70,7 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     * `readPrunedMulti` evaluates them in Spark expression semantics if
     * the explicit form is needed).
     */
-  private val manifestSchema = FileManifest.manifestFrame(spark, dataDir).schema
+  private val manifestSchema = planningFrame.schema
   private val trackedNumeric: Set[String] =
     manifestSchema.fieldNames.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       .filter(c => manifestSchema.fieldNames.contains(s"max_$c"))
@@ -76,9 +89,32 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
   // coverage guard at CONSTRUCTION (fail loud on a stale manifest),
   // run as a distributed anti-join — manifest file names stay on
   // executors; the live listing is already driver-resident by
-  // InMemoryFileIndex's own contract, so it adds no new driver state
+  // InMemoryFileIndex's own contract, so it adds no new driver state.
+  //
+  // An AS-OF index needs the INVERSE check: the historical snapshot is
+  // complete by construction (its manifest froze the file set), so
+  // current-table staleness is irrelevant — but every file the version
+  // references must still be on disk. A vacuumed member would otherwise
+  // be dropped by the listing intersection SILENTLY — partial results,
+  // the one failure mode the time-travel contract forbids (the raw
+  // path-list read at least failed loud mid-scan). The file set is
+  // collected once here — O(files-of-version) driver path strings, the
+  // listing-sized state this FileIndex already holds.
+  private[sources] val asOfFiles: Option[IndexedSeq[String]] = asOf.map { v =>
+    val vf = planningFrame
+      .select(ManifestFileIndex.normPath(col("file")))
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val live = allFiles().iterator
+      .map(f => FsListing.norm(f.getPath.toString)).toSet
+    val gone = vf.filterNot(live)
+    require(gone.isEmpty,
+      s"version $v of $dataDir references ${gone.size} file(s) no longer " +
+        s"on disk (e.g. ${gone.head}) — vacuumed mid-retention or " +
+        "externally deleted; an as-of read would be silently partial")
+    vf
+  }
   locally {
-    FileManifest.requireCovering(spark, dataDir)
+    if (asOf.isEmpty) FileManifest.requireCovering(spark, dataDir)
   }
 
   /** Observability for the scale contract: bytes of path text the last
@@ -135,6 +171,24 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     }.filter(_.files.nonEmpty)
   }
 
+  /** VERSION-AWARE equality: InMemoryFileIndex.equals compares only
+    * rootPaths, so two indexes over one table pinned to DIFFERENT
+    * versions would compare equal — HadoopFsRelation is a case class, so
+    * the relations (and canonicalized scans) would too, and Spark's
+    * scan/exchange reuse would silently serve one version's files for
+    * every as-of read in a multi-version query (exactly q164's
+    * union-of-three-snapshots shape). Equality must include the pinned
+    * version and reject a plain InMemoryFileIndex over the same dir.
+    */
+  override def equals(other: Any): Boolean = other match {
+    case m: ManifestFileIndex =>
+      rootPaths == m.rootPaths && asOf == m.pinnedVersion
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (rootPaths, asOf).hashCode()
+  private[sources] def pinnedVersion: Option[Long] = asOf
+
   /** The distributed keep/drop job: one filter over the `_manifest`
     * parquet, predicates on executors, only surviving path strings
     * collected.
@@ -147,7 +201,7 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String)
     val hit = keptCache.get(sig)
     if (hit != null) return hit
 
-    val mdf = FileManifest.manifestFrame(spark, dataDir)
+    val mdf = planningFrame
     val keep = ranges.map { case (c, (lo, hi)) =>
       val bounds: Column =
         if (!trackedNumeric.contains(c)) lit(true)
@@ -297,15 +351,26 @@ object ManifestFileIndex {
     * schema for exactly this reason).
     */
   def read(spark: SparkSession, dataDir: String,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val idx = new ManifestFileIndex(spark, dataDir)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val idx = new ManifestFileIndex(spark, dataDir, asOf)
     // one footer, not a full-directory inference sweep; partition
     // columns never appear in footers, so this stays the DATA schema
-    // and the inferred partitionSchema rides separately
+    // and the inferred partitionSchema rides separately. An as-of read
+    // anchors on a file OF THAT VERSION — the directory's first file may
+    // be a newer version's, and schema may have evolved between them.
     val dataSchema = schema.getOrElse {
-      val first = idx.allFiles().headOption.getOrElse(
-        throw new IllegalArgumentException(s"no data files under $dataDir"))
-      spark.read.parquet(first.getPath.toString).schema
+      val first = idx.asOfFiles match {
+        case Some(vf) =>
+          require(vf.nonEmpty,
+            s"version ${asOf.get} of $dataDir is an empty snapshot")
+          vf.head
+        case None =>
+          idx.allFiles().headOption.getOrElse(
+            throw new IllegalArgumentException(s"no data files under $dataDir"))
+            .getPath.toString
+      }
+      spark.read.parquet(first).schema
     }
     val relation = HadoopFsRelation(idx, idx.partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
