@@ -1050,6 +1050,10 @@ object LayoutQueries {
               .agg(sum("n").as("n"), sum("key_sum").as("key_sum"))
               .filter(col("n") > 0)
               .write.mode("overwrite").parquet(s"$root/mv/v$vAfter")
+            // snapshots otherwise accumulate one dir per commit forever;
+            // replay only ever re-reads v(before) — keep=3 is ample
+            graft.sources.ChangeFeedTail.pruneSnapshots(
+              s, s"$root/mv", "v", keep = 3)
           }
           ()
         }
@@ -1114,6 +1118,96 @@ object LayoutQueries {
           .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
       }.reduce(_ unionByName _)
         .orderBy("version")
+    },
+
+    // ---- decoupled CDF consumer: an independent reader tails the chain ----
+    // q171 maintains its view inside the WRITER's foreachBatch; the
+    // production topology is a SEPARATE consumer — ChangeFeedTail — that
+    // polls versions(), consumes changesBetween(cursor, head) (one feed
+    // however many commits landed since the last poll), applies signed
+    // deltas to its version-keyed view snapshot, and commits a durable
+    // cursor. At-least-once delivery + version-keyed snapshots = replay
+    // safe; snapshot retention prunes old view versions. The gate
+    // interleaves writer commits with consumer polls — including one
+    // poll that spans TWO commits — and pins the final view against the
+    // oracle's from-scratch aggregate of the fully-merged state.
+    // ChangeFeedTailSpec pins the cursor protocol itself (crash
+    // recovery, retention lag, a real two-thread writer/consumer race).
+    QueryDef.sql(
+      "q173_cdf_tail_consumer",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |           FROM orders),
+        |m AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 997 = 0
+        |             THEN -21 - (((o_orderkey - mn) * 3) // (mx - mn + 1))
+        |             ELSE o_custkey END AS o_custkey
+        |      FROM orders, b),
+        |merged AS (SELECT * FROM m
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (910000000, -200), (910000001, -201),
+        |                        (910000002, -202)) v(k, c))
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
+      import graft.sources.{ChangeFeedTail, FileManifest}
+      import s.implicits._
+      val root = QueryDef.scratch(d, "cdf_tail")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val table = s"$root/table"
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        table, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      // consumer bootstrap: snapshot the view AS OF v1, cursor at 1
+      FileManifest.readAsOf(s, table, 1L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .write.mode("overwrite").parquet(s"$root/mv/v1")
+      ChangeFeedTail.init(s, s"$root/cursor", 1L)
+      def applyDelta(feed: org.apache.spark.sql.DataFrame,
+          fromV: Long, toV: Long): Unit = {
+        val delta = feed.select(col("o_custkey"),
+            when(col("change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)).as("sgn"), col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("sgn").as("n"),
+            sum(col("sgn") * col("o_orderkey")).as("key_sum"))
+        s.read.parquet(s"$root/mv/v$fromV")
+          .unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum("n").as("n"), sum("key_sum").as("key_sum"))
+          .filter(col("n") > 0)
+          .write.mode("overwrite").parquet(s"$root/mv/v$toV")
+        ChangeFeedTail.pruneSnapshots(s, s"$root/mv", "v", keep = 3)
+      }
+      // range-clustered CDC batches (q171's shape) committed by the
+      // WRITER; the consumer is a separate poll loop over the chain
+      val bnd = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mnK, mxK) = (bnd.getLong(0), bnd.getLong(1))
+      val spanK = mxK - mnK + 1
+      def commitBatch(b: Int): Unit = FileManifest.mergeKeys(
+        s, table,
+        o.filter(col("o_orderkey") % 997 === 0 &&
+            expr(s"((o_orderkey - $mnK) * 3) div $spanK") === b)
+          .select(col("o_orderkey"), lit(-21L - b).as("o_custkey"))
+          .unionByName(Seq((910000000L + b, -200L - b))
+            .toDF("o_orderkey", "o_custkey")),
+        "o_orderkey", Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      commitBatch(0); commitBatch(1)
+      // one poll spans BOTH commits (the consumer slept through them)
+      ChangeFeedTail.poll(s, table, s"$root/cursor")(applyDelta)
+      commitBatch(2)
+      ChangeFeedTail.drain(s, table, s"$root/cursor")(applyDelta)
+      val vFinal = ChangeFeedTail.cursor(s, s"$root/cursor").get
+      s.read.parquet(s"$root/mv/v$vFinal").orderBy("o_custkey")
     }
   )
 }

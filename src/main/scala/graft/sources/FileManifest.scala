@@ -783,23 +783,14 @@ object FileManifest {
     * step of [[readAsOf]] and [[changesBetween]].
     */
   private def filesOfVersion(spark: SparkSession, dataDir: String,
-      version: Long): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(dataDir)
-    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
-    val mdir =
-      if (hfs.exists(cur) && versionOf(hfs, cur) == version) cur
-      else {
-        val h = new org.apache.hadoop.fs.Path(histPath(dataDir, version))
-        require(hfs.exists(h),
-          s"version $version not retained under $dataDir " +
-            s"(readable: ${versions(spark, dataDir).mkString(", ")})")
-        h
-      }
-    spark.read.parquet(mdir.toString)
+      version: Long): Seq[String] =
+    // manifestFrameAt owns resolution: history-first (immutable once
+    // renamed), current fallback, one re-resolve across the swap-rename
+    // window — so a concurrent consumer (ChangeFeedTail polling while a
+    // writer commits) never sees a transient PATH_NOT_FOUND
+    manifestFrameAt(spark, dataDir, version)
       .select(ManifestFileIndex.normPath(col("file")))
       .collect().map(_.getString(0)).sorted.toSeq
-  }
 
   /** Run a write surgery with optimistic-conflict retries — the caller
     * loop the OCC protocol assumes (Delta's retry-on-
