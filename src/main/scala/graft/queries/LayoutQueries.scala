@@ -1208,6 +1208,75 @@ object LayoutQueries {
       ChangeFeedTail.drain(s, table, s"$root/cursor")(applyDelta)
       val vFinal = ChangeFeedTail.cursor(s, s"$root/cursor").get
       s.read.parquet(s"$root/mv/v$vFinal").orderBy("o_custkey")
+    },
+
+    // ---- CDF update pairing: pre/post images instead of delete+insert ----
+    // q169's feed surfaces an update as delete-of-old + insert-of-new
+    // with no pairing key; Delta emits update_preimage/update_postimage
+    // so a consumer reconstructing per-key updates doesn't join the two
+    // sides itself. changesBetweenKeyed relabels exactly the keys with
+    // a one-delete/one-insert pair (any other multiplicity keeps the
+    // primitive labels — no unambiguous pairing exists); the oracle
+    // recomputes the same labeled delta from source: range-deleted rows
+    // stay 'delete', merged-key survivors become pre/post image pairs,
+    // brand-new keys stay 'insert'.
+    QueryDef.sql(
+      "q174_cdf_update_pairing",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |r AS (SELECT mn + (mx - mn) // 10 AS lo,
+        |             mn + 2 * ((mx - mn) // 10) AS hi FROM b),
+        |del AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |        WHERE o_orderkey >= lo AND o_orderkey <= hi),
+        |surv AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |         WHERE NOT (o_orderkey >= lo AND o_orderkey <= hi)),
+        |upd AS (SELECT o_orderkey FROM surv WHERE o_orderkey % 1013 = 0)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       'delete' AS change_type FROM del
+        |UNION ALL
+        |SELECT CAST(s.o_orderkey AS BIGINT), CAST(s.o_custkey AS BIGINT),
+        |       'update_preimage'
+        |  FROM surv s JOIN upd ON s.o_orderkey = upd.o_orderkey
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT), CAST(-5 AS BIGINT),
+        |       'update_postimage' FROM upd
+        |UNION ALL
+        |SELECT CAST(o_orderkey + 800000000 AS BIGINT), CAST(-9 AS BIGINT), 'insert'
+        |  FROM surv WHERE o_orderkey % 4999 = 0
+        |ORDER BY change_type, o_orderkey, o_custkey""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_cdf_pair")
+      // version numbers are part of this gate's OUTPUT: reset scratch so
+      // the monotonic version token restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 10, mn + 2 * ((mx - mn) / 10))
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "o_orderkey", lit(lo), lit(hi), Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      val surv = o.filter(!(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+      val updates = surv.filter(col("o_orderkey") % 1013 === 0)
+        .select(col("o_orderkey"), lit(-5L).as("o_custkey"))
+        .unionByName(surv.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 800000000L).as("o_orderkey"),
+            lit(-9L).as("o_custkey")))
+      graft.sources.FileManifest.mergeKeys(
+        s, dir, updates, "o_orderkey", Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest
+        .changesBetweenKeyed(s, dir, 1L, 3L, "o_orderkey")
+        .orderBy("change_type", "o_orderkey", "o_custkey")
     }
   )
 }

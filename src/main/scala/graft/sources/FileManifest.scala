@@ -896,6 +896,33 @@ object FileManifest {
           .as("change_type"): _*)
   }
 
+  /** [[changesBetween]] with UPDATE PAIRING (Delta's
+    * update_preimage/update_postimage): a key that lost exactly one row
+    * and gained exactly one row across the span was UPDATED — relabel
+    * its delete/insert pair so a consumer reconstructing per-key
+    * updates doesn't join the two sides itself. Any other multiplicity
+    * (pure insert, pure delete, a key that went from two rows to one —
+    * no unambiguous pairing exists) keeps the primitive labels, and
+    * NULL keys never pair (NULL matches nothing, the same rule as
+    * MERGE). One hash shuffle by key over the netted delta only — the
+    * pairing adds O(changed rows), never O(table).
+    */
+  def changesBetweenKeyed(spark: SparkSession, dataDir: String,
+      fromV: Long, toV: Long, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    changesBetween(spark, dataDir, fromV, toV)
+      .withColumn("_ins", sum(
+        when(col("change_type") === "insert", lit(1L)).otherwise(lit(0L))).over(w))
+      .withColumn("_del", sum(
+        when(col("change_type") === "delete", lit(1L)).otherwise(lit(0L))).over(w))
+      .withColumn("change_type",
+        when(col(key).isNotNull && col("_ins") === 1L && col("_del") === 1L,
+          when(col("change_type") === "insert", lit("update_postimage"))
+            .otherwise(lit("update_preimage")))
+          .otherwise(col("change_type")))
+      .drop("_ins", "_del")
+  }
+
   /** Range DELETE with FILE-LEVEL SURGERY (the Delta/Iceberg DELETE
     * shape — also the retention/right-to-be-forgotten verb a
     * training-data table needs): delete every row with `c` in

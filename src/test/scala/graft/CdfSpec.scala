@@ -133,4 +133,30 @@ class CdfSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("not retained"))
   }
+
+  test("update pairing relabels 1:1 key pairs, keeps ambiguous ones primitive") {
+    import spark.implicits._
+    val dir = freshDir("pair")
+    // key 5 appears TWICE at v1 (a doubled key — deleteRange tolerates
+    // duplicates even though mergeKeys refuses them in a batch)
+    FileManifest.writeThrough(
+      Seq((1L, 10L), (2L, 20L), (5L, 50L), (5L, 51L)).toDF("k", "v")
+        .repartition(1),
+      dir, Seq("k"), mode = "overwrite")
+    // v2: both copies of key 5 deleted, plus key 2
+    FileManifest.deleteRange(spark, dir, "k", lit(2L), lit(5L), Seq("k"))
+    // v3: key 5 re-inserted once, key 1 updated, key 9 brand-new
+    FileManifest.mergeKeys(spark, dir,
+      Seq((5L, -5L), (1L, -1L), (9L, -9L)).toDF("k", "v"), "k", Seq("k"))
+    val feed = FileManifest.changesBetweenKeyed(spark, dir, 1L, 3L, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._3, t._1, t._2)).toSeq
+    assert(feed === Seq(
+      (2L, 20L, "delete"), // pure delete
+      (5L, 50L, "delete"), (5L, 51L, "delete"), // 2 del + 1 ins: ambiguous
+      (5L, -5L, "insert"), (9L, -9L, "insert"), // re-insert + brand-new
+      (1L, 10L, "update_preimage"), // exactly one del + one ins: paired
+      (1L, -1L, "update_postimage")
+    ).sortBy(t => (t._3, t._1, t._2)))
+  }
 }
