@@ -110,21 +110,27 @@ object Bench {
     }
     val calibBase = (1 to 5).map(_ => calibOnce()).min
     val CalibSlowdown = 1.5
-    // each query's main-pass record carries the calibration ratio read
-    // right BEFORE its reps (the trustworthiness signal) and the 1-min
-    // load read right AFTER them — the latter is usually the bench's own
-    // wake, which is exactly why the validity OR-gate leans on the
-    // calibration arm; the full-artifact consumer (below) needs
-    // per-measurement trustworthiness for ALL queries, not just the
-    // quiet-repass tail
+    // each query's main-pass record carries calibration probes timed
+    // BOTH right before and right after its reps — contention arriving
+    // DURING the reps (or ending just after the pre-probe) is visible on
+    // at least one side, so validity requires both quiet — plus the
+    // 1-min load read after them, which is usually the bench's own wake
+    // (exactly why the validity OR-gate leans on the calibration arm).
+    // Raw probe seconds are kept and ratioed at the end against the
+    // ROLLING MIN across every probe of the run: a baseline taken while
+    // a tenant was still busy at start (or inflated by thermal drift)
+    // would otherwise mark contended measurements valid run-long.
     val resultsLoad = SparkEntry.queries.map { case (name, fn) =>
-      val cf = calibOnce() / calibBase
+      val cBefore = calibOnce()
       val (med, min) = medMin((1 to Reps).map { _ =>
         timeOnce(spark, fn(spark, sfDir).queryExecution.toRdd.count())
       })
-      name -> (med, min, loadAvg1(), cf)
+      val cAfter = calibOnce()
+      name -> (med, min, loadAvg1(), cBefore, cAfter)
     }
-    val results = resultsLoad.map { case (k, (med, min, _, _)) => k -> (med, min) }
+    val calibFloor = (calibBase +:
+      resultsLoad.valuesIterator.flatMap(v => Seq(v._4, v._5)).toSeq).min
+    val results = resultsLoad.map { case (k, (med, min, _, _, _)) => k -> (med, min) }
     // Layout is tail-truncation-resilient: the harness keeps only the LAST
     // ~2k chars of stdout, so the per-query MIN map (contention detector:
     // median >> min flags a noisy machine, not a regression) prints first
@@ -247,7 +253,10 @@ object Bench {
     // loadavg (see its comment above); quiet-repass entries keep their
     // settle-gated validity
     val fullQuads = results.toSeq.sortBy(_._1).map { case (k, (med, min)) =>
-      val (_, _, mainLoad, cf) = resultsLoad(k)
+      val (_, _, mainLoad, cBefore, cAfter) = resultsLoad(k)
+      // calibration arm is quiet only when BOTH flanking probes are —
+      // against the run-long rolling floor
+      val cf = math.max(cBefore, cAfter) / calibFloor
       val (m2, n2, l2, v2) = quietByName.get(k) match {
         case Some((qm, qn, ql)) if qm >= 0 && (med < 0 || qm <= med) =>
           (qm, qn, ql, ql >= 0 && ql < QuietLoad)

@@ -949,8 +949,20 @@ object Similarity {
     // pre-compaction snapshot readable for in-flight as-of readers; the
     // grace window additionally spares anything younger than the
     // default retention.
+    // graceMs is sized to THIS table's write discipline, not the global
+    // default: vacuum's 10-min grace exists to spare unlocked
+    // append→refresh windows, but every write to an index dir goes
+    // through locked publishVia/writeThrough — there is no unlocked
+    // window. Under the default, a compaction burst's expired manifests
+    // all have sub-10-min-old exclusive files, so the resurrection
+    // guard spares every one: depth grows past the threshold unbounded
+    // and each further compaction pays vacuum's full all-manifest read
+    // while reaping NOTHING. One minute covers any reader that resolved
+    // paths moments ago; older as-of readers are bounded by
+    // keepVersions, the documented loud-failure contract.
     if (graft.sources.FileManifest.versions(spark, dir).size > 8)
-      graft.sources.FileManifest.vacuum(spark, dir, keepVersions = 2)
+      graft.sources.FileManifest.vacuum(spark, dir, graceMs = 60000L,
+        keepVersions = 2)
     graft.sources.ManifestFileIndex.read(spark, dir)
       .select("n_id", "cell", "pcode")
   }
