@@ -532,6 +532,25 @@ object ScaleSmoke {
       val (mRw, mCar) = FileManifest.mergeKeys(spark, dir, ups, "k", Seq("k"))
       val mDt = (System.nanoTime() - t0) / 1e9
       println(f"mvcc_merge  files=$n%-5d rows=$rows%-9d rewritten=$mRw carried=$mCar $mDt%7.2f s")
+      // PRUNED TIME TRAVEL: a filtered as-of read of v1 must stay ~flat
+      // as the snapshot grows 16× (the version-pinned index opens only
+      // the 1-2 bounds-intersecting files), while the full as-of scan
+      // grows with the data — the same skip asymmetry the current-read
+      // path shows, now on history
+      // sum(v), not count(): parquet count() answers from row-group
+      // metadata without touching a data page, so it can't witness the
+      // scan the pruning saves
+      t0 = System.nanoTime()
+      val fullS = FileManifest.readAsOf(spark, dir, 1L)
+        .agg(sum("v")).head().getLong(0)
+      val fullDt = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val sliceS = FileManifest.readAsOf(spark, dir, 1L)
+        .filter(col("k") >= 17000L && col("k") <= 18000L)
+        .agg(sum("v")).head().getLong(0)
+      val sliceDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_asof   files=$n%-5d full_sum=$fullS%-12d full=$fullDt%6.2f s " +
+        f"slice_sum=$sliceS%-8d pruned=$sliceDt%6.2f s")
       // contrast: what a non-surgical engine pays — rewrite the table
       t0 = System.nanoTime()
       graft.sources.ManifestFileIndex.read(spark, dir)
