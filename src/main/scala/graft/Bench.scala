@@ -116,10 +116,9 @@ object Bench {
     // at least one side, so validity requires both quiet — plus the
     // 1-min load read after them, which is usually the bench's own wake
     // (exactly why the validity OR-gate leans on the calibration arm).
-    // Raw probe seconds are kept and ratioed at the end against the
-    // ROLLING MIN across every probe of the run: a baseline taken while
-    // a tenant was still busy at start (or inflated by thermal drift)
-    // would otherwise mark contended measurements valid run-long.
+    // Raw probe seconds are kept and ratioed at the end against
+    // calibFloor = min(start baseline, run-median) — see its comment
+    // below for why the floor must NOT be the rolling minimum.
     // each probe POINT is the min of two back-to-back probes: a single
     // probe lands on the previous query's GC/cleanup tail often enough
     // (transient, not contention) that requiring both flanks quiet

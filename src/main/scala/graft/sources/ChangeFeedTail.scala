@@ -62,13 +62,23 @@ object ChangeFeedTail {
     */
   def cursor(spark: SparkSession, cursorDir: String): Option[Long] = {
     val (fs, dir) = fsOf(spark, cursorDir)
-    if (!fs.exists(dir)) None
-    else if (fs.exists(cursorFile(dir)))
-      Some(readSmall(fs, cursorFile(dir)).trim.toLong)
-    else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .collect { case n if n.startsWith("cursor.v") =>
-        n.stripPrefix("cursor.v").toLong }
-      .maxOption
+    if (!fs.exists(dir)) return None
+    // exists→read is TOCTOU against a rival's delete+rename commit
+    // window (this read is deliberately lock-free — a status probe must
+    // not serialize behind a worker's apply): a vanished cursor file
+    // falls through to the backup scan, which always names the last
+    // committed value
+    val direct =
+      try {
+        if (fs.exists(cursorFile(dir)))
+          Some(readSmall(fs, cursorFile(dir)).trim.toLong)
+        else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    direct.orElse(
+      fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("cursor.v") =>
+          n.stripPrefix("cursor.v").toLong }
+        .maxOption)
   }
 
   /** Start (or restart) a consumer group at `version`: the next poll
@@ -79,7 +89,13 @@ object ChangeFeedTail {
   def init(spark: SparkSession, cursorDir: String, version: Long): Unit = {
     val (fs, dir) = fsOf(spark, cursorDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    commitCursor(fs, dir, version)
+    // same lock as poll: a restart-time re-init racing a live worker's
+    // commit would otherwise interleave two unserialized delete+rename
+    // sequences on the same cursor file (the worker's rename could
+    // silently overwrite the freshly committed restart version)
+    CommitLock.withLock(fs, new Path(dir, ".lock")) {
+      commitCursor(fs, dir, version)
+    }
   }
 
   private def commitCursor(fs: org.apache.hadoop.fs.FileSystem,
@@ -88,13 +104,17 @@ object ChangeFeedTail {
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // older tmp backups are superseded the moment a newer one is
-    // complete — sweep BEFORE the rename so the fallback in [[cursor]]
-    // can only ever see the newest committed value
+    // every OTHER backup is superseded the moment this one is complete —
+    // sweep BEFORE the rename so the fallback in [[cursor]] can only
+    // ever see the value being committed. Sweeping != v, not just < v:
+    // a BACKWARD init (restarting the group at an older version after a
+    // torn commit left a high cursor.v{N}) must remove the stale higher
+    // backup too, or a later torn commit would "recover" forward past
+    // changes the restarted consumer never re-applied.
     fs.listStatus(dir).iterator
       .filter { s =>
         val n = s.getPath.getName
-        n.startsWith("cursor.v") && n.stripPrefix("cursor.v").toLong < v
+        n.startsWith("cursor.v") && n != s"cursor.v$v"
       }
       .foreach(s => fs.delete(s.getPath, false))
     fs.delete(cursorFile(dir), false)

@@ -148,27 +148,74 @@ object FileManifest {
       version: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def notRetained() = new IllegalArgumentException(
+      s"requirement failed: version $version not retained under " +
+        s"$dataDir (readable: ${versions(spark, dataDir).mkString(", ")})")
     var attempt = 0
     while (true) {
       val h = new org.apache.hadoop.fs.Path(histPath(dataDir, version))
       if (hfs.exists(h)) return spark.read.parquet(h.toString)
       val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
-      if (hfs.exists(cur) && versionOf(hfs, cur) == version)
-        try return spark.read.parquet(cur.toString)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if (e.getErrorClass == "PATH_NOT_FOUND" ||
-                e.getMessage.contains("Path does not exist")) &&
-                attempt < 3 => // swap raced us: re-resolve via history
-        }
-      else if (attempt >= 3)
-        throw new IllegalArgumentException(
-          s"requirement failed: version $version not retained under " +
-            s"$dataDir (readable: ${versions(spark, dataDir).mkString(", ")})")
-      attempt += 1
-      Thread.sleep(20L << attempt)
+      // the CURRENT manifest is mutable (a swap renames it away), so
+      // every probe of it can race: versionOf's listStatus and the read
+      // itself tolerate a concurrent rename by falling through to a
+      // fresh re-probe rather than crashing the consumer
+      val curV: Option[Long] =
+        try { if (hfs.exists(cur)) Some(versionOf(hfs, cur)) else None }
+        catch { case _: java.io.FileNotFoundException => None }
+      curV match {
+        case Some(v) if v == version =>
+          try return spark.read.parquet(cur.toString)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getErrorClass == "PATH_NOT_FOUND" ||
+                  e.getMessage.contains("Path does not exist") =>
+              // renamed to history in the gap — next loop probes hist
+          }
+        case Some(_) =>
+          // cur holds a DIFFERENT version: the target, if it exists at
+          // all, is an immutable history dir — ONE fresh hist re-probe
+          // decides (it may have just been renamed in after our first
+          // miss). No backoff: a genuinely vacuumed/never-created
+          // version must fail fast, not after 280 ms of sleeps.
+          if (!hfs.exists(h)) throw notRetained()
+          // else loop re-reads hist immediately
+        case None =>
+          // no current manifest visible: mid-swap rename window (wait it
+          // out) or a manifest-less dir (the attempt cap makes it loud)
+          attempt += 1
+          if (attempt > 4) throw notRetained()
+          Thread.sleep(20L << attempt)
+      }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Run an ACTION over a frame resolved from a manifest dir, retrying
+    * once when the underlying manifest was swap-renamed between
+    * resolution and execution — the frame is lazy, so a rename landing
+    * after `manifestFrameAt` returned surfaces as a task-level
+    * FileNotFound (or a lazily-analyzed PATH_NOT_FOUND) at collect
+    * time. `body` must RE-RESOLVE internally (build its frame again),
+    * so the retry reads the renamed — now immutable — history dir. Any
+    * failure that isn't rename-shaped propagates untouched, and a
+    * second rename-shaped failure does too (loud, never a spin).
+    */
+  private[sources] def withSwapRetry[T](body: => T): T = {
+    def swapRaced(t: Throwable): Boolean = {
+      var c = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = c.getMessage
+        if (m != null && (m.contains("PATH_NOT_FOUND") ||
+          m.contains("Path does not exist") || m.contains("FileNotFound")))
+          return true
+        c = c.getCause
+      }
+      false
+    }
+    try body
+    catch { case t: Throwable if swapRaced(t) => body }
   }
 
   /** Version stamped on the CURRENT manifest — 0 when the table has no
@@ -784,13 +831,16 @@ object FileManifest {
     */
   private def filesOfVersion(spark: SparkSession, dataDir: String,
       version: Long): Seq[String] =
-    // manifestFrameAt owns resolution: history-first (immutable once
-    // renamed), current fallback, one re-resolve across the swap-rename
-    // window — so a concurrent consumer (ChangeFeedTail polling while a
-    // writer commits) never sees a transient PATH_NOT_FOUND
-    manifestFrameAt(spark, dataDir, version)
-      .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).sorted.toSeq
+    // manifestFrameAt owns resolution (history-first, swap-tolerant);
+    // withSwapRetry covers the LAZY gap it can't — a rename landing
+    // between resolution and this collect — by re-resolving once, so a
+    // concurrent consumer (ChangeFeedTail polling while a writer
+    // commits) never sees a transient not-found from either window
+    withSwapRetry {
+      manifestFrameAt(spark, dataDir, version)
+        .select(ManifestFileIndex.normPath(col("file")))
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
 
   /** Run a write surgery with optimistic-conflict retries — the caller
     * loop the OCC protocol assumes (Delta's retry-on-

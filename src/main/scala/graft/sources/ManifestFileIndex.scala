@@ -70,7 +70,8 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
     * `readPrunedMulti` evaluates them in Spark expression semantics if
     * the explicit form is needed).
     */
-  private val manifestSchema = planningFrame.schema
+  private val manifestSchema =
+    FileManifest.withSwapRetry(planningFrame.schema)
   private val trackedNumeric: Set[String] =
     manifestSchema.fieldNames.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       .filter(c => manifestSchema.fieldNames.contains(s"max_$c"))
@@ -101,9 +102,11 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
   // collected once here — O(files-of-version) driver path strings, the
   // listing-sized state this FileIndex already holds.
   private[sources] val asOfFiles: Option[IndexedSeq[String]] = asOf.map { v =>
-    val vf = planningFrame
-      .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val vf = FileManifest.withSwapRetry {
+      planningFrame
+        .select(ManifestFileIndex.normPath(col("file")))
+        .collect().map(_.getString(0)).sorted.toIndexedSeq
+    }
     val live = allFiles().iterator
       .map(f => FsListing.norm(f.getPath.toString)).toSet
     val gone = vf.filterNot(live)
@@ -196,12 +199,17 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
   private def keptFiles(
       ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])],
       integralAttrs: Set[String]): Set[String] = {
+    // as-of membership-only listing: the version's file set is already
+    // driver-resident (collected + liveness-checked at construction) —
+    // re-running a manifest job to recompute it would double every
+    // unfiltered as-of read's metadata cost
+    if (ranges.isEmpty && asOfFiles.isDefined) return asOfFiles.get.toSet
+
     val sig = ranges.toSeq.sortBy(_._1).mkString("|") + "§" +
       integralAttrs.toSeq.sorted.mkString(",")
     val hit = keptCache.get(sig)
     if (hit != null) return hit
 
-    val mdf = planningFrame
     val keep = ranges.map { case (c, (lo, hi)) =>
       val bounds: Column =
         if (!trackedNumeric.contains(c)) lit(true)
@@ -249,9 +257,14 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
       bounds && bloom
     }.reduceOption(_ && _).getOrElse(lit(true)) // no ranges → membership-only
 
-    val kept = mdf.filter(keep)
-      .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).toSet
+    // planningFrame resolved INSIDE the retry: a manifest swap landing
+    // between resolution and the collect re-resolves against the renamed
+    // (immutable) history dir instead of crashing the listing
+    val kept = FileManifest.withSwapRetry {
+      planningFrame.filter(keep)
+        .select(ManifestFileIndex.normPath(col("file")))
+        .collect().map(_.getString(0)).toSet
+    }
     lastListingDriverBytes = kept.iterator.map(_.length.toLong * 2).sum
     if (keptCache.size >= KeptCacheMax) keptCache.clear()
     keptCache.put(sig, kept)
@@ -372,8 +385,19 @@ object ManifestFileIndex {
       }
       spark.read.parquet(first).schema
     }
+    // the options TAG makes relation equality version-aware in BOTH
+    // directions: the index's own equals override can't help when a
+    // PLAIN InMemoryFileIndex is the equality receiver (its equals
+    // matches any InMemoryFileIndex — including this subclass — on
+    // rootPaths alone), so a plan mixing a raw directory read with a
+    // manifest/as-of read over the same dir could still be collapsed by
+    // scan/exchange reuse through HadoopFsRelation's case-class
+    // equality. Options participate in that equality; parquet ignores
+    // unknown keys, so the tag is inert at execution.
     val relation = HadoopFsRelation(idx, idx.partitionSchema, dataSchema,
-      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+      None, new ParquetFileFormat,
+      Map("graft.manifest.version" ->
+        asOf.map(_.toString).getOrElse("current")))(spark)
     spark.baseRelationToDataFrame(relation)
   }
 }

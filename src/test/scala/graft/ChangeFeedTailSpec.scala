@@ -134,6 +134,29 @@ class ChangeFeedTailSpec extends AnyFunSuite with SparkSpec {
     assert(viewOf(root) === fromScratch(table))
   }
 
+  test("backward re-init sweeps stale higher cursor backups") {
+    import spark.implicits._
+    val root = freshDir("reinit")
+    val table = seedTable(root, 40L)
+    FileManifest.mergeKeys(spark, table, Seq((3L, 9L)).toDF("k", "g"),
+      "k", Seq("k"), bloomCols = Seq("k"))
+    ChangeFeedTail.drain(spark, table, s"$root/cursor")(applyToView(root))
+    // a torn commit's leftover backup from a FUTURE the restarted group
+    // never applied — without the != v sweep, a later torn commit would
+    // "recover" forward to it, silently skipping the gap
+    val dir = new Path(s"$root/cursor")
+    val hfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = hfs.create(new Path(dir, "cursor.v9"), true)
+    stale.write("9".getBytes); stale.close()
+    ChangeFeedTail.init(spark, s"$root/cursor", 1L)
+    assert(ChangeFeedTail.cursor(spark, s"$root/cursor") === Some(1L))
+    assert(!hfs.exists(new Path(dir, "cursor.v9")),
+      "re-init must sweep stale higher backups, not just lower ones")
+    // and the restarted group re-consumes from v1
+    assert(ChangeFeedTail.poll(spark, table, s"$root/cursor")(
+      (_, from, to) => assert(from === 1L && to === 2L)) === Some((1L, 2L)))
+  }
+
   test("snapshot retention prunes old view versions, sparing the window") {
     import spark.implicits._
     val root = freshDir("ret")
