@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.PqArgmin].getName, "pq_argmin"),
       exprs => graft.functions.PqArgmin(exprs(0), exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("dv_contains"),
+      new ExpressionInfo(classOf[graft.functions.DvContains].getName, "dv_contains"),
+      exprs => graft.functions.DvContains(exprs(0), exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(
         classOf[graft.functions.SortedIntersectCount].getName,

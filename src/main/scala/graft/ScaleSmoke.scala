@@ -521,7 +521,16 @@ object ScaleSmoke {
       val df = spark.range(rows).select(col("id").as("k"), (col("id") % 97).as("v"))
       FileManifest.writeThrough(df.repartitionByRange(n, col("k")), dir,
         Seq("k"), mode = "overwrite")
+      // DELETION VECTORS first (v2): the same narrow-delete shape as a
+      // DV write must stay flat AND beat the rewrite form — the cost is
+      // one column-pruned scan of the 1-2 intersecting files plus a
+      // manifest swap, with NO data-file write at all
       var t0 = System.nanoTime()
+      val (dvN, dvRw, dvCar) = FileManifest.deleteRangeDV(
+        spark, dir, "k", lit(45000L), lit(46000L), Seq("k"))
+      val dvDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_dv_delete files=$n%-5d rows=$rows%-9d dv=$dvN rewritten=$dvRw carried=$dvCar $dvDt%7.2f s")
+      t0 = System.nanoTime()
       val (dRw, dCar) = FileManifest.deleteRange(
         spark, dir, "k", lit(15000L), lit(25000L), Seq("k"))
       val dDt = (System.nanoTime() - t0) / 1e9
@@ -551,6 +560,16 @@ object ScaleSmoke {
       val sliceDt = (System.nanoTime() - t0) / 1e9
       println(f"mvcc_asof   files=$n%-5d full_sum=$fullS%-12d full=$fullDt%6.2f s " +
         f"slice_sum=$sliceS%-8d pruned=$sliceDt%6.2f s")
+      // DV read overhead: the CURRENT read carries the dv anti-filter
+      // (broadcast join against the manifest's 1 dv row + the codegen
+      // binary-search probe) — compare against the as-of v1 full read
+      // just above, which scans the same bytes with NO wrap (v1's
+      // manifest predates the dv column)
+      t0 = System.nanoTime()
+      val curS = graft.sources.ManifestFileIndex.read(spark, dir)
+        .agg(sum("v")).head().getLong(0)
+      val curDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_dv_read files=$n%-5d cur_sum=$curS%-12d wrapped=$curDt%6.2f s (vs unwrapped $fullDt%6.2f s)")
       // contrast: what a non-surgical engine pays — rewrite the table
       t0 = System.nanoTime()
       graft.sources.ManifestFileIndex.read(spark, dir)

@@ -1277,6 +1277,174 @@ object LayoutQueries {
       graft.sources.FileManifest
         .changesBetweenKeyed(s, dir, 1L, 3L, "o_orderkey")
         .orderBy("change_type", "o_orderkey", "o_custkey")
+    },
+
+    // ---- deletion vectors: row-level delete without file rewrites ---------
+    // q175 is the DELETION-VECTOR verb (Delta deletion vectors /
+    // Iceberg positional deletes): deleteRangeDV marks matched ROW
+    // POSITIONS in per-file manifest sidecars — the data files are
+    // untouched, the write cost is one column-pruned scan of the
+    // intersecting files plus a manifest swap, and every read path
+    // anti-filters positions via the native dv_contains codegen probe.
+    // At 100 TB this is the difference between "delete a sliver" =
+    // metadata and "delete a sliver" = rewriting GB-sized files. The
+    // gate lands a ts-clustered events slice (v1), DV-deletes a narrow
+    // window (v2 — narrow so the hybrid threshold keeps it a DV, not a
+    // rewrite), then purgeDv materializes the deletes (v3 — Delta's
+    // REORG APPLY PURGE; reads return to the zero-overhead plan). All
+    // three versions' (count, id-sum) pin against the from-source
+    // oracle: v2 ≡ v3 proves the purge is lossless; DvSpec pins the
+    // file-level mechanics (no rewrite, threshold split, resurrection
+    // guards).
+    QueryDef.sql(
+      "q175_dv_delete",
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |           FROM events),
+        |r AS (SELECT mn + (mx - mn) // 4 AS lo,
+        |             mn + (mx - mn) // 4 + (mx - mn) // 16 AS hi FROM b)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(event_id) AS BIGINT)
+        |FROM events, r
+        |WHERE NOT (epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(event_id) AS BIGINT)
+        |FROM events, r
+        |WHERE NOT (epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi)
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_dv")
+      // version numbers are part of this gate's OUTPUT: reset scratch so
+      // the monotonic version token restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      graft.sources.FileManifest.writeThrough(
+        ev.repartitionByRange(4, col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite")
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 4 + (mx - mn) / 16)
+      graft.sources.FileManifest.deleteRangeDV(
+        s, dir, "ts_ns", lit(lo), lit(hi), Seq("ts_ns"))
+      graft.sources.FileManifest.purgeDv(s, dir, Seq("ts_ns"))
+      graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("id_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
+    },
+
+    // q176 is the CHANGE FEED over deletion-vector versions: a DV
+    // delete changes a file's LIVE rows without touching its bytes, so
+    // file identity in changesBetween's provably-unchanged rule extends
+    // to (path, dv) — a dv-changed file is read on both sides, each
+    // under its own version's vector, and the signed net emits exactly
+    // the newly-dead rows as deletes. The purge span (v2→v3) rewrites
+    // files but changes no logical row: the feed must net to ZERO —
+    // physical reorganization is invisible to CDC consumers, the same
+    // contract q165 pins for compaction.
+    QueryDef.sql(
+      "q176_dv_cdf",
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |           FROM events),
+        |r AS (SELECT mn + (mx - mn) // 4 AS lo,
+        |             mn + (mx - mn) // 4 + (mx - mn) // 16 AS hi FROM b)
+        |SELECT CAST(12 AS BIGINT) AS span,
+        |  CAST(COUNT(*) AS BIGINT) AS n_deletes,
+        |  CAST(0 AS BIGINT) AS n_inserts,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events, r
+        |WHERE epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi
+        |UNION ALL
+        |SELECT CAST(23 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(NULL AS BIGINT)
+        |ORDER BY span""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_dv_cdf")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      graft.sources.FileManifest.writeThrough(
+        ev.repartitionByRange(4, col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite")
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 4 + (mx - mn) / 16)
+      graft.sources.FileManifest.deleteRangeDV(
+        s, dir, "ts_ns", lit(lo), lit(hi), Seq("ts_ns"))
+      graft.sources.FileManifest.purgeDv(s, dir, Seq("ts_ns"))
+      def spanAgg(tag: Long, fromV: Long, toV: Long) =
+        graft.sources.FileManifest.changesBetween(s, dir, fromV, toV)
+          .agg(
+            sum(when(col("change_type") === "delete", 1L).otherwise(0L))
+              .as("_nd"),
+            sum(when(col("change_type") === "insert", 1L).otherwise(0L))
+              .as("_ni"),
+            sum(col("event_id")).as("id_sum"))
+          .select(lit(tag).as("span"),
+            coalesce(col("_nd"), lit(0L)).as("n_deletes"),
+            coalesce(col("_ni"), lit(0L)).as("n_inserts"),
+            col("id_sum"))
+      spanAgg(12L, 1L, 2L).unionByName(spanAgg(23L, 2L, 3L)).orderBy("span")
+    },
+
+    // q177 is the KEYED DV DELETE — right-to-be-forgotten in its
+    // production shape (a batch of record ids to erase, spread across
+    // the whole table): deleteKeysDV plans candidates through the same
+    // bounds + bloom key probes mergeKeys uses, then marks the matched
+    // positions in per-file DVs — a spread erasure batch against a huge
+    // table costs a column-pruned scan of only the files that might
+    // hold a key, and not one data file is rewritten. The gate erases
+    // every %97 order key and pins both versions' (count, key-sum)
+    // against the from-source oracle; DvSpec pins the bloom-pruned
+    // candidate set and the no-rewrite property.
+    QueryDef.sql(
+      "q177_dv_delete_keys",
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 97 <> 0
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_dv_keys")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(8, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val erase = o.filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      graft.sources.FileManifest.deleteKeysDV(
+        s, dir, "o_orderkey", erase, Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
     }
   )
 }

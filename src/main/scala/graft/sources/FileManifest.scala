@@ -283,6 +283,12 @@ object FileManifest {
       fpp: Double = 0.01, versionFloor: Long = 0L): Unit = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // a from-scratch rebuild re-stats the RAW files: live deletion
+    // vectors would be dropped and every DV-deleted row silently
+    // RESURRECTED — the failure mode the DV stack must never allow
+    require(!hasLiveDv(spark, dataDir),
+      s"table $dataDir carries live deletion vectors — a manifest " +
+        "rebuild would resurrect DV-deleted rows; purgeDv(...) first")
     val paths = FsListing.listDataFiles(hfs, root)
     val stats =
       if (paths.isEmpty) // surface the same empty-dir failure a scan would
@@ -890,12 +896,36 @@ object FileManifest {
       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV,
       s"changesBetween needs fromV < toV, got $fromV >= $toV")
-    val from = filesOfVersion(spark, dataDir, fromV)
-    val to = filesOfVersion(spark, dataDir, toV)
-    val fromSet = from.toSet
-    val toSet = to.toSet
-    val inserted = to.filterNot(fromSet)
-    val deleted = from.filterNot(toSet)
+    // file-identity is (path, deletion vector): a DV-delete changes a
+    // file's LIVE rows without touching its bytes, so the "present in
+    // both versions ⇒ provably unchanged" rule extends to "present with
+    // an IDENTICAL dv". A file whose dv changed is read on BOTH sides —
+    // each side under its own version's dv — and the signed net below
+    // emits exactly the newly-dead rows as deletes. Only the diff FLAG
+    // is collected (O(files) path strings + booleans); dv binaries stay
+    // on executors.
+    def mSide(v: Long, fn: String, dvn: String): DataFrame = {
+      val mm = manifestFrameAt(spark, dataDir, v)
+      val dvc =
+        if (mm.columns.contains(DvCol)) col(DvCol)
+        else lit(null).cast(BinaryType)
+      mm.select(ManifestFileIndex.normPath(col("file")).as(fn), dvc.as(dvn))
+    }
+    val diff = withSwapRetry {
+      mSide(fromV, "fa", "dva")
+        .join(mSide(toV, "fb", "dvb"), col("fa") === col("fb"), "full_outer")
+        .select(col("fa"), col("fb"),
+          (!(col("dva") <=> col("dvb"))).as("dvDiff"))
+        .collect()
+    }
+    val from = diff.filter(!_.isNullAt(0)).map(_.getString(0)).sorted.toSeq
+    val to = diff.filter(!_.isNullAt(1)).map(_.getString(1)).sorted.toSeq
+    val changedTo = diff.filter(r =>
+      !r.isNullAt(1) && (r.isNullAt(0) || r.getBoolean(2)))
+      .map(_.getString(1)).sorted.toSeq
+    val changedFrom = diff.filter(r =>
+      !r.isNullAt(0) && (r.isNullAt(1) || r.getBoolean(2)))
+      .map(_.getString(0)).sorted.toSeq
     // schema anchor for empty sides: any file of either version. Both
     // versions empty (a delete-everything publish then an empty refresh)
     // has no schema to anchor and no changes to report — fail loud like
@@ -903,14 +933,33 @@ object FileManifest {
     require(from.nonEmpty || to.nonEmpty,
       s"changesBetween: versions $fromV and $toV of $dataDir are both " +
         "empty snapshots — no schema to derive and no changes to emit")
-    val anchor = (inserted ++ deleted ++ to ++ from).head
+    val anchor = (changedTo ++ changedFrom ++ to ++ from).head
     def readSet(fs: Seq[String]): DataFrame =
       if (fs.isEmpty)
         spark.read.option("basePath", dataDir).parquet(anchor)
           .filter(lit(false))
       else spark.read.option("basePath", dataDir).parquet(fs: _*)
-    val ins = readSet(inserted)
-    val del = readSet(deleted)
+    // split-by-side like every other DV read: only a side's DV-carrying
+    // changed files pay the position join (readSet keeps the anchored
+    // empty-frame shape for the no-changes case)
+    def readSide(fs: Seq[String], mm: DataFrame): DataFrame =
+      if (fs.isEmpty) readSet(fs)
+      else if (!mm.columns.contains(DvCol)) readSet(fs)
+      else {
+        val dvFiles = withSwapRetry {
+          mm.filter(col(DvCol).isNotNull)
+            .select(ManifestFileIndex.normPath(col("file")))
+            .collect().map(_.getString(0)).toSet
+        }
+        val (withDv, plain) = fs.partition(dvFiles)
+        if (withDv.isEmpty) readSet(plain)
+        else {
+          val dvd = applyDv(readSet(withDv), mm)
+          if (plain.isEmpty) dvd else readSet(plain).unionByName(dvd)
+        }
+      }
+    val ins = readSide(changedTo, manifestFrameAt(spark, dataDir, toV))
+    val del = readSide(changedFrom, manifestFrameAt(spark, dataDir, fromV))
     // ONE signed-net pass, not two directional EXCEPT ALLs (which read
     // each side twice and shuffle twice): tag rows ±1, group by the full
     // row, keep the nonzero nets and expand |net| copies with the sign's
@@ -973,6 +1022,412 @@ object FileManifest {
       .drop("_ins", "_del")
   }
 
+  // ---- deletion vectors ---------------------------------------------------
+
+  /** Manifest column holding a file's [[DeletionVectors]] sidecar bytes
+    * (nullable binary; absent entirely on tables never DV-deleted) and
+    * its deleted-row count twin. `n_rows` stays the PHYSICAL row count
+    * — `n_rows - n_del` is the live count — and min/max bounds stay
+    * physical too (a deleted row can only WIDEN them: conservative,
+    * so bounds/bloom pruning over a DV-carrying file remains sound).
+    */
+  private[sources] val DvCol = "dv"
+  private[sources] val DvDelCol = "n_del"
+
+  /** Manifest `file` entry → the exact `_metadata.file_path`
+    * representation (a percent-encoded URI — verified equal to
+    * `new Path(norm(s)).toUri.toString`, space/# cases included). The
+    * DV join runs once per DATA row, so the per-row side must carry
+    * ZERO transformation: this UDF runs on the metadata-sized manifest
+    * side only, and the data side joins on the raw `_metadata`
+    * attribute (codegen string hash against a tiny broadcast).
+    */
+  private[sources] val metaPathOf =
+    udf { (s: String) =>
+      new org.apache.hadoop.fs.Path(FsListing.norm(s)).toUri.toString }
+
+  /** The manifest's live DV rows, keyed for [[applyDv]]'s join. */
+  private def dvRows(m: DataFrame): DataFrame =
+    m.filter(col(DvCol).isNotNull)
+      .select(metaPathOf(col("file")).as("__graft_dv_file"),
+        col(DvCol).as("__graft_dv"))
+
+  /** Anti-filter a parquet-backed frame against per-file deletion
+    * vectors: tag each row with its file + row position (parquet's
+    * `_metadata` constant columns — exactly the hook Delta's DV reads
+    * use), broadcast-join the manifest's (file → dv) rows, and drop the
+    * positions the DV marks. No-op (plan untouched, zero overhead) when
+    * the manifest has no `dv` column — the common never-DV-deleted
+    * table. Files without a DV entry miss the join → null dv →
+    * `dv_contains` is total-false → every row kept, no null guard.
+    */
+  private[sources] def applyDv(df: DataFrame, m: DataFrame): DataFrame =
+    applyDvOn(df, m, col("_metadata.file_path"), col("_metadata.row_index"))
+
+  /** [[applyDv]] core with caller-supplied position columns — for
+    * frames that already materialized `_metadata` into named columns
+    * (metadata attributes don't survive a join, so a pipeline that
+    * needs them downstream must capture them on the raw scan first).
+    */
+  private def applyDvOn(df: DataFrame, m: DataFrame,
+      fileCol: Column, idxCol: Column): DataFrame =
+    if (!m.columns.contains(DvCol)) df
+    else {
+      graft.functions.DvContains.register(df.sparkSession)
+      df.withColumn("__graft_dv_file", fileCol)
+        .withColumn("__graft_dv_idx", idxCol)
+        .join(broadcast(dvRows(m)), Seq("__graft_dv_file"), "left")
+        .filter(!expr("dv_contains(__graft_dv, __graft_dv_idx)"))
+        .drop("__graft_dv_file", "__graft_dv_idx", "__graft_dv")
+    }
+
+  /** Scan exactly `kept` with per-file DVs applied, SPLIT by side:
+    * files without a DV read on the plain fast path; only DV-carrying
+    * files pay the position join — same cost shape as
+    * [[ManifestFileIndex.read]]'s split. One extra metadata-sized
+    * collect (the dv file list) on DV tables; zero change otherwise.
+    */
+  private def readKeptDv(spark: SparkSession, dataDir: String,
+      kept: Seq[String], m: DataFrame): DataFrame = {
+    if (!m.columns.contains(DvCol)) return readKept(spark, dataDir, kept)
+    val dvFiles = withSwapRetry {
+      m.filter(col(DvCol).isNotNull)
+        .select(ManifestFileIndex.normPath(col("file")))
+        .collect().map(_.getString(0)).toSet
+    }
+    val (withDv, plain) = kept.partition(dvFiles)
+    if (withDv.isEmpty) readKept(spark, dataDir, plain)
+    else {
+      val dvd = applyDv(readKept(spark, dataDir, withDv), m)
+      if (plain.isEmpty) dvd
+      else readKept(spark, dataDir, plain).unionByName(dvd)
+    }
+  }
+
+  /** Align fresh per-file stats to an existing manifest's column set:
+    * a just-written file carries no deletion vector (`dv` NULL,
+    * `n_del` 0). Shared by every surgery that unions carried manifest
+    * entries with [[statsForFiles]] output.
+    */
+  private def alignStats(stats: DataFrame, target: Seq[String]): DataFrame =
+    stats.select(target.map {
+      case DvCol if !stats.columns.contains(DvCol) =>
+        lit(null).cast(BinaryType).as(DvCol)
+      case DvDelCol if !stats.columns.contains(DvDelCol) => lit(0L).as(DvDelCol)
+      case c => col(c)
+    }.toIndexedSeq: _*)
+
+  /** Does the CURRENT manifest carry any live deletion vector? The
+    * rebuild guard: [[build]]/[[buildWithBloom]] re-stat raw files and
+    * would silently RESURRECT DV-deleted rows — they fail loud instead
+    * (purge first). One tiny manifest job, only on rebuild paths.
+    */
+  private def hasLiveDv(spark: SparkSession, dataDir: String): Boolean = {
+    val hfs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))) && {
+      val m = manifestFrame(spark, dataDir)
+      m.columns.contains(DvCol) &&
+        withSwapRetry { m.filter(col(DvCol).isNotNull).limit(1).count() > 0 }
+    }
+  }
+
+  /** Range DELETE via DELETION VECTORS — the row-level form of
+    * [[deleteRange]] (Delta's deletion vectors / Iceberg's positional
+    * deletes): instead of rewriting every intersecting file, mark the
+    * matched ROW POSITIONS deleted in a per-file DV carried by the
+    * manifest. The write cost is one COLUMN-PRUNED scan of the
+    * intersecting files (just `c` + the metadata position — no
+    * full-width read, NO data-file write at all) plus a manifest swap,
+    * so deleting a sliver from a table of GB-sized files costs
+    * metadata, not I/O proportional to file width. Readers anti-filter
+    * positions via [[applyDv]] on every path (current, as-of, pruned,
+    * point-lookup, CDF), and the bytes physically leave disk at
+    * [[purgeDv]]/rewrite + [[vacuum]] — the same two-phase purge
+    * contract as the rewrite form.
+    *
+    * HYBRID threshold (what production formats do): a file whose
+    * cumulative deleted fraction would exceed `maxDvFraction` is
+    * REWRITTEN instead (reading it pays mostly-dead rows forever, and
+    * an unbounded DV defeats the metadata-sized story) — both shapes
+    * can land in one call, atomically in one version. DVs merge across
+    * calls (union of positions); a second delete of an already-dead row
+    * is idempotent. MVCC/OCC protocol identical to [[deleteRange]].
+    *
+    * Returns (files DV-marked, files rewritten, files untouched).
+    */
+  def deleteRangeDV(spark: SparkSession, dataDir: String, c: String,
+      lo: Column, hi: Column, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5): (Int, Int, Int) = {
+    val m = manifestFrame(spark, dataDir)
+    require(m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c"),
+      s"deleteRangeDV needs tracked bounds for $c under $dataDir")
+    // candidates by bounds — same soundness rule as deleteRange
+    val candidate = !coalesce(
+      col(s"max_$c") < lo || col(s"min_$c") > hi, lit(false))
+    deleteDvCore(spark, dataDir, m, candidate,
+      scanCols = Seq(c),
+      matchPred = col(c) >= lo && col(c) <= hi,
+      // NULL never satisfies a range predicate — NULL-c rows survive: a
+      // bare !(between) evaluates to NULL for them and the filter would
+      // silently delete every NULL row in a rewritten file
+      survivorKeep = col(c).isNull || !(col(c) >= lo && col(c) <= hi),
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
+  }
+
+  /** Keyed DELETE via DELETION VECTORS — the right-to-be-forgotten verb
+    * in its production shape (a batch of record ids to erase): mark the
+    * matched rows' positions in per-file DVs, planning candidates
+    * through the same bounds + bloom key probes [[mergeKeys]] uses
+    * (binary-searched key slices per file), so a spread key batch
+    * against a huge table opens only the files that might hold a key.
+    * Hybrid threshold, merge-across-calls, idempotence, and read-side
+    * application are all [[deleteRangeDV]]'s. Keys must be integral
+    * (same cast-to-long soundness rule as mergeKeys); duplicates are
+    * collapsed; a key present nowhere deletes nothing. Returns
+    * (files DV-marked, files rewritten, files untouched).
+    */
+  def deleteKeysDV(spark: SparkSession, dataDir: String, key: String,
+      keys: Seq[Long], cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5,
+      maxKeys: Int = 100000): (Int, Int, Int) = {
+    require(keys.nonEmpty, "deleteKeysDV with no keys")
+    require(keys.size <= maxKeys,
+      s"deleteKeysDV batch of ${keys.size} keys exceeds maxKeys=$maxKeys " +
+        "— the key set rides the plan (InSet) and the candidate probes; " +
+        "split the erasure into batches or use deleteRangeDV for ranges")
+    val m = manifestFrame(spark, dataDir)
+    val dt = {
+      // resolve the key column's type from the manifest's tracked bounds
+      // when present, else from one data file — the integral guard is
+      // the same cast-to-long soundness rule as mergeKeys
+      val probe = spark.read.parquet(dataDir).schema
+      require(probe.fieldNames.contains(key),
+        s"deleteKeysDV key '$key' not in table schema under $dataDir")
+      probe(key).dataType
+    }
+    require(FsListing.isIntegral(dt),
+      s"deleteKeysDV key '$key' is $dt — only integral key columns " +
+        "(cast-to-long must be value- and order-preserving)")
+    val keyArr = keys.distinct.sorted.toArray
+    deleteDvCore(spark, dataDir, m, keyCandidate(m, key, keyArr),
+      scanCols = Seq(key),
+      matchPred = col(key).isin(keyArr: _*),
+      survivorKeep = col(key).isNull || !col(key).isin(keyArr: _*),
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
+  }
+
+  /** The shared DV-delete engine behind [[deleteRangeDV]] and
+    * [[deleteKeysDV]]: plan candidates via `candidate` (a boolean over
+    * MANIFEST rows), find matched row positions via `matchPred` (a
+    * boolean over data rows reading only `scanCols`), split by the
+    * dead-fraction threshold, write DVs for the light side and rewrite
+    * the heavy side (`survivorKeep` keeps a rewrite file's live rows),
+    * and commit both shapes atomically as one MVCC version under the
+    * usual OCC protocol. Returns (dv files, rewritten files, untouched
+    * files).
+    */
+  private def deleteDvCore(spark: SparkSession, dataDir: String,
+      m: DataFrame, candidate: Column, scanCols: Seq[String],
+      matchPred: Column, survivorKeep: Column, cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long, fpp: Double,
+      maxDvFraction: Double): (Int, Int, Int) = {
+    require(maxDvFraction > 0 && maxDvFraction <= 1,
+      s"maxDvFraction must be in (0, 1], got $maxDvFraction")
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val plannedV = currentVersion(hfs, dataDir)
+    val hasDvCols = m.columns.contains(DvCol)
+    val targetCols =
+      if (hasDvCols) m.columns.toSeq else m.columns.toSeq ++ Seq(DvCol, DvDelCol)
+    val cand = m.filter(candidate)
+    val candMeta = cand.select(
+      ManifestFileIndex.normPath(col("file")).as("f"),
+      col("n_rows"),
+      (if (hasDvCols) coalesce(col(DvDelCol), lit(0L)) else lit(0L)).as("nd0"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nCarriedBounds = m.filter(!candidate).count().toInt
+    if (candMeta.isEmpty) return (0, 0, nCarriedBounds)
+    val candPaths = candMeta.map(_._1)
+
+    // PASS 1 — per-file matched count, column-pruned (scanCols + the
+    // metadata position only — no full-width read). Rows a prior DV
+    // already killed must not count toward this delete (idempotence):
+    // DV-filter first, on positions captured from the raw scan.
+    def matchedRows(paths: Seq[String]): DataFrame = {
+      // "f" stays the RAW `_metadata.file_path` — no per-row UDF; keys
+      // normalize at per-FILE granularity (driver-side for counts,
+      // manifest-side via metaPathOf for the dv join)
+      val tagged = spark.read.option("basePath", dataDir)
+        .parquet(paths.toIndexedSeq: _*)
+        .select(col("_metadata.file_path").as("f") +:
+          col("_metadata.row_index").as("i") +:
+          scanCols.map(col): _*)
+      applyDvOn(tagged, m, col("f"), col("i"))
+        .filter(matchPred)
+    }
+    val counts = matchedRows(candPaths.toIndexedSeq)
+      .groupBy("f").agg(count(lit(1)).as("nd"))
+      .collect().map(r => (FsListing.norm(r.getString(0)), r.getLong(1))).toMap
+    // split: files whose CUMULATIVE dead fraction stays under the
+    // threshold get a DV; the rest rewrite (a fully-matched file always
+    // rewrites — to zero survivors, i.e. drops from the version)
+    val split = candMeta.filter(f => counts.contains(f._1)).partition {
+      case (f, nRows, nd0) =>
+        (nd0 + counts(f)).toDouble <= maxDvFraction * nRows
+    }
+    val dvSet = split._1.map(_._1).toSet
+    val rwSet = split._2.map(_._1).toSet
+    val zeroMatch = candMeta.map(_._1).filterNot(counts.contains) // carried as-is
+    // nothing matched anywhere: no version bump, the table is untouched
+    if (counts.isEmpty) return (0, 0, nCarriedBounds + zeroMatch.size)
+
+    // PASS 2 — positions for DV-eligible files only (bounded by the
+    // threshold: collect_list per file holds <= maxDvFraction*n_rows
+    // ints, never a fully-matched file's whole index space)
+    val serDv = udf { (ps: Seq[Long]) => DeletionVectors.serialize(ps.toArray) }
+    val mergeDv = udf { (a: Array[Byte], b: Array[Byte]) =>
+      DeletionVectors.merge(a, b) }
+    val newDvs =
+      if (dvSet.isEmpty) null
+      else matchedRows(dvSet.toSeq.sorted)
+        .groupBy("f")
+        .agg(serDv(sort_array(collect_list(col("i")))).as("__dv_new"),
+          count(lit(1)).as("__nd_new"))
+
+    // staging for rewrites (survivors of rewrite files, DVs + predicate
+    // applied)
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val rwPaths = rwSet.toSeq.sorted
+      if (rwPaths.nonEmpty) {
+        val survivors = applyDv(
+          spark.read.option("basePath", dataDir)
+            .parquet(rwPaths.toIndexedSeq: _*), m)
+          .filter(survivorKeep)
+        survivors.write.parquet(stg.toString)
+      }
+      beforeCommitHook()
+      CommitLock.withLock(hfs,
+        new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+        requireUnchanged(hfs, dataDir, plannedV, stg)
+        val moved =
+          if (rwPaths.isEmpty) Seq.empty[String]
+          else {
+            val mv = hfs.listStatus(stg).iterator
+              .filterNot { s =>
+                val n = s.getPath.getName
+                n.startsWith("_") || n.startsWith(".")
+              }
+              .map { s =>
+                val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+                require(hfs.rename(s.getPath, dst),
+                  s"dv-delete publish rename failed: ${s.getPath} -> $dataDir")
+                dst.toString
+              }.toSeq
+            hfs.delete(stg, true)
+            mv
+          }
+        // new manifest: carried entries (non-candidates + zero-match
+        // candidates) byte-for-byte, DV-updated entries with merged
+        // vectors, fresh stats for rewritten output
+        val mAligned = alignStats(m, targetCols)
+        val fNorm = ManifestFileIndex.normPath(col("file"))
+        val carriedOut = mAligned
+          .filter(!fNorm.isin((dvSet ++ rwSet).toSeq: _*))
+        val dvOut =
+          if (newDvs == null) null
+          else mAligned.filter(fNorm.isin(dvSet.toSeq: _*))
+            .join(newDvs, metaPathOf(col("file")) === col("f"), "inner")
+            .withColumn(DvCol, mergeDv(col(DvCol), col("__dv_new")))
+            .withColumn(DvDelCol, coalesce(col(DvDelCol), lit(0L)) + col("__nd_new"))
+            .drop("f", "__dv_new", "__nd_new")
+            .select(targetCols.map(col).toIndexedSeq: _*)
+        val freshOut =
+          if (moved.isEmpty) null
+          else alignStats(statsForFiles(spark, dataDir, moved, cols,
+            bloomCols, expectedPerFile, fpp), targetCols)
+        val merged = Seq(Option(carriedOut), Option(dvOut), Option(freshOut))
+          .flatten.reduce(_ unionByName _)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        swapVersioned(hfs, dataDir, tmp)
+        spark.catalog.refreshByPath(dataDir)
+        (dvSet.size, rwSet.size, nCarriedBounds + zeroMatch.size)
+      }
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
+  }
+
+  /** MATERIALIZE deletion vectors (Delta's `REORG TABLE ... APPLY
+    * (PURGE)`): rewrite every DV-carrying file with its dead rows
+    * dropped and publish a version whose manifest has NO `dv` columns —
+    * reads return to the zero-overhead fast path, and the deleted bytes
+    * leave disk once [[vacuum]] retention reaps the pre-purge files.
+    * Logical content is unchanged: [[changesBetween]] across a purge
+    * nets to zero rows. Returns the number of files rewritten.
+    */
+  def purgeDv(spark: SparkSession, dataDir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01): Int = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val plannedV = currentVersion(hfs, dataDir)
+    val m = manifestFrame(spark, dataDir)
+    if (!m.columns.contains(DvCol)) return 0
+    val fNorm = ManifestFileIndex.normPath(col("file"))
+    val dvPaths = m.filter(col(DvCol).isNotNull)
+      .select(fNorm).collect().map(_.getString(0)).sorted
+    val bareCols = m.columns.toSeq.filterNot(c => c == DvCol || c == DvDelCol)
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      if (dvPaths.nonEmpty)
+        applyDv(spark.read.option("basePath", dataDir)
+          .parquet(dvPaths.toIndexedSeq: _*), m)
+          .write.parquet(stg.toString)
+      beforeCommitHook()
+      CommitLock.withLock(hfs,
+        new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+        requireUnchanged(hfs, dataDir, plannedV, stg)
+        val moved =
+          if (dvPaths.isEmpty) Seq.empty[String]
+          else {
+            val mv = hfs.listStatus(stg).iterator
+              .filterNot { s =>
+                val n = s.getPath.getName
+                n.startsWith("_") || n.startsWith(".")
+              }
+              .map { s =>
+                val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+                require(hfs.rename(s.getPath, dst),
+                  s"purge publish rename failed: ${s.getPath} -> $dataDir")
+                dst.toString
+              }.toSeq
+            hfs.delete(stg, true)
+            mv
+          }
+        val carried = m.filter(col(DvCol).isNull)
+          .select(bareCols.map(col).toIndexedSeq: _*)
+        val merged =
+          if (moved.isEmpty) carried
+          else carried.unionByName(alignStats(
+            statsForFiles(spark, dataDir, moved, cols, bloomCols,
+              expectedPerFile, fpp), bareCols))
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        swapVersioned(hfs, dataDir, tmp)
+        spark.catalog.refreshByPath(dataDir)
+        dvPaths.length
+      }
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
+  }
+
   /** Range DELETE with FILE-LEVEL SURGERY (the Delta/Iceberg DELETE
     * shape — also the retention/right-to-be-forgotten verb a
     * training-data table needs): delete every row with `c` in
@@ -1015,8 +1470,9 @@ object FileManifest {
     // delete is about to retire
     val nCarried = carried.count().toInt
     if (candPaths.isEmpty) return (0, nCarried)
-    val survivors = spark.read.option("basePath", dataDir)
-      .parquet(candPaths.toIndexedSeq: _*)
+    val survivors = applyDv(
+      spark.read.option("basePath", dataDir)
+        .parquet(candPaths.toIndexedSeq: _*), m) // DV'd rows must not resurrect
       // NULL-c rows SURVIVE: a NULL never satisfies the range predicate
       // (the same rule that makes read-side bound pruning sound), but a
       // bare !(between) evaluates to NULL for them and the filter would
@@ -1048,10 +1504,9 @@ object FileManifest {
       hfs.delete(stg, true)
       val merged =
         if (moved.isEmpty) carried
-        else carried.unionByName(
+        else carried.unionByName(alignStats(
           statsForFiles(spark, dataDir, moved, cols, bloomCols,
-            expectedPerFile, fpp)
-          .select(carried.columns.map(col).toIndexedSeq: _*))
+            expectedPerFile, fpp), carried.columns.toIndexedSeq))
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       // `merged` reads the manifest it replaces — land beside, then swap
@@ -1061,6 +1516,76 @@ object FileManifest {
       (candPaths.length, nCarried)
     }
     } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
+  }
+
+  /** Candidate-file predicate over MANIFEST rows for a SORTED DISTINCT
+    * long key array — shared by [[mergeKeys]] and [[deleteKeysDV]].
+    * PRE-FILTER BY BOUNDS INTERSECTION before any per-file probe: (a) a
+    * pure-column test against the batch's global [kmin, kmax] — And
+    * short-circuits, so a file whose bounds prove disjointness never
+    * pays the bloom UDF (deserialize + probes); (b) inside the probe,
+    * BINARY SEARCH restricts the key set to the slice inside that
+    * file's own bounds — O(log keys + keys-in-file-range) per file
+    * instead of keyArr.exists over the whole batch, which on a
+    * range-laid-out tree (each file covering a sliver of the key space)
+    * turns candidate selection O(files × keys). Sound: unknown
+    * bounds/sidecars keep the file.
+    */
+  private def keyCandidate(m: DataFrame, key: String,
+      keyArr: Array[Long]): Column = {
+    val (kmin, kmax) = (keyArr.head, keyArr.last)
+    val hasBounds = m.columns.contains(s"min_$key")
+    val hasBloom = m.columns.contains(s"bloom_$key")
+    val boundsPre: Column =
+      if (hasBounds)
+        coalesce(!(col(s"max_$key").cast("long") < kmin ||
+          col(s"min_$key").cast("long") > kmax), lit(true))
+      else lit(true)
+    // [from, until) of sorted keyArr inside [mn, mx]; keys are distinct
+    // (callers dedup/guard first), so a binarySearch hit is unique
+    def keySlice(mn: Long, mx: Long): (Int, Int) = {
+      val i = java.util.Arrays.binarySearch(keyArr, mn)
+      val from = if (i >= 0) i else -i - 1
+      val j = java.util.Arrays.binarySearch(keyArr, mx)
+      val until = if (j >= 0) j + 1 else -j - 1
+      (from, until)
+    }
+    val bloomProbe = udf {
+      (bytes: Array[Byte], mn: java.lang.Long, mx: java.lang.Long) =>
+        bytes == null || {
+          // unknown bounds → probe every key (sound); known bounds →
+          // only the slice they admit; an empty slice means the bounds
+          // already prove no key matches — skip without even
+          // deserializing the filter
+          val (from, until) =
+            if (mn == null || mx == null) (0, keyArr.length)
+            else keySlice(mn, mx)
+          from < until && {
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+            var i = from
+            var hit = false
+            while (i < until && !hit) {
+              hit = bf.mightContainLong(keyArr(i)); i += 1
+            }
+            hit
+          }
+        }
+    }
+    val boundsProbe = udf { (mn: java.lang.Long, mx: java.lang.Long) =>
+      mn == null || mx == null || {
+        val (from, until) = keySlice(mn, mx)
+        from < until
+      }
+    }
+    if (hasBloom)
+      boundsPre && bloomProbe(col(s"bloom_$key"),
+        (if (hasBounds) col(s"min_$key") else lit(null)).cast("long"),
+        (if (hasBounds) col(s"max_$key") else lit(null)).cast("long"))
+    else if (hasBounds)
+      boundsPre &&
+        boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
+    else lit(true)
   }
 
   /** Keyed MERGE (upsert) with bloom/bounds-pruned FILE SURGERY — the
@@ -1144,70 +1669,7 @@ object FileManifest {
           throw new IllegalArgumentException(nullMsg) }
         capped.find(_.getLong(1) > 1L).foreach { r =>
           throw new IllegalArgumentException(dupMsg(r.getLong(0))) }
-        val keyArr = capped.map(_.getLong(0)).sorted
-        val (kmin, kmax) = (keyArr.head, keyArr.last)
-        val hasBounds = m.columns.contains(s"min_$key")
-        val hasBloom = m.columns.contains(s"bloom_$key")
-        // PRE-FILTER BY BOUNDS INTERSECTION before any per-file probe:
-        // (a) a pure-column test against the batch's global [kmin, kmax]
-        // — And short-circuits, so a file whose bounds prove disjointness
-        // never pays the bloom UDF (deserialize + probes); (b) inside the
-        // probe, BINARY SEARCH restricts the key set to the slice inside
-        // that file's own bounds — O(log keys + keys-in-file-range) per
-        // file instead of keyArr.exists over the whole batch, which on a
-        // range-laid-out tree (each file covering a sliver of the key
-        // space) turned candidate selection O(files × keys).
-        val boundsPre: Column =
-          if (hasBounds)
-            coalesce(!(col(s"max_$key").cast("long") < kmin ||
-              col(s"min_$key").cast("long") > kmax), lit(true))
-          else lit(true)
-        // [from, until) of sorted keyArr inside [mn, mx]; keys are
-        // distinct (the dup guard above threw otherwise), so a
-        // binarySearch hit is unique
-        def keySlice(mn: Long, mx: Long): (Int, Int) = {
-          val i = java.util.Arrays.binarySearch(keyArr, mn)
-          val from = if (i >= 0) i else -i - 1
-          val j = java.util.Arrays.binarySearch(keyArr, mx)
-          val until = if (j >= 0) j + 1 else -j - 1
-          (from, until)
-        }
-        val bloomProbe = udf {
-          (bytes: Array[Byte], mn: java.lang.Long, mx: java.lang.Long) =>
-            bytes == null || {
-              // unknown bounds → probe every key (sound); known bounds →
-              // only the slice they admit; an empty slice means the
-              // bounds already prove no key matches — skip without even
-              // deserializing the filter
-              val (from, until) =
-                if (mn == null || mx == null) (0, keyArr.length)
-                else keySlice(mn, mx)
-              from < until && {
-                val bf = org.apache.spark.util.sketch.BloomFilter
-                  .readFrom(new java.io.ByteArrayInputStream(bytes))
-                var i = from
-                var hit = false
-                while (i < until && !hit) {
-                  hit = bf.mightContainLong(keyArr(i)); i += 1
-                }
-                hit
-              }
-            }
-        }
-        val boundsProbe = udf { (mn: java.lang.Long, mx: java.lang.Long) =>
-          mn == null || mx == null || {
-            val (from, until) = keySlice(mn, mx)
-            from < until
-          }
-        }
-        if (hasBloom)
-          boundsPre && bloomProbe(col(s"bloom_$key"),
-            (if (hasBounds) col(s"min_$key") else lit(null)).cast("long"),
-            (if (hasBounds) col(s"max_$key") else lit(null)).cast("long"))
-        else if (hasBounds)
-          boundsPre &&
-            boundsProbe(col(s"min_$key").cast("long"), col(s"max_$key").cast("long"))
-        else lit(true)
+        keyCandidate(m, key, capped.map(_.getLong(0)).sorted)
       }
     val candPaths = m.filter(isCand)
       .select(ManifestFileIndex.normPath(col("file")))
@@ -1216,8 +1678,8 @@ object FileManifest {
     val nCarried = carried.count().toInt
     val survivors =
       if (candPaths.isEmpty) updates
-      else spark.read.option("basePath", dataDir)
-        .parquet(candPaths.toIndexedSeq: _*)
+      else applyDv(spark.read.option("basePath", dataDir)
+          .parquet(candPaths.toIndexedSeq: _*), m) // DV'd rows must not resurrect
         .join(updates.select(col(key)), Seq(key), "left_anti")
         .unionByName(updates)
     // writer-private UUID staging + locked version validation: see
@@ -1244,10 +1706,9 @@ object FileManifest {
       hfs.delete(stg, true)
       val merged =
         if (moved.isEmpty) carried
-        else carried.unionByName(
+        else carried.unionByName(alignStats(
           statsForFiles(spark, dataDir, moved, cols, bloomCols,
-            expectedPerFile, fpp)
-          .select(carried.columns.map(col).toIndexedSeq: _*))
+            expectedPerFile, fpp), carried.columns.toIndexedSeq))
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -1424,7 +1885,12 @@ object FileManifest {
       return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile,
         fpp, versionFloor)
     val existing = spark.read.parquet(manifestPath(dataDir))
-    if (existing.columns.sorted.toSeq != wantCols)
+    // dv columns are ORTHOGONAL to the tracked-column set: a refresh
+    // must carry them (a rebuild re-stats raw files and would resurrect
+    // DV-deleted rows — buildWithBloom's own guard fails loud on that)
+    val existingCore =
+      existing.columns.filterNot(c => c == DvCol || c == DvDelCol)
+    if (existingCore.sorted.toSeq != wantCols)
       return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile,
         fpp, versionFloor)
 
@@ -1458,7 +1924,7 @@ object FileManifest {
         // hive-partitioned and a partition column is tracked
         val fresh = statsForFiles(spark, dataDir, newFiles.toSeq,
           cols, bloomCols, expectedPerFile, fpp)
-        kept.unionByName(fresh.select(kept.columns.map(col): _*))
+        kept.unionByName(alignStats(fresh, kept.columns.toIndexedSeq))
       }
     // `merged` READS the manifest it must replace, so land it beside the
     // live one and swap by rename (write-temp-then-rename is the same
@@ -1540,7 +2006,8 @@ object FileManifest {
       .select("file").collect().map(r => norm(r.getString(0))).toSeq
     val rowPred = bounds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _)
-    (readKept(spark, dataDir, kept).filter(rowPred), kept.size, total)
+    (readKeptDv(spark, dataDir, kept, mdf).filter(rowPred),
+      kept.size, total)
   }
 
   /** POINT lookup planned through the Bloom sidecar: open only the files
@@ -1575,7 +2042,7 @@ object FileManifest {
     val kept = mdf.filter(probe(col(s"bloom_$c")))
       .select(ManifestFileIndex.normPath(col("file")))
       .collect().map(_.getString(0)).toSeq
-    val df = readKept(spark, dataDir, kept)
+    val df = readKeptDv(spark, dataDir, kept, mdf)
       .filter(col(c).isin(keys: _*))
     (df, kept.size, total)
   }
@@ -1586,6 +2053,7 @@ object FileManifest {
     */
   private[sources] def loadCovering(spark: SparkSession, dataDir: String): (DataFrame, Int) =
     requireCovering(spark, dataDir) // one manifest read serves guard + plan
+
 
   /** Enforce COVERAGE: every live data file under the directory must be
     * manifested — a file landed after the last build would otherwise be
