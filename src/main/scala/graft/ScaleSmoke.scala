@@ -541,6 +541,15 @@ object ScaleSmoke {
       val (mRw, mCar) = FileManifest.mergeKeys(spark, dir, ups, "k", Seq("k"))
       val mDt = (System.nanoTime() - t0) / 1e9
       println(f"mvcc_merge  files=$n%-5d rows=$rows%-9d rewritten=$mRw carried=$mCar $mDt%7.2f s")
+      // MERGE-ON-READ twin: the same upsert shape through mergeKeysDV —
+      // old rows DV'd, batch appended, zero candidate rewrites — must
+      // stay flat AND undercut the copy-on-write merge above
+      t0 = System.nanoTime()
+      val ups2 = Seq((101L, -1L), (40001L, -1L), (rows + 6L, -2L)).toDF("k", "v")
+      val (morDv, morRw, morCar) =
+        FileManifest.mergeKeysDV(spark, dir, ups2, "k", Seq("k"))
+      val morDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_mor    files=$n%-5d rows=$rows%-9d dv=$morDv rewritten=$morRw carried=$morCar $morDt%7.2f s")
       // PRUNED TIME TRAVEL: a filtered as-of read of v1 must stay ~flat
       // as the snapshot grows 16× (the version-pinned index opens only
       // the 1-2 bounds-intersecting files), while the full as-of scan
@@ -577,6 +586,37 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir.naive")
       println(f"mvcc_naive_rewrite files=$n%-5d rows=$rows%-9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
+    // WIDE-ROW tier: the copy-on-write / merge-on-read trade in its
+    // honest shape — CoW rewrites every candidate file at FULL row
+    // width, MoR scans one key column and writes a batch-sized file.
+    // Narrow smoke rows hide this; ~0.5 KB payloads expose it.
+    locally {
+      import spark.implicits._
+      val dir = "/tmp/graft_mvcc/wide"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (hfs.exists(p)) hfs.delete(p, true)
+      val rows = 16 * 100000L
+      val df = spark.range(rows).select(col("id").as("k"),
+        concat_ws("-", (0 until 16).map(i => md5(concat(col("id"), lit(i)))): _*)
+          .as("payload"))
+      FileManifest.writeThrough(df.repartitionByRange(16, col("k")), dir,
+        Seq("k"), mode = "overwrite")
+      // keys strided so EVERY file is a candidate — the worst CoW case
+      val ks = (0 until 16).map(i => i * 100000L + 50000L)
+      val upsCow = ks.map(k => (k, "updated")).toDF("k", "payload")
+      var t0 = System.nanoTime()
+      val (cowRw, _) = FileManifest.mergeKeys(spark, dir, upsCow, "k", Seq("k"))
+      val cowDt = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_wide_cow files=16 rows=$rows%-9d rewritten=$cowRw $cowDt%7.2f s")
+      val upsMor = ks.map(k => (k + 1L, "updated")).toDF("k", "payload")
+      t0 = System.nanoTime()
+      val (morDv2, morRw2, _) =
+        FileManifest.mergeKeysDV(spark, dir, upsMor, "k", Seq("k"))
+      val morDt2 = (System.nanoTime() - t0) / 1e9
+      println(f"mvcc_wide_mor files=16 rows=$rows%-9d dv=$morDv2 rewritten=$morRw2 $morDt2%7.2f s")
+    }
+
     // measured-count guard tier: the update BATCH grows 10×/100× across
     // the collected-key cap (default 100k). Above it mergeKeys switches
     // to bounds-only candidate selection — ZERO driver-resident key

@@ -1445,6 +1445,124 @@ object LayoutQueries {
           .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
       }.reduce(_ unionByName _)
         .orderBy("version")
+    },
+
+    // q178 is MERGE-ON-READ — q167's upsert batch applied through
+    // mergeKeysDV: matched keys' OLD rows are marked dead in per-file
+    // deletion vectors and the whole batch appends as fresh files, so
+    // the write cost is a column-pruned candidate scan + a batch-sized
+    // write instead of rewriting every candidate file (the
+    // copy-on-write/merge-on-read trade every production table format
+    // exposes). Same oracle as q167 — the read-side contract is
+    // identical; only the physical shape differs (DvSpec pins that: no
+    // candidate file rewritten, the batch appended, CDF pairs the
+    // update's delete-old/insert-new).
+    QueryDef.sql(
+      "q178_merge_on_read",
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN -1 ELSE o_custkey END AS o_custkey
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 900000000, -2 FROM orders WHERE o_orderkey % 4999 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_orderkey) AS BIGINT), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM merged
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_mor")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val updates = o.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), lit(-1L).as("o_custkey"))
+        .unionByName(o.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+            lit(-2L).as("o_custkey")))
+      graft.sources.FileManifest.mergeKeysDV(
+        s, dir, updates, "o_orderkey", Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("key_sum"), col("cust_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
+    },
+
+    // q179 is SCHEMA EVOLUTION ON THE MVCC TABLE: an append lands files
+    // with an ADDED column (the q111 staging contract lifted to the
+    // manifest table), and a declared-target read through the manifest
+    // index null-fills the column for pre-evolution files — the
+    // tracked-column manifest is orthogonal to data-schema width, so
+    // refresh carries old entries and stats only the new files. The
+    // as-of read of v1 anchors its inferred schema on a file OF THAT
+    // VERSION (the index's version-anchored inference — a
+    // directory-first-footer inference would leak the evolved column
+    // into history or drop it from the present).
+    QueryDef.sql(
+      "q179_evolved_table",
+      """WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(NULL AS BIGINT) AS cust_sum
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_orderkey) AS BIGINT), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM (SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey FROM v1
+        |      UNION ALL SELECT * FROM v2)
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_evolve")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+          .repartition(2),
+        dir, Seq("o_orderkey"), mode = "overwrite")
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 3 === 1).repartition(2),
+        dir, Seq("o_orderkey"))
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType)))
+      val pre = graft.sources.FileManifest.readAsOf(s, dir, 1L)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit(1L).as("version"), col("n_rows"), col("key_sum"),
+          lit(null).cast("long").as("cust_sum"))
+      val cur = graft.sources.ManifestFileIndex
+        .read(s, dir, schema = Some(target))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .select(lit(2L).as("version"), col("n_rows"),
+          col("key_sum"), col("cust_sum"))
+      pre.unionByName(cur).orderBy("version")
     }
   )
 }

@@ -1233,15 +1233,14 @@ object FileManifest {
       m: DataFrame, candidate: Column, scanCols: Seq[String],
       matchPred: Column, survivorKeep: Column, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long, fpp: Double,
-      maxDvFraction: Double): (Int, Int, Int) = {
+      maxDvFraction: Double,
+      appendDf: Option[DataFrame] = None): (Int, Int, Int) = {
     require(maxDvFraction > 0 && maxDvFraction <= 1,
       s"maxDvFraction must be in (0, 1], got $maxDvFraction")
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val plannedV = currentVersion(hfs, dataDir)
     val hasDvCols = m.columns.contains(DvCol)
-    val targetCols =
-      if (hasDvCols) m.columns.toSeq else m.columns.toSeq ++ Seq(DvCol, DvDelCol)
     val cand = m.filter(candidate)
     val candMeta = cand.select(
       ManifestFileIndex.normPath(col("file")).as("f"),
@@ -1250,7 +1249,9 @@ object FileManifest {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val nCarriedBounds = m.filter(!candidate).count().toInt
-    if (candMeta.isEmpty) return (0, 0, nCarriedBounds)
+    // pure-delete with no candidates: no version bump (an appendDf —
+    // the merge-on-read shape — must still commit its insert-only batch)
+    if (candMeta.isEmpty && appendDf.isEmpty) return (0, 0, nCarriedBounds)
     val candPaths = candMeta.map(_._1)
 
     // PASS 1 — per-file matched count, column-pruned (scanCols + the
@@ -1269,9 +1270,11 @@ object FileManifest {
       applyDvOn(tagged, m, col("f"), col("i"))
         .filter(matchPred)
     }
-    val counts = matchedRows(candPaths.toIndexedSeq)
-      .groupBy("f").agg(count(lit(1)).as("nd"))
-      .collect().map(r => (FsListing.norm(r.getString(0)), r.getLong(1))).toMap
+    val counts =
+      if (candPaths.isEmpty) Map.empty[String, Long]
+      else matchedRows(candPaths.toIndexedSeq)
+        .groupBy("f").agg(count(lit(1)).as("nd"))
+        .collect().map(r => (FsListing.norm(r.getString(0)), r.getLong(1))).toMap
     // split: files whose CUMULATIVE dead fraction stays under the
     // threshold get a DV; the rest rewrite (a fully-matched file always
     // rewrites — to zero survivors, i.e. drops from the version)
@@ -1282,8 +1285,17 @@ object FileManifest {
     val dvSet = split._1.map(_._1).toSet
     val rwSet = split._2.map(_._1).toSet
     val zeroMatch = candMeta.map(_._1).filterNot(counts.contains) // carried as-is
-    // nothing matched anywhere: no version bump, the table is untouched
-    if (counts.isEmpty) return (0, 0, nCarriedBounds + zeroMatch.size)
+    // nothing matched anywhere and nothing to append: no version bump
+    if (counts.isEmpty && appendDf.isEmpty)
+      return (0, 0, nCarriedBounds + zeroMatch.size)
+    // dv columns enter the manifest only when a vector is actually
+    // written — a pure-insert merge on a DV-less table must not push
+    // every future read onto the split path for nothing
+    val targetCols =
+      if (hasDvCols || dvSet.nonEmpty)
+        (if (hasDvCols) m.columns.toSeq
+         else m.columns.toSeq ++ Seq(DvCol, DvDelCol))
+      else m.columns.toSeq
 
     // PASS 2 — positions for DV-eligible files only (bounded by the
     // threshold: collect_list per file holds <= maxDvFraction*n_rows
@@ -1304,19 +1316,26 @@ object FileManifest {
       s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       val rwPaths = rwSet.toSeq.sorted
-      if (rwPaths.nonEmpty) {
-        val survivors = applyDv(
+      // one staged write carries BOTH publish shapes: rewrite survivors
+      // (live rows of over-threshold files) and the merge-on-read
+      // append batch — they land as one version's fresh files
+      val rewriteSurvivors =
+        if (rwPaths.isEmpty) None
+        else Some(applyDv(
           spark.read.option("basePath", dataDir)
             .parquet(rwPaths.toIndexedSeq: _*), m)
-          .filter(survivorKeep)
-        survivors.write.parquet(stg.toString)
+          .filter(survivorKeep))
+      val staged = (rewriteSurvivors, appendDf) match {
+        case (Some(s), Some(a)) => Some(s.unionByName(a))
+        case (s, a) => s.orElse(a)
       }
+      staged.foreach(_.write.parquet(stg.toString))
       beforeCommitHook()
       CommitLock.withLock(hfs,
         new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
         requireUnchanged(hfs, dataDir, plannedV, stg)
         val moved =
-          if (rwPaths.isEmpty) Seq.empty[String]
+          if (staged.isEmpty) Seq.empty[String]
           else {
             val mv = hfs.listStatus(stg).iterator
               .filterNot { s =>
@@ -1516,6 +1535,68 @@ object FileManifest {
       (candPaths.length, nCarried)
     }
     } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
+  }
+
+  /** MERGE-ON-READ keyed upsert (Delta's DV-backed MERGE / Iceberg's
+    * merge-on-read mode): instead of REWRITING every file that might
+    * hold a matched key ([[mergeKeys]]'s copy-on-write shape), mark the
+    * matched rows' old versions dead in per-file DELETION VECTORS and
+    * append the whole update batch as fresh file(s) — one column-pruned
+    * scan of the candidate files plus a batch-sized write, however wide
+    * the table's rows. Both land atomically as one MVCC version; files
+    * whose dead fraction would cross `maxDvFraction` rewrite instead
+    * (same hybrid as [[deleteRangeDV]]). The read-side contract is
+    * identical to mergeKeys' output — matched keys have exactly their
+    * new row, inserts appear once — because every read path
+    * anti-filters the DVs.
+    *
+    * Same preconditions as mergeKeys (integral key, no NULL/duplicate
+    * keys in the batch, schema equality via unionByName). A batch
+    * larger than `maxCollectedKeys` falls back to [[mergeKeys]]'s
+    * bounds-only copy-on-write path — the DV position pass needs the
+    * key set on the executors, and a batch that dense rewrites most
+    * candidates anyway. Returns (files DV-marked, files rewritten,
+    * files untouched); the appended batch files ride in whichever
+    * version commits.
+    */
+  def mergeKeysDV(spark: SparkSession, dataDir: String, updates: DataFrame,
+      key: String, cols: Seq[String], bloomCols: Seq[String] = Nil,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01,
+      maxDvFraction: Double = 0.5,
+      maxCollectedKeys: Int = 100000): (Int, Int, Int) = {
+    require(FsListing.isIntegral(updates.schema(key).dataType),
+      s"mergeKeysDV key '$key' is ${updates.schema(key).dataType} — only " +
+        "integral key columns merge (cast-to-long must be value- and " +
+        "order-preserving)")
+    val keyStats = updates.select(col(key).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val capped = keyStats.limit(maxCollectedKeys + 1).collect()
+    require(capped.nonEmpty, "mergeKeysDV: empty update batch")
+    if (capped.length > maxCollectedKeys) {
+      val (rw, car) = mergeKeys(spark, dataDir, updates, key, cols,
+        bloomCols, expectedPerFile, fpp, maxCollectedKeys)
+      return (0, rw, car)
+    }
+    capped.find(_.isNullAt(0)).foreach { _ =>
+      throw new IllegalArgumentException(
+        s"mergeKeysDV: update batch has NULL '$key' keys — a NULL key " +
+          "matches no row and cannot MERGE; filter or fill the batch first")
+    }
+    capped.find(_.getLong(1) > 1L).foreach { r =>
+      throw new IllegalArgumentException(
+        s"mergeKeysDV: update batch has multiple rows for key $key=" +
+          s"${r.getLong(0)} — MERGE replaces exactly one row per matched " +
+          "key; dedup the batch (e.g. keep-last by an ordering column) " +
+          "before merging")
+    }
+    val keyArr = capped.map(_.getLong(0)).sorted
+    val m = manifestFrame(spark, dataDir)
+    deleteDvCore(spark, dataDir, m, keyCandidate(m, key, keyArr),
+      scanCols = Seq(key),
+      matchPred = col(key).isin(keyArr: _*),
+      survivorKeep = col(key).isNull || !col(key).isin(keyArr: _*),
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
+      appendDf = Some(updates))
   }
 
   /** Candidate-file predicate over MANIFEST rows for a SORTED DISTINCT

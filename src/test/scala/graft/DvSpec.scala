@@ -190,6 +190,17 @@ class DvSpec extends AnyFunSuite with SparkSpec {
     // pre-purge versions still read correctly
     assert(FileManifest.readAsOf(spark, dir, v2).count() === 950L)
     assert(FileManifest.readAsOf(spark, dir, v1).count() === 1000L)
+
+    // the COMPLIANCE purge point: vacuum to current retention reaps the
+    // pre-purge file — only now do the DV-deleted bytes leave disk
+    // (purge rewrote them out; the dv'd original served as-of readers)
+    val prePurgeFiles = dataFiles(dir)
+    FileManifest.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val postVacuum = dataFiles(dir)
+    assert(postVacuum.size < prePurgeFiles.size,
+      s"vacuum reaped nothing: $prePurgeFiles")
+    intercept[Exception] { FileManifest.readAsOf(spark, dir, v2).count() }
+    assert(ManifestFileIndex.read(spark, dir).count() === 950L)
   }
 
   // ---- keyed DV delete -------------------------------------------------------
@@ -235,6 +246,53 @@ class DvSpec extends AnyFunSuite with SparkSpec {
       FileManifest.deleteKeysDV(spark, dir, "no_such", Seq(1L), Seq("k"))
     }
     assert(e.getMessage.contains("no_such"))
+  }
+
+  // ---- merge-on-read ---------------------------------------------------------
+
+  test("merge-on-read: old rows DV'd, batch appended, no candidate rewritten") {
+    import spark.implicits._
+    val dir = freshDir("dv_mor")
+    val df = spark.range(4000L).select(col("id").as("k"), (col("id") % 7).as("v"))
+    FileManifest.writeThrough(df.repartitionByRange(4, col("k")), dir,
+      Seq("k"), bloomCols = Seq("k"), mode = "overwrite")
+    val filesBefore = dataFiles(dir)
+
+    // 2 updates in one file's range + 1 brand-new key
+    val updates = Seq((100L, -1L), (150L, -1L), (9000L, -2L)).toDF("k", "v")
+    val (dvN, rwN, carN) = FileManifest.mergeKeysDV(
+      spark, dir, updates, "k", Seq("k"), bloomCols = Seq("k"))
+    assert((dvN, rwN, carN) === (1, 0, 3))
+    // no candidate rewritten; the batch landed as fresh file(s)
+    val filesAfter = dataFiles(dir)
+    assert(filesBefore.subsetOf(filesAfter))
+    assert(filesAfter.size > filesBefore.size)
+
+    val cur = ManifestFileIndex.read(spark, dir)
+    assert(cur.count() === 4001L)
+    assert(cur.filter(col("k") === 100L).select("v").head().getLong(0) === -1L)
+    assert(cur.filter(col("k") === 150L).select("v").head().getLong(0) === -1L)
+    assert(cur.filter(col("k") === 9000L).count() === 1L)
+    assert(cur.filter(col("k") === 101L).select("v").head().getLong(0) === 101L % 7)
+
+    // the CDF pairs each matched key's delete-old/insert-new as an update
+    val vs = FileManifest.versions(spark, dir)
+    val cdf = FileManifest.changesBetweenKeyed(
+      spark, dir, vs.init.last, vs.last, "k")
+    val byType = cdf.groupBy("change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+      "insert" -> 1L))
+
+    // re-merge the same batch: replay-idempotent read state (the old
+    // appended rows DV out, the new copy lands — counts stable)
+    FileManifest.mergeKeysDV(spark, dir, updates, "k", Seq("k"),
+      bloomCols = Seq("k"))
+    val cur2 = ManifestFileIndex.read(spark, dir)
+    assert(cur2.count() === 4001L)
+    assert(cur2.filter(col("k") === 100L).count() === 1L)
+    assert(FileManifest.changesBetween(
+      spark, dir, vs.last, FileManifest.versions(spark, dir).last).count() === 0L)
   }
 
   // ---- interop with the other surgeries --------------------------------------

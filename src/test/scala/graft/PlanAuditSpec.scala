@@ -249,6 +249,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q176_dv_cdf" -> Seq(("__graft_dv_file",
       "manifest dv rows on each CDF side: metadata-sized")),
     "q177_dv_delete_keys" -> Seq(("__graft_dv_file",
+      "manifest dv rows: one per DV-carrying file, threshold-bounded vectors")),
+    "q178_merge_on_read" -> Seq(("__graft_dv_file",
       "manifest dv rows: one per DV-carrying file, threshold-bounded vectors"))
   )
 
