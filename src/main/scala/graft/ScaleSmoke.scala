@@ -615,6 +615,13 @@ object ScaleSmoke {
         FileManifest.mergeKeysDV(spark, dir, upsMor, "k", Seq("k"))
       val morDt2 = (System.nanoTime() - t0) / 1e9
       println(f"mvcc_wide_mor files=16 rows=$rows%-9d dv=$morDv2 rewritten=$morRw2 $morDt2%7.2f s")
+      // worst-case DV read: after the MoR merge EVERY file carries a DV
+      // — the whole scan rides the position join (no fast-path side), so
+      // this prices the anti-filter itself, not the split
+      t0 = System.nanoTime()
+      val wSum = graft.sources.ManifestFileIndex.read(spark, dir)
+        .agg(sum(length(col("payload")))).head().getLong(0)
+      println(f"mvcc_wide_dv_read files=16 rows=$rows%-9d sum=$wSum ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
 
     // measured-count guard tier: the update BATCH grows 10×/100× across

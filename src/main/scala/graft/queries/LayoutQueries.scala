@@ -1563,6 +1563,69 @@ object LayoutQueries {
         .select(lit(2L).as("version"), col("n_rows"),
           col("key_sum"), col("cust_sum"))
       pre.unionByName(cur).orderBy("version")
+    },
+
+    // q180 is OPTIMIZE on the MVCC table: 32 small files + a deletion
+    // vector retire together into right-sized files in one publish —
+    // bin-packing compaction (Delta OPTIMIZE / Iceberg rewrite_data_
+    // files) that also materializes DV debt. The gate pins all three
+    // versions' aggregates (v3 ≡ v2: optimize is lossless), a
+    // METADATA-ONLY fastCount (Σ n_rows − Σ n_del from the manifest —
+    // no data page touched; row 99 must equal the scanned count), and
+    // the v2→v3 change feed netting to zero (physical reorganization
+    // invisible to CDC consumers).
+    QueryDef.sql(
+      "q180_table_optimize",
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |           FROM events),
+        |r AS (SELECT mn + (mx - mn) // 4 AS lo,
+        |             mn + (mx - mn) // 4 + (mx - mn) // 16 AS hi FROM b),
+        |kept AS (SELECT event_id FROM events, r
+        |         WHERE NOT (epoch_ns(ts) >= lo AND epoch_ns(ts) <= hi))
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(event_id) AS BIGINT) FROM kept
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(event_id) AS BIGINT) FROM kept
+        |UNION ALL
+        |SELECT CAST(99 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM kept
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_optimize")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value", "ts_ns")
+      graft.sources.FileManifest.writeThrough(
+        ev.repartitionByRange(32, col("ts_ns")),
+        dir, Seq("ts_ns"), mode = "overwrite")
+      val b = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 4 + (mx - mn) / 16)
+      graft.sources.FileManifest.deleteRangeDV(
+        s, dir, "ts_ns", lit(lo), lit(hi), Seq("ts_ns"))
+      val live = graft.sources.FileManifest.fastCount(s, dir)
+      graft.sources.FileManifest.optimizeTable(
+        s, dir, Seq("ts_ns"), targetRowsPerFile = (live + 3) / 4)
+      val versions = graft.sources.FileManifest.versions(s, dir).map { v =>
+        graft.sources.FileManifest.readAsOf(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("id_sum"))
+      }.reduce(_ unionByName _)
+      val meta = graft.sources.FileManifest
+        .changesBetween(s, dir, 2L, 3L)
+        .agg(count(lit(1)).as("id_sum"))
+        .select(lit(99L).as("version"),
+          lit(graft.sources.FileManifest.fastCount(s, dir)).as("n_rows"),
+          col("id_sum"))
+      versions.unionByName(meta).orderBy("version")
     }
   )
 }

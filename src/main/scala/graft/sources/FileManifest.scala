@@ -1800,6 +1800,50 @@ object FileManifest {
     } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
   }
 
+  /** METADATA-ONLY live row count: `Σ n_rows − Σ n_del` over the
+    * manifest — the Delta/Iceberg "answer COUNT(*) from the snapshot
+    * stats" move, no data page touched however large the table. Runs
+    * the same coverage guard as any planned read (a stale manifest
+    * must fail loud, not undercount).
+    */
+  def fastCount(spark: SparkSession, dataDir: String): Long = {
+    val (mdf, _) = loadCovering(spark, dataDir)
+    val del =
+      if (mdf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+      else lit(0L)
+    withSwapRetry {
+      mdf.agg(sum(col("n_rows") - del)).head().getLong(0)
+    }
+  }
+
+  /** OPTIMIZE (bin-packing compaction) for the MVCC table: read the
+    * CURRENT live rows (deletion vectors applied), rewrite them as
+    * `ceil(liveRows / targetRowsPerFile)` right-sized files, and
+    * publish as one MVCC version — small-file debt and DV debt retire
+    * together (the post-optimize manifest carries no dv columns), the
+    * pre-optimize snapshot stays readable until vacuum retention, and
+    * the change feed across the optimize nets to ZERO rows (physical
+    * reorganization is invisible to CDC consumers — the q165/q176
+    * contract). For clustering-preserving compaction of a sort layout
+    * use [[Staging.compactSorted]]; this verb is the generic
+    * OPTIMIZE shape. FLAT TABLES ONLY: the rewrite lands root-level
+    * files, so a hive-partitioned tree would migrate its partition
+    * column into file data — compact such trees per-partition instead.
+    * Returns the number of files written.
+    */
+  def optimizeTable(spark: SparkSession, dataDir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, targetRowsPerFile: Long = 1L << 20,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01): Int = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile=$targetRowsPerFile")
+    val live = fastCount(spark, dataDir)
+    require(live > 0, s"optimizeTable on empty table $dataDir")
+    val nFiles = ((live + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    publishVia(
+      ManifestFileIndex.read(spark, dataDir).repartition(nFiles),
+      s"${dataDir}_optstg", dataDir, cols, bloomCols, expectedPerFile, fpp)
+    nFiles
+  }
+
   /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
     * table-format lifecycle, beside write-through / compact / time
     * travel): delete every data file under `dataDir` the live manifest

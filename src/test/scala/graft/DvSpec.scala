@@ -295,6 +295,32 @@ class DvSpec extends AnyFunSuite with SparkSpec {
       spark, dir, vs.last, FileManifest.versions(spark, dir).last).count() === 0L)
   }
 
+  // ---- optimize + metadata count ----------------------------------------------
+
+  test("optimizeTable retires small-file and DV debt; fastCount is metadata-only") {
+    val dir = freshDir("dv_optimize")
+    val df = spark.range(8000L).select(col("id").as("k"), (col("id") % 7).as("v"))
+    FileManifest.writeThrough(df.repartitionByRange(16, col("k")), dir,
+      Seq("k"), mode = "overwrite")
+    FileManifest.deleteRangeDV(spark, dir, "k", lit(100L), lit(199L), Seq("k"))
+    assert(FileManifest.fastCount(spark, dir) === 7900L)
+
+    val written = FileManifest.optimizeTable(spark, dir, Seq("k"),
+      targetRowsPerFile = 4000L)
+    assert(written === 2, s"expected 2 right-sized files, wrote $written")
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.count() === 2L) // 16 small files + 1 DV → 2 files
+    assert(!m.columns.contains("dv")) // DV debt retired with the rewrite
+    val cur = ManifestFileIndex.read(spark, dir)
+    assert(cur.count() === 7900L)
+    assert(cur.filter(col("k").between(100L, 199L)).count() === 0L)
+    assert(FileManifest.fastCount(spark, dir) === 7900L)
+    // CDC-invisible: the optimize span nets to zero
+    val vs = FileManifest.versions(spark, dir)
+    assert(FileManifest.changesBetween(spark, dir, vs.init.last, vs.last)
+      .count() === 0L)
+  }
+
   // ---- interop with the other surgeries --------------------------------------
 
   test("rebuild fails loud on live DVs; refresh and surgeries carry them") {

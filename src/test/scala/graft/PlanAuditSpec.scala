@@ -251,6 +251,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q177_dv_delete_keys" -> Seq(("__graft_dv_file",
       "manifest dv rows: one per DV-carrying file, threshold-bounded vectors")),
     "q178_merge_on_read" -> Seq(("__graft_dv_file",
+      "manifest dv rows: one per DV-carrying file, threshold-bounded vectors")),
+    "q180_table_optimize" -> Seq(("__graft_dv_file",
       "manifest dv rows: one per DV-carrying file, threshold-bounded vectors"))
   )
 
