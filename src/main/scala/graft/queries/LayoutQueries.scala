@@ -1626,6 +1626,74 @@ object LayoutQueries {
           lit(graft.sources.FileManifest.fastCount(s, dir)).as("n_rows"),
           col("id_sum"))
       versions.unionByName(meta).orderBy("version")
+    },
+
+    // q181 is DESCRIBE HISTORY: every version swap stamps the VERB that
+    // produced it (an empty `_op_<verb>` marker riding the manifest
+    // rename — zero extra I/O), and `history()` reads the audit trail
+    // back from retained manifests alone: (version, op, live rows) with
+    // no data page touched. The gate drives one table through five
+    // different verbs — build, refresh (append), copy-on-write delete,
+    // DV delete, merge-on-read — and pins the full trail, live counts
+    // included (n_rows − n_del metadata arithmetic), against the
+    // from-source oracle.
+    QueryDef.sql(
+      "q181_history",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |           FROM orders),
+        |s0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        |s1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1),
+        |v2 AS (SELECT o_orderkey FROM s0 UNION ALL SELECT o_orderkey FROM s1),
+        |v3 AS (SELECT o_orderkey FROM v2, b
+        |       WHERE NOT (o_orderkey >= mn + (mx - mn) // 10
+        |              AND o_orderkey <= mn + 2 * ((mx - mn) // 10))),
+        |v4 AS (SELECT o_orderkey FROM v3, b
+        |       WHERE NOT (o_orderkey >= mn + 3 * ((mx - mn) // 10)
+        |              AND o_orderkey <= mn + 4 * ((mx - mn) // 10))),
+        |ins AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4999 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, 'build' AS op,
+        |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_rows
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'refresh',
+        |  CAST((SELECT COUNT(*) FROM v2) AS BIGINT)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
+        |  CAST((SELECT COUNT(*) FROM v3) AS BIGINT)
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'dv-delete',
+        |  CAST((SELECT COUNT(*) FROM v4) AS BIGINT)
+        |UNION ALL SELECT CAST(5 AS BIGINT), 'merge-dv',
+        |  CAST((SELECT COUNT(*) FROM v4) + (SELECT COUNT(*) FROM ins) AS BIGINT)
+        |ORDER BY version""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_history")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 3 === 0).repartition(2),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      graft.sources.FileManifest.writeThrough(
+        o.filter(col("o_orderkey") % 3 === 1).repartition(2),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "o_orderkey",
+        lit(mn + (mx - mn) / 10), lit(mn + 2 * ((mx - mn) / 10)),
+        Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.deleteRangeDV(
+        s, dir, "o_orderkey",
+        lit(mn + 3 * ((mx - mn) / 10)), lit(mn + 4 * ((mx - mn) / 10)),
+        Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.mergeKeysDV(
+        s, dir,
+        o.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 800000000L).as("o_orderkey")),
+        "o_orderkey", Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.history(s, dir)
+        .select("version", "op", "n_rows").orderBy("version")
     }
   )
 }

@@ -317,6 +317,7 @@ object FileManifest {
     hfs.create(new org.apache.hadoop.fs.Path(tmp,
       s"_v${math.max(currentVersion(hfs, dataDir), versionFloor) + 1}"),
       true).close()
+    hfs.create(new org.apache.hadoop.fs.Path(tmp, "_op_build"), true).close()
     if (hfs.exists(dst)) hfs.delete(dst, true) // reset: no history rename
     require(hfs.rename(tmp, dst), s"manifest swap rename failed under $dataDir")
   }
@@ -697,7 +698,8 @@ object FileManifest {
     */
   def publishVia(df: DataFrame, stagingDir: String, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      expectedPerFile: Long = 65536L, fpp: Double = 0.01): Unit = {
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01,
+      opName: String = "publish"): Unit = {
     val spark = df.sparkSession
     // WRITER-PRIVATE staging: `stagingDir` names the caller's staging
     // LOCATION (its filesystem/volume), but the dir actually written is
@@ -721,6 +723,7 @@ object FileManifest {
         s"staging dir must be outside the target table: $stagingDir is " +
           s"at or under $dataDir")
     }
+    if (hfs.exists(root)) requireFlatTable(hfs, root, "publishVia")
     // optimistic token: `df` is typically a read-modify-write of the
     // current snapshot (compaction), so a rival commit between this
     // point and the locked publish would be silently overwritten —
@@ -751,7 +754,7 @@ object FileManifest {
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      swapVersioned(hfs, dataDir, tmp)
+      swapVersioned(hfs, dataDir, tmp, opName)
       spark.catalog.refreshByPath(dataDir)
     }
     } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
@@ -793,6 +796,62 @@ object FileManifest {
     val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     (historyVersions(hfs, root) ++
       (if (hfs.exists(cur)) Seq(versionOf(hfs, cur)) else Nil)).distinct.sorted
+  }
+
+  /** The operation marker of a manifest dir (`_op_<verb>`), or
+    * "unknown" for manifests written before operation stamping.
+    */
+  private def opOf(hfs: org.apache.hadoop.fs.FileSystem,
+      mdir: org.apache.hadoop.fs.Path): String =
+    hfs.listStatus(mdir).iterator.map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
+      .getOrElse("unknown")
+
+  /** DESCRIBE HISTORY: one row per readable version — (version, op,
+    * n_files, n_rows live) — from the retained manifests alone
+    * (metadata-scale: |versions| small manifest reads, no data page).
+    * The op is the verb that PRODUCED the version (build / refresh /
+    * publish / optimize / delete / dv-delete / merge / merge-dv /
+    * purge); versions written before stamping read as "unknown".
+    */
+  def history(spark: SparkSession, dataDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = versions(spark, dataDir).map { v =>
+      val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+      val mdir =
+        if (hfs.exists(cur) && versionOf(hfs, cur) == v) cur
+        else new org.apache.hadoop.fs.Path(histPath(dataDir, v))
+      val mf = manifestFrameAt(spark, dataDir, v)
+      val del =
+        if (mf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+        else lit(0L)
+      val agg = withSwapRetry {
+        mf.agg(count(lit(1)).as("nf"), sum(col("n_rows") - del).as("nr")).head()
+      }
+      (v, opOf(hfs, mdir), agg.getLong(0), agg.getLong(1))
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "n_files", "n_rows").orderBy("version")
+  }
+
+  /** Surgery guard: file rewrites land at the table ROOT, so a
+    * hive-partitioned tree would silently migrate its partition column
+    * into file data (and double it against the directory-inferred
+    * one) — fail loud instead; partitioned trees compact/delete
+    * per-partition directory.
+    */
+  private def requireFlatTable(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, verb: String): Unit = {
+    val sub = hfs.listStatus(root).filter(s => s.isDirectory && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    require(sub.isEmpty,
+      s"$verb requires a FLAT table: $root has partition subdirs (e.g. " +
+        s"${if (sub.nonEmpty) sub.head.getPath.getName else ""}) — a root-level " +
+        "rewrite would flatten the partition column into file data; run the " +
+        s"$verb per partition directory instead")
   }
 
   /** TIME TRAVEL: plan the table as it stood at `version`. Every
@@ -1234,21 +1293,30 @@ object FileManifest {
       matchPred: Column, survivorKeep: Column, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long, fpp: Double,
       maxDvFraction: Double,
-      appendDf: Option[DataFrame] = None): (Int, Int, Int) = {
+      appendDf: Option[DataFrame] = None,
+      op: String = "dv-delete"): (Int, Int, Int) = {
     require(maxDvFraction > 0 && maxDvFraction <= 1,
       s"maxDvFraction must be in (0, 1], got $maxDvFraction")
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    requireFlatTable(hfs, root, op)
     val plannedV = currentVersion(hfs, dataDir)
     val hasDvCols = m.columns.contains(DvCol)
-    val cand = m.filter(candidate)
-    val candMeta = cand.select(
+    // ONE metadata job for plan + tally: candidate flag evaluated in the
+    // same collect that brings back per-file counts (a separate
+    // carried-count job is pure scheduling overhead per surgery)
+    val allMeta = m.select(
       ManifestFileIndex.normPath(col("file")).as("f"),
       col("n_rows"),
-      (if (hasDvCols) coalesce(col(DvDelCol), lit(0L)) else lit(0L)).as("nd0"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val nCarriedBounds = m.filter(!candidate).count().toInt
+      (if (hasDvCols) coalesce(col(DvDelCol), lit(0L)) else lit(0L)).as("nd0"),
+      // NULL proves nothing → CANDIDATE (examined, at worst a wasted
+      // scan — the sound direction; callers' predicates are non-null
+      // by construction today)
+      coalesce(candidate, lit(true)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val candMeta = allMeta.filter(_._4).map(t => (t._1, t._2, t._3)).sortBy(_._1)
+    val nCarriedBounds = allMeta.length - candMeta.length
     // pure-delete with no candidates: no version bump (an appendDf —
     // the merge-on-read shape — must still commit its insert-only batch)
     if (candMeta.isEmpty && appendDf.isEmpty) return (0, 0, nCarriedBounds)
@@ -1375,7 +1443,7 @@ object FileManifest {
         val tmp = new org.apache.hadoop.fs.Path(
           s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        swapVersioned(hfs, dataDir, tmp)
+        swapVersioned(hfs, dataDir, tmp, op)
         spark.catalog.refreshByPath(dataDir)
         (dvSet.size, rwSet.size, nCarriedBounds + zeroMatch.size)
       }
@@ -1395,6 +1463,7 @@ object FileManifest {
       fpp: Double = 0.01): Int = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    requireFlatTable(hfs, root, "purgeDv")
     val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
     if (!m.columns.contains(DvCol)) return 0
@@ -1440,7 +1509,7 @@ object FileManifest {
         val tmp = new org.apache.hadoop.fs.Path(
           s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        swapVersioned(hfs, dataDir, tmp)
+        swapVersioned(hfs, dataDir, tmp, "purge")
         spark.catalog.refreshByPath(dataDir)
         dvPaths.length
       }
@@ -1469,6 +1538,7 @@ object FileManifest {
       fpp: Double = 0.01): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    requireFlatTable(hfs, root, "deleteRange")
     // optimistic token: plan + staging run OUTSIDE the lock (long Spark
     // jobs must not serialize rival readers/writers); the locked commit
     // validates the version is still the one this plan read
@@ -1481,13 +1551,13 @@ object FileManifest {
     // as read-side pruning, pointed the other way
     val disjoint = coalesce(
       col(s"max_$c") < lo || col(s"min_$c") > hi, lit(false))
-    val candPaths = m.filter(!disjoint)
-      .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).sorted
+    // ONE metadata job for plan + tally (flag evaluated in the same
+    // collect; a separate carried-count job is pure scheduling overhead)
+    val flags = m.select(ManifestFileIndex.normPath(col("file")).as("f"),
+      disjoint.as("d")).collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val candPaths = flags.filter(!_._2).map(_._1).sorted
     val carried = m.filter(disjoint)
-    // count BEFORE the swap: these frames lazily read the manifest this
-    // delete is about to retire
-    val nCarried = carried.count().toInt
+    val nCarried = flags.count(_._2)
     if (candPaths.isEmpty) return (0, nCarried)
     val survivors = applyDv(
       spark.read.option("basePath", dataDir)
@@ -1530,7 +1600,7 @@ object FileManifest {
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       // `merged` reads the manifest it replaces — land beside, then swap
       merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      swapVersioned(hfs, dataDir, tmp)
+      swapVersioned(hfs, dataDir, tmp, "delete")
       spark.catalog.refreshByPath(dataDir)
       (candPaths.length, nCarried)
     }
@@ -1596,7 +1666,7 @@ object FileManifest {
       matchPred = col(key).isin(keyArr: _*),
       survivorKeep = col(key).isNull || !col(key).isin(keyArr: _*),
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
-      appendDf = Some(updates))
+      appendDf = Some(updates), op = "merge-dv")
   }
 
   /** Candidate-file predicate over MANIFEST rows for a SORTED DISTINCT
@@ -1701,6 +1771,7 @@ object FileManifest {
       s"mergeKeys key '$key' is ${updates.schema(key).dataType} — only " +
         "integral key columns merge (cast-to-long must be value- and " +
         "order-preserving)")
+    requireFlatTable(hfs, root, "mergeKeys")
     val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
     // Preconditions — per-key multiplicity (MERGE replaces exactly one
@@ -1752,11 +1823,12 @@ object FileManifest {
           throw new IllegalArgumentException(dupMsg(r.getLong(0))) }
         keyCandidate(m, key, capped.map(_.getLong(0)).sorted)
       }
-    val candPaths = m.filter(isCand)
-      .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).sorted
+    // ONE metadata job for plan + tally (same fold as deleteRange)
+    val mFlags = m.select(ManifestFileIndex.normPath(col("file")).as("f"),
+      isCand.as("c")).collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val candPaths = mFlags.filter(_._2).map(_._1).sorted
     val carried = m.filter(!isCand)
-    val nCarried = carried.count().toInt
+    val nCarried = mFlags.count(!_._2)
     val survivors =
       if (candPaths.isEmpty) updates
       else applyDv(spark.read.option("basePath", dataDir)
@@ -1793,7 +1865,7 @@ object FileManifest {
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      swapVersioned(hfs, dataDir, tmp)
+      swapVersioned(hfs, dataDir, tmp, "merge")
       spark.catalog.refreshByPath(dataDir)
       (candPaths.length, nCarried)
     }
@@ -1840,7 +1912,8 @@ object FileManifest {
     val nFiles = ((live + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     publishVia(
       ManifestFileIndex.read(spark, dataDir).repartition(nFiles),
-      s"${dataDir}_optstg", dataDir, cols, bloomCols, expectedPerFile, fpp)
+      s"${dataDir}_optstg", dataDir, cols, bloomCols, expectedPerFile, fpp,
+      opName = "optimize")
     nFiles
   }
 
@@ -2065,7 +2138,7 @@ object FileManifest {
     val tmp = new org.apache.hadoop.fs.Path(
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    swapVersioned(hfs, dataDir, tmp)
+    swapVersioned(hfs, dataDir, tmp, "refresh")
   }
 
   /** VERSIONED manifest swap: the outgoing `_manifest` RENAMES to
@@ -2077,8 +2150,14 @@ object FileManifest {
     * versions stay monotonic whatever the history retention deleted.
     */
   private def swapVersioned(hfs: org.apache.hadoop.fs.FileSystem,
-      dataDir: String, tmp: org.apache.hadoop.fs.Path): Unit = {
+      dataDir: String, tmp: org.apache.hadoop.fs.Path,
+      op: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+    // OPERATION marker (DESCRIBE HISTORY): the verb that produced this
+    // version rides as an empty `_op_<verb>` file beside the `_v{N}`
+    // stamp — zero extra I/O beyond one empty create, retired/reaped
+    // with its manifest dir
+    hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_op_$op"), true).close()
     if (hfs.exists(dst)) {
       val v = versionOf(hfs, dst)
       hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_v${v + 1}"), true).close()

@@ -321,6 +321,39 @@ class DvSpec extends AnyFunSuite with SparkSpec {
       .count() === 0L)
   }
 
+  // ---- history + flat-table guard ---------------------------------------------
+
+  test("history records each version's verb; surgeries refuse partitioned trees") {
+    import spark.implicits._
+    val dir = freshDir("dv_history")
+    val df = spark.range(2000L).select(col("id").as("k"), (col("id") % 7).as("v"))
+    FileManifest.writeThrough(df.repartitionByRange(2, col("k")), dir,
+      Seq("k"), mode = "overwrite")
+    FileManifest.deleteRangeDV(spark, dir, "k", lit(10L), lit(19L), Seq("k"))
+    FileManifest.purgeDv(spark, dir, Seq("k"))
+    FileManifest.optimizeTable(spark, dir, Seq("k"), targetRowsPerFile = 4000L)
+    val h = FileManifest.history(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(h.map(_._2).toSeq === Seq("build", "dv-delete", "purge", "optimize"))
+    assert(h.map(_._3).toSeq === Seq(2000L, 1990L, 1990L, 1990L))
+
+    // a hive-partitioned tree must fail LOUD on any root-level surgery
+    val pdir = freshDir("dv_part_guard")
+    df.withColumn("p", col("k") % 2).write.partitionBy("p").parquet(pdir)
+    FileManifest.build(spark, pdir, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.deleteRange(spark, pdir, "k", lit(0L), lit(10L), Seq("k"))
+    }
+    assert(e.getMessage.contains("FLAT"))
+    intercept[IllegalArgumentException] {
+      FileManifest.deleteRangeDV(spark, pdir, "k", lit(0L), lit(10L), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      FileManifest.mergeKeysDV(spark, pdir, Seq((1L, 1L, 0L)).toDF("k", "v", "p"),
+        "k", Seq("k"))
+    }
+  }
+
   // ---- interop with the other surgeries --------------------------------------
 
   test("rebuild fails loud on live DVs; refresh and surgeries carry them") {
