@@ -798,6 +798,14 @@ object FileManifest {
       (if (hfs.exists(cur)) Seq(versionOf(hfs, cur)) else Nil)).distinct.sorted
   }
 
+  /** The CURRENT manifest's stamped version, for read-side pinning. */
+  private[sources] def currentVersionOf(spark: SparkSession,
+      dataDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    currentVersion(root.getFileSystem(spark.sessionState.newHadoopConf()),
+      dataDir)
+  }
+
   /** The operation marker of a manifest dir (`_op_<verb>`), or
     * "unknown" for manifests written before operation stamping.
     */
@@ -822,14 +830,16 @@ object FileManifest {
       val mdir =
         if (hfs.exists(cur) && versionOf(hfs, cur) == v) cur
         else new org.apache.hadoop.fs.Path(histPath(dataDir, v))
-      val mf = manifestFrameAt(spark, dataDir, v)
-      val del =
-        if (mf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
-        else lit(0L)
       val agg = withSwapRetry {
+        val mf = manifestFrameAt(spark, dataDir, v)
+        val del =
+          if (mf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+          else lit(0L)
         mf.agg(count(lit(1)).as("nf"), sum(col("n_rows") - del).as("nr")).head()
       }
-      (v, opOf(hfs, mdir), agg.getLong(0), agg.getLong(1))
+      // an EMPTY snapshot (delete-everything publish) sums to NULL rows
+      val nr = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      (v, opOf(hfs, mdir), agg.getLong(0), nr)
     }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_rows").orderBy("version")
@@ -1000,25 +1010,31 @@ object FileManifest {
       else spark.read.option("basePath", dataDir).parquet(fs: _*)
     // split-by-side like every other DV read: only a side's DV-carrying
     // changed files pay the position join (readSet keeps the anchored
-    // empty-frame shape for the no-changes case)
-    def readSide(fs: Seq[String], mm: DataFrame): DataFrame =
+    // empty-frame shape for the no-changes case). Frames resolve INSIDE
+    // the retries (manifestFrameAt re-invoked), so a swap landing
+    // mid-resolution re-resolves history-first instead of re-reading a
+    // renamed-away path.
+    def readSide(fs: Seq[String], v: Long): DataFrame = {
+      def mm() = manifestFrameAt(spark, dataDir, v)
       if (fs.isEmpty) readSet(fs)
-      else if (!mm.columns.contains(DvCol)) readSet(fs)
       else {
         val dvFiles = withSwapRetry {
-          mm.filter(col(DvCol).isNotNull)
+          val m = mm()
+          if (!m.columns.contains(DvCol)) Set.empty[String]
+          else m.filter(col(DvCol).isNotNull)
             .select(ManifestFileIndex.normPath(col("file")))
             .collect().map(_.getString(0)).toSet
         }
         val (withDv, plain) = fs.partition(dvFiles)
         if (withDv.isEmpty) readSet(plain)
         else {
-          val dvd = applyDv(readSet(withDv), mm)
+          val dvd = applyDv(readSet(withDv), () => mm())
           if (plain.isEmpty) dvd else readSet(plain).unionByName(dvd)
         }
       }
-    val ins = readSide(changedTo, manifestFrameAt(spark, dataDir, toV))
-    val del = readSide(changedFrom, manifestFrameAt(spark, dataDir, fromV))
+    }
+    val ins = readSide(changedTo, toV)
+    val del = readSide(changedFrom, fromV)
     // ONE signed-net pass, not two directional EXCEPT ALLs (which read
     // each side twice and shuffle twice): tag rows ±1, group by the full
     // row, keep the nonzero nets and expand |net| copies with the sign's
@@ -1105,12 +1121,6 @@ object FileManifest {
     udf { (s: String) =>
       new org.apache.hadoop.fs.Path(FsListing.norm(s)).toUri.toString }
 
-  /** The manifest's live DV rows, keyed for [[applyDv]]'s join. */
-  private def dvRows(m: DataFrame): DataFrame =
-    m.filter(col(DvCol).isNotNull)
-      .select(metaPathOf(col("file")).as("__graft_dv_file"),
-        col(DvCol).as("__graft_dv"))
-
   /** Anti-filter a parquet-backed frame against per-file deletion
     * vectors: tag each row with its file + row position (parquet's
     * `_metadata` constant columns — exactly the hook Delta's DV reads
@@ -1120,25 +1130,51 @@ object FileManifest {
     * table. Files without a DV entry miss the join → null dv →
     * `dv_contains` is total-false → every row kept, no null guard.
     */
-  private[sources] def applyDv(df: DataFrame, m: DataFrame): DataFrame =
-    applyDvOn(df, m, col("_metadata.file_path"), col("_metadata.row_index"))
+  private[sources] def applyDv(df: DataFrame, mkM: () => DataFrame): DataFrame =
+    applyDvOn(df, mkM, col("_metadata.file_path"), col("_metadata.row_index"))
 
   /** [[applyDv]] core with caller-supplied position columns — for
     * frames that already materialized `_metadata` into named columns
     * (metadata attributes don't survive a join, so a pipeline that
     * needs them downstream must capture them on the raw scan first).
+    *
+    * The dv rows MATERIALIZE EAGERLY into a LocalRelation (driver-side
+    * rows, metadata-sized — exactly what the broadcast would collect at
+    * execution anyway): a lazy plan over the mutable `_manifest` path
+    * would crash with FileNotFound when a rival swap renames it while
+    * the returned frame is held, and a retry could never recover
+    * because the captured relation pins the old part files. `mkM` is a
+    * RESOLVER, invoked inside the swap retry, so a swap landing between
+    * resolution and collect re-resolves (history-first) instead of
+    * re-reading the renamed-away path. Zero live DVs → the frame is
+    * returned untouched.
     */
-  private def applyDvOn(df: DataFrame, m: DataFrame,
-      fileCol: Column, idxCol: Column): DataFrame =
-    if (!m.columns.contains(DvCol)) df
+  private def applyDvOn(df: DataFrame, mkM: () => DataFrame,
+      fileCol: Column, idxCol: Column): DataFrame = {
+    val rows = withSwapRetry {
+      val m = mkM()
+      if (!m.columns.contains(DvCol)) Array.empty[org.apache.spark.sql.Row]
+      else m.filter(col(DvCol).isNotNull)
+        .select(metaPathOf(col("file")).as("__graft_dv_file"),
+          col(DvCol).as("__graft_dv"))
+        .collect()
+    }
+    if (rows.isEmpty) df
     else {
-      graft.functions.DvContains.register(df.sparkSession)
+      val spark = df.sparkSession
+      graft.functions.DvContains.register(spark)
+      val dvLocal = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("__graft_dv_file", StringType, nullable = false),
+          StructField("__graft_dv", BinaryType, nullable = false))))
       df.withColumn("__graft_dv_file", fileCol)
         .withColumn("__graft_dv_idx", idxCol)
-        .join(broadcast(dvRows(m)), Seq("__graft_dv_file"), "left")
+        .join(broadcast(dvLocal), Seq("__graft_dv_file"), "left")
         .filter(!expr("dv_contains(__graft_dv, __graft_dv_idx)"))
         .drop("__graft_dv_file", "__graft_dv_idx", "__graft_dv")
     }
+  }
 
   /** Scan exactly `kept` with per-file DVs applied, SPLIT by side:
     * files without a DV read on the plain fast path; only DV-carrying
@@ -1149,15 +1185,20 @@ object FileManifest {
   private def readKeptDv(spark: SparkSession, dataDir: String,
       kept: Seq[String], m: DataFrame): DataFrame = {
     if (!m.columns.contains(DvCol)) return readKept(spark, dataDir, kept)
+    // re-resolve inside the retry (the caller's frame pins part files a
+    // rival swap may rename away mid-collect)
     val dvFiles = withSwapRetry {
-      m.filter(col(DvCol).isNotNull)
+      val mf = manifestFrame(spark, dataDir)
+      if (!mf.columns.contains(DvCol)) Set.empty[String]
+      else mf.filter(col(DvCol).isNotNull)
         .select(ManifestFileIndex.normPath(col("file")))
         .collect().map(_.getString(0)).toSet
     }
     val (withDv, plain) = kept.partition(dvFiles)
     if (withDv.isEmpty) readKept(spark, dataDir, plain)
     else {
-      val dvd = applyDv(readKept(spark, dataDir, withDv), m)
+      val dvd = applyDv(readKept(spark, dataDir, withDv),
+        () => manifestFrame(spark, dataDir))
       if (plain.isEmpty) dvd
       else readKept(spark, dataDir, plain).unionByName(dvd)
     }
@@ -1184,11 +1225,12 @@ object FileManifest {
   private def hasLiveDv(spark: SparkSession, dataDir: String): Boolean = {
     val hfs = new org.apache.hadoop.fs.Path(dataDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))) && {
-      val m = manifestFrame(spark, dataDir)
-      m.columns.contains(DvCol) &&
-        withSwapRetry { m.filter(col(DvCol).isNotNull).limit(1).count() > 0 }
-    }
+    hfs.exists(new org.apache.hadoop.fs.Path(manifestPath(dataDir))) &&
+      withSwapRetry {
+        val m = manifestFrame(spark, dataDir)
+        m.columns.contains(DvCol) &&
+          m.filter(col(DvCol).isNotNull).limit(1).count() > 0
+      }
   }
 
   /** Range DELETE via DELETION VECTORS — the row-level form of
@@ -1258,14 +1300,23 @@ object FileManifest {
         "— the key set rides the plan (InSet) and the candidate probes; " +
         "split the erasure into batches or use deleteRangeDV for ranges")
     val m = manifestFrame(spark, dataDir)
-    val dt = {
-      // resolve the key column's type from the manifest's tracked bounds
-      // when present, else from one data file — the integral guard is
-      // the same cast-to-long soundness rule as mergeKeys
-      val probe = spark.read.parquet(dataDir).schema
-      require(probe.fieldNames.contains(key),
-        s"deleteKeysDV key '$key' not in table schema under $dataDir")
-      probe(key).dataType
+    // key TYPE from the manifest's tracked bounds when present (exact:
+    // min_<key> carries the column's own type), else ONE manifest-
+    // anchored footer — never a raw-directory inference, which lists
+    // every retained leftover and may anchor a pre-evolution file
+    val dt = withSwapRetry {
+      val mf = manifestFrame(spark, dataDir)
+      mf.schema.find(_.name == s"min_$key").map(_.dataType).getOrElse {
+        val anchor = mf.select(ManifestFileIndex.normPath(col("file")))
+          .limit(1).collect().headOption.map(_.getString(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"deleteKeysDV: empty manifest under $dataDir"))
+        val sch = spark.read.parquet(anchor).schema
+        require(sch.fieldNames.contains(key),
+          s"deleteKeysDV key '$key' not in table schema under $dataDir " +
+            s"(anchored on $anchor)")
+        sch(key).dataType
+      }
     }
     require(FsListing.isIntegral(dt),
       s"deleteKeysDV key '$key' is $dt — only integral key columns " +
@@ -1335,7 +1386,7 @@ object FileManifest {
         .select(col("_metadata.file_path").as("f") +:
           col("_metadata.row_index").as("i") +:
           scanCols.map(col): _*)
-      applyDvOn(tagged, m, col("f"), col("i"))
+      applyDvOn(tagged, () => manifestFrame(spark, dataDir), col("f"), col("i"))
         .filter(matchPred)
     }
     val counts =
@@ -1391,7 +1442,8 @@ object FileManifest {
         if (rwPaths.isEmpty) None
         else Some(applyDv(
           spark.read.option("basePath", dataDir)
-            .parquet(rwPaths.toIndexedSeq: _*), m)
+            .parquet(rwPaths.toIndexedSeq: _*),
+          () => manifestFrame(spark, dataDir))
           .filter(survivorKeep))
       val staged = (rewriteSurvivors, appendDf) match {
         case (Some(s), Some(a)) => Some(s.unionByName(a))
@@ -1476,7 +1528,8 @@ object FileManifest {
     try {
       if (dvPaths.nonEmpty)
         applyDv(spark.read.option("basePath", dataDir)
-          .parquet(dvPaths.toIndexedSeq: _*), m)
+          .parquet(dvPaths.toIndexedSeq: _*),
+          () => manifestFrame(spark, dataDir))
           .write.parquet(stg.toString)
       beforeCommitHook()
       CommitLock.withLock(hfs,
@@ -1561,7 +1614,8 @@ object FileManifest {
     if (candPaths.isEmpty) return (0, nCarried)
     val survivors = applyDv(
       spark.read.option("basePath", dataDir)
-        .parquet(candPaths.toIndexedSeq: _*), m) // DV'd rows must not resurrect
+        .parquet(candPaths.toIndexedSeq: _*),
+      () => manifestFrame(spark, dataDir)) // DV'd rows must not resurrect
       // NULL-c rows SURVIVE: a NULL never satisfies the range predicate
       // (the same rule that makes read-side bound pruning sound), but a
       // bare !(between) evaluates to NULL for them and the filter would
@@ -1661,6 +1715,24 @@ object FileManifest {
     }
     val keyArr = capped.map(_.getLong(0)).sorted
     val m = manifestFrame(spark, dataDir)
+    // the batch appends VERBATIM on the common no-rewrite path, so the
+    // unionByName schema check mergeKeys gets for free must run here
+    // explicitly: a batch MISSING table columns would land rows whose
+    // missing fields read as NULL — silent corruption where the CoW twin
+    // fails loud. Extra batch columns are allowed (schema evolution).
+    locally {
+      val missing = withSwapRetry {
+        val anchor = manifestFrame(spark, dataDir)
+          .select(ManifestFileIndex.normPath(col("file")))
+          .limit(1).collect().headOption.map(_.getString(0))
+        anchor.map(a => spark.read.parquet(a).schema.fieldNames.toSet
+          .diff(updates.columns.toSet)).getOrElse(Set.empty[String])
+      }
+      require(missing.isEmpty,
+        s"mergeKeysDV: update batch lacks table column(s) " +
+          s"${missing.mkString(", ")} — merged keys would silently read " +
+          "NULL for them; align the batch schema (unionByName semantics)")
+    }
     deleteDvCore(spark, dataDir, m, keyCandidate(m, key, keyArr),
       scanCols = Seq(key),
       matchPred = col(key).isin(keyArr: _*),
@@ -1832,7 +1904,8 @@ object FileManifest {
     val survivors =
       if (candPaths.isEmpty) updates
       else applyDv(spark.read.option("basePath", dataDir)
-          .parquet(candPaths.toIndexedSeq: _*), m) // DV'd rows must not resurrect
+          .parquet(candPaths.toIndexedSeq: _*),
+        () => manifestFrame(spark, dataDir)) // DV'd rows must not resurrect
         .join(updates.select(col(key)), Seq(key), "left_anti")
         .unionByName(updates)
     // writer-private UUID staging + locked version validation: see
@@ -1879,12 +1952,14 @@ object FileManifest {
     * must fail loud, not undercount).
     */
   def fastCount(spark: SparkSession, dataDir: String): Long = {
-    val (mdf, _) = loadCovering(spark, dataDir)
-    val del =
-      if (mdf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
-      else lit(0L)
+    loadCovering(spark, dataDir) // the guard; the agg re-resolves below
     withSwapRetry {
-      mdf.agg(sum(col("n_rows") - del)).head().getLong(0)
+      val mdf = manifestFrame(spark, dataDir)
+      val del =
+        if (mdf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+        else lit(0L)
+      val r = mdf.agg(sum(col("n_rows") - del)).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty snapshot sums NULL
     }
   }
 
@@ -2269,6 +2344,19 @@ object FileManifest {
     * count and at most one example path. Returns the manifest file
     * count.
     */
+  /** Coverage-guard memo: `dataDir → (manifest version, live-listing
+    * fingerprint, manifest row count)`. The guard's verdict is a PURE
+    * function of (manifest version, live file set) — the version
+    * changes on every swap, and a raw append/delete changes the
+    * listing fingerprint (part-file names carry job UUIDs, so even a
+    * rebuild after a reset can't alias) — so an unchanged pair can
+    * skip the probe job outright. Repeated reads of one table (the
+    * dominant pattern: every index construction guards) pay one
+    * cheap listing + one marker stat instead of a Spark job each.
+    */
+  private val coveringMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
+
   private[sources] def requireCovering(spark: SparkSession,
       dataDir: String): (DataFrame, Int) = {
     val mdf = manifestFrame(spark, dataDir)
@@ -2280,6 +2368,14 @@ object FileManifest {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live = FsListing.listDataFiles(hfs, root)
+    val fp = (live.size.toLong << 32) |
+      (scala.util.hashing.MurmurHash3.orderedHash(live).toLong & 0xffffffffL)
+    val v = currentVersion(hfs, dataDir)
+    val memoKey = FsListing.norm(root.makeQualified(
+      hfs.getUri, hfs.getWorkingDirectory).toString)
+    val hit = coveringMemo.get(memoKey)
+    if (hit != null && hit._1 == v && hit._2 == fp)
+      return (mdf, hit._3)
     import spark.implicits._
     // coverage = every live file is CURRENT data or a retained prior
     // snapshot's member (an MVCC publish leaves old files on disk for
@@ -2309,6 +2405,10 @@ object FileManifest {
         s"requirement failed: manifest under $dataDir is stale: $n " +
           s"unmanifested files (e.g. ${sample.head}) — rebuild")
     }
+    // only PASSING verdicts memoize (a failure must re-probe and re-throw);
+    // cap-and-clear bounds a long-lived session over many tables
+    if (coveringMemo.size >= 256) coveringMemo.clear()
+    coveringMemo.put(memoKey, (v, fp, total))
     (mdf, total)
   }
 

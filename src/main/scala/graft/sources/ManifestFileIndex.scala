@@ -431,7 +431,7 @@ object ManifestFileIndex {
         case Some(vf) =>
           val all = vf ++ extra.flatMap(_.asOfFiles).getOrElse(Nil)
           require(all.nonEmpty,
-            s"version ${asOf.get} of $dataDir is an empty snapshot")
+            s"version ${asOf.getOrElse('?')} of $dataDir is an empty snapshot")
           all.head
         case None =>
           idx.allFiles().headOption.getOrElse(
@@ -452,11 +452,25 @@ object ManifestFileIndex {
       val idx = new ManifestFileIndex(spark, dataDir, asOf)
       frameOver(idx, dataSchemaOver(idx, None))
     } else {
-      val plainIdx = new ManifestFileIndex(spark, dataDir, asOf, Some(false))
-      val dvIdx = new ManifestFileIndex(spark, dataDir, asOf, Some(true))
+      // the split plans TWO listings plus the dv-row collect — pin all
+      // three to ONE explicit version (the current one when none was
+      // asked for): un-pinned, a rival swap landing between the sides'
+      // resolutions could serve a MIXED snapshot (plain side vN, dv
+      // side vN+1), the silent isolation hole MVCC exists to prevent.
+      // A current read still runs the coverage guard (version pinning
+      // must not skip staleness detection); the pinned version resolves
+      // history-first, so the read survives the swap that would
+      // otherwise have raced it. The dv rows themselves materialize
+      // eagerly inside applyDv — no plan ever depends on the mutable
+      // `_manifest` path.
+      if (asOf.isEmpty) FileManifest.requireCovering(spark, dataDir)
+      val v0 = asOf.getOrElse(FileManifest.currentVersionOf(spark, dataDir))
+      val plainIdx = new ManifestFileIndex(spark, dataDir, Some(v0), Some(false))
+      val dvIdx = new ManifestFileIndex(spark, dataDir, Some(v0), Some(true))
       val ds = dataSchemaOver(plainIdx, Some(dvIdx))
       frameOver(plainIdx, ds)
-        .unionByName(FileManifest.applyDv(frameOver(dvIdx, ds), mf0))
+        .unionByName(FileManifest.applyDv(frameOver(dvIdx, ds),
+          () => FileManifest.manifestFrameAt(spark, dataDir, v0)))
     }
   }
 }

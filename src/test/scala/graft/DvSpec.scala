@@ -321,6 +321,51 @@ class DvSpec extends AnyFunSuite with SparkSpec {
       .count() === 0L)
   }
 
+  // ---- snapshot isolation + batch-schema guard ----------------------------------
+
+  test("a held DV-read frame survives a rival swap at its pinned version") {
+    val dir = freshDir("dv_held_frame")
+    val df = spark.range(2000L).select(col("id").as("k"), (col("id") % 7).as("v"))
+    FileManifest.writeThrough(df.repartitionByRange(2, col("k")), dir,
+      Seq("k"), mode = "overwrite")
+    FileManifest.deleteRangeDV(spark, dir, "k", lit(10L), lit(19L), Seq("k"))
+    // plan a current read of the DV table, HOLD it across a rival commit
+    val held = ManifestFileIndex.read(spark, dir)
+    FileManifest.deleteRangeDV(spark, dir, "k", lit(100L), lit(109L), Seq("k"))
+    // the held frame answers at ITS version (pre-second-delete), not the
+    // new one, and never crashes on the renamed-away `_manifest`
+    assert(held.count() === 1990L)
+    assert(ManifestFileIndex.read(spark, dir).count() === 1980L)
+  }
+
+  test("merge-on-read refuses a batch missing table columns") {
+    import spark.implicits._
+    val dir = freshDir("dv_mor_schema")
+    val df = spark.range(100L).select(col("id").as("k"), (col("id") % 7).as("v"))
+    FileManifest.writeThrough(df.repartition(1), dir, Seq("k"),
+      mode = "overwrite")
+    // the batch lacks `v`: appending it verbatim would make merged keys
+    // silently read v = NULL — must fail loud like the CoW twin
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.mergeKeysDV(spark, dir,
+        Seq(5L).toDF("k"), "k", Seq("k"))
+    }
+    assert(e.getMessage.contains("lacks table column"))
+    // extra batch columns are evolution — allowed
+    FileManifest.mergeKeysDV(spark, dir,
+      Seq((5L, -1L, "x")).toDF("k", "v", "w"), "k", Seq("k"))
+    val cur = ManifestFileIndex.read(spark, dir,
+      schema = Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType)))))
+    assert(cur.count() === 100L)
+    assert(cur.filter(col("k") === 5L).select("v").head().getLong(0) === -1L)
+  }
+
   // ---- history + flat-table guard ---------------------------------------------
 
   test("history records each version's verb; surgeries refuse partitioned trees") {

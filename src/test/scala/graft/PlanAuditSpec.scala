@@ -239,21 +239,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q160_uncertainty_sample" -> Seq(("count(1) AS __cnt",
       "StratifiedTopN per-source counts: K = |source domain| rows")),
     "q165_chunk_retrieval" -> Seq((probeSlice,
-      "query-document embedding set: retrieval workload, not the corpus")),
-    // deletion-vector application: the hinted side is the manifest's dv
-    // rows — ONE row per DV-carrying file (metadata-sized, the same
-    // payload the planner's listing already holds), each vector bounded
-    // by the dead-fraction threshold; purge/compaction re-zeros it
-    "q175_dv_delete" -> Seq(("__graft_dv_file",
-      "manifest dv rows: one per DV-carrying file, threshold-bounded vectors")),
-    "q176_dv_cdf" -> Seq(("__graft_dv_file",
-      "manifest dv rows on each CDF side: metadata-sized")),
-    "q177_dv_delete_keys" -> Seq(("__graft_dv_file",
-      "manifest dv rows: one per DV-carrying file, threshold-bounded vectors")),
-    "q178_merge_on_read" -> Seq(("__graft_dv_file",
-      "manifest dv rows: one per DV-carrying file, threshold-bounded vectors")),
-    "q180_table_optimize" -> Seq(("__graft_dv_file",
-      "manifest dv rows: one per DV-carrying file, threshold-bounded vectors"))
+      "query-document embedding set: retrieval workload, not the corpus"))
+    // (deletion-vector application needs no entry: the dv rows
+    // materialize eagerly into a LocalRelation — driver-built,
+    // metadata-sized — which the structural classifier proves bounded
+    // on its own)
   )
 
   private def hintedSides(df: org.apache.spark.sql.DataFrame)
