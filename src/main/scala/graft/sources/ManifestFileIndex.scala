@@ -468,9 +468,17 @@ object ManifestFileIndex {
       val plainIdx = new ManifestFileIndex(spark, dataDir, Some(v0), Some(false))
       val dvIdx = new ManifestFileIndex(spark, dataDir, Some(v0), Some(true))
       val ds = dataSchemaOver(plainIdx, Some(dvIdx))
-      frameOver(plainIdx, ds)
-        .unionByName(FileManifest.applyDv(frameOver(dvIdx, ds),
-          () => FileManifest.manifestFrameAt(spark, dataDir, v0)))
+      // an EMPTY side contributes nothing — skip its scan (and, for an
+      // empty dv side, the dv-row collect + union entirely: the common
+      // case of a dv column whose vectors were all purged/rewritten)
+      val dvEmpty = dvIdx.asOfFiles.exists(_.isEmpty)
+      val plainEmpty = plainIdx.asOfFiles.exists(_.isEmpty)
+      if (dvEmpty) frameOver(plainIdx, ds)
+      else {
+        val dvd = FileManifest.applyDv(frameOver(dvIdx, ds),
+          () => FileManifest.manifestFrameAt(spark, dataDir, v0))
+        if (plainEmpty) dvd else frameOver(plainIdx, ds).unionByName(dvd)
+      }
     }
   }
 }
