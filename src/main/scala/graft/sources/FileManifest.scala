@@ -699,7 +699,8 @@ object FileManifest {
   def publishVia(df: DataFrame, stagingDir: String, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       expectedPerFile: Long = 65536L, fpp: Double = 0.01,
-      opName: String = "publish"): Unit = {
+      opName: String = "publish",
+      expectedVersion: Option[Long] = None): Unit = {
     val spark = df.sparkSession
     // WRITER-PRIVATE staging: `stagingDir` names the caller's staging
     // LOCATION (its filesystem/volume), but the dir actually written is
@@ -727,8 +728,14 @@ object FileManifest {
     // optimistic token: `df` is typically a read-modify-write of the
     // current snapshot (compaction), so a rival commit between this
     // point and the locked publish would be silently overwritten —
-    // validate under the lock, fail loud on movement
-    val plannedV = currentVersion(hfs, dataDir)
+    // validate under the lock, fail loud on movement. A caller whose
+    // `df` EAGERLY pinned an earlier version (optimizeTable's
+    // ManifestFileIndex.read collects its file set + dv rows at frame
+    // construction) passes that version as `expectedVersion` — reading
+    // the token here would otherwise observe a rival commit landing
+    // AFTER the caller's resolution and publish stale content right
+    // over it (lost update with a passing version check).
+    val plannedV = expectedVersion.getOrElse(currentVersion(hfs, dataDir))
     try {
     df.write.parquet(stg.toString) // may read dataDir: still untouched
     beforeCommitHook()
@@ -815,6 +822,35 @@ object FileManifest {
       .collectFirst { case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
       .getOrElse("unknown")
 
+  /** The operation marker of a specific VERSION, resolved history-first
+    * like [[manifestFrameAt]] (a history dir is immutable once renamed;
+    * the current `_manifest` can be swap-renamed between the version
+    * probe and the listing — a FileNotFound there falls back to the
+    * now-history dir instead of crashing a read-only consumer). A
+    * version retained by neither dir reads as "unknown" — the safe
+    * answer for every caller (history display; the change-feed reorg
+    * skip treats unknown as NOT-reorganization, so it never skips a
+    * hop it can't prove).
+    */
+  private[sources] def opOfVersion(hfs: org.apache.hadoop.fs.FileSystem,
+      dataDir: String, v: Long): String = {
+    val h = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
+    def histOp(): Option[String] =
+      try { if (hfs.exists(h)) Some(opOf(hfs, h)) else None }
+      catch { case _: java.io.FileNotFoundException => None }
+    histOp().getOrElse {
+      val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
+      try {
+        if (hfs.exists(cur) && versionOf(hfs, cur) == v) opOf(hfs, cur)
+        else histOp().getOrElse("unknown")
+      } catch {
+        // swap-renamed away mid-listing: the target is now history
+        case _: java.io.FileNotFoundException =>
+          histOp().getOrElse("unknown")
+      }
+    }
+  }
+
   /** DESCRIBE HISTORY: one row per readable version — (version, op,
     * n_files, n_rows live) — from the retained manifests alone
     * (metadata-scale: |versions| small manifest reads, no data page).
@@ -826,10 +862,6 @@ object FileManifest {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val rows = versions(spark, dataDir).map { v =>
-      val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
-      val mdir =
-        if (hfs.exists(cur) && versionOf(hfs, cur) == v) cur
-        else new org.apache.hadoop.fs.Path(histPath(dataDir, v))
       val agg = withSwapRetry {
         val mf = manifestFrameAt(spark, dataDir, v)
         val del =
@@ -839,7 +871,7 @@ object FileManifest {
       }
       // an EMPTY snapshot (delete-everything publish) sums to NULL rows
       val nr = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      (v, opOf(hfs, mdir), agg.getLong(0), nr)
+      (v, opOfVersion(hfs, dataDir, v), agg.getLong(0), nr)
     }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_rows").orderBy("version")
@@ -960,11 +992,61 @@ object FileManifest {
     * Both versions must still be retained — resolution fails loud with
     * the named retained range otherwise (same contract as [[readAsOf]],
     * including the mid-scan vacuum race documented there).
+    *
+    * REORGANIZATION hops (OPTIMIZE/purge commits, stamped `_op_`) are
+    * SKIPPED: the span decomposes into runs of data-changing commits
+    * and the feed composes from those alone — Delta's
+    * `dataChange=false` semantics, so CDC across a nightly compaction
+    * costs zero data I/O (see the decomposition comment in the body).
     */
   def changesBetween(spark: SparkSession, dataDir: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV,
       s"changesBetween needs fromV < toV, got $fromV >= $toV")
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // endpoint retention fails loud UP FRONT (the ChangeFeedTail
+    // lag-past-retention contract) — the reorg decomposition below can
+    // otherwise collapse the whole span without ever resolving an
+    // endpoint manifest
+    val retained = versions(spark, dataDir).toSet
+    Seq(fromV, toV).foreach { v =>
+      if (!retained.contains(v)) throw new IllegalArgumentException(
+        s"requirement failed: version $v not retained under $dataDir " +
+          s"(readable: ${retained.toSeq.sorted.mkString(", ")})")
+    }
+    // REORGANIZATION-AWARE span decomposition (the dataChange=false
+    // analog Delta stamps on OPTIMIZE commits): a hop v-1 → v whose
+    // `_op_` verb is optimize/purge is a pure PHYSICAL reorganization —
+    // its row-level net is ZERO by contract (CdfSpec, q176, q180 pin
+    // it) — so the span's netted feed composes from the non-reorg RUNS
+    // alone and the rewritten files are never opened. A consumer
+    // polling across a nightly OPTIMIZE of a 100 TB table pays zero
+    // data I/O to learn nothing changed, instead of two full scans.
+    // Soundness: a hop is skipped only when it is EXACTLY one commit
+    // (v == prev+1 among retained versions) and the stamp proves
+    // reorganization; vacuumed gaps and unknown/legacy stamps stay
+    // inside a run — a run diff between any two retained versions is
+    // exact regardless of what happened between. Multiset telescoping
+    // makes the composition exact: Σ_runs (state(b)−state(a)) =
+    // state(toV)−state(fromV) when every skipped hop is
+    // multiset-invariant.
+    val reorgOps = Set("optimize", "purge")
+    val runs: Seq[(Long, Long)] = {
+      val mids = retained.toSeq.filter(v => v > fromV && v <= toV).sorted
+      val out = Seq.newBuilder[(Long, Long)]
+      var runStart = fromV
+      var prev = fromV
+      mids.foreach { v =>
+        if (v == prev + 1 && reorgOps(opOfVersion(hfs, dataDir, v))) {
+          if (runStart < prev) out += ((runStart, prev))
+          runStart = v
+        }
+        prev = v
+      }
+      if (runStart < toV) out += ((runStart, toV))
+      out.result()
+    }
     // file-identity is (path, deletion vector): a DV-delete changes a
     // file's LIVE rows without touching its bytes, so the "present in
     // both versions ⇒ provably unchanged" rule extends to "present with
@@ -980,29 +1062,48 @@ object FileManifest {
         else lit(null).cast(BinaryType)
       mm.select(ManifestFileIndex.normPath(col("file")).as(fn), dvc.as(dvn))
     }
-    val diff = withSwapRetry {
-      mSide(fromV, "fa", "dva")
-        .join(mSide(toV, "fb", "dvb"), col("fa") === col("fb"), "full_outer")
-        .select(col("fa"), col("fb"),
-          (!(col("dva") <=> col("dvb"))).as("dvDiff"))
-        .collect()
+    // per-run file diff — (changed@from read at a, changed@to read at b)
+    val runDiffs: Seq[(Long, Long, Seq[String], Seq[String])] =
+      runs.map { case (a, b) =>
+        val diff = withSwapRetry {
+          mSide(a, "fa", "dva")
+            .join(mSide(b, "fb", "dvb"), col("fa") === col("fb"), "full_outer")
+            .select(col("fa"), col("fb"),
+              (!(col("dva") <=> col("dvb"))).as("dvDiff"))
+            .collect()
+        }
+        val changedTo = diff.filter(r =>
+          !r.isNullAt(1) && (r.isNullAt(0) || r.getBoolean(2)))
+          .map(_.getString(1)).sorted.toSeq
+        val changedFrom = diff.filter(r =>
+          !r.isNullAt(0) && (r.isNullAt(1) || r.getBoolean(2)))
+          .map(_.getString(0)).sorted.toSeq
+        (a, b, changedFrom, changedTo)
+      }
+    val anyChanged = runDiffs.flatMap(d => d._3 ++ d._4)
+    if (anyChanged.isEmpty) {
+      // nothing changed anywhere in the span (pure-reorg span, or
+      // refresh no-ops): return an EMPTY LOCAL frame — no file scan in
+      // the plan at all (the zero-data-I/O guarantee CdfSpec pins). The
+      // schema anchors on one file of an endpoint snapshot (a footer
+      // read, metadata-sized); both endpoints empty has no schema to
+      // derive and no changes to emit — fail loud as before.
+      val anchor = Seq(toV, fromV).iterator.flatMap { v =>
+        withSwapRetry {
+          manifestFrameAt(spark, dataDir, v)
+            .select(ManifestFileIndex.normPath(col("file")))
+            .limit(1).collect().headOption.map(_.getString(0))
+        }
+      }.nextOption()
+      require(anchor.nonEmpty,
+        s"changesBetween: versions $fromV and $toV of $dataDir are both " +
+          "empty snapshots — no schema to derive and no changes to emit")
+      val sch = spark.read.option("basePath", dataDir).parquet(anchor.get)
+        .schema.add(StructField("change_type", StringType, nullable = false))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
     }
-    val from = diff.filter(!_.isNullAt(0)).map(_.getString(0)).sorted.toSeq
-    val to = diff.filter(!_.isNullAt(1)).map(_.getString(1)).sorted.toSeq
-    val changedTo = diff.filter(r =>
-      !r.isNullAt(1) && (r.isNullAt(0) || r.getBoolean(2)))
-      .map(_.getString(1)).sorted.toSeq
-    val changedFrom = diff.filter(r =>
-      !r.isNullAt(0) && (r.isNullAt(1) || r.getBoolean(2)))
-      .map(_.getString(0)).sorted.toSeq
-    // schema anchor for empty sides: any file of either version. Both
-    // versions empty (a delete-everything publish then an empty refresh)
-    // has no schema to anchor and no changes to report — fail loud like
-    // every other resolution error here rather than NPE on head
-    require(from.nonEmpty || to.nonEmpty,
-      s"changesBetween: versions $fromV and $toV of $dataDir are both " +
-        "empty snapshots — no schema to derive and no changes to emit")
-    val anchor = (changedTo ++ changedFrom ++ to ++ from).head
+    val anchor = anyChanged.head
     def readSet(fs: Seq[String]): DataFrame =
       if (fs.isEmpty)
         spark.read.option("basePath", dataDir).parquet(anchor)
@@ -1033,18 +1134,23 @@ object FileManifest {
         }
       }
     }
-    val ins = readSide(changedTo, toV)
-    val del = readSide(changedFrom, fromV)
-    // ONE signed-net pass, not two directional EXCEPT ALLs (which read
-    // each side twice and shuffle twice): tag rows ±1, group by the full
-    // row, keep the nonzero nets and expand |net| copies with the sign's
-    // change_type. Multiset-identical to insEXCEPTdel ∪ delEXCEPTins —
+    // ONE signed-net pass over ALL runs, not two directional EXCEPT
+    // ALLs per run (which would read each side twice and shuffle
+    // twice): tag rows ±1, group by the full row, keep the nonzero nets
+    // and expand |net| copies with the sign's change_type. Multiset-
+    // identical to insEXCEPTdel ∪ delEXCEPTins composed across runs —
     // a row appearing i times inserted and d times deleted nets to
     // max(i−d,0) inserts / max(d−i,0) deletes either way — and float
     // grouping normalizes NaN/−0.0 exactly as EXCEPT ALL does.
-    val dataCols = ins.columns.toIndexedSeq
-    val net = ins.withColumn("_sgn", lit(1L))
-      .unionByName(del.withColumn("_sgn", lit(-1L)))
+    val tagged = runDiffs.iterator.flatMap { case (a, b, chFrom, chTo) =>
+      val side = Seq.newBuilder[DataFrame]
+      if (chTo.nonEmpty) side += readSide(chTo, b).withColumn("_sgn", lit(1L))
+      if (chFrom.nonEmpty)
+        side += readSide(chFrom, a).withColumn("_sgn", lit(-1L))
+      side.result()
+    }.reduce(_ unionByName _)
+    val dataCols = tagged.columns.filterNot(_ == "_sgn").toIndexedSeq
+    val net = tagged
       .groupBy(dataCols.map(col): _*)
       .agg(sum("_sgn").as("_net"))
       .filter(col("_net") =!= 0L)
@@ -1181,14 +1287,19 @@ object FileManifest {
     * files pay the position join — same cost shape as
     * [[ManifestFileIndex.read]]'s split. One extra metadata-sized
     * collect (the dv file list) on DV tables; zero change otherwise.
+    *
+    * `pinnedV` is the version the CALLER planned `kept` from — the dv
+    * file set and the dv rows both resolve at that same version
+    * (history-first, so the reads survive a mid-flight swap). Un-pinned
+    * this served a MIXED snapshot: version-N kept files anti-filtered
+    * by version-N+1 DVs, the isolation hole [[ManifestFileIndex.read]]'s
+    * split explicitly pins v0 to prevent.
     */
   private def readKeptDv(spark: SparkSession, dataDir: String,
-      kept: Seq[String], m: DataFrame): DataFrame = {
-    if (!m.columns.contains(DvCol)) return readKept(spark, dataDir, kept)
-    // re-resolve inside the retry (the caller's frame pins part files a
-    // rival swap may rename away mid-collect)
+      kept: Seq[String], pinnedV: Long): DataFrame = {
+    def mm() = manifestFrameAt(spark, dataDir, pinnedV)
     val dvFiles = withSwapRetry {
-      val mf = manifestFrame(spark, dataDir)
+      val mf = mm()
       if (!mf.columns.contains(DvCol)) Set.empty[String]
       else mf.filter(col(DvCol).isNotNull)
         .select(ManifestFileIndex.normPath(col("file")))
@@ -1197,8 +1308,7 @@ object FileManifest {
     val (withDv, plain) = kept.partition(dvFiles)
     if (withDv.isEmpty) readKept(spark, dataDir, plain)
     else {
-      val dvd = applyDv(readKept(spark, dataDir, withDv),
-        () => manifestFrame(spark, dataDir))
+      val dvd = applyDv(readKept(spark, dataDir, withDv), () => mm())
       if (plain.isEmpty) dvd
       else readKept(spark, dataDir, plain).unionByName(dvd)
     }
@@ -1982,13 +2092,32 @@ object FileManifest {
       bloomCols: Seq[String] = Nil, targetRowsPerFile: Long = 1L << 20,
       expectedPerFile: Long = 65536L, fpp: Double = 0.01): Int = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile=$targetRowsPerFile")
-    val live = fastCount(spark, dataDir)
+    // PIN the version BEFORE resolving any frame: ManifestFileIndex.read
+    // collects its file set and dv rows eagerly at construction, so the
+    // OCC token must be captured no later — a rival commit between the
+    // frame's resolution and a late token read would make requireUnchanged
+    // validate against the RIVAL's version and publish v0-derived content
+    // over it (silently reverting the rival's delete/merge). The live
+    // count, the read, and publishVia's token all pin to v0; a rival
+    // commit anywhere in the window now fails loud as
+    // ConcurrentWriteException (withConflictRetry replans).
+    loadCovering(spark, dataDir) // the staleness guard fastCount ran
+    val v0 = currentVersionOf(spark, dataDir)
+    val live = withSwapRetry {
+      val mdf = manifestFrameAt(spark, dataDir, v0)
+      val del =
+        if (mdf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+        else lit(0L)
+      val r = mdf.agg(sum(col("n_rows") - del)).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     require(live > 0, s"optimizeTable on empty table $dataDir")
     val nFiles = ((live + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     publishVia(
-      ManifestFileIndex.read(spark, dataDir).repartition(nFiles),
+      ManifestFileIndex.read(spark, dataDir, asOf = Some(v0))
+        .repartition(nFiles),
       s"${dataDir}_optstg", dataDir, cols, bloomCols, expectedPerFile, fpp,
-      opName = "optimize")
+      opName = "optimize", expectedVersion = Some(v0))
     nFiles
   }
 
@@ -2268,24 +2397,30 @@ object FileManifest {
   def readPrunedMulti(spark: SparkSession, dataDir: String,
       bounds: Seq[(String, Column, Column)]): (DataFrame, Int, Int) = {
     require(bounds.nonEmpty, "readPrunedMulti with no bounds")
-    val (mdf, total) = loadCovering(spark, dataDir)
-    bounds.foreach { case (c, _, _) =>
-      require(mdf.columns.contains(s"min_$c") && mdf.columns.contains(s"max_$c"),
-        s"manifest under $dataDir has no tracked bounds for '$c' — " +
-          s"rebuild with the column in cols")
-    }
-
+    val (_, total) = loadCovering(spark, dataDir) // staleness guard
+    // PIN ONE VERSION for the kept-set collect AND the dv resolution
+    // readKeptDv performs — un-pinned, a rival swap between the two
+    // would mix snapshots (see readKeptDv)
+    val v0 = currentVersionOf(spark, dataDir)
     // bound test in Spark expression semantics (same coercions the data
     // filter gets), on the tiny manifest frame
     val keepFile = bounds.map { case (c, lo, hi) =>
       col(s"min_$c").isNull || col(s"max_$c").isNull ||
         (col(s"min_$c") <= hi && col(s"max_$c") >= lo)
     }.reduce(_ && _)
-    val kept = mdf.filter(keepFile)
-      .select("file").collect().map(r => norm(r.getString(0))).toSeq
+    val kept = withSwapRetry {
+      val mdf = manifestFrameAt(spark, dataDir, v0)
+      bounds.foreach { case (c, _, _) =>
+        require(mdf.columns.contains(s"min_$c") && mdf.columns.contains(s"max_$c"),
+          s"manifest under $dataDir has no tracked bounds for '$c' — " +
+            s"rebuild with the column in cols")
+      }
+      mdf.filter(keepFile)
+        .select("file").collect().map(r => norm(r.getString(0))).toSeq
+    }
     val rowPred = bounds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _)
-    (readKeptDv(spark, dataDir, kept, mdf).filter(rowPred),
+    (readKeptDv(spark, dataDir, kept, v0).filter(rowPred),
       kept.size, total)
   }
 
@@ -2300,10 +2435,9 @@ object FileManifest {
   def readPointLookup(spark: SparkSession, dataDir: String, c: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
     require(keys.nonEmpty, "readPointLookup with no keys")
-    val (mdf, total) = loadCovering(spark, dataDir)
-    require(mdf.columns.contains(s"bloom_$c"),
-      s"manifest under $dataDir has no bloom sidecar for '$c' — " +
-        s"buildWithBloom(..., bloomCols = Seq(\"$c\")) first")
+    val (_, total) = loadCovering(spark, dataDir) // staleness guard
+    // one pinned version for the bloom probe and the dv resolution
+    val v0 = currentVersionOf(spark, dataDir)
 
     // membership probes run as a Spark job over the manifest — each
     // executor task deserializes only its partition's sidecars and
@@ -2318,10 +2452,16 @@ object FileManifest {
         keyArr.exists(bf.mightContainLong)
       }
     }
-    val kept = mdf.filter(probe(col(s"bloom_$c")))
-      .select(ManifestFileIndex.normPath(col("file")))
-      .collect().map(_.getString(0)).toSeq
-    val df = readKeptDv(spark, dataDir, kept, mdf)
+    val kept = withSwapRetry {
+      val mdf = manifestFrameAt(spark, dataDir, v0)
+      require(mdf.columns.contains(s"bloom_$c"),
+        s"manifest under $dataDir has no bloom sidecar for '$c' — " +
+          s"buildWithBloom(..., bloomCols = Seq(\"$c\")) first")
+      mdf.filter(probe(col(s"bloom_$c")))
+        .select(ManifestFileIndex.normPath(col("file")))
+        .collect().map(_.getString(0)).toSeq
+    }
+    val df = readKeptDv(spark, dataDir, kept, v0)
       .filter(col(c).isin(keys: _*))
     (df, kept.size, total)
   }

@@ -159,4 +159,43 @@ class CdfSpec extends AnyFunSuite with SparkSpec {
       (1L, -1L, "update_postimage")
     ).sortBy(t => (t._3, t._1, t._2)))
   }
+
+  test("CDF across OPTIMIZE skips the reorg hop — zero data I/O") {
+    import spark.implicits._
+    val dir = freshDir("reorg")
+    FileManifest.writeThrough((1L to 100L).toDF("k").repartition(4),
+      dir, Seq("k"), mode = "overwrite") // v1: 4 files
+    FileManifest.optimizeTable(spark, dir, Seq("k"),
+      targetRowsPerFile = 50L) // v2: pure reorganization, net zero
+    // the pure-reorg span plans NO file scan at all (Delta's
+    // dataChange=false skip): the feed is an empty LocalRelation, not
+    // a read-both-sides-and-net-to-zero double table scan
+    val feed = FileManifest.changesBetween(spark, dir, 1L, 2L)
+    assert(feed.inputFiles.isEmpty,
+      s"pure-reorg span must plan no file scan, read ${feed.inputFiles.mkString(",")}")
+    assert(feed.count() === 0L)
+    assert(feed.columns.toSet === Set("k", "change_type"))
+    // real changes on BOTH sides of an optimize compose exactly, and
+    // the optimize's rewritten-file churn stays unread: v3 appends,
+    // v4 optimizes (rewrites everything), v5 deletes
+    FileManifest.writeThrough(Seq(200L).toDF("k"), dir, Seq("k")) // v3
+    FileManifest.optimizeTable(spark, dir, Seq("k"),
+      targetRowsPerFile = 200L) // v4
+    FileManifest.deleteRange(spark, dir, "k", lit(1L), lit(5L), Seq("k")) // v5
+    val span = FileManifest.changesBetween(spark, dir, 1L, 5L)
+    val got = span.select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got ===
+      ((1L to 5L).map((_, "delete")) :+ (200L -> "insert")).sorted)
+    // v1's original files are carried unchanged into v3 and the hop
+    // 3→4 is skipped, so none of them is ever opened (compare by
+    // part-file name: inputFiles and manifest entries differ in URI
+    // encoding, and a frame's inputFiles over a directory would list
+    // everything — the v1 manifest is the exact membership)
+    val v1Names = spark.read.parquet(s"$dir/_manifest_v1")
+      .select("file").collect().map(_.getString(0).split('/').last).toSet
+    val spanNames = span.inputFiles.map(_.split('/').last).toSet
+    assert(spanNames.intersect(v1Names).isEmpty,
+      "decomposed span must not open files the skipped reorg hop rewrote")
+  }
 }
