@@ -1694,6 +1694,136 @@ object LayoutQueries {
         "o_orderkey", Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
       graft.sources.FileManifest.history(s, dir)
         .select("version", "op", "n_rows").orderBy("version")
+    },
+
+    // q182 is CDF ACROSS OPTIMIZE — the reorganization-aware feed
+    // (Delta's dataChange=false skip): the span v1→v4 crosses a
+    // full-table bin-packing OPTIMIZE (v3), and changesBetween
+    // decomposes the span at the `_op_optimize` stamp so the rewritten
+    // files are never opened — the feed is exactly the delete's and
+    // merge's row-level changes, zero I/O for the compaction hop. The
+    // oracle recomputes the identical delta from source (q169's
+    // contract), so a leaked carried row from the optimize rewrite, a
+    // lost delete, or a skipped-hop arithmetic error all change the row
+    // set; CdfSpec pins the zero-data-I/O plan property directly.
+    QueryDef.sql(
+      "q182_cdf_across_optimize",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |r AS (SELECT mn + (mx - mn) // 10 AS lo,
+        |             mn + 2 * ((mx - mn) // 10) AS hi FROM b),
+        |del AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |        WHERE o_orderkey >= lo AND o_orderkey <= hi),
+        |surv AS (SELECT o_orderkey, o_custkey FROM orders, r
+        |         WHERE NOT (o_orderkey >= lo AND o_orderkey <= hi)),
+        |upd AS (SELECT o_orderkey FROM surv WHERE o_orderkey % 1013 = 0)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       'delete' AS change_type FROM del
+        |UNION ALL
+        |SELECT CAST(s.o_orderkey AS BIGINT), CAST(s.o_custkey AS BIGINT), 'delete'
+        |  FROM surv s JOIN upd ON s.o_orderkey = upd.o_orderkey
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT), CAST(-5 AS BIGINT), 'insert' FROM upd
+        |UNION ALL
+        |SELECT CAST(o_orderkey + 800000000 AS BIGINT), CAST(-9 AS BIGINT), 'insert'
+        |  FROM surv WHERE o_orderkey % 4999 = 0
+        |ORDER BY change_type, o_orderkey, o_custkey""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_cdf_reorg")
+      // version numbers are part of this gate's OUTPUT: reset scratch so
+      // the monotonic version token restarts at v1 deterministically
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 10, mn + 2 * ((mx - mn) / 10))
+      graft.sources.FileManifest.deleteRange(
+        s, dir, "o_orderkey", lit(lo), lit(hi), Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey")) // v2: data change
+      // v3: pure reorganization — the whole table repacks into 2 files;
+      // the feed below must skip this hop entirely
+      graft.sources.FileManifest.optimizeTable(
+        s, dir, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        targetRowsPerFile =
+          (graft.sources.FileManifest.fastCount(s, dir) + 1) / 2)
+      val surv = o.filter(!(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+      val updates = surv.filter(col("o_orderkey") % 1013 === 0)
+        .select(col("o_orderkey"), lit(-5L).as("o_custkey"))
+        .unionByName(surv.filter(col("o_orderkey") % 4999 === 0)
+          .select((col("o_orderkey") + 800000000L).as("o_orderkey"),
+            lit(-9L).as("o_custkey")))
+      graft.sources.FileManifest.mergeKeys(
+        s, dir, updates, "o_orderkey", Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey")) // v4: data change
+      graft.sources.FileManifest.changesBetween(s, dir, 1L, 4L)
+        .orderBy("change_type", "o_orderkey", "o_custkey")
+    },
+
+    // q183 is STRING-KEYED surgery — the keyed verbs in the type real
+    // right-to-be-forgotten batches actually carry (UUID/document-id
+    // strings, not surrogate longs): a merge-on-read upsert keyed on a
+    // string id (string bloom sidecars + UTF-8-ordered bounds slicing
+    // plan the candidates), then a string-keyed DV erasure batch. The
+    // gate pins the final table (count + string min/max per customer)
+    // against the from-source oracle — a key false-negatived out of
+    // its file by an ordering/encoding mismatch (the UTF-16-vs-UTF-8
+    // trap StringKeySpec pins directly) leaves a stale duplicate or a
+    // lost delete, and either moves a count.
+    QueryDef.sql(
+      "q183_string_key_surgery",
+      """WITH t AS (SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ok,
+        |                  CAST(o_custkey AS BIGINT) AS c, o_orderkey FROM orders),
+        |m AS (SELECT ok, CASE WHEN o_orderkey % 1013 = 0 THEN -5 ELSE c END AS c,
+        |             o_orderkey FROM t),
+        |merged AS (SELECT ok, c, o_orderkey FROM m
+        |  UNION ALL SELECT 'z_new_0', -100, 0
+        |  UNION ALL SELECT 'z_new_1', -101, 0),
+        |final AS (SELECT * FROM merged
+        |          WHERE NOT (o_orderkey % 4999 = 0 AND o_orderkey <> 0))
+        |SELECT CAST(c AS BIGINT) AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |       min(ok) AS min_ok, max(ok) AS max_ok
+        |FROM final GROUP BY c ORDER BY o_custkey""") { (s, d) =>
+      import s.implicits._
+      val dir = QueryDef.scratch(d, "manifest_strkey")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        concat(lit("k"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")).as("ok"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.select("ok", "o_custkey").repartitionByRange(4, col("ok")),
+        dir, Seq("ok"), bloomCols = Seq("ok"), mode = "overwrite")
+      val updates = o.filter(col("o_orderkey") % 1013 === 0)
+        .select(col("ok"), lit(-5L).as("o_custkey"))
+        .unionByName(Seq(("z_new_0", -100L), ("z_new_1", -101L))
+          .toDF("ok", "o_custkey"))
+      graft.sources.FileManifest.mergeKeysDV(
+        s, dir, updates, "ok", Seq("ok"), bloomCols = Seq("ok"))
+      val delKeys = o
+        .filter(col("o_orderkey") % 4999 === 0 && col("o_orderkey") =!= 0L)
+        .select("ok").collect().map(_.getString(0)).toSeq
+      if (delKeys.nonEmpty)
+        graft.sources.FileManifest.deleteKeysDVString(
+          s, dir, "ok", delKeys, Seq("ok"), bloomCols = Seq("ok"))
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          min("ok").as("min_ok"), max("ok").as("max_ok"))
+        .orderBy("o_custkey")
     }
   )
 }

@@ -588,15 +588,26 @@ object FileManifest {
       bloomCols: Seq[String], expectedPerFile: Long, fpp: Double): DataFrame = {
     bloomCols.foreach { c =>
       val dt = data.schema(c).dataType
-      require(FsListing.isIntegral(dt),
-        s"bloom sidecar column '$c' is $dt — only integral key columns " +
-          "are bloom-trackable (cast-to-long must be value-preserving)")
+      require(FsListing.isIntegral(dt) || dt == StringType,
+        s"bloom sidecar column '$c' is $dt — only integral (cast-to-long " +
+          "must be value-preserving) or string key columns are " +
+          "bloom-trackable")
     }
     val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp),
       org.apache.spark.sql.Encoders.LONG)
+    // string keys hash UTF-8 bytes (BloomFilter.putString/
+    // mightContainString) — no cast, so probe-side literals agree with
+    // build-side storage by construction; the sidecar's ENCODING is
+    // keyed to the column dtype on both sides
+    val strBloomAgg = udaf(new StringBloomAgg(expectedPerFile, fpp),
+      org.apache.spark.sql.Encoders.STRING)
     val aggs = count(lit(1)).as("n_rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-        bloomCols.map(c => bloomAgg(col(c).cast("long")).as(s"bloom_$c")))
+        bloomCols.map { c =>
+          if (data.schema(c).dataType == StringType)
+            strBloomAgg(col(c)).as(s"bloom_$c")
+          else bloomAgg(col(c).cast("long")).as(s"bloom_$c")
+        })
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -613,6 +624,31 @@ object FileManifest {
     def zero: BloomFilter = BloomFilter.create(expected, fpp)
     def reduce(b: BloomFilter, k: java.lang.Long): BloomFilter = {
       if (k != null) b.putLong(k)
+      b
+    }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.mergeInPlace(b)
+    def finish(b: BloomFilter): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      b.writeTo(os)
+      os.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** [[BloomAgg]] for STRING keys — `putString` hashes the UTF-8 bytes,
+    * matching `mightContainString` on every probe path; null keys
+    * skipped for the same exactness reason.
+    */
+  private final class StringBloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    def reduce(b: BloomFilter, k: String): BloomFilter = {
+      if (k != null) b.putString(k)
       b
     }
     def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.mergeInPlace(b)
@@ -892,8 +928,9 @@ object FileManifest {
     require(sub.isEmpty,
       s"$verb requires a FLAT table: $root has partition subdirs (e.g. " +
         s"${if (sub.nonEmpty) sub.head.getPath.getName else ""}) — a root-level " +
-        "rewrite would flatten the partition column into file data; run the " +
-        s"$verb per partition directory instead")
+        "rewrite would flatten the partition column into file data; use " +
+        "optimizePartitioned/deleteRangePartitioned (partition-aware, one " +
+        s"atomic commit) or run the $verb per partition directory")
   }
 
   /** TIME TRAVEL: plan the table as it stood at `version`. Every
@@ -1055,30 +1092,61 @@ object FileManifest {
     // emits exactly the newly-dead rows as deletes. Only the diff FLAG
     // is collected (O(files) path strings + booleans); dv binaries stay
     // on executors.
-    def mSide(v: Long, fn: String, dvn: String): DataFrame = {
-      val mm = manifestFrameAt(spark, dataDir, v)
-      val dvc =
-        if (mm.columns.contains(DvCol)) col(DvCol)
-        else lit(null).cast(BinaryType)
-      mm.select(ManifestFileIndex.normPath(col("file")).as(fn), dvc.as(dvn))
-    }
-    // per-run file diff — (changed@from read at a, changed@to read at b)
-    val runDiffs: Seq[(Long, Long, Seq[String], Seq[String])] =
+    // per-run file diff — (changed@from read at a, changed@to read at b,
+    // dv-carrying files per side). ONE resolution pass per run hands the
+    // downstream reads their dv-file sets too, so readSide never
+    // re-resolves a manifest it was already diffed from. The common
+    // dv-less case (neither side's manifest carries a dv column —
+    // provable from schema alone) diffs the two path lists driver-side
+    // with two plain collects: the full-outer join exists only to
+    // compare dv binaries exactly, and scheduling it on a dv-less pair
+    // is pure per-commit overhead for a CDC consumer.
+    val runDiffs: Seq[(Long, Long, Seq[String], Seq[String],
+        Set[String], Set[String])] =
       runs.map { case (a, b) =>
-        val diff = withSwapRetry {
-          mSide(a, "fa", "dva")
-            .join(mSide(b, "fb", "dvb"), col("fa") === col("fb"), "full_outer")
-            .select(col("fa"), col("fb"),
-              (!(col("dva") <=> col("dvb"))).as("dvDiff"))
-            .collect()
+        withSwapRetry {
+          val ma = manifestFrameAt(spark, dataDir, a)
+          val mb = manifestFrameAt(spark, dataDir, b)
+          val hasDvA = ma.columns.contains(DvCol)
+          val hasDvB = mb.columns.contains(DvCol)
+          if (!hasDvA && !hasDvB) {
+            def files(m: DataFrame): Array[String] =
+              m.select(ManifestFileIndex.normPath(col("file")))
+                .collect().map(_.getString(0))
+            val fa = files(ma)
+            val fb = files(mb)
+            val (faSet, fbSet) = (fa.toSet, fb.toSet)
+            (a, b, fa.filterNot(fbSet).sorted.toSeq,
+              fb.filterNot(faSet).sorted.toSeq,
+              Set.empty[String], Set.empty[String])
+          } else {
+            def side(m: DataFrame, hasDv: Boolean, fn: String,
+                dvn: String): DataFrame = {
+              val dvc = if (hasDv) col(DvCol) else lit(null).cast(BinaryType)
+              m.select(ManifestFileIndex.normPath(col("file")).as(fn),
+                dvc.as(dvn))
+            }
+            val diff = side(ma, hasDvA, "fa", "dva")
+              .join(side(mb, hasDvB, "fb", "dvb"),
+                col("fa") === col("fb"), "full_outer")
+              .select(col("fa"), col("fb"),
+                (!(col("dva") <=> col("dvb"))).as("dvDiff"),
+                col("dva").isNotNull.as("hasA"),
+                col("dvb").isNotNull.as("hasB"))
+              .collect()
+            val changedTo = diff.filter(r =>
+              !r.isNullAt(1) && (r.isNullAt(0) || r.getBoolean(2)))
+              .map(_.getString(1)).sorted.toSeq
+            val changedFrom = diff.filter(r =>
+              !r.isNullAt(0) && (r.isNullAt(1) || r.getBoolean(2)))
+              .map(_.getString(0)).sorted.toSeq
+            val dvA = diff.filter(r => !r.isNullAt(0) && r.getBoolean(3))
+              .map(_.getString(0)).toSet
+            val dvB = diff.filter(r => !r.isNullAt(1) && r.getBoolean(4))
+              .map(_.getString(1)).toSet
+            (a, b, changedFrom, changedTo, dvA, dvB)
+          }
         }
-        val changedTo = diff.filter(r =>
-          !r.isNullAt(1) && (r.isNullAt(0) || r.getBoolean(2)))
-          .map(_.getString(1)).sorted.toSeq
-        val changedFrom = diff.filter(r =>
-          !r.isNullAt(0) && (r.isNullAt(1) || r.getBoolean(2)))
-          .map(_.getString(0)).sorted.toSeq
-        (a, b, changedFrom, changedTo)
       }
     val anyChanged = runDiffs.flatMap(d => d._3 ++ d._4)
     if (anyChanged.isEmpty) {
@@ -1111,29 +1179,24 @@ object FileManifest {
       else spark.read.option("basePath", dataDir).parquet(fs: _*)
     // split-by-side like every other DV read: only a side's DV-carrying
     // changed files pay the position join (readSet keeps the anchored
-    // empty-frame shape for the no-changes case). Frames resolve INSIDE
-    // the retries (manifestFrameAt re-invoked), so a swap landing
-    // mid-resolution re-resolves history-first instead of re-reading a
-    // renamed-away path.
-    def readSide(fs: Seq[String], v: Long): DataFrame = {
-      def mm() = manifestFrameAt(spark, dataDir, v)
+    // empty-frame shape for the no-changes case). The dv-file set comes
+    // from the SAME per-run resolution that produced the diff — one
+    // snapshot per (run, side), never a second resolve that a rival
+    // swap could land between. applyDv's dv-row resolver still
+    // re-resolves inside its own retry (history-first), so a swap
+    // landing mid-collect recovers.
+    def readSide(fs: Seq[String], v: Long, dvFiles: Set[String]): DataFrame =
       if (fs.isEmpty) readSet(fs)
       else {
-        val dvFiles = withSwapRetry {
-          val m = mm()
-          if (!m.columns.contains(DvCol)) Set.empty[String]
-          else m.filter(col(DvCol).isNotNull)
-            .select(ManifestFileIndex.normPath(col("file")))
-            .collect().map(_.getString(0)).toSet
-        }
         val (withDv, plain) = fs.partition(dvFiles)
         if (withDv.isEmpty) readSet(plain)
         else {
-          val dvd = applyDv(readSet(withDv), () => mm())
+          val dvd = applyDv(readSet(withDv),
+            () => manifestFrameAt(spark, dataDir, v),
+            spill = Some((dataDir, v)))
           if (plain.isEmpty) dvd else readSet(plain).unionByName(dvd)
         }
       }
-    }
     // ONE signed-net pass over ALL runs, not two directional EXCEPT
     // ALLs per run (which would read each side twice and shuffle
     // twice): tag rows ±1, group by the full row, keep the nonzero nets
@@ -1142,12 +1205,14 @@ object FileManifest {
     // a row appearing i times inserted and d times deleted nets to
     // max(i−d,0) inserts / max(d−i,0) deletes either way — and float
     // grouping normalizes NaN/−0.0 exactly as EXCEPT ALL does.
-    val tagged = runDiffs.iterator.flatMap { case (a, b, chFrom, chTo) =>
-      val side = Seq.newBuilder[DataFrame]
-      if (chTo.nonEmpty) side += readSide(chTo, b).withColumn("_sgn", lit(1L))
-      if (chFrom.nonEmpty)
-        side += readSide(chFrom, a).withColumn("_sgn", lit(-1L))
-      side.result()
+    val tagged = runDiffs.iterator.flatMap {
+      case (a, b, chFrom, chTo, dvA, dvB) =>
+        val side = Seq.newBuilder[DataFrame]
+        if (chTo.nonEmpty)
+          side += readSide(chTo, b, dvB).withColumn("_sgn", lit(1L))
+        if (chFrom.nonEmpty)
+          side += readSide(chFrom, a, dvA).withColumn("_sgn", lit(-1L))
+        side.result()
     }.reduce(_ unionByName _)
     val dataCols = tagged.columns.filterNot(_ == "_sgn").toIndexedSeq
     val net = tagged
@@ -1236,8 +1301,10 @@ object FileManifest {
     * table. Files without a DV entry miss the join → null dv →
     * `dv_contains` is total-false → every row kept, no null guard.
     */
-  private[sources] def applyDv(df: DataFrame, mkM: () => DataFrame): DataFrame =
-    applyDvOn(df, mkM, col("_metadata.file_path"), col("_metadata.row_index"))
+  private[sources] def applyDv(df: DataFrame, mkM: () => DataFrame,
+      spill: Option[(String, Long)] = None): DataFrame =
+    applyDvOn(df, mkM, col("_metadata.file_path"), col("_metadata.row_index"),
+      spill)
 
   /** [[applyDv]] core with caller-supplied position columns — for
     * frames that already materialized `_metadata` into named columns
@@ -1255,31 +1322,109 @@ object FileManifest {
     * re-reading the renamed-away path. Zero live DVs → the frame is
     * returned untouched.
     */
-  private def applyDvOn(df: DataFrame, mkM: () => DataFrame,
-      fileCol: Column, idxCol: Column): DataFrame = {
-    val rows = withSwapRetry {
-      val m = mkM()
-      if (!m.columns.contains(DvCol)) Array.empty[org.apache.spark.sql.Row]
-      else m.filter(col(DvCol).isNotNull)
+  /** SIZE GATE for the dv broadcast: per-file DVs are bounded by
+    * `maxDvFraction` (4 B/deleted row), but nothing bounds the NUMBER
+    * of DV-carrying files — 10⁵ lightly-deleted files would make the
+    * LocalRelation collect + broadcast multi-GB driver state. Above
+    * this many estimated bytes (Σ n_del × 4 + per-file overhead, one
+    * column-pruned metadata agg that never reads a dv binary), the dv
+    * rows SPILL to an immutable version-keyed parquet under the table
+    * (`_dv_spill/v{N}` — underscore-prefixed: invisible to data
+    * listings/coverage) and the read joins it shuffle-side instead of
+    * broadcasting; the spill is written once per (table, version) and
+    * reused, and [[vacuum]] reaps spills of unretained versions.
+    * Mutable only by specs (to force the fallback at toy scale).
+    */
+  private[graft] var dvBroadcastMaxBytes: Long = 64L << 20
+
+  private def dvSpillDir(dataDir: String, v: Long): String =
+    s"$dataDir/_dv_spill/v$v"
+
+  /** Materialize version `v`'s dv rows to the spill parquet if not
+    * already there; idempotent and concurrency-safe (tmp + rename; the
+    * loser of a rename race verifies the winner's `_SUCCESS` and
+    * reuses it). The spill is immutable once renamed — exactly the
+    * property the returned lazy plan needs that the swap-mutable
+    * `_manifest` dir can't give.
+    */
+  private def ensureDvSpill(spark: SparkSession, dataDir: String, v: Long,
+      mkM: () => DataFrame): String = {
+    val dir = new org.apache.hadoop.fs.Path(dvSpillDir(dataDir, v))
+    val hfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def complete() =
+      hfs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    if (complete()) return dir.toString
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dataDir/_dv_spill/.tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+    withSwapRetry {
+      mkM().filter(col(DvCol).isNotNull)
         .select(metaPathOf(col("file")).as("__graft_dv_file"),
           col(DvCol).as("__graft_dv"))
-        .collect()
+        .write.mode("overwrite").parquet(tmp.toString)
     }
-    if (rows.isEmpty) df
-    else {
-      val spark = df.sparkSession
-      graft.functions.DvContains.register(spark)
-      val dvLocal = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
-        StructType(Seq(
-          StructField("__graft_dv_file", StringType, nullable = false),
-          StructField("__graft_dv", BinaryType, nullable = false))))
-      df.withColumn("__graft_dv_file", fileCol)
-        .withColumn("__graft_dv_idx", idxCol)
-        .join(broadcast(dvLocal), Seq("__graft_dv_file"), "left")
-        .filter(!expr("dv_contains(__graft_dv, __graft_dv_idx)"))
-        .drop("__graft_dv_file", "__graft_dv_idx", "__graft_dv")
+    if (!hfs.rename(tmp, dir)) {
+      hfs.delete(tmp, true)
+      require(complete(), s"dv spill publish failed under $dir")
     }
+    dir.toString
+  }
+
+  private def applyDvOn(df: DataFrame, mkM: () => DataFrame,
+      fileCol: Column, idxCol: Column,
+      spill: Option[(String, Long)] = None): DataFrame = {
+    val spark = df.sparkSession
+    // gate FIRST, with a column-pruned metadata agg (n_del + a file
+    // count — dv binaries unread), so an over-threshold dv set is never
+    // collected to the driver at all
+    val est = withSwapRetry {
+      val m = mkM()
+      if (!m.columns.contains(DvCol)) 0L
+      else {
+        val r = m.filter(col(DvCol).isNotNull)
+          .agg(sum(coalesce(col(DvDelCol), lit(0L))).as("nd"),
+            count(lit(1)).as("nf")).head()
+        if (r.isNullAt(1) || r.getLong(1) == 0L) 0L
+        else r.getLong(0) * 4L + r.getLong(1) * 64L
+      }
+    }
+    if (est == 0L) return df
+    graft.functions.DvContains.register(spark)
+    val overCap = est > dvBroadcastMaxBytes
+    val dvSide: (DataFrame, Boolean) = spill match {
+      case Some((dataDir, v)) if overCap =>
+        // shuffle-side fallback: the dv table reads from the immutable
+        // version-keyed spill — executor-side bytes, zero driver
+        // collect — and the join builds its hash side from it
+        // (shuffle_hash hint: the dv side is always the small side
+        // relative to the data rows being filtered; only DV-carrying
+        // files' rows reach this join at all, per the split read)
+        (spark.read.parquet(ensureDvSpill(spark, dataDir, v, mkM))
+          .hint("shuffle_hash"), false)
+      case _ =>
+        // in-bounds (or no spill context): eager LocalRelation — the
+        // rows a broadcast would collect at execution anyway, pinned
+        // driver-side so no plan ever depends on the mutable
+        // `_manifest` path (see the class doc above)
+        val rows = withSwapRetry {
+          val m = mkM()
+          m.filter(col(DvCol).isNotNull)
+            .select(metaPathOf(col("file")).as("__graft_dv_file"),
+              col(DvCol).as("__graft_dv"))
+            .collect()
+        }
+        (spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          StructType(Seq(
+            StructField("__graft_dv_file", StringType, nullable = false),
+            StructField("__graft_dv", BinaryType, nullable = false)))), true)
+    }
+    val joined = df.withColumn("__graft_dv_file", fileCol)
+      .withColumn("__graft_dv_idx", idxCol)
+    (if (dvSide._2)
+      joined.join(broadcast(dvSide._1), Seq("__graft_dv_file"), "left")
+    else joined.join(dvSide._1, Seq("__graft_dv_file"), "left"))
+      .filter(!expr("dv_contains(__graft_dv, __graft_dv_idx)"))
+      .drop("__graft_dv_file", "__graft_dv_idx", "__graft_dv")
   }
 
   /** Scan exactly `kept` with per-file DVs applied, SPLIT by side:
@@ -1308,7 +1453,8 @@ object FileManifest {
     val (withDv, plain) = kept.partition(dvFiles)
     if (withDv.isEmpty) readKept(spark, dataDir, plain)
     else {
-      val dvd = applyDv(readKept(spark, dataDir, withDv), () => mm())
+      val dvd = applyDv(readKept(spark, dataDir, withDv), () => mm(),
+        spill = Some((dataDir, pinnedV)))
       if (plain.isEmpty) dvd
       else readKept(spark, dataDir, plain).unionByName(dvd)
     }
@@ -1439,6 +1585,56 @@ object FileManifest {
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
   }
 
+  /** [[deleteKeysDV]] for STRING keys — the UUID/document-id erasure
+    * batch in its native type (real right-to-be-forgotten payloads key
+    * on string ids, not surrogate longs). Candidate planning runs
+    * through [[keyCandidateStr]]: bounds compare as Catalyst string
+    * literals, the per-file slice binary-searches in UTF-8 order, and
+    * the bloom probe hashes the same UTF-8 bytes the build side stored
+    * — no cast anywhere, so the skipping stack stays exactly as sound
+    * as the long-key path. Separate name (not an overload): Seq[Long]
+    * and Seq[String] erase to the same JVM signature.
+    */
+  def deleteKeysDVString(spark: SparkSession, dataDir: String, key: String,
+      keys: Seq[String], cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5,
+      maxKeys: Int = 100000): (Int, Int, Int) = {
+    require(keys.nonEmpty, "deleteKeysDVString with no keys")
+    require(keys.size <= maxKeys,
+      s"deleteKeysDVString batch of ${keys.size} keys exceeds " +
+        s"maxKeys=$maxKeys — the key set rides the plan (InSet) and the " +
+        "candidate probes; split the erasure into batches")
+    require(!keys.contains(null),
+      "deleteKeysDVString: NULL key in batch — a NULL key matches no row")
+    val m = manifestFrame(spark, dataDir)
+    // key TYPE from the manifest's tracked bounds when present, else one
+    // manifest-anchored footer — same resolution as deleteKeysDV
+    val dt = withSwapRetry {
+      val mf = manifestFrame(spark, dataDir)
+      mf.schema.find(_.name == s"min_$key").map(_.dataType).getOrElse {
+        val anchor = mf.select(ManifestFileIndex.normPath(col("file")))
+          .limit(1).collect().headOption.map(_.getString(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"deleteKeysDVString: empty manifest under $dataDir"))
+        val sch = spark.read.parquet(anchor).schema
+        require(sch.fieldNames.contains(key),
+          s"deleteKeysDVString key '$key' not in table schema under " +
+            s"$dataDir (anchored on $anchor)")
+        sch(key).dataType
+      }
+    }
+    require(dt == StringType,
+      s"deleteKeysDVString key '$key' is $dt — use deleteKeysDV for " +
+        "integral keys")
+    val keyArr = keys.distinct.sorted(utf8Ordering).toArray
+    deleteDvCore(spark, dataDir, m, keyCandidateStr(m, key, keyArr),
+      scanCols = Seq(key),
+      matchPred = col(key).isin(keyArr.toIndexedSeq: _*),
+      survivorKeep = col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*),
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
+  }
+
   /** The shared DV-delete engine behind [[deleteRangeDV]] and
     * [[deleteKeysDV]]: plan candidates via `candidate` (a boolean over
     * MANIFEST rows), find matched row positions via `matchPred` (a
@@ -1496,8 +1692,11 @@ object FileManifest {
         .select(col("_metadata.file_path").as("f") +:
           col("_metadata.row_index").as("i") +:
           scanCols.map(col): _*)
-      applyDvOn(tagged, () => manifestFrame(spark, dataDir), col("f"), col("i"))
-        .filter(matchPred)
+      // a dv-less plan-time manifest proves no positions to anti-filter
+      (if (hasDvCols)
+        applyDvOn(tagged, () => manifestFrame(spark, dataDir),
+          col("f"), col("i"), spill = Some((dataDir, plannedV)))
+      else tagged).filter(matchPred)
     }
     val counts =
       if (candPaths.isEmpty) Map.empty[String, Long]
@@ -1550,11 +1749,16 @@ object FileManifest {
       // append batch — they land as one version's fresh files
       val rewriteSurvivors =
         if (rwPaths.isEmpty) None
-        else Some(applyDv(
-          spark.read.option("basePath", dataDir)
-            .parquet(rwPaths.toIndexedSeq: _*),
-          () => manifestFrame(spark, dataDir))
-          .filter(survivorKeep))
+        else Some {
+          val cand = spark.read.option("basePath", dataDir)
+            .parquet(rwPaths.toIndexedSeq: _*)
+          // dv-lessness is provable from the plan-time schema (rival
+          // commits fail the version check) — skip the resolver
+          (if (hasDvCols)
+            applyDv(cand, () => manifestFrame(spark, dataDir),
+              spill = Some((dataDir, plannedV)))
+          else cand).filter(survivorKeep)
+        }
       val staged = (rewriteSurvivors, appendDf) match {
         case (Some(s), Some(a)) => Some(s.unionByName(a))
         case (s, a) => s.orElse(a)
@@ -1639,7 +1843,8 @@ object FileManifest {
       if (dvPaths.nonEmpty)
         applyDv(spark.read.option("basePath", dataDir)
           .parquet(dvPaths.toIndexedSeq: _*),
-          () => manifestFrame(spark, dataDir))
+          () => manifestFrame(spark, dataDir),
+          spill = Some((dataDir, plannedV)))
           .write.parquet(stg.toString)
       beforeCommitHook()
       CommitLock.withLock(hfs,
@@ -1722,11 +1927,17 @@ object FileManifest {
     val carried = m.filter(disjoint)
     val nCarried = flags.count(_._2)
     if (candPaths.isEmpty) return (0, nCarried)
-    val survivors = applyDv(
-      spark.read.option("basePath", dataDir)
-        .parquet(candPaths.toIndexedSeq: _*),
-      () => manifestFrame(spark, dataDir)) // DV'd rows must not resurrect
-      // NULL-c rows SURVIVE: a NULL never satisfies the range predicate
+    val survivors = locally {
+      val cand = spark.read.option("basePath", dataDir)
+        .parquet(candPaths.toIndexedSeq: _*)
+      // DV'd rows must not resurrect; dv-lessness is provable from the
+      // plan-time schema (rival commits fail the version check), so the
+      // common dv-less table skips the resolver round-trip
+      if (m.columns.contains(DvCol))
+        applyDv(cand, () => manifestFrame(spark, dataDir),
+          spill = Some((dataDir, plannedV)))
+      else cand
+    } // NULL-c rows SURVIVE: a NULL never satisfies the range predicate
       // (the same rule that makes read-side bound pruning sound), but a
       // bare !(between) evaluates to NULL for them and the filter would
       // silently delete every NULL row in a rewritten file
@@ -1798,11 +2009,13 @@ object FileManifest {
       expectedPerFile: Long = 65536L, fpp: Double = 0.01,
       maxDvFraction: Double = 0.5,
       maxCollectedKeys: Int = 100000): (Int, Int, Int) = {
-    require(FsListing.isIntegral(updates.schema(key).dataType),
-      s"mergeKeysDV key '$key' is ${updates.schema(key).dataType} — only " +
-        "integral key columns merge (cast-to-long must be value- and " +
-        "order-preserving)")
-    val keyStats = updates.select(col(key).cast("long").as("k"))
+    val keyDt = updates.schema(key).dataType
+    val strKey = keyDt == StringType
+    require(FsListing.isIntegral(keyDt) || strKey,
+      s"mergeKeysDV key '$key' is $keyDt — only integral (cast-to-long " +
+        "must be value- and order-preserving) or string key columns merge")
+    val keyStats = updates
+      .select((if (strKey) col(key) else col(key).cast("long")).as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))
     val capped = keyStats.limit(maxCollectedKeys + 1).collect()
     require(capped.nonEmpty, "mergeKeysDV: empty update batch")
@@ -1819,11 +2032,10 @@ object FileManifest {
     capped.find(_.getLong(1) > 1L).foreach { r =>
       throw new IllegalArgumentException(
         s"mergeKeysDV: update batch has multiple rows for key $key=" +
-          s"${r.getLong(0)} — MERGE replaces exactly one row per matched " +
+          s"${r.get(0)} — MERGE replaces exactly one row per matched " +
           "key; dedup the batch (e.g. keep-last by an ordering column) " +
           "before merging")
     }
-    val keyArr = capped.map(_.getLong(0)).sorted
     val m = manifestFrame(spark, dataDir)
     // the batch appends VERBATIM on the common no-rewrite path, so the
     // unionByName schema check mergeKeys gets for free must run here
@@ -1843,10 +2055,22 @@ object FileManifest {
           s"${missing.mkString(", ")} — merged keys would silently read " +
           "NULL for them; align the batch schema (unionByName semantics)")
     }
-    deleteDvCore(spark, dataDir, m, keyCandidate(m, key, keyArr),
+    val (cand, matchP, keepP) =
+      if (strKey) {
+        val keyArr = capped.map(_.getString(0)).sorted(utf8Ordering)
+        (keyCandidateStr(m, key, keyArr),
+          col(key).isin(keyArr.toIndexedSeq: _*),
+          col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*))
+      } else {
+        val keyArr = capped.map(_.getLong(0)).sorted
+        (keyCandidate(m, key, keyArr),
+          col(key).isin(keyArr.toIndexedSeq: _*),
+          col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*))
+      }
+    deleteDvCore(spark, dataDir, m, cand,
       scanCols = Seq(key),
-      matchPred = col(key).isin(keyArr: _*),
-      survivorKeep = col(key).isNull || !col(key).isin(keyArr: _*),
+      matchPred = matchP,
+      survivorKeep = keepP,
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
       appendDf = Some(updates), op = "merge-dv")
   }
@@ -1921,6 +2145,89 @@ object FileManifest {
     else lit(true)
   }
 
+  /** [[keyCandidate]] for STRING keys — same bounds-prefilter +
+    * bounds-sliced bloom probe, in the string key space. ORDERING is
+    * the one soundness trap: the per-file slice binary-searches the
+    * sorted key array against the file's min/max bounds, and those
+    * bounds come from Spark's min/max agg, which ranks strings by
+    * UTF-8 BINARY order (UTF8String) — NOT Java's UTF-16 code-unit
+    * order (they disagree beyond the BMP: U+FFFF sorts above U+10000
+    * in UTF-16, below it in UTF-8). Every comparison here — the sort
+    * the caller must apply ([[utf8Ordering]]) and the slice search —
+    * uses UTF8String, so a supplementary-plane key can never be
+    * sliced out of a file whose bounds admit it (StringKeySpec pins
+    * exactly that pair). The bounds PRE-filter runs as a Catalyst
+    * expression on the manifest frame — Catalyst's own string order,
+    * trivially consistent.
+    */
+  private def keyCandidateStr(m: DataFrame, key: String,
+      keyArr: Array[String]): Column = {
+    val (kmin, kmax) = (keyArr.head, keyArr.last)
+    val hasBounds = m.columns.contains(s"min_$key")
+    val hasBloom = m.columns.contains(s"bloom_$key")
+    val boundsPre: Column =
+      if (hasBounds)
+        coalesce(!(col(s"max_$key") < lit(kmin) ||
+          col(s"min_$key") > lit(kmax)), lit(true))
+      else lit(true)
+    def cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // first index with keyArr(i) >= x / > x (UTF8 order)
+    def lowerBound(x: String): Int = {
+      var lo = 0; var hi = keyArr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(keyArr(mid), x) < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def upperBound(x: String): Int = {
+      var lo = 0; var hi = keyArr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(keyArr(mid), x) <= 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val bloomProbe = udf { (bytes: Array[Byte], mn: String, mx: String) =>
+      bytes == null || {
+        val (from, until) =
+          if (mn == null || mx == null) (0, keyArr.length)
+          else (lowerBound(mn), upperBound(mx))
+        from < until && {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          var i = from
+          var hit = false
+          while (i < until && !hit) {
+            hit = bf.mightContainString(keyArr(i)); i += 1
+          }
+          hit
+        }
+      }
+    }
+    val boundsProbe = udf { (mn: String, mx: String) =>
+      mn == null || mx == null || lowerBound(mn) < upperBound(mx)
+    }
+    if (hasBloom)
+      boundsPre && bloomProbe(col(s"bloom_$key"),
+        if (hasBounds) col(s"min_$key") else lit(null).cast(StringType),
+        if (hasBounds) col(s"max_$key") else lit(null).cast(StringType))
+    else if (hasBounds)
+      boundsPre && boundsProbe(col(s"min_$key"), col(s"max_$key"))
+    else lit(true)
+  }
+
+  /** Catalyst's string order (UTF-8 binary) as a driver-side Ordering —
+    * the sort every string key array MUST use before binary-searching
+    * against manifest bounds (see [[keyCandidateStr]]).
+    */
+  private[sources] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** Keyed MERGE (upsert) with bloom/bounds-pruned FILE SURGERY — the
     * table-format MERGE verb: rows of `updates` REPLACE same-key rows
     * and insert the rest, rewriting only the files that might hold a
@@ -1933,7 +2240,8 @@ object FileManifest {
     * payload), collected once for the executor-side probes — the same
     * contract as the bloom point-lookup read path. Publishes as an MVCC
     * version: the pre-merge snapshot stays readable until vacuum
-    * retention. Long-typed keys only (the sidecar hashes longs).
+    * retention. Integral or string keys (each probes in its native
+    * order/encoding — see keyCandidate / keyCandidateStr).
     *
     * Returns (files rewritten, files carried).
     */
@@ -1943,16 +2251,19 @@ object FileManifest {
       maxCollectedKeys: Int = 100000): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // "long-typed keys only" is ENFORCED, not just documented: the
-    // probes below compare cast-to-long values against bounds whose
-    // native ordering can differ (string "99" > "500" but 99 < 500), so
-    // a non-integral key could false-negative a file out of the rewrite
-    // set — the silent lost-update Bloom/bounds semantics must never
-    // allow. Same guard fileStats applies to bloom columns.
-    require(FsListing.isIntegral(updates.schema(key).dataType),
-      s"mergeKeys key '$key' is ${updates.schema(key).dataType} — only " +
-        "integral key columns merge (cast-to-long must be value- and " +
-        "order-preserving)")
+    // key-type contract is ENFORCED, not just documented: integral keys
+    // probe as cast-to-long (value- and order-preserving), STRING keys
+    // (UUIDs, document ids — the right-to-be-forgotten batch's natural
+    // shape) probe in the native string order/encoding via
+    // keyCandidateStr. Anything else (a timestamp whose cast drops
+    // micros, a double whose bounds order diverges from its long cast)
+    // could false-negative a file out of the rewrite set — the silent
+    // lost update Bloom/bounds semantics must never allow.
+    val keyDt = updates.schema(key).dataType
+    val strKey = keyDt == StringType
+    require(FsListing.isIntegral(keyDt) || strKey,
+      s"mergeKeys key '$key' is $keyDt — only integral (cast-to-long " +
+        "must be value- and order-preserving) or string key columns merge")
     requireFlatTable(hfs, root, "mergeKeys")
     val plannedV = currentVersion(hfs, dataDir)
     val m = manifestFrame(spark, dataDir)
@@ -1965,14 +2276,15 @@ object FileManifest {
     // means the COMPLETE key set is in hand and every check derives
     // driver-side. Only a genuinely huge batch pays a second,
     // aggregate-only pass for its guards and global bounds.
-    val keyStats = updates.select(col(key).cast("long").as("k"))
+    val keyStats = updates
+      .select((if (strKey) col(key) else col(key).cast("long")).as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))
     val capped = keyStats.limit(maxCollectedKeys + 1).collect()
     require(capped.nonEmpty, "mergeKeys: empty update batch")
     val nullMsg =
       s"mergeKeys: update batch has NULL '$key' keys — a NULL key " +
         "matches no row and cannot MERGE; filter or fill the batch first"
-    def dupMsg(k: Long) =
+    def dupMsg(k: Any) =
       s"mergeKeys: update batch has multiple rows for key $key=$k — " +
         "MERGE replaces exactly one row per matched key; dedup the " +
         "batch (e.g. keep-last by an ordering column) before merging"
@@ -1992,18 +2304,27 @@ object FileManifest {
         require(st.getLong(1) == 0L, nullMsg)
         if (st.getLong(0) > 1L)
           throw new IllegalArgumentException(dupMsg(
-            keyStats.filter(col("c") > 1).select("k").head().getLong(0)))
-        val (kmin, kmax) = (st.getLong(2), st.getLong(3))
-        if (m.columns.contains(s"min_$key"))
-          coalesce(!(col(s"max_$key").cast("long") < kmin ||
-            col(s"min_$key").cast("long") > kmax), lit(true))
-        else lit(true)
+            keyStats.filter(col("c") > 1).select("k").head().get(0)))
+        // global-bounds fallback in the key's NATIVE type: the min/max
+        // came from a Spark agg and compare here as Catalyst literals —
+        // one ordering end-to-end for longs and strings alike
+        if (m.columns.contains(s"min_$key")) {
+          if (strKey)
+            coalesce(!(col(s"max_$key") < lit(st.getString(2)) ||
+              col(s"min_$key") > lit(st.getString(3))), lit(true))
+          else
+            coalesce(!(col(s"max_$key").cast("long") < st.getLong(2) ||
+              col(s"min_$key").cast("long") > st.getLong(3)), lit(true))
+        } else lit(true)
       } else {
         capped.find(_.isNullAt(0)).foreach { _ =>
           throw new IllegalArgumentException(nullMsg) }
         capped.find(_.getLong(1) > 1L).foreach { r =>
-          throw new IllegalArgumentException(dupMsg(r.getLong(0))) }
-        keyCandidate(m, key, capped.map(_.getLong(0)).sorted)
+          throw new IllegalArgumentException(dupMsg(r.get(0))) }
+        if (strKey)
+          keyCandidateStr(m, key,
+            capped.map(_.getString(0)).sorted(utf8Ordering))
+        else keyCandidate(m, key, capped.map(_.getLong(0)).sorted)
       }
     // ONE metadata job for plan + tally (same fold as deleteRange)
     val mFlags = m.select(ManifestFileIndex.normPath(col("file")).as("f"),
@@ -2011,13 +2332,26 @@ object FileManifest {
     val candPaths = mFlags.filter(_._2).map(_._1).sorted
     val carried = m.filter(!isCand)
     val nCarried = mFlags.count(!_._2)
-    val survivors =
+    val survivors = locally (
       if (candPaths.isEmpty) updates
-      else applyDv(spark.read.option("basePath", dataDir)
-          .parquet(candPaths.toIndexedSeq: _*),
-        () => manifestFrame(spark, dataDir)) // DV'd rows must not resurrect
-        .join(updates.select(col(key)), Seq(key), "left_anti")
-        .unionByName(updates)
+      else {
+        val cand = spark.read.option("basePath", dataDir)
+          .parquet(candPaths.toIndexedSeq: _*)
+        // DV'd rows must not resurrect — but the plan-time manifest `m`
+        // PROVES dv-lessness from its schema alone (the whole surgery
+        // is consistent at plannedV: a rival adding a DV fails the
+        // commit's version check), so the common dv-less table skips
+        // applyDv's resolver round-trip instead of re-reading the
+        // manifest only to find no dv column (measured ~0.1 s of pure
+        // per-commit driver overhead in the q171 CDC loop)
+        val live =
+          if (m.columns.contains(DvCol))
+            applyDv(cand, () => manifestFrame(spark, dataDir),
+              spill = Some((dataDir, plannedV)))
+          else cand
+        live.join(updates.select(col(key)), Seq(key), "left_anti")
+          .unionByName(updates)
+      })
     // writer-private UUID staging + locked version validation: see
     // [[deleteRange]] — same optimistic-concurrency commit protocol
     val stg = new org.apache.hadoop.fs.Path(
@@ -2119,6 +2453,215 @@ object FileManifest {
       s"${dataDir}_optstg", dataDir, cols, bloomCols, expectedPerFile, fpp,
       opName = "optimize", expectedVersion = Some(v0))
     nFiles
+  }
+
+  /** The staged→live move for partition-aware surgeries: every data
+    * file under `src`'s partition tree renames into the SAME relative
+    * partition dir under the table root (no copy), committer metadata
+    * skipped. Returns the moved files' destination paths.
+    */
+  private def movePartitionTree(hfs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dstDir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val moved = Seq.newBuilder[String]
+    def walk(s: org.apache.hadoop.fs.Path,
+        d: org.apache.hadoop.fs.Path): Unit = {
+      if (!hfs.exists(d)) hfs.mkdirs(d)
+      hfs.listStatus(s).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath, new org.apache.hadoop.fs.Path(d, n))
+          else {
+            val dst = new org.apache.hadoop.fs.Path(d, n)
+            require(hfs.rename(st.getPath, dst),
+              s"partitioned publish rename failed: ${st.getPath} -> $dst")
+            moved += dst.toString
+          }
+        }
+      }
+    }
+    walk(src, dstDir)
+    moved.result()
+  }
+
+  /** Relative partition dir of a manifest `file` entry ("" for a
+    * root-level file) — the grouping key of the partition-aware verbs.
+    */
+  private def relPartitionDir(rootQ: String, f: String): String = {
+    require(f == rootQ || f.startsWith(rootQ + "/"),
+      s"manifest entry outside table root $rootQ: $f")
+    val rel = f.stripPrefix(rootQ).stripPrefix("/")
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** OPTIMIZE for a HIVE-PARTITIONED manifest table — the partition-
+    * aware twin of [[optimizeTable]] (which guards itself FLAT-only,
+    * since a root-level rewrite would flatten the partition column into
+    * file data). Each partition directory's live rows (DVs applied)
+    * rewrite into `ceil(live / targetRowsPerFile)` files INSIDE that
+    * directory — read without basePath, so only physical columns land
+    * in the files and the partition encoding stays directory-only —
+    * and, crucially, ALL partitions stage first and publish under ONE
+    * manifest swap: single-version atomicity across the whole tree,
+    * where a per-partition loop of N optimizeTable calls would be N
+    * commits with readers seeing intermediate states. DV debt retires
+    * tree-wide (the post-optimize manifest carries no dv columns), the
+    * pre-optimize snapshot stays readable until vacuum retention, and
+    * the change feed across it nets to zero — same contract as the
+    * flat verb, q180. Partitions stage sequentially (one write job
+    * each — the job count is O(partition dirs), the I/O is O(live
+    * bytes) either way). Works on flat tables too (one "" partition ≡
+    * optimizeTable). Returns the number of files written.
+    */
+  def optimizePartitioned(spark: SparkSession, dataDir: String,
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      targetRowsPerFile: Long = 1L << 20,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01): Int = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile=$targetRowsPerFile")
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    loadCovering(spark, dataDir) // staleness guard
+    // pin BEFORE any frame resolution — same OCC discipline as
+    // optimizeTable (the eager reads below all resolve at v0, and the
+    // commit validates against v0)
+    val v0 = currentVersionOf(spark, dataDir)
+    val rootQ = FsListing.norm(root.makeQualified(
+      hfs.getUri, hfs.getWorkingDirectory).toString)
+    val (meta, hasDv) = withSwapRetry {
+      val m = manifestFrameAt(spark, dataDir, v0)
+      val del =
+        if (m.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+        else lit(0L)
+      (m.select(ManifestFileIndex.normPath(col("file")).as("f"),
+          (col("n_rows") - del).as("nr"))
+        .collect().map(r => (r.getString(0), r.getLong(1))),
+        m.columns.contains(DvCol))
+    }
+    require(meta.nonEmpty, s"optimizePartitioned on empty table $dataDir")
+    val byPart = meta.groupBy(t => relPartitionDir(rootQ, t._1)).toSeq.sortBy(_._1)
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      var written = 0
+      byPart.foreach { case (rel, files) =>
+        val live = files.map(_._2).sum
+        if (live > 0) {
+          val n = ((live + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          val raw = spark.read.parquet(files.map(_._1).toIndexedSeq: _*)
+          val rows =
+            if (hasDv) applyDv(raw,
+              () => manifestFrameAt(spark, dataDir, v0),
+              spill = Some((dataDir, v0)))
+            else raw
+          rows.repartition(n).write.parquet(
+            if (rel.isEmpty) stg.toString else s"$stg/$rel")
+          written += n
+        }
+      }
+      beforeCommitHook()
+      CommitLock.withLock(hfs,
+        new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+        requireUnchanged(hfs, dataDir, v0, stg)
+        val moved = movePartitionTree(hfs, stg, root)
+        hfs.delete(stg, true)
+        require(moved.nonEmpty,
+          s"optimizePartitioned produced no data files for $dataDir")
+        // fresh stats for the WHOLE new file set (basePath-anchored, so
+        // tracked partition columns get real bounds — that is what lets
+        // the manifest prune partitions by range later)
+        val stats = statsForFiles(spark, dataDir, moved, cols, bloomCols,
+          expectedPerFile, fpp)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        swapVersioned(hfs, dataDir, tmp, "optimize")
+        spark.catalog.refreshByPath(dataDir)
+      }
+      written
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
+  }
+
+  /** Range DELETE for a HIVE-PARTITIONED manifest table — the
+    * partition-aware twin of [[deleteRange]], same stage-all-then-
+    * one-swap atomicity as [[optimizePartitioned]]: candidate files
+    * (manifest bounds intersecting `[lo, hi]`) rewrite their survivors
+    * INTO their own partition directories; untouched files carry by
+    * reference byte-for-byte; everything publishes as ONE MVCC version.
+    * `c` must be a PHYSICAL file column — deleting by the partition
+    * column itself is a directory-level operation (drop the matching
+    * `col=value` dirs and refresh), and silently treating it as a row
+    * filter would rewrite every file to delete whole partitions. Fails
+    * loud in that case. Returns (files rewritten, files carried).
+    */
+  def deleteRangePartitioned(spark: SparkSession, dataDir: String, c: String,
+      lo: Column, hi: Column, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    loadCovering(spark, dataDir)
+    val v0 = currentVersionOf(spark, dataDir)
+    val rootQ = FsListing.norm(root.makeQualified(
+      hfs.getUri, hfs.getWorkingDirectory).toString)
+    val m = manifestFrameAt(spark, dataDir, v0)
+    require(m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c"),
+      s"deleteRangePartitioned needs tracked bounds for $c under $dataDir")
+    val disjoint = coalesce(col(s"max_$c") < lo || col(s"min_$c") > hi,
+      lit(false))
+    val (flags, hasDv) = withSwapRetry {
+      val mf = manifestFrameAt(spark, dataDir, v0)
+      (mf.select(ManifestFileIndex.normPath(col("file")).as("f"),
+          disjoint.as("d")).collect()
+        .map(r => (r.getString(0), r.getBoolean(1))),
+        mf.columns.contains(DvCol))
+    }
+    val candPaths = flags.filter(!_._2).map(_._1).sorted
+    val nCarried = flags.count(_._2)
+    if (candPaths.isEmpty) return (0, nCarried)
+    // partition-column guard: the predicate column must live in the
+    // file bytes, or the survivor filter below would read it from the
+    // DIRECTORY and rewrite files only to re-encode whole-partition
+    // deletes the cheap dir-drop path should handle
+    require(physicalFields(spark, candPaths.head).contains(c),
+      s"deleteRangePartitioned column '$c' is a PARTITION column under " +
+        s"$dataDir — drop the matching partition directories and refresh " +
+        "instead of a row-level rewrite")
+    val byPart = candPaths.groupBy(relPartitionDir(rootQ, _)).toSeq.sortBy(_._1)
+    val keep = col(c).isNull || !(col(c) >= lo && col(c) <= hi)
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      byPart.foreach { case (rel, files) =>
+        val raw = spark.read.parquet(files.toIndexedSeq: _*)
+        val live =
+          if (hasDv) applyDv(raw,
+            () => manifestFrameAt(spark, dataDir, v0),
+            spill = Some((dataDir, v0)))
+          else raw
+        live.filter(keep).write.parquet(
+          if (rel.isEmpty) stg.toString else s"$stg/$rel")
+      }
+      beforeCommitHook()
+      CommitLock.withLock(hfs,
+        new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
+        requireUnchanged(hfs, dataDir, v0, stg)
+        val moved = movePartitionTree(hfs, stg, root)
+        hfs.delete(stg, true)
+        val carried = m.filter(disjoint)
+        val merged =
+          if (moved.isEmpty) carried
+          else carried.unionByName(alignStats(
+            statsForFiles(spark, dataDir, moved, cols, bloomCols,
+              expectedPerFile, fpp), carried.columns.toIndexedSeq))
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        swapVersioned(hfs, dataDir, tmp, "delete")
+        spark.catalog.refreshByPath(dataDir)
+        (candPaths.length, nCarried)
+      }
+    } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
   }
 
   /** Manifest-aware orphan-file VACUUM (the remove-orphans verb of the
@@ -2267,6 +2810,26 @@ object FileManifest {
       }
       orphans.foreach(p =>
         hfs.delete(new org.apache.hadoop.fs.Path(p), false))
+      // DV-SPILL RETENTION: `_dv_spill/v{N}` parquets are version-keyed
+      // CACHES (ensureDvSpill re-creates them idempotently), so reaping
+      // follows manifest retention — spills of unretained versions and
+      // abandoned tmp dirs go once past grace; a reader mid-scan on one
+      // hits the same loud retention race the data files document
+      locally {
+        val spillRoot = new org.apache.hadoop.fs.Path(s"$dataDir/_dv_spill")
+        if (hfs.exists(spillRoot)) {
+          val keep = (keptHist :+ currentVersion(hfs, dataDir)).toSet
+          hfs.listStatus(spillRoot).foreach { st =>
+            val n = st.getPath.getName
+            val unretained =
+              n.startsWith(".tmp_") ||
+                (n.startsWith("v") && n.drop(1).nonEmpty &&
+                  n.drop(1).forall(_.isDigit) && !keep.contains(n.drop(1).toLong))
+            if (unretained && st.getModificationTime < cutoff)
+              hfs.delete(st.getPath, true)
+          }
+        }
+      }
       // drop any cached listings/footers for the pruned tree so a reader
       // planned after the vacuum never references a deleted file
       spark.catalog.refreshByPath(dataDir)

@@ -476,7 +476,8 @@ object ManifestFileIndex {
       if (dvEmpty) frameOver(plainIdx, ds)
       else {
         val dvd = FileManifest.applyDv(frameOver(dvIdx, ds),
-          () => FileManifest.manifestFrameAt(spark, dataDir, v0))
+          () => FileManifest.manifestFrameAt(spark, dataDir, v0),
+          spill = Some((dataDir, v0)))
         if (plainEmpty) dvd else frameOver(plainIdx, ds).unionByName(dvd)
       }
     }
