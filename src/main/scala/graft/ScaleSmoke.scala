@@ -663,6 +663,49 @@ object ScaleSmoke {
           f"driver_heap=${before}%4d->${usedMB}%4d MB $dt%7.2f s")
       }
     }
+
+    // DV-SPILL tier: the NUMBER of DV-carrying files grows 4×/16× (one
+    // key erased per file, so EVERY file carries a DV) and the read is
+    // timed on both sides of the broadcast size gate — default
+    // threshold (driver LocalRelation broadcast) vs forced spill
+    // (version-keyed parquet, shuffle-side join). The claim: the
+    // fallback ENGAGES (no driver collect of dv bytes), returns
+    // identical sums, and its read time scales with the data like the
+    // broadcast path does — never a driver-memory cliff.
+    locally {
+      import graft.sources.FileManifest
+      for (n <- Seq(64, 256, 1024)) {
+        val dir = s"/tmp/graft_mvcc/spill_$n"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (hfs.exists(p)) hfs.delete(p, true)
+        val rows = n * 20000L
+        val df = spark.range(rows).select(col("id").as("k"), (col("id") % 97).as("v"))
+        FileManifest.writeThrough(df.repartitionByRange(n, col("k")), dir,
+          Seq("k"), mode = "overwrite")
+        val keys = (0 until n).map(i => i * 20000L + 7L)
+        val (dvN, _, _) = FileManifest.deleteKeysDV(spark, dir, "k", keys, Seq("k"))
+        var t0 = System.nanoTime()
+        val bSum = graft.sources.ManifestFileIndex.read(spark, dir)
+          .agg(sum("v")).head().getLong(0)
+        val bDt = (System.nanoTime() - t0) / 1e9
+        val saved = FileManifest.dvBroadcastMaxBytes
+        val (sSum, sDt, sDt2) =
+          try {
+            FileManifest.dvBroadcastMaxBytes = 1L // force the fallback
+            t0 = System.nanoTime()
+            val s1 = graft.sources.ManifestFileIndex.read(spark, dir)
+              .agg(sum("v")).head().getLong(0)
+            val d1 = (System.nanoTime() - t0) / 1e9
+            t0 = System.nanoTime() // second read reuses the spill
+            graft.sources.ManifestFileIndex.read(spark, dir)
+              .agg(sum("v")).head().getLong(0)
+            (s1, d1, (System.nanoTime() - t0) / 1e9)
+          } finally FileManifest.dvBroadcastMaxBytes = saved
+        println(f"mvcc_dv_spill files=$n%-5d dvfiles=$dvN%-5d bcast=$bDt%6.2f s " +
+          f"spill_cold=$sDt%6.2f s spill_warm=$sDt2%6.2f s equal=${bSum == sSum}")
+      }
+    }
   }
 
   private def compact100(spark: SparkSession, base: String,

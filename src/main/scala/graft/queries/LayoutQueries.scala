@@ -1824,6 +1824,53 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           min("ok").as("min_ok"), max("ok").as("max_ok"))
         .orderBy("o_custkey")
+    },
+
+    // q184 is PARTITION-AWARE surgery: a hive-partitioned manifest
+    // table takes a cross-partition range DELETE and a tree-wide
+    // OPTIMIZE, each as ONE atomic manifest commit (rewrites land
+    // inside their partition dirs; the partition column never flattens
+    // into file data; a per-partition loop would be N commits with
+    // readers seeing intermediate states — PartitionedSurgerySpec pins
+    // the single-version property and the carried-by-reference split).
+    // The gate pins the final per-partition aggregates against the
+    // from-source oracle: a survivor row leaked into the wrong
+    // partition dir, a double-encoded partition column, or a lost
+    // carried file all move a count or a sum.
+    QueryDef.sql(
+      "q184_partitioned_surgery",
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |r AS (SELECT mn + (mx - mn) // 10 AS lo,
+        |             mn + 2 * ((mx - mn) // 10) AS hi FROM b),
+        |f AS (SELECT o_orderkey, o_orderkey % 4 AS p FROM orders, r
+        |      WHERE NOT (o_orderkey >= lo AND o_orderkey <= hi))
+        |SELECT CAST(p AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM f GROUP BY p ORDER BY p""") { (s, d) =>
+      val dir = QueryDef.scratch(d, "manifest_partsurg")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        (col("o_orderkey") % 4).cast("long").as("p"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(8, col("p"), col("o_orderkey")),
+        dir, Seq("o_orderkey"), partitionCols = Seq("p"),
+        mode = "overwrite")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 10, mn + 2 * ((mx - mn) / 10))
+      graft.sources.FileManifest.deleteRangePartitioned(
+        s, dir, "o_orderkey", lit(lo), lit(hi), Seq("o_orderkey"))
+      graft.sources.FileManifest.optimizePartitioned(
+        s, dir, Seq("o_orderkey"), targetRowsPerFile = 1L << 20)
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .groupBy(col("p").cast("long").as("p"))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .orderBy("p")
     }
   )
 }

@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions.{col, lit, udf, when}
   * keep the file (the drop test is `coalesce(provably-disjoint,
   * false)` — a NULL bound can never prove disjointness); only
   * conjuncts of the shape `col (=|<|<=|>|>=) lit` (either operand
-  * order) on numerically-comparable tracked columns prune — anything
-  * else contributes nothing; strict bounds are relaxed to inclusive
+  * order) on numerically-comparable tracked columns prune, plus
+  * string-literal conjuncts on string-typed tracked columns (one
+  * Catalyst string ordering end to end) — anything else contributes
+  * nothing; strict bounds are relaxed to inclusive
   * (conservative); NULL-valued rows can never satisfy a range
   * conjunct, so bound-based skipping loses no row. Kept-set membership
   * is exact because the construction-time coverage guard (which fails
@@ -77,6 +79,17 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
       .filter(c => manifestSchema.fieldNames.contains(s"max_$c"))
       .filter(c => manifestSchema(s"min_$c").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType]).toSet
+  // STRING-typed bounds prune too — but only against STRING literals,
+  // compared as Catalyst expressions on the manifest frame: string
+  // bounds and string literals share one ordering (UTF-8 binary) end to
+  // end, so `max_c < lit` / `min_c > lit` is exact disjointness — the
+  // unsoundness that keeps strings out of trackedNumeric is numeric
+  // PARSING of lexicographic bounds, which never happens here.
+  private val trackedString: Set[String] =
+    manifestSchema.fieldNames.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      .filter(c => manifestSchema.fieldNames.contains(s"max_$c"))
+      .filter(c => manifestSchema(s"min_$c").dataType ==
+        org.apache.spark.sql.types.StringType).toSet
   // bloom sidecars (buildWithBloom): an EQUALITY conjunct on a
   // bloom-tracked column additionally prunes by MEMBERSHIP — the
   // point-lookup layer min/max bounds can't provide (a
@@ -173,6 +186,7 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     val ranges = extractRanges(dataFilters)
+    val strRanges = extractStringRanges(dataFilters)
     // bloom probes are sound only for INTEGRAL-typed attributes: the
     // sidecar stores cast-to-long keys, and a non-integral equality
     // literal (timestamp micros vs stored seconds, fractional double)
@@ -182,6 +196,14 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
     val integralAttrs = dataFilters.flatMap(_.collect {
       case a: Attribute if FsListing.isIntegral(a.dataType) => a.name
     }).toSet
+    // string equality probes need the ATTRIBUTE to be string-typed too:
+    // the sidecar's encoding follows the column dtype at build time
+    // (putString for strings), so a string-typed attr proves the filter
+    // was built with mightContainString's byte layout
+    val stringAttrs = dataFilters.flatMap(_.collect {
+      case a: Attribute
+        if a.dataType == org.apache.spark.sql.types.StringType => a.name
+    }).toSet
     // the manifest defines TABLE MEMBERSHIP, not just skipping: an MVCC
     // publish (index compaction rewriting its own dir) leaves prior
     // snapshots' files on disk for as-of readers until vacuum retention,
@@ -189,7 +211,7 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
     // manifest's file set — a raw directory union would double-count.
     // With no pushed ranges the kept set is the full membership list
     // (same driver bytes any FileIndex already holds for its listing).
-    val kept = keptFiles(ranges, integralAttrs)
+    val kept = keptFiles(ranges, strRanges, integralAttrs, stringAttrs)
     base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
         kept.contains(FsListing.norm(f.getPath.toString))
@@ -224,15 +246,19 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
     */
   private def keptFiles(
       ranges: Map[String, (Option[BigDecimal], Option[BigDecimal])],
-      integralAttrs: Set[String]): Set[String] = {
+      strRanges: Map[String, (Option[String], Option[String])],
+      integralAttrs: Set[String], stringAttrs: Set[String]): Set[String] = {
     // as-of membership-only listing: the version's file set is already
     // driver-resident (collected + liveness-checked at construction) —
     // re-running a manifest job to recompute it would double every
     // unfiltered as-of read's metadata cost
-    if (ranges.isEmpty && asOfFiles.isDefined) return asOfFiles.get.toSet
+    if (ranges.isEmpty && strRanges.isEmpty && asOfFiles.isDefined)
+      return asOfFiles.get.toSet
 
-    val sig = ranges.toSeq.sortBy(_._1).mkString("|") + "§" +
-      integralAttrs.toSeq.sorted.mkString(",")
+    val sig = ranges.toSeq.sortBy(_._1).mkString("|") + "¦" +
+      strRanges.toSeq.sortBy(_._1).mkString("|") + "§" +
+      integralAttrs.toSeq.sorted.mkString(",") + "¶" +
+      stringAttrs.toSeq.sorted.mkString(",")
     val hit = keptCache.get(sig)
     if (hit != null) return hit
 
@@ -282,12 +308,34 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
       }
       bounds && bloom
     }.reduceOption(_ && _).getOrElse(lit(true)) // no ranges → membership-only
+    // STRING conjuncts: bounds disjointness evaluated wholly in Catalyst
+    // (one string ordering end to end — see trackedString), equality
+    // additionally probing the string bloom sidecar
+    val keepStr = strRanges.map { case (c, (lo, hi)) =>
+      val bounds: Column =
+        if (!trackedString.contains(c)) lit(true)
+        else {
+          val disjoint =
+            lo.map(v => col(s"max_$c") < lit(v)).getOrElse(lit(false)) ||
+              hi.map(v => col(s"min_$c") > lit(v)).getOrElse(lit(false))
+          !org.apache.spark.sql.functions.coalesce(disjoint, lit(false))
+        }
+      val bloom: Column = (lo, hi) match {
+        case (Some(l), Some(h))
+          if l == h && stringAttrs.contains(c) && bloomTracked.contains(c) =>
+          when(col(s"bloom_$c").isNull, lit(true))
+            .otherwise(ManifestFileIndex.bloomProbeStr(
+              col(s"bloom_$c"), lit(l)))
+        case _ => lit(true)
+      }
+      bounds && bloom
+    }.reduceOption(_ && _).getOrElse(lit(true))
 
     // planningFrame resolved INSIDE the retry: a manifest swap landing
     // between resolution and the collect re-resolves against the renamed
     // (immutable) history dir instead of crashing the listing
     val kept = FileManifest.withSwapRetry {
-      planningFrame.filter(keep && dvPred)
+      planningFrame.filter(keep && keepStr && dvPred)
         .select(ManifestFileIndex.normPath(col("file")))
         .collect().map(_.getString(0)).toSet
     }
@@ -349,6 +397,60 @@ class ManifestFileIndex(spark: SparkSession, dataDir: String,
     }
     perCol.toMap
   }
+
+  /** Per STRING-tracked column, one [lo, hi] window the pushed string
+    * conjuncts imply. Combining multiple conjuncts on one column picks
+    * bounds with Java's string max/min — potentially the LOOSER of two
+    * (Java and UTF-8 order diverge beyond the BMP), never a tighter
+    * one the data filter doesn't imply: any single conjunct's bound is
+    * sound alone, so whichever is picked only keeps extra files.
+    */
+  private def extractStringRanges(dataFilters: Seq[Expression])
+    : Map[String, (Option[String], Option[String])] = {
+    def slit(e: Expression): Option[String] = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        Some(v.toString)
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute
+        if a.dataType == org.apache.spark.sql.types.StringType &&
+          (trackedString.contains(a.name) || bloomTracked.contains(a.name)) =>
+        Some(a.name)
+      case _ => None
+    }
+    val perCol = scala.collection.mutable.Map[String, (Option[String], Option[String])]()
+    def tighten(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = perCol.getOrElse(c, (None, None))
+      perCol(c) = (
+        Seq(l0, lo).flatten.reduceOption((a, b) => if (a >= b) a else b),
+        Seq(h0, hi).flatten.reduceOption((a, b) => if (a <= b) a else b))
+    }
+    dataFilters.foreach {
+      case GreaterThanOrEqual(l: Literal, a) => // lit >= col ⇒ col <= lit
+        for (c <- attr(a); v <- slit(l)) tighten(c, None, Some(v))
+      case GreaterThan(l: Literal, a) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, None, Some(v))
+      case LessThanOrEqual(l: Literal, a) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, Some(v), None)
+      case LessThan(l: Literal, a) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, Some(v), None)
+      case EqualTo(l: Literal, a) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, Some(v), Some(v))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, Some(v), None)
+      case GreaterThan(a, l: Literal) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, Some(v), None)
+      case LessThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, None, Some(v))
+      case LessThan(a, l: Literal) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, None, Some(v))
+      case EqualTo(a, l: Literal) =>
+        for (c <- attr(a); v <- slit(l)) tighten(c, Some(v), Some(v))
+      case _ => ()
+    }
+    perCol.toMap
+  }
 }
 
 object ManifestFileIndex {
@@ -364,6 +466,15 @@ object ManifestFileIndex {
         org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
           .mightContainLong(key)
+    }
+
+  /** [[bloomProbe]] for string sidecars — UTF-8 bytes on both sides. */
+  private[sources] val bloomProbeStr =
+    udf { (bytes: Array[Byte], key: String) =>
+      bytes == null ||
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainString(key)
     }
 
   /** [[FsListing.norm]] as an executor-side expression, so manifest

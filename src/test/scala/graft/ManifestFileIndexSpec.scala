@@ -102,18 +102,43 @@ class ManifestFileIndexSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("id") === 99999L).count() == 0)
   }
 
-  test("string-typed tracked columns never prune (lexicographic bounds are not numeric)") {
+  test("string bounds prune in STRING order, never via numeric parsing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfi_str").toString
-    // one file with values {"9","10"}: lexicographic min="10", max="9" —
-    // a numeric comparison against them would wrongly skip `name = "10"`
+    // one file with values {"9","10"}: string-ordered min="10", max="9" —
+    // a NUMERIC comparison against these bounds would wrongly skip
+    // `name = "10"` (10 > 9); the string-order disjointness test keeps
+    // the file and the result stays exact
     Seq(("9", 1L), ("10", 2L)).toDF("name", "v")
       .coalesce(1).write.mode("append").parquet(dir)
     FileManifest.build(spark, dir, Seq("name"))
     val got = ManifestFileIndex.read(spark, dir)
       .filter(col("name") === "10").collect()
     assert(got.length == 1 && got.head.getLong(1) == 2L,
-      "non-numeric bounds must contribute no pruning")
+      "string bounds must never be compared numerically")
+  }
+
+  test("string-tracked columns prune transparently: bounds windows + equality blooms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_strprune").toString
+    // 3 disjoint string-key files: a000..a099, b000.., c000..
+    Seq("a", "b", "c").foreach { p =>
+      (0 until 100).map(i => (f"$p$i%03d", p)).toDF("id", "grp")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    FileManifest.buildWithBloom(spark, dir, Seq("id"), Seq("id"))
+    val idx = new ManifestFileIndex(spark, dir)
+    val id = AttributeReference("id", org.apache.spark.sql.types.StringType)()
+    def kept(f: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      idx.listFiles(Nil, Seq(f)).map(_.files.size).sum
+    def slit(v: String) = Literal.create(v, org.apache.spark.sql.types.StringType)
+    assert(kept(EqualTo(id, slit("b050"))) == 1, "equality opens one file")
+    assert(kept(GreaterThanOrEqual(id, slit("c000"))) == 1, "range window")
+    assert(kept(EqualTo(id, slit("b999"))) == 0, "bounds exclude absent key")
+    // results stay exact through the transparent path
+    val got = ManifestFileIndex.read(spark, dir)
+      .filter(col("id") === "b050").collect()
+    assert(got.length == 1 && got.head.getString(1) == "b")
   }
 
   test("hive-partitioned tree: directory pruning and bounds pruning compose in one listing") {
