@@ -2332,7 +2332,7 @@ object FileManifest {
     val candPaths = mFlags.filter(_._2).map(_._1).sorted
     val carried = m.filter(!isCand)
     val nCarried = mFlags.count(!_._2)
-    val survivors = locally (
+    val survivors =
       if (candPaths.isEmpty) updates
       else {
         val cand = spark.read.option("basePath", dataDir)
@@ -2351,7 +2351,7 @@ object FileManifest {
           else cand
         live.join(updates.select(col(key)), Seq(key), "left_anti")
           .unionByName(updates)
-      })
+      }
     // writer-private UUID staging + locked version validation: see
     // [[deleteRange]] — same optimistic-concurrency commit protocol
     val stg = new org.apache.hadoop.fs.Path(
