@@ -616,14 +616,19 @@ object FileManifest {
     * executor-side (null keys skipped — a NULL never equals a point
     * probe, so leaving it out of the filter is exact, and a file of only
     * NULL keys correctly yields an empty filter every probe misses).
+    * One base, two key encodings: `putLong` for integral keys,
+    * `putString` (UTF-8 bytes, matching `mightContainString` on every
+    * probe path) for string keys — the put function is the ONLY
+    * difference, kept in one place so the encodings can't drift.
     */
-  private final class BloomAgg(expected: Long, fpp: Double)
+  private sealed class BloomAggBase[T](expected: Long, fpp: Double,
+      put: (org.apache.spark.util.sketch.BloomFilter, T) => Unit)
       extends org.apache.spark.sql.expressions.Aggregator[
-        java.lang.Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+        T, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
     import org.apache.spark.util.sketch.BloomFilter
     def zero: BloomFilter = BloomFilter.create(expected, fpp)
-    def reduce(b: BloomFilter, k: java.lang.Long): BloomFilter = {
-      if (k != null) b.putLong(k)
+    def reduce(b: BloomFilter, k: T): BloomFilter = {
+      if (k != null) put(b, k)
       b
     }
     def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.mergeInPlace(b)
@@ -638,30 +643,11 @@ object FileManifest {
       org.apache.spark.sql.Encoders.BINARY
   }
 
-  /** [[BloomAgg]] for STRING keys — `putString` hashes the UTF-8 bytes,
-    * matching `mightContainString` on every probe path; null keys
-    * skipped for the same exactness reason.
-    */
+  private final class BloomAgg(expected: Long, fpp: Double)
+      extends BloomAggBase[java.lang.Long](expected, fpp, _ putLong _)
+
   private final class StringBloomAgg(expected: Long, fpp: Double)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
-    import org.apache.spark.util.sketch.BloomFilter
-    def zero: BloomFilter = BloomFilter.create(expected, fpp)
-    def reduce(b: BloomFilter, k: String): BloomFilter = {
-      if (k != null) b.putString(k)
-      b
-    }
-    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.mergeInPlace(b)
-    def finish(b: BloomFilter): Array[Byte] = {
-      val os = new java.io.ByteArrayOutputStream()
-      b.writeTo(os)
-      os.toByteArray
-    }
-    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
-      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
-    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-      org.apache.spark.sql.Encoders.BINARY
-  }
+      extends BloomAggBase[String](expected, fpp, _ putString _)
 
   /** Write-through sink: land `df` under `dataDir` AND refresh the
     * `_manifest` (+ bloom sidecars) in the same call — the writer-owns-
@@ -1365,9 +1351,33 @@ object FileManifest {
     if (!hfs.rename(tmp, dir)) {
       hfs.delete(tmp, true)
       require(complete(), s"dv spill publish failed under $dir")
+    } else {
+      // Hadoop rename semantics move src INTO an existing dst DIRECTORY
+      // (returning true) instead of failing — so the loser of a
+      // concurrent-spill race doesn't take the branch above, it nests
+      // its whole tmp dir inside the winner's published spill. Results
+      // stay correct (dot-prefixed dirs are invisible to parquet
+      // listings) but the duplicate bytes would be unreachable by the
+      // vacuum reaper forever; detect the nesting and remove it.
+      val nested = new org.apache.hadoop.fs.Path(dir, tmp.getName)
+      if (hfs.exists(nested)) hfs.delete(nested, true)
+      require(complete(), s"dv spill publish incomplete under $dir")
     }
     dir.toString
   }
+
+  /** Size-estimate memo for the gate below, keyed (table, version):
+    * the dv state of a retained version is immutable, so repeated
+    * DV-reads of one version (the dominant pattern — every split read,
+    * pruned read, and CDF side of a version runs the gate) pay the
+    * metadata agg once. A build()-reset recycling version numbers can
+    * alias a key — [[swapVersioned]] evicts the recycled entry (and
+    * the matching stale spill dir) at every publish, and a stale HIT
+    * could anyway only mis-route the threshold decision, never change
+    * results. Cap-and-clear like every planner memo here.
+    */
+  private val dvEstMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
   private def applyDvOn(df: DataFrame, mkM: () => DataFrame,
       fileCol: Column, idxCol: Column,
@@ -1375,8 +1385,9 @@ object FileManifest {
     val spark = df.sparkSession
     // gate FIRST, with a column-pruned metadata agg (n_del + a file
     // count — dv binaries unread), so an over-threshold dv set is never
-    // collected to the driver at all
-    val est = withSwapRetry {
+    // collected to the driver at all; memoized per (table, version) so
+    // the gate adds no per-read job on repeated reads of one version
+    def estOnce(): Long = withSwapRetry {
       val m = mkM()
       if (!m.columns.contains(DvCol)) 0L
       else {
@@ -1386,6 +1397,19 @@ object FileManifest {
         if (r.isNullAt(1) || r.getLong(1) == 0L) 0L
         else r.getLong(0) * 4L + r.getLong(1) * 64L
       }
+    }
+    val est = spill match {
+      case Some((dataDir, v)) =>
+        val key = (FsListing.norm(dataDir), v)
+        val hit = dvEstMemo.get(key)
+        if (hit != null) hit.longValue()
+        else {
+          val e = estOnce()
+          if (dvEstMemo.size >= 256) dvEstMemo.clear()
+          dvEstMemo.put(key, e)
+          e
+        }
+      case None => estOnce()
     }
     if (est == 0L) return df
     graft.functions.DvContains.register(spark)
@@ -1692,9 +1716,15 @@ object FileManifest {
         .select(col("_metadata.file_path").as("f") +:
           col("_metadata.row_index").as("i") +:
           scanCols.map(col): _*)
-      // a dv-less plan-time manifest proves no positions to anti-filter
+      // a dv-less plan-time manifest proves no positions to anti-filter.
+      // Resolver PINNED to plannedV: the spill cache is keyed by that
+      // version and is immutable once written — an unpinned resolver
+      // racing a rival commit would materialize the RIVAL's dv rows
+      // under this version's key (the surgery itself then fails the
+      // version check, but the poisoned spill would outlive it and
+      // serve every later pinned reader of plannedV)
       (if (hasDvCols)
-        applyDvOn(tagged, () => manifestFrame(spark, dataDir),
+        applyDvOn(tagged, () => manifestFrameAt(spark, dataDir, plannedV),
           col("f"), col("i"), spill = Some((dataDir, plannedV)))
       else tagged).filter(matchPred)
     }
@@ -1753,9 +1783,10 @@ object FileManifest {
           val cand = spark.read.option("basePath", dataDir)
             .parquet(rwPaths.toIndexedSeq: _*)
           // dv-lessness is provable from the plan-time schema (rival
-          // commits fail the version check) — skip the resolver
+          // commits fail the version check) — skip the resolver; the
+          // resolver itself pins plannedV (spill-poisoning guard)
           (if (hasDvCols)
-            applyDv(cand, () => manifestFrame(spark, dataDir),
+            applyDv(cand, () => manifestFrameAt(spark, dataDir, plannedV),
               spill = Some((dataDir, plannedV)))
           else cand).filter(survivorKeep)
         }
@@ -1843,7 +1874,7 @@ object FileManifest {
       if (dvPaths.nonEmpty)
         applyDv(spark.read.option("basePath", dataDir)
           .parquet(dvPaths.toIndexedSeq: _*),
-          () => manifestFrame(spark, dataDir),
+          () => manifestFrameAt(spark, dataDir, plannedV), // spill-poison guard
           spill = Some((dataDir, plannedV)))
           .write.parquet(stg.toString)
       beforeCommitHook()
@@ -1934,8 +1965,8 @@ object FileManifest {
       // plan-time schema (rival commits fail the version check), so the
       // common dv-less table skips the resolver round-trip
       if (m.columns.contains(DvCol))
-        applyDv(cand, () => manifestFrame(spark, dataDir),
-          spill = Some((dataDir, plannedV)))
+        applyDv(cand, () => manifestFrameAt(spark, dataDir, plannedV),
+          spill = Some((dataDir, plannedV))) // pinned: spill-poison guard
       else cand
     } // NULL-c rows SURVIVE: a NULL never satisfies the range predicate
       // (the same rule that makes read-side bound pruning sound), but a
@@ -2170,15 +2201,18 @@ object FileManifest {
         coalesce(!(col(s"max_$key") < lit(kmin) ||
           col(s"min_$key") > lit(kmax)), lit(true))
       else lit(true)
-    def cmp(a: String, b: String): Int =
-      org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
-    // first index with keyArr(i) >= x / > x (UTF8 order)
+    // ONE definition of the string order ([[utf8Ordering]] — the same
+    // Ordering the caller sorted keyArr with), so the slice search can
+    // never diverge from the sort. LOCAL copy: referencing the object
+    // member inside the UDF closure would capture the (non-serializable)
+    // enclosing object; the Ordering value itself is a captureless
+    // serializable lambda.
+    val ord = utf8Ordering
     def lowerBound(x: String): Int = {
       var lo = 0; var hi = keyArr.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (cmp(keyArr(mid), x) < 0) lo = mid + 1 else hi = mid
+        if (ord.compare(keyArr(mid), x) < 0) lo = mid + 1 else hi = mid
       }
       lo
     }
@@ -2186,7 +2220,7 @@ object FileManifest {
       var lo = 0; var hi = keyArr.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (cmp(keyArr(mid), x) <= 0) lo = mid + 1 else hi = mid
+        if (ord.compare(keyArr(mid), x) <= 0) lo = mid + 1 else hi = mid
       }
       lo
     }
@@ -2346,8 +2380,8 @@ object FileManifest {
         // per-commit driver overhead in the q171 CDC loop)
         val live =
           if (m.columns.contains(DvCol))
-            applyDv(cand, () => manifestFrame(spark, dataDir),
-              spill = Some((dataDir, plannedV)))
+            applyDv(cand, () => manifestFrameAt(spark, dataDir, plannedV),
+              spill = Some((dataDir, plannedV))) // pinned: spill-poison guard
           else cand
         live.join(updates.select(col(key)), Seq(key), "left_anti")
           .unionByName(updates)
@@ -2925,15 +2959,27 @@ object FileManifest {
     // stamp — zero extra I/O beyond one empty create, retired/reaped
     // with its manifest dir
     hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_op_$op"), true).close()
-    if (hfs.exists(dst)) {
-      val v = versionOf(hfs, dst)
-      hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_v${v + 1}"), true).close()
-      val hist = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
-      hfs.delete(hist, true) // a build() reset can reuse a version number
-      require(hfs.rename(dst, hist),
-        s"manifest history rename failed under $dataDir")
-    } else {
-      hfs.create(new org.apache.hadoop.fs.Path(tmp, "_v1"), true).close()
+    val newV =
+      if (hfs.exists(dst)) {
+        val v = versionOf(hfs, dst)
+        hfs.create(new org.apache.hadoop.fs.Path(tmp, s"_v${v + 1}"), true).close()
+        val hist = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
+        hfs.delete(hist, true) // a build() reset can reuse a version number
+        require(hfs.rename(dst, hist),
+          s"manifest history rename failed under $dataDir")
+        v + 1
+      } else {
+        hfs.create(new org.apache.hadoop.fs.Path(tmp, "_v1"), true).close()
+        1L
+      }
+    // a RECYCLED version number (build() reset) must never serve a
+    // previous incarnation's dv spill or size estimate: the spill cache
+    // and the est memo are keyed by version and assume immutability —
+    // evict both for the number being published
+    locally {
+      val sp = new org.apache.hadoop.fs.Path(dvSpillDir(dataDir, newV))
+      if (hfs.exists(sp)) hfs.delete(sp, true)
+      dvEstMemo.remove((FsListing.norm(dataDir), newV))
     }
     require(hfs.rename(tmp, dst), s"manifest swap rename failed under $dataDir")
   }

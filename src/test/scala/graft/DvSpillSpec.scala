@@ -67,6 +67,38 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
     } finally FileManifest.dvBroadcastMaxBytes = saved
   }
 
+  test("a stale spill under the next version number is evicted at publish") {
+    import spark.implicits._
+    val dir = freshDir("evict")
+    FileManifest.writeThrough(
+      (1L to 100L).toDF("k").repartitionByRange(2, col("k")),
+      dir, Seq("k"), mode = "overwrite") // v1
+    FileManifest.deleteKeysDV(spark, dir, "k", Seq(5L), Seq("k")) // v2
+    // forge what a pre-reset incarnation (recycled version numbers)
+    // would leave behind: a complete-looking spill for v3 whose dv
+    // marks positions 0..9 of a LIVE file — if ever served, ten
+    // arbitrary rows vanish silently
+    val hfs = hfsOf(dir)
+    val victim = spark.read.parquet(s"$dir/_manifest")
+      .select("file").collect().map(_.getString(0)).min
+    val metaPath = new Path(victim.replace("%3D", "=")).toUri.toString
+    spark.createDataFrame(Seq(
+      (metaPath, graft.sources.DeletionVectors.serialize((0L until 10L).toArray))))
+      .toDF("__graft_dv_file", "__graft_dv")
+      .coalesce(1).write.parquet(s"$dir/_dv_spill/v3")
+    assert(hfs.exists(new Path(s"$dir/_dv_spill/v3/_SUCCESS")))
+    // the next publish takes version 3 and must evict the forgery
+    FileManifest.deleteKeysDV(spark, dir, "k", Seq(7L), Seq("k")) // v3
+    val saved = FileManifest.dvBroadcastMaxBytes
+    try {
+      FileManifest.dvBroadcastMaxBytes = 1L
+      val got = graft.sources.ManifestFileIndex.read(spark, dir)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === (1L to 100L).filterNot(Set(5L, 7L)),
+        "a recycled-version spill must never be served")
+    } finally FileManifest.dvBroadcastMaxBytes = saved
+  }
+
   test("vacuum reaps spills of unretained versions, keeps retained ones") {
     import spark.implicits._
     val dir = freshDir("vac")
