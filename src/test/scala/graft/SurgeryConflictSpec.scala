@@ -163,4 +163,27 @@ class SurgeryConflictSpec extends AnyFunSuite with SparkSpec {
         "rival delete must survive the aborted publish")
     } finally FileManifest.beforeCommitHook = () => ()
   }
+
+  test("publishVia validates the CALLER's pinned version (optimizeTable's OCC window)") {
+    import spark.implicits._
+    val dir = freshDir("pinned")
+    FileManifest.writeThrough(
+      (1L to 50L).toDF("k").repartition(2), dir, Seq("k"), mode = "overwrite")
+    // the optimizeTable shape: the frame EAGERLY pins v1's file set at
+    // construction; a rival then commits BEFORE publishVia would read
+    // its default token. Un-pinned, requireUnchanged would validate
+    // against the rival's version, pass, and publish v1-derived content
+    // right over the rival's append — the silent lost update the
+    // expectedVersion parameter exists to close.
+    val pinned = graft.sources.ManifestFileIndex
+      .read(spark, dir, asOf = Some(1L)).repartition(1)
+    FileManifest.writeThrough(Seq(1000L).toDF("k"), dir, Seq("k")) // rival: v2
+    val e = intercept[ConcurrentWriteException] {
+      FileManifest.publishVia(pinned, s"${dir}_optstg", dir, Seq("k"),
+        expectedVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("v1"))
+    assert(keysOf(dir) === ((1L to 50L) :+ 1000L).sorted,
+      "the rival's committed append must survive")
+  }
 }
