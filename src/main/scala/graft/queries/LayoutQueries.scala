@@ -1871,6 +1871,87 @@ object LayoutQueries {
         .groupBy(col("p").cast("long").as("p"))
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
         .orderBy("p")
+    },
+
+    // q185 is the CONSUMER LAGGING ACROSS A NIGHTLY OPTIMIZE — the
+    // motivating scenario for the reorganization-aware feed, composed
+    // end-to-end: a ChangeFeedTail consumer initializes at v1, then the
+    // table takes a keyed merge (v2), a full-table OPTIMIZE (v3), and a
+    // second merge (v4) before its next poll. ONE poll consumes the
+    // whole (1,4] gap; changesBetween decomposes it at the optimize
+    // stamp, so the consumer's catch-up reads only the two merges'
+    // touched files — the rewritten-everything compaction hop costs it
+    // zero data I/O (CdfSpec pins the plan property; this gate pins the
+    // maintained view's VALUES against the from-scratch oracle of the
+    // final state, so a skipped data hop or a leaked reorg row moves a
+    // sum).
+    QueryDef.sql(
+      "q185_cdf_tail_across_optimize",
+      """WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 1013 = 0 THEN -5 ELSE o_custkey END AS c
+        |  FROM orders),
+        |merged AS (SELECT o_orderkey, c FROM m
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (900000000, -100), (900000001, -101),
+        |                        (900000002, -102)) v(k, c))
+        |SELECT CAST(c AS BIGINT) AS o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY c ORDER BY o_custkey""") { (s, d) =>
+      import s.implicits._
+      val root = QueryDef.scratch(d, "cdf_tail_reorg")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val table = s"$root/table"
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(4, col("o_orderkey")),
+        table, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        mode = "overwrite") // v1
+      var view = graft.sources.FileManifest.readAsOf(s, table, 1L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .transform(graft.Materialize.checkpoint)
+      graft.sources.ChangeFeedTail.init(s, s"$root/cursor", 1L)
+      // v2: keyed merge; v3: full-table optimize (every file rewrites);
+      // v4: second merge — all BEFORE the consumer's next poll
+      graft.sources.FileManifest.mergeKeys(
+        s, table,
+        o.filter(col("o_orderkey") % 1013 === 0)
+          .select(col("o_orderkey"), lit(-5L).as("o_custkey")),
+        "o_orderkey", Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      graft.sources.FileManifest.optimizeTable(
+        s, table, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+        targetRowsPerFile =
+          (graft.sources.FileManifest.fastCount(s, table) + 1) / 2)
+      graft.sources.FileManifest.mergeKeys(
+        s, table,
+        Seq((900000000L, -100L), (900000001L, -101L), (900000002L, -102L))
+          .toDF("o_orderkey", "o_custkey"),
+        "o_orderkey", Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val consumed = graft.sources.ChangeFeedTail.drain(
+        s, table, s"$root/cursor") { (feed, _, _) =>
+        val delta = feed.select(col("o_custkey"),
+            when(col("change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)).as("sgn"),
+            col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("sgn").as("n"),
+            sum(col("sgn") * col("o_orderkey")).as("key_sum"))
+        view = view.unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum("n").as("n"), sum("key_sum").as("key_sum"))
+          .filter(col("n") > 0)
+          .transform(graft.Materialize.checkpoint)
+      }
+      require(consumed == Seq((1L, 4L)),
+        s"expected ONE poll consuming the whole (1,4] gap, got $consumed")
+      view.orderBy("o_custkey")
     }
   )
 }
