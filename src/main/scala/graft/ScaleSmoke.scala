@@ -689,10 +689,9 @@ object ScaleSmoke {
         val bSum = graft.sources.ManifestFileIndex.read(spark, dir)
           .agg(sum("v")).head().getLong(0)
         val bDt = (System.nanoTime() - t0) / 1e9
-        val saved = FileManifest.dvBroadcastMaxBytes
         val (sSum, sDt, sDt2) =
           try {
-            FileManifest.dvBroadcastMaxBytes = 1L // force the fallback
+            spark.conf.set(FileManifest.DvBroadcastMaxBytesKey, "1") // force the fallback
             t0 = System.nanoTime()
             val s1 = graft.sources.ManifestFileIndex.read(spark, dir)
               .agg(sum("v")).head().getLong(0)
@@ -701,7 +700,7 @@ object ScaleSmoke {
             graft.sources.ManifestFileIndex.read(spark, dir)
               .agg(sum("v")).head().getLong(0)
             (s1, d1, (System.nanoTime() - t0) / 1e9)
-          } finally FileManifest.dvBroadcastMaxBytes = saved
+          } finally spark.conf.unset(FileManifest.DvBroadcastMaxBytesKey)
         println(f"mvcc_dv_spill files=$n%-5d dvfiles=$dvN%-5d bcast=$bDt%6.2f s " +
           f"spill_cold=$sDt%6.2f s spill_warm=$sDt2%6.2f s equal=${bSum == sSum}")
       }

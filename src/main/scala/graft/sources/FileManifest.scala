@@ -723,6 +723,32 @@ object FileManifest {
       expectedPerFile: Long = 65536L, fpp: Double = 0.01,
       opName: String = "publish",
       expectedVersion: Option[Long] = None): Unit = {
+    // opName is not just display metadata: [[changesBetween]] SKIPS
+    // single-commit hops stamped 'optimize'/'purge' as multiset-invariant
+    // reorganizations (Delta's dataChange=false). A caller stamping a
+    // DATA-CHANGING publish with one of those names would silently drop
+    // its changes from every CDC span — reserve the reorg verbs for the
+    // internal operators that actually guarantee invariance
+    // (optimizeTable/optimizePartitioned/purgeDv).
+    require(!ReorgOps.contains(opName),
+      s"publishVia opName '$opName' is reserved: it asserts the commit " +
+        "is multiset-invariant to the change feed (changesBetween skips " +
+        "such hops); use optimizeTable/optimizePartitioned/purgeDv for " +
+        "reorganizations, or any other opName for data changes")
+    publishViaUnchecked(df, stagingDir, dataDir, cols, bloomCols,
+      expectedPerFile, fpp, opName, expectedVersion)
+  }
+
+  /** [[publishVia]] minus the reorg-opName guard — for the INTERNAL
+    * reorganization verbs whose output is multiset-equal to their input
+    * by construction.
+    */
+  private[sources] def publishViaUnchecked(df: DataFrame,
+      stagingDir: String, dataDir: String,
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01,
+      opName: String = "publish",
+      expectedVersion: Option[Long] = None): Unit = {
     val spark = df.sparkSession
     // WRITER-PRIVATE staging: `stagingDir` names the caller's staging
     // LOCATION (its filesystem/volume), but the dir actually written is
@@ -1054,14 +1080,13 @@ object FileManifest {
     // makes the composition exact: Σ_runs (state(b)−state(a)) =
     // state(toV)−state(fromV) when every skipped hop is
     // multiset-invariant.
-    val reorgOps = Set("optimize", "purge")
     val runs: Seq[(Long, Long)] = {
       val mids = retained.toSeq.filter(v => v > fromV && v <= toV).sorted
       val out = Seq.newBuilder[(Long, Long)]
       var runStart = fromV
       var prev = fromV
       mids.foreach { v =>
-        if (v == prev + 1 && reorgOps(opOfVersion(hfs, dataDir, v))) {
+        if (v == prev + 1 && ReorgOps(opOfVersion(hfs, dataDir, v))) {
           if (runStart < prev) out += ((runStart, prev))
           runStart = v
         }
@@ -1266,6 +1291,13 @@ object FileManifest {
   private[sources] val DvCol = "dv"
   private[sources] val DvDelCol = "n_del"
 
+  /** Version stamps that assert MULTISET-INVARIANCE to the change feed
+    * (Delta's dataChange=false): [[changesBetween]] skips single-commit
+    * hops carrying one of these, so only the internal reorganization
+    * verbs may stamp them — [[publishVia]] rejects them from callers.
+    */
+  private[sources] val ReorgOps = Set("optimize", "purge")
+
   /** Manifest `file` entry → the exact `_metadata.file_path`
     * representation (a percent-encoded URI — verified equal to
     * `new Path(norm(s)).toUri.toString`, space/# cases included). The
@@ -1319,26 +1351,40 @@ object FileManifest {
     * listings/coverage) and the read joins it shuffle-side instead of
     * broadcasting; the spill is written once per (table, version) and
     * reused, and [[vacuum]] reaps spills of unretained versions.
-    * Mutable only by specs (to force the fallback at toy scale).
+    * PER-SESSION conf (`graft.dv.broadcastMaxBytes`) — a JVM-global
+    * mutable field would race two sessions sharing the process with
+    * different needs; specs override the conf to force the fallback at
+    * toy scale.
     */
-  private[graft] var dvBroadcastMaxBytes: Long = 64L << 20
+  private[graft] val DvBroadcastMaxBytesKey = "graft.dv.broadcastMaxBytes"
+  private[graft] def dvBroadcastMaxBytes(spark: SparkSession): Long =
+    spark.conf.get(DvBroadcastMaxBytesKey, (64L << 20).toString).toLong
 
   private def dvSpillDir(dataDir: String, v: Long): String =
     s"$dataDir/_dv_spill/v$v"
 
   /** Materialize version `v`'s dv rows to the spill parquet if not
     * already there; idempotent and concurrency-safe (tmp + rename; the
-    * loser of a rename race verifies the winner's `_SUCCESS` and
+    * loser of a rename race verifies the winner's completion marker and
     * reuses it). The spill is immutable once renamed — exactly the
     * property the returned lazy plan needs that the swap-mutable
     * `_manifest` dir can't give.
+    *
+    * Completion is proven by an EXPLICIT `_GRAFT_SPILL_OK` marker this
+    * code creates inside tmp before the rename — not by the committer's
+    * `_SUCCESS`, whose emission is a cluster conf
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false produces
+    * none, which would make every over-threshold DV read hard-fail
+    * here). `_SUCCESS` is still ACCEPTED when present (pre-marker spill
+    * dirs stay reusable).
     */
   private def ensureDvSpill(spark: SparkSession, dataDir: String, v: Long,
       mkM: () => DataFrame): String = {
     val dir = new org.apache.hadoop.fs.Path(dvSpillDir(dataDir, v))
     val hfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     def complete() =
-      hfs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      hfs.exists(new org.apache.hadoop.fs.Path(dir, "_GRAFT_SPILL_OK")) ||
+        hfs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
     if (complete()) return dir.toString
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dataDir/_dv_spill/.tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1348,6 +1394,11 @@ object FileManifest {
           col(DvCol).as("__graft_dv"))
         .write.mode("overwrite").parquet(tmp.toString)
     }
+    // the marker lands in tmp BEFORE the rename, so the published dir is
+    // born complete — there is no window where a rival's complete() can
+    // observe the dir without its marker
+    hfs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_SPILL_OK"), true)
+      .close()
     if (!hfs.rename(tmp, dir)) {
       hfs.delete(tmp, true)
       require(complete(), s"dv spill publish failed under $dir")
@@ -1413,7 +1464,7 @@ object FileManifest {
     }
     if (est == 0L) return df
     graft.functions.DvContains.register(spark)
-    val overCap = est > dvBroadcastMaxBytes
+    val overCap = est > dvBroadcastMaxBytes(spark)
     val dvSide: (DataFrame, Boolean) = spill match {
       case Some((dataDir, v)) if overCap =>
         // shuffle-side fallback: the dv table reads from the immutable
@@ -1580,24 +1631,7 @@ object FileManifest {
         "— the key set rides the plan (InSet) and the candidate probes; " +
         "split the erasure into batches or use deleteRangeDV for ranges")
     val m = manifestFrame(spark, dataDir)
-    // key TYPE from the manifest's tracked bounds when present (exact:
-    // min_<key> carries the column's own type), else ONE manifest-
-    // anchored footer — never a raw-directory inference, which lists
-    // every retained leftover and may anchor a pre-evolution file
-    val dt = withSwapRetry {
-      val mf = manifestFrame(spark, dataDir)
-      mf.schema.find(_.name == s"min_$key").map(_.dataType).getOrElse {
-        val anchor = mf.select(ManifestFileIndex.normPath(col("file")))
-          .limit(1).collect().headOption.map(_.getString(0))
-          .getOrElse(throw new IllegalArgumentException(
-            s"deleteKeysDV: empty manifest under $dataDir"))
-        val sch = spark.read.parquet(anchor).schema
-        require(sch.fieldNames.contains(key),
-          s"deleteKeysDV key '$key' not in table schema under $dataDir " +
-            s"(anchored on $anchor)")
-        sch(key).dataType
-      }
-    }
+    val dt = resolveColumnType(spark, dataDir, key, "deleteKeysDV")
     require(FsListing.isIntegral(dt),
       s"deleteKeysDV key '$key' is $dt — only integral key columns " +
         "(cast-to-long must be value- and order-preserving)")
@@ -1632,22 +1666,7 @@ object FileManifest {
     require(!keys.contains(null),
       "deleteKeysDVString: NULL key in batch — a NULL key matches no row")
     val m = manifestFrame(spark, dataDir)
-    // key TYPE from the manifest's tracked bounds when present, else one
-    // manifest-anchored footer — same resolution as deleteKeysDV
-    val dt = withSwapRetry {
-      val mf = manifestFrame(spark, dataDir)
-      mf.schema.find(_.name == s"min_$key").map(_.dataType).getOrElse {
-        val anchor = mf.select(ManifestFileIndex.normPath(col("file")))
-          .limit(1).collect().headOption.map(_.getString(0))
-          .getOrElse(throw new IllegalArgumentException(
-            s"deleteKeysDVString: empty manifest under $dataDir"))
-        val sch = spark.read.parquet(anchor).schema
-        require(sch.fieldNames.contains(key),
-          s"deleteKeysDVString key '$key' not in table schema under " +
-            s"$dataDir (anchored on $anchor)")
-        sch(key).dataType
-      }
-    }
+    val dt = resolveColumnType(spark, dataDir, key, "deleteKeysDVString")
     require(dt == StringType,
       s"deleteKeysDVString key '$key' is $dt — use deleteKeysDV for " +
         "integral keys")
@@ -2106,6 +2125,33 @@ object FileManifest {
       appendDf = Some(updates), op = "merge-dv")
   }
 
+  /** The TRACKED TYPE of column `c` under `dataDir`: from the manifest's
+    * `min_<c>` bounds when present (exact — the bound carries the
+    * column's own type), else ONE manifest-anchored footer — never a
+    * raw-directory inference, which lists every retained leftover and
+    * may anchor a pre-evolution file. Shared by every keyed verb and
+    * bloom probe whose ENCODING must match the sidecar's build encoding
+    * (putLong vs putString): probing a string-built bloom with long
+    * hashes would silently false-negative files out of the kept set —
+    * the one failure mode bloom semantics must never allow — so callers
+    * fail loud on a type mismatch instead.
+    */
+  private def resolveColumnType(spark: SparkSession, dataDir: String,
+      c: String, verb: String): DataType = withSwapRetry {
+    val mf = manifestFrame(spark, dataDir)
+    mf.schema.find(_.name == s"min_$c").map(_.dataType).getOrElse {
+      val anchor = mf.select(ManifestFileIndex.normPath(col("file")))
+        .limit(1).collect().headOption.map(_.getString(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$verb: empty manifest under $dataDir"))
+      val sch = spark.read.parquet(anchor).schema
+      require(sch.fieldNames.contains(c),
+        s"$verb column '$c' not in table schema under $dataDir " +
+          s"(anchored on $anchor)")
+      sch(c).dataType
+    }
+  }
+
   /** Candidate-file predicate over MANIFEST rows for a SORTED DISTINCT
     * long key array — shared by [[mergeKeys]] and [[deleteKeysDV]].
     * PRE-FILTER BY BOUNDS INTERSECTION before any per-file probe: (a) a
@@ -2481,7 +2527,7 @@ object FileManifest {
     }
     require(live > 0, s"optimizeTable on empty table $dataDir")
     val nFiles = ((live + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    publishVia(
+    publishViaUnchecked(
       ManifestFileIndex.read(spark, dataDir, asOf = Some(v0))
         .repartition(nFiles),
       s"${dataDir}_optstg", dataDir, cols, bloomCols, expectedPerFile, fpp,
@@ -2493,6 +2539,15 @@ object FileManifest {
     * file under `src`'s partition tree renames into the SAME relative
     * partition dir under the table root (no copy), committer metadata
     * skipped. Returns the moved files' destination paths.
+    *
+    * CRASH WINDOW: the walk renames one file at a time, so a failure
+    * mid-walk (or between the walk and the manifest swap) leaves
+    * already-moved files under the live tree unmanifested — the
+    * coverage guard then fails EVERY read loud (never silent partials)
+    * until [[vacuum]] reaps the orphans, which is the documented
+    * recovery path (same shape as a crashed publishVia, with a window
+    * widened by O(partition dirs)). The swap itself stays atomic: no
+    * reader ever plans from a half-moved file set.
     */
   private def movePartitionTree(hfs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
@@ -3044,15 +3099,15 @@ object FileManifest {
   def readPointLookup(spark: SparkSession, dataDir: String, c: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
     require(keys.nonEmpty, "readPointLookup with no keys")
-    val (_, total) = loadCovering(spark, dataDir) // staleness guard
-    // one pinned version for the bloom probe and the dv resolution
-    val v0 = currentVersionOf(spark, dataDir)
-
-    // membership probes run as a Spark job over the manifest — each
-    // executor task deserializes only its partition's sidecars and
-    // tests the (driver-sized, closure-captured) key set; the driver
-    // sees surviving path strings, never filter binaries. O(kept)
-    // driver state; ManifestFileIndexSpec pins the byte bound.
+    // ENCODING GUARD: the sidecar was built with putLong for integral
+    // columns and putString for string columns (fileStats) — probing a
+    // string-built filter with mightContainLong silently false-negatives
+    // files out of the kept set (rows vanish). Resolve the column's
+    // tracked type and fail loud toward [[readPointLookupString]].
+    val dt = resolveColumnType(spark, dataDir, c, "readPointLookup")
+    require(FsListing.isIntegral(dt),
+      s"readPointLookup column '$c' is $dt — its bloom sidecar hashes " +
+        "the native encoding; use readPointLookupString for string keys")
     val keyArr = keys.toArray
     val probe = udf { (bytes: Array[Byte]) =>
       bytes == null || {
@@ -3061,6 +3116,47 @@ object FileManifest {
         keyArr.exists(bf.mightContainLong)
       }
     }
+    pointLookupCore(spark, dataDir, c, probe, col(c).isin(keys: _*))
+  }
+
+  /** [[readPointLookup]] for STRING key columns — probes with the same
+    * UTF-8 encoding the build side stored ([[fileStats]]' putString),
+    * so the no-false-negative contract holds in the string key space.
+    */
+  def readPointLookupString(spark: SparkSession, dataDir: String,
+      c: String, keys: Seq[String]): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "readPointLookupString with no keys")
+    require(!keys.contains(null),
+      "readPointLookupString: NULL key in batch — matches no row")
+    val dt = resolveColumnType(spark, dataDir, c, "readPointLookupString")
+    require(dt == StringType,
+      s"readPointLookupString column '$c' is $dt — use readPointLookup " +
+        "for integral keys")
+    val keyArr = keys.toArray
+    val probe = udf { (bytes: Array[Byte]) =>
+      bytes == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        keyArr.exists(bf.mightContainString)
+      }
+    }
+    pointLookupCore(spark, dataDir, c, probe,
+      col(c).isin(keys.toIndexedSeq: _*))
+  }
+
+  /** Shared engine of the two point-lookup verbs: membership probes run
+    * as a Spark job over the manifest — each executor task deserializes
+    * only its partition's sidecars and tests the (driver-sized,
+    * closure-captured) key set; the driver sees surviving path strings,
+    * never filter binaries. O(kept) driver state; ManifestFileIndexSpec
+    * pins the byte bound.
+    */
+  private def pointLookupCore(spark: SparkSession, dataDir: String,
+      c: String, probe: org.apache.spark.sql.expressions.UserDefinedFunction,
+      exact: Column): (DataFrame, Int, Int) = {
+    val (_, total) = loadCovering(spark, dataDir) // staleness guard
+    // one pinned version for the bloom probe and the dv resolution
+    val v0 = currentVersionOf(spark, dataDir)
     val kept = withSwapRetry {
       val mdf = manifestFrameAt(spark, dataDir, v0)
       require(mdf.columns.contains(s"bloom_$c"),
@@ -3070,8 +3166,7 @@ object FileManifest {
         .select(ManifestFileIndex.normPath(col("file")))
         .collect().map(_.getString(0)).toSeq
     }
-    val df = readKeptDv(spark, dataDir, kept, v0)
-      .filter(col(c).isin(keys: _*))
+    val df = readKeptDv(spark, dataDir, kept, v0).filter(exact)
     (df, kept.size, total)
   }
 

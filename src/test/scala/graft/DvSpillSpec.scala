@@ -44,9 +44,8 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
       "in-bounds dv set must ride the driver LocalRelation broadcast")
     assert(bPlan.select("k").collect().map(_.getLong(0)).sorted.toSeq
       === expect)
-    val saved = FileManifest.dvBroadcastMaxBytes
     try {
-      FileManifest.dvBroadcastMaxBytes = 1L // force the fallback
+      spark.conf.set(FileManifest.DvBroadcastMaxBytesKey, "1") // force the fallback
       val sPlan = ManifestFileIndex.read(spark, dir)
       assert(!sPlan.queryExecution.analyzed.toString.contains("LocalRelation"),
         "over-threshold dv set must not materialize a driver LocalRelation")
@@ -54,7 +53,7 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
         === expect, "spill path must return identical rows")
       val v = FileManifest.versions(spark, dir).max
       val hfs = hfsOf(dir)
-      assert(hfs.exists(new Path(s"$dir/_dv_spill/v$v/_SUCCESS")),
+      assert(hfs.exists(new Path(s"$dir/_dv_spill/v$v/_GRAFT_SPILL_OK")),
         "spill parquet must be published under _dv_spill/v{N}")
       val mtime = hfs.getFileStatus(new Path(s"$dir/_dv_spill/v$v")).getModificationTime
       // second read REUSES the spill (no rewrite)
@@ -64,7 +63,7 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
       // the spill is invisible to data listings: coverage stays green
       // (this read IS the guard) and surgery still sees a flat table
       FileManifest.deleteKeysDV(spark, dir, "k", Seq(9L), Seq("k"))
-    } finally FileManifest.dvBroadcastMaxBytes = saved
+    } finally spark.conf.unset(FileManifest.DvBroadcastMaxBytesKey)
   }
 
   test("a stale spill under the next version number is evicted at publish") {
@@ -89,14 +88,13 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
     assert(hfs.exists(new Path(s"$dir/_dv_spill/v3/_SUCCESS")))
     // the next publish takes version 3 and must evict the forgery
     FileManifest.deleteKeysDV(spark, dir, "k", Seq(7L), Seq("k")) // v3
-    val saved = FileManifest.dvBroadcastMaxBytes
     try {
-      FileManifest.dvBroadcastMaxBytes = 1L
+      spark.conf.set(FileManifest.DvBroadcastMaxBytesKey, "1")
       val got = graft.sources.ManifestFileIndex.read(spark, dir)
         .select("k").collect().map(_.getLong(0)).sorted.toSeq
       assert(got === (1L to 100L).filterNot(Set(5L, 7L)),
         "a recycled-version spill must never be served")
-    } finally FileManifest.dvBroadcastMaxBytes = saved
+    } finally spark.conf.unset(FileManifest.DvBroadcastMaxBytesKey)
   }
 
   test("vacuum reaps spills of unretained versions, keeps retained ones") {
@@ -106,9 +104,8 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
       (1L to 100L).toDF("k").repartitionByRange(2, col("k")),
       dir, Seq("k"), mode = "overwrite") // v1
     FileManifest.deleteKeysDV(spark, dir, "k", Seq(5L), Seq("k")) // v2
-    val saved = FileManifest.dvBroadcastMaxBytes
     try {
-      FileManifest.dvBroadcastMaxBytes = 1L
+      spark.conf.set(FileManifest.DvBroadcastMaxBytesKey, "1")
       ManifestFileIndex.read(spark, dir).count() // spills v2
       FileManifest.deleteKeysDV(spark, dir, "k", Seq(7L), Seq("k")) // v3
       ManifestFileIndex.read(spark, dir).count() // spills v3
@@ -121,6 +118,6 @@ class DvSpillSpec extends AnyFunSuite with SparkSpec {
         "unretained version's spill must be reaped")
       assert(hfs.exists(new Path(s"$dir/_dv_spill/v3")),
         "current version's spill must survive")
-    } finally FileManifest.dvBroadcastMaxBytes = saved
+    } finally spark.conf.unset(FileManifest.DvBroadcastMaxBytesKey)
   }
 }

@@ -147,6 +147,63 @@ class FileManifestSpec extends AnyFunSuite with SparkSpec {
       df.select("payload").collect().map(_.getString(0)).toSeq == Seq("late"))
   }
 
+  test("point lookup guards the bloom ENCODING: string sidecars refuse long probes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_strbloom").toString
+    val ids = (0 until 1600).map(i => (f"doc_$i%06d", i.toLong))
+    ids.toDF("doc_id", "v").repartition(16, col("doc_id"))
+      .write.mode("append").parquet(dir)
+    FileManifest.buildWithBloom(spark, dir, Seq("doc_id"), Seq("doc_id"),
+      expectedPerFile = 1024, fpp = 0.01)
+    // the long probe on a string-built sidecar would hash different bytes
+    // than the build side stored — a silent false-negative machine. It
+    // must fail loud toward the string twin instead.
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.readPointLookup(spark, dir, "doc_id", Seq(7L))
+    }
+    assert(e.getMessage.contains("readPointLookupString"))
+    // the string twin probes the build encoding: real skipping, no false
+    // negatives, exact rows
+    val (df, kept, total) = FileManifest.readPointLookupString(
+      spark, dir, "doc_id", Seq("doc_id_absent", "doc_000007", "doc_001201"))
+    assert(total == 16 && kept <= 6, s"string bloom pruned nothing: $kept/$total")
+    assert(df.select("v").collect().map(_.getLong(0)).toSet == Set(7L, 1201L))
+    Seq(0, 1, 255, 1599).foreach { i =>
+      val (one, _, _) = FileManifest.readPointLookupString(
+        spark, dir, "doc_id", Seq(f"doc_$i%06d"))
+      assert(one.count() == 1, s"string bloom lost doc_$i")
+    }
+    // and the mirror-image misuse fails loud too
+    val dirL = java.nio.file.Files.createTempDirectory("graft_manifest_strbloom2").toString
+    Seq((1L, "a")).toDF("id", "p").coalesce(1).write.mode("append").parquet(dirL)
+    FileManifest.buildWithBloom(spark, dirL, Seq("id"), Seq("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      FileManifest.readPointLookupString(spark, dirL, "id", Seq("1"))
+    }
+    assert(e2.getMessage.contains("readPointLookup"))
+  }
+
+  test("publishVia rejects the reserved reorg opNames (CDC invariance is asserted, not free)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_opname").toString
+    FileManifest.writeThrough((1L to 10L).toDF("k"), dir, Seq("k"),
+      mode = "overwrite")
+    // a data-changing publish stamped 'optimize' would vanish from every
+    // changesBetween span (the skip treats the stamp as proof of
+    // multiset-invariance) — the public entry must refuse the stamp
+    Seq("optimize", "purge").foreach { op =>
+      val e = intercept[IllegalArgumentException] {
+        FileManifest.publishVia((11L to 20L).toDF("k"),
+          s"${dir}_stg", dir, Seq("k"), opName = op)
+      }
+      assert(e.getMessage.contains("reserved"), s"opName $op must be rejected")
+    }
+    // any non-reorg opName still publishes
+    FileManifest.publishVia((11L to 20L).toDF("k"),
+      s"${dir}_stg", dir, Seq("k"), opName = "rewrite")
+    assert(FileManifest.fastCount(spark, dir) == 10L)
+  }
+
   test("a file of only NULL keys yields an empty filter every probe skips soundly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_bloom3").toString
