@@ -1952,6 +1952,71 @@ object LayoutQueries {
       require(consumed == Seq((1L, 4L)),
         s"expected ONE poll consuming the whole (1,4] gap, got $consumed")
       view.orderBy("o_custkey")
+    },
+
+    // q186 is the GDPR workload in its PRODUCTION layout — string
+    // (document-id) keys AND a hive-partitioned tree, combined: a
+    // string-keyed merge-on-read upsert, then a string-keyed DV erase
+    // batch, each as ONE atomic commit across all partitions
+    // (PartitionedKeyedSpec pins single-version atomicity, the
+    // directory-only partition encoding, and per-file bloom pruning on
+    // the tree). The gate pins per-partition (count, string min/max,
+    // custkey sum) against the from-source oracle: a key
+    // false-negatived out of its file, an upsert routed to the wrong
+    // partition dir, or a double-encoded partition column each move a
+    // count or a bound.
+    QueryDef.sql(
+      "q186_partitioned_keyed",
+      """WITH t AS (SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ok,
+        |                  CAST(o_custkey AS BIGINT) AS c,
+        |                  o_orderkey % 4 AS p, o_orderkey FROM orders),
+        |m AS (SELECT ok, CASE WHEN o_orderkey % 1013 = 0 THEN -5 ELSE c END AS c,
+        |             p, o_orderkey FROM t),
+        |merged AS (SELECT ok, c, p, o_orderkey FROM m
+        |  UNION ALL SELECT 'z_new_0', -100, 1, 0
+        |  UNION ALL SELECT 'z_new_1', -101, 2, 0),
+        |final AS (SELECT * FROM merged
+        |          WHERE NOT (o_orderkey % 4999 = 0 AND o_orderkey <> 0))
+        |SELECT CAST(p AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS n,
+        |       min(ok) AS min_ok, max(ok) AS max_ok,
+        |       CAST(SUM(c) AS BIGINT) AS cust_sum
+        |FROM final GROUP BY p ORDER BY p""") { (s, d) =>
+      import s.implicits._
+      val dir = QueryDef.scratch(d, "manifest_partkey")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        concat(lit("k"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")).as("ok"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        (col("o_orderkey") % 4).cast("long").as("p"),
+        col("o_orderkey").cast("long").as("o_orderkey"))
+      graft.sources.FileManifest.writeThrough(
+        o.select("ok", "o_custkey", "p")
+          .repartitionByRange(8, col("p"), col("ok")),
+        dir, Seq("ok"), bloomCols = Seq("ok"),
+        partitionCols = Seq("p"), mode = "overwrite") // v1
+      val updates = o.filter(col("o_orderkey") % 1013 === 0)
+        .select(col("ok"), lit(-5L).as("o_custkey"), col("p"))
+        .unionByName(Seq(("z_new_0", -100L, 1L), ("z_new_1", -101L, 2L))
+          .toDF("ok", "o_custkey", "p"))
+      graft.sources.FileManifest.mergeKeysDVPartitioned(
+        s, dir, updates, "ok", Seq("ok"), bloomCols = Seq("ok")) // v2
+      val delKeys = o
+        .filter(col("o_orderkey") % 4999 === 0 && col("o_orderkey") =!= 0L)
+        .select("ok").collect().map(_.getString(0)).toSeq
+      if (delKeys.nonEmpty)
+        graft.sources.FileManifest.deleteKeysDVStringPartitioned(
+          s, dir, "ok", delKeys, Seq("ok"), bloomCols = Seq("ok")) // v3
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .groupBy(col("p").cast("long").as("p"))
+        .agg(count(lit(1)).as("n"),
+          min("ok").as("min_ok"), max("ok").as("max_ok"),
+          sum("o_custkey").as("cust_sum"))
+        .orderBy("p")
     }
   )
 }

@@ -1624,12 +1624,42 @@ object FileManifest {
       keys: Seq[Long], cols: Seq[String],
       bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
       fpp: Double = 0.01, maxDvFraction: Double = 0.5,
-      maxKeys: Int = 100000): (Int, Int, Int) = {
+      maxKeys: Int = 100000): (Int, Int, Int) =
+    deleteKeysDVImpl(spark, dataDir, key, keys, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxKeys, partitioned = false)
+
+  /** [[deleteKeysDV]] for a HIVE-PARTITIONED manifest table — the
+    * right-to-be-forgotten erase batch in its production layout (a
+    * date-partitioned fact tree): candidates are bounds/bloom-pruned
+    * per FILE exactly as on a flat table (sidecars are partition-
+    * agnostic), DV marks stay metadata-only, and any over-threshold
+    * rewrites stage as ONE dynamic-partition job into their own
+    * partition dirs — the partition column never flattens into file
+    * data — publishing under ONE manifest swap (single-version
+    * atomicity tree-wide, same contract as [[optimizePartitioned]]).
+    * The key must be a physical column; erasing BY the partition
+    * column fails loud toward the directory-drop path.
+    */
+  def deleteKeysDVPartitioned(spark: SparkSession, dataDir: String,
+      key: String, keys: Seq[Long], cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5,
+      maxKeys: Int = 100000): (Int, Int, Int) =
+    deleteKeysDVImpl(spark, dataDir, key, keys, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxKeys, partitioned = true)
+
+  private def deleteKeysDVImpl(spark: SparkSession, dataDir: String,
+      key: String, keys: Seq[Long], cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long,
+      fpp: Double, maxDvFraction: Double, maxKeys: Int,
+      partitioned: Boolean): (Int, Int, Int) = {
     require(keys.nonEmpty, "deleteKeysDV with no keys")
     require(keys.size <= maxKeys,
       s"deleteKeysDV batch of ${keys.size} keys exceeds maxKeys=$maxKeys " +
         "— the key set rides the plan (InSet) and the candidate probes; " +
         "split the erasure into batches or use deleteRangeDV for ranges")
+    if (partitioned)
+      requirePhysicalKey(spark, dataDir, key, "deleteKeysDVPartitioned")
     val m = manifestFrame(spark, dataDir)
     val dt = resolveColumnType(spark, dataDir, key, "deleteKeysDV")
     require(FsListing.isIntegral(dt),
@@ -1640,7 +1670,8 @@ object FileManifest {
       scanCols = Seq(key),
       matchPred = col(key).isin(keyArr: _*),
       survivorKeep = col(key).isNull || !col(key).isin(keyArr: _*),
-      cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
+      partitioned = partitioned)
   }
 
   /** [[deleteKeysDV]] for STRING keys — the UUID/document-id erasure
@@ -1657,7 +1688,29 @@ object FileManifest {
       keys: Seq[String], cols: Seq[String],
       bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
       fpp: Double = 0.01, maxDvFraction: Double = 0.5,
-      maxKeys: Int = 100000): (Int, Int, Int) = {
+      maxKeys: Int = 100000): (Int, Int, Int) =
+    deleteKeysDVStringImpl(spark, dataDir, key, keys, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxKeys, partitioned = false)
+
+  /** [[deleteKeysDVString]] on a HIVE-PARTITIONED tree — the GDPR
+    * erase batch in both its production dimensions at once: string
+    * (UUID/document-id) keys AND a date-partitioned table. Planning and
+    * atomicity as [[deleteKeysDVPartitioned]]; encoding/ordering as the
+    * flat string verb (UTF-8 end to end).
+    */
+  def deleteKeysDVStringPartitioned(spark: SparkSession, dataDir: String,
+      key: String, keys: Seq[String], cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5,
+      maxKeys: Int = 100000): (Int, Int, Int) =
+    deleteKeysDVStringImpl(spark, dataDir, key, keys, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxKeys, partitioned = true)
+
+  private def deleteKeysDVStringImpl(spark: SparkSession, dataDir: String,
+      key: String, keys: Seq[String], cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long,
+      fpp: Double, maxDvFraction: Double, maxKeys: Int,
+      partitioned: Boolean): (Int, Int, Int) = {
     require(keys.nonEmpty, "deleteKeysDVString with no keys")
     require(keys.size <= maxKeys,
       s"deleteKeysDVString batch of ${keys.size} keys exceeds " +
@@ -1665,6 +1718,8 @@ object FileManifest {
         "candidate probes; split the erasure into batches")
     require(!keys.contains(null),
       "deleteKeysDVString: NULL key in batch — a NULL key matches no row")
+    if (partitioned)
+      requirePhysicalKey(spark, dataDir, key, "deleteKeysDVStringPartitioned")
     val m = manifestFrame(spark, dataDir)
     val dt = resolveColumnType(spark, dataDir, key, "deleteKeysDVString")
     require(dt == StringType,
@@ -1675,7 +1730,8 @@ object FileManifest {
       scanCols = Seq(key),
       matchPred = col(key).isin(keyArr.toIndexedSeq: _*),
       survivorKeep = col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*),
-      cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
+      partitioned = partitioned)
   }
 
   /** The shared DV-delete engine behind [[deleteRangeDV]] and
@@ -1694,12 +1750,21 @@ object FileManifest {
       bloomCols: Seq[String], expectedPerFile: Long, fpp: Double,
       maxDvFraction: Double,
       appendDf: Option[DataFrame] = None,
-      op: String = "dv-delete"): (Int, Int, Int) = {
+      op: String = "dv-delete",
+      partitioned: Boolean = false): (Int, Int, Int) = {
     require(maxDvFraction > 0 && maxDvFraction <= 1,
       s"maxDvFraction must be in (0, 1], got $maxDvFraction")
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    requireFlatTable(hfs, root, op)
+    // PARTITIONED mode (the *Partitioned keyed verbs): candidate
+    // planning, the matched-position passes, and the DV/manifest shapes
+    // are all partition-agnostic already (bounds/bloom sidecars are
+    // per-FILE, DV writes are metadata); only the REWRITE/APPEND staging
+    // must keep the partition encoding directory-only, which the
+    // dynamic-partition staged write below does. Flat mode keeps the
+    // loud guard — a root-level rewrite on a partitioned tree would
+    // flatten the partition column into file data.
+    if (!partitioned) requireFlatTable(hfs, root, op)
     val plannedV = currentVersion(hfs, dataDir)
     val hasDvCols = m.columns.contains(DvCol)
     // ONE metadata job for plan + tally: candidate flag evaluated in the
@@ -1715,6 +1780,27 @@ object FileManifest {
       coalesce(candidate, lit(true)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3)))
+    // partition layout (names of the hive `k=v` dir levels) from the
+    // already-collected manifest paths — zero extra I/O. The key/scan
+    // columns must be PHYSICAL: erasing BY the partition column is a
+    // directory drop, not a row surgery (same guard as
+    // deleteRangePartitioned), and a partition-column matchPred would
+    // rewrite every file of the matched dirs for nothing.
+    val partCols: Seq[String] =
+      if (!partitioned) Nil
+      else {
+        require(allMeta.nonEmpty, s"$op on empty table $dataDir")
+        val rootQ = FsListing.norm(root.makeQualified(
+          hfs.getUri, hfs.getWorkingDirectory).toString)
+        val pc = partitionColsOf(rootQ, allMeta.map(_._1).toSeq, op)
+        scanCols.find(pc.contains).foreach { c =>
+          throw new IllegalArgumentException(
+            s"$op column '$c' is a PARTITION column under $dataDir — " +
+              "drop the matching partition directories and refresh " +
+              "instead of a row-level surgery")
+        }
+        pc
+      }
     val candMeta = allMeta.filter(_._4).map(t => (t._1, t._2, t._3)).sortBy(_._1)
     val nCarriedBounds = allMeta.length - candMeta.length
     // pure-delete with no candidates: no version bump (an appendDf —
@@ -1813,7 +1899,18 @@ object FileManifest {
         case (Some(s), Some(a)) => Some(s.unionByName(a))
         case (s, a) => s.orElse(a)
       }
-      staged.foreach(_.write.parquet(stg.toString))
+      // ONE staging job either way. Partitioned: a dynamic-partition
+      // write — the basePath read above resolved the partition columns
+      // as data columns, and partitionBy moves them back to directories,
+      // so the encoding stays directory-only in the staged files; every
+      // touched partition stages in this single job (no per-partition
+      // job loop), and rewrite tasks are file-aligned so output files
+      // land in their own partition dir.
+      staged.foreach { df =>
+        if (partCols.nonEmpty)
+          df.write.partitionBy(partCols: _*).parquet(stg.toString)
+        else df.write.parquet(stg.toString)
+      }
       beforeCommitHook()
       CommitLock.withLock(hfs,
         new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
@@ -1821,17 +1918,19 @@ object FileManifest {
         val moved =
           if (staged.isEmpty) Seq.empty[String]
           else {
-            val mv = hfs.listStatus(stg).iterator
-              .filterNot { s =>
-                val n = s.getPath.getName
-                n.startsWith("_") || n.startsWith(".")
-              }
-              .map { s =>
-                val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
-                require(hfs.rename(s.getPath, dst),
-                  s"dv-delete publish rename failed: ${s.getPath} -> $dataDir")
-                dst.toString
-              }.toSeq
+            val mv =
+              if (partitioned) movePartitionTree(hfs, stg, root)
+              else hfs.listStatus(stg).iterator
+                .filterNot { s =>
+                  val n = s.getPath.getName
+                  n.startsWith("_") || n.startsWith(".")
+                }
+                .map { s =>
+                  val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+                  require(hfs.rename(s.getPath, dst),
+                    s"dv-delete publish rename failed: ${s.getPath} -> $dataDir")
+                  dst.toString
+                }.toSeq
             hfs.delete(stg, true)
             mv
           }
@@ -2058,7 +2157,42 @@ object FileManifest {
       key: String, cols: Seq[String], bloomCols: Seq[String] = Nil,
       expectedPerFile: Long = 65536L, fpp: Double = 0.01,
       maxDvFraction: Double = 0.5,
-      maxCollectedKeys: Int = 100000): (Int, Int, Int) = {
+      maxCollectedKeys: Int = 100000): (Int, Int, Int) =
+    mergeKeysDVImpl(spark, dataDir, updates, key, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxCollectedKeys,
+      partitioned = false)
+
+  /** [[mergeKeysDV]] for a HIVE-PARTITIONED manifest table: a
+    * cross-partition keyed upsert (long or string keys) as ONE atomic
+    * commit. The update batch must carry the partition column(s) as
+    * data columns — the staged append re-encodes them directory-side
+    * via a dynamic-partition write, so each upserted row lands in its
+    * key's partition dir and the partition column never flattens into
+    * file data. Matched old rows retire by DV (metadata) wherever the
+    * dead fraction allows, exactly as on a flat table; candidates are
+    * bounds/bloom-pruned per file. NOTE a matched key whose update row
+    * carries a DIFFERENT partition value than the old row MOVES
+    * partitions — the old row dies in its old dir (DV), the new row
+    * lands in the new dir; both are one commit, so readers never see
+    * the row doubled or missing. No CoW fallback above
+    * `maxCollectedKeys` (the flat verb's fallback is a full mergeKeys
+    * rewrite, meaningless on a partitioned tree) — split the batch.
+    */
+  def mergeKeysDVPartitioned(spark: SparkSession, dataDir: String,
+      updates: DataFrame, key: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      expectedPerFile: Long = 65536L, fpp: Double = 0.01,
+      maxDvFraction: Double = 0.5,
+      maxCollectedKeys: Int = 100000): (Int, Int, Int) =
+    mergeKeysDVImpl(spark, dataDir, updates, key, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxCollectedKeys,
+      partitioned = true)
+
+  private def mergeKeysDVImpl(spark: SparkSession, dataDir: String,
+      updates: DataFrame, key: String, cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long, fpp: Double,
+      maxDvFraction: Double, maxCollectedKeys: Int,
+      partitioned: Boolean): (Int, Int, Int) = {
     val keyDt = updates.schema(key).dataType
     val strKey = keyDt == StringType
     require(FsListing.isIntegral(keyDt) || strKey,
@@ -2070,6 +2204,11 @@ object FileManifest {
     val capped = keyStats.limit(maxCollectedKeys + 1).collect()
     require(capped.nonEmpty, "mergeKeysDV: empty update batch")
     if (capped.length > maxCollectedKeys) {
+      require(!partitioned,
+        s"mergeKeysDVPartitioned batch exceeds maxCollectedKeys=" +
+          s"$maxCollectedKeys and the flat CoW fallback (a root-level " +
+          "mergeKeys rewrite) cannot run on a partitioned tree — split " +
+          "the batch")
       val (rw, car) = mergeKeys(spark, dataDir, updates, key, cols,
         bloomCols, expectedPerFile, fpp, maxCollectedKeys)
       return (0, rw, car)
@@ -2097,8 +2236,23 @@ object FileManifest {
         val anchor = manifestFrame(spark, dataDir)
           .select(ManifestFileIndex.normPath(col("file")))
           .limit(1).collect().headOption.map(_.getString(0))
-        anchor.map(a => spark.read.parquet(a).schema.fieldNames.toSet
-          .diff(updates.columns.toSet)).getOrElse(Set.empty[String])
+        anchor.map { a =>
+          // the table schema a merged row must cover is the PHYSICAL
+          // anchor schema plus, on a partitioned tree, the directory-
+          // encoded partition columns — an update batch missing those
+          // couldn't be routed to a partition dir at all
+          val partNames =
+            if (!partitioned) Set.empty[String]
+            else {
+              val root = new org.apache.hadoop.fs.Path(dataDir)
+              val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+              val rootQ = FsListing.norm(root.makeQualified(
+                hfs.getUri, hfs.getWorkingDirectory).toString)
+              partitionColsOf(rootQ, Seq(a), "mergeKeysDVPartitioned").toSet
+            }
+          (spark.read.parquet(a).schema.fieldNames.toSet ++ partNames)
+            .diff(updates.columns.toSet)
+        }.getOrElse(Set.empty[String])
       }
       require(missing.isEmpty,
         s"mergeKeysDV: update batch lacks table column(s) " +
@@ -2122,7 +2276,41 @@ object FileManifest {
       matchPred = matchP,
       survivorKeep = keepP,
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
-      appendDf = Some(updates), op = "merge-dv")
+      appendDf = Some(updates), op = "merge-dv",
+      partitioned = partitioned)
+  }
+
+  /** The hive partition columns of the CURRENT manifest's tree, derived
+    * from one anchor entry — the up-front guard the partitioned keyed
+    * verbs run so "erase BY the partition column" fails loud with the
+    * directory-drop guidance before any type resolution can garble the
+    * message (the partition column is not in any file's physical
+    * schema, so [[resolveColumnType]]'s anchor probe would name it
+    * missing instead).
+    */
+  private def partitionColsOfTable(spark: SparkSession, dataDir: String,
+      verb: String): Seq[String] = {
+    val anchor = withSwapRetry {
+      manifestFrame(spark, dataDir)
+        .select(ManifestFileIndex.normPath(col("file")))
+        .limit(1).collect().headOption.map(_.getString(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$verb: empty manifest under $dataDir"))
+    }
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootQ = FsListing.norm(root.makeQualified(
+      hfs.getUri, hfs.getWorkingDirectory).toString)
+    partitionColsOf(rootQ, Seq(anchor), verb)
+  }
+
+  private def requirePhysicalKey(spark: SparkSession, dataDir: String,
+      key: String, verb: String): Unit = {
+    val pc = partitionColsOfTable(spark, dataDir, verb)
+    require(!pc.contains(key),
+      s"$verb key '$key' is a PARTITION column under $dataDir — drop " +
+        "the matching partition directories and refresh instead of a " +
+        "row-level surgery")
   }
 
   /** The TRACKED TYPE of column `c` under `dataDir`: from the manifest's
@@ -2582,6 +2770,35 @@ object FileManifest {
     val rel = f.stripPrefix(rootQ).stripPrefix("/")
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** The hive partition COLUMN NAMES of a manifest table, derived from
+    * its (already collected, metadata-scale) file paths: each `k=v` dir
+    * level contributes its `k`, in tree order. Empty for a flat table.
+    * Fails loud on a non-hive segment or a layout that differs between
+    * files — the partition-aware verbs need ONE consistent column
+    * sequence to re-encode staged rewrites with partitionBy.
+    */
+  private def partitionColsOf(rootQ: String, files: Seq[String],
+      verb: String): Seq[String] = {
+    require(files.nonEmpty, s"$verb: no manifest entries under $rootQ")
+    def colsOf(f: String): Seq[String] = {
+      val rel = relPartitionDir(rootQ, f)
+      if (rel.isEmpty) Nil
+      else rel.split('/').toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0,
+          s"$verb: non-hive partition dir segment '$seg' under $rootQ")
+        seg.substring(0, i)
+      }
+    }
+    val first = colsOf(files.head)
+    files.find(colsOf(_) != first).foreach { f =>
+      throw new IllegalArgumentException(
+        s"$verb: inconsistent partition layout under $rootQ — " +
+          s"${files.head} vs $f")
+    }
+    first
   }
 
   /** OPTIMIZE for a HIVE-PARTITIONED manifest table — the partition-
