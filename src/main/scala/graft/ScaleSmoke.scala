@@ -41,6 +41,14 @@ object ScaleSmoke {
       mvccSmoke(spark)
       spark.stop(); return
     }
+    if (args.contains("partsurg")) {
+      partsurgSmoke(spark)
+      spark.stop(); return
+    }
+    if (args.contains("manifest10k")) {
+      manifest10kSmoke(spark, if (args.contains("small")) 2048 else 10000)
+      spark.stop(); return
+    }
     // 10x replicate lineitem/orders with shifted keys; copy dims
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
@@ -705,6 +713,91 @@ object ScaleSmoke {
           f"spill_cold=$sDt%6.2f s spill_warm=$sDt2%6.2f s equal=${bSum == sSum}")
       }
     }
+  }
+
+  /** PARTITIONED-SURGERY staging scaling: constant total rows across a
+    * growing partition-dir count, optimizePartitioned timed with the
+    * staging pool at 1 (the old sequential loop) vs the default 8. The
+    * I/O is identical; the delta is pure job-scheduling latency — the
+    * quantity that grows linearly with tree width when staging is
+    * sequential and ~flat when it overlaps.
+    */
+  private def partsurgSmoke(spark: SparkSession): Unit = {
+    import graft.sources.FileManifest
+    for (p <- Seq(16, 64)) {
+      val rows = 1600000L
+      def build(dir: String): Unit = {
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val hfs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (hfs.exists(path)) hfs.delete(path, true)
+        val df = spark.range(rows)
+          .select(col("id").as("k"), (col("id") % p).as("part"))
+        FileManifest.writeThrough(
+          df.repartitionByRange(p * 2, col("part"), col("k")),
+          dir, Seq("k"), partitionCols = Seq("part"), mode = "overwrite")
+      }
+      for (conc <- Seq(1, 8)) {
+        val dir = s"/tmp/graft_partsurg/p${p}_c$conc"
+        build(dir)
+        spark.conf.set(FileManifest.MaxConcurrentStagingKey, conc.toString)
+        try {
+          val t0 = System.nanoTime()
+          val w = FileManifest.optimizePartitioned(spark, dir, Seq("k"),
+            targetRowsPerFile = rows / p)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"partsurg_optimize parts=$p%-4d conc=$conc%-2d files=$w%-5d $dt%7.2f s")
+        } finally spark.conf.unset(FileManifest.MaxConcurrentStagingKey)
+      }
+    }
+  }
+
+  /** MANIFEST CEILING at 10⁴ files with bloom sidecars — the publish
+    * cost question the coalesce(1)-era write left unmeasured: time the
+    * initial buildWithBloom (stats job + manifest write), then a keyed
+    * MERGE commit (whose manifest rewrite carries every entry byte-for-
+    * byte through the sharded write), then a planned read. Prints the
+    * manifest part count and total bytes so the sharding is observable.
+    */
+  private def manifest10kSmoke(spark: SparkSession, n: Int): Unit = {
+    import graft.sources.FileManifest
+    import spark.implicits._
+    val dir = s"/tmp/graft_manifest10k/$n"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val hfs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(path)) hfs.delete(path, true)
+    val rows = n * 2000L // small files: the cost under test is per-ENTRY
+    var t0 = System.nanoTime()
+    FileManifest.writeThrough(
+      spark.range(rows).select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartitionByRange(n, col("k")),
+      dir, Seq("k"), bloomCols = Seq("k"), expectedPerFile = 4096L,
+      mode = "overwrite")
+    val buildDt = (System.nanoTime() - t0) / 1e9
+    def manifestShape(): (Int, Long) = {
+      val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifest"))
+        .filter(_.getPath.getName.startsWith("part-"))
+      (parts.length, parts.map(_.getLen).sum)
+    }
+    val (parts0, bytes0) = manifestShape()
+    println(f"manifest10k build files=$n%-6d parts=$parts0%-3d mbytes=${bytes0 / (1 << 20)}%-5d $buildDt%8.2f s")
+    // a keyed merge: candidate probes over n sidecars + full-manifest
+    // carry through the sharded write — the per-commit cost a CDC loop
+    // pays at this file count
+    t0 = System.nanoTime()
+    val (rw, car) = FileManifest.mergeKeys(spark, dir,
+      Seq((5L, -1L), (rows / 2, -1L), (rows + 9L, -2L)).toDF("k", "v"),
+      "k", Seq("k"), bloomCols = Seq("k"), expectedPerFile = 4096L)
+    val mergeDt = (System.nanoTime() - t0) / 1e9
+    val (parts1, bytes1) = manifestShape()
+    println(f"manifest10k merge files=$n%-6d rewritten=$rw carried=$car parts=$parts1%-3d mbytes=${bytes1 / (1 << 20)}%-5d $mergeDt%8.2f s")
+    // planned read: coverage guard + bounds pruning over the sharded
+    // manifest — the read-side cost of the same ceiling
+    t0 = System.nanoTime()
+    val (pruned, kept, total) = FileManifest.readPruned(spark, dir, "k",
+      lit(rows / 2), lit(rows / 2 + 3000L))
+    val s1 = pruned.agg(sum("v")).head().getLong(0)
+    val readDt = (System.nanoTime() - t0) / 1e9
+    println(f"manifest10k read  files=$n%-6d kept=$kept%-4d of=$total%-6d sum=$s1 $readDt%8.2f s")
   }
 
   private def compact100(spark: SparkSession, base: String,

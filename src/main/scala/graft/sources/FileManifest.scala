@@ -307,7 +307,7 @@ object FileManifest {
     // manifestFrame's retry gate looks for.
     val tmp = new org.apache.hadoop.fs.Path(
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    writeManifest(stats, tmp, math.max(1, paths.size).toLong)
     val dst = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
     // versionFloor carries monotonicity ACROSS a rebuild that destroyed
     // the previous manifest (writeThrough overwrite records the version
@@ -808,7 +808,7 @@ object FileManifest {
         cols, bloomCols, expectedPerFile, fpp)
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      writeManifest(stats, tmp, moved.size.toLong)
       swapVersioned(hfs, dataDir, tmp, opName)
       spark.catalog.refreshByPath(dataDir)
     }
@@ -882,6 +882,7 @@ object FileManifest {
     */
   private[sources] def opOfVersion(hfs: org.apache.hadoop.fs.FileSystem,
       dataDir: String, v: Long): String = {
+    opOfVersionCalls.incrementAndGet() // spec probe (OpBatch regression pin)
     val h = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
     def histOp(): Option[String] =
       try { if (hfs.exists(h)) Some(opOf(hfs, h)) else None }
@@ -899,6 +900,53 @@ object FileManifest {
     }
   }
 
+  /** Per-version listing counter — a SPEC PROBE ONLY: the batched
+    * [[opsOfVersions]] exists precisely so a long-lag CDC poll never
+    * pays a listStatus per mid version; OpBatchSpec pins that
+    * changesBetween leaves this counter untouched however many commits
+    * the span covers.
+    */
+  private[graft] val opOfVersionCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Operation stamps for EVERY retained version in TWO batched listing
+    * calls — one glob over the history dirs' `_op_` markers, one over
+    * the current manifest's markers — instead of [[opOfVersion]]'s
+    * exists+listStatus per version: a consumer 10³ commits behind pays
+    * two client round-trips before planning its feed, not 10³. The
+    * current-manifest glob returns the `_v{N}` stamp and the `_op_`
+    * marker from ONE listing, so the pair is consistent; a version a
+    * rival swap moves between the two globs simply resolves to no entry
+    * — and every consumer treats a missing entry as "unknown", which is
+    * NOT-reorganization: the safe direction (a hop is never skipped on
+    * evidence that can't be proven).
+    */
+  private[graft] def opsOfVersions(hfs: org.apache.hadoop.fs.FileSystem,
+      dataDir: String): Map[Long, String] = {
+    def glob(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try {
+        val sts = hfs.globStatus(p)
+        if (sts == null) Nil else sts.toSeq
+      } catch { case _: java.io.IOException => Nil }
+    val hist = glob(new org.apache.hadoop.fs.Path(dataDir,
+      "_manifest_v*/_op_*")).flatMap { st =>
+      val dn = st.getPath.getParent.getName
+      scala.util.Try(dn.stripPrefix("_manifest_v").toLong).toOption
+        .map(v => (v, st.getPath.getName.stripPrefix("_op_")))
+    }
+    val curMarkers = glob(new org.apache.hadoop.fs.Path(
+      manifestPath(dataDir), "_*")).map(_.getPath.getName)
+    val cur = for {
+      v <- curMarkers.collectFirst {
+        case n if n.startsWith("_v") && n.drop(2).forall(_.isDigit) &&
+          n.length > 2 => n.drop(2).toLong
+      }
+      op <- curMarkers.collectFirst {
+        case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
+    } yield (v, op)
+    (hist ++ cur).toMap
+  }
+
   /** DESCRIBE HISTORY: one row per readable version — (version, op,
     * n_files, n_rows live) — from the retained manifests alone
     * (metadata-scale: |versions| small manifest reads, no data page).
@@ -909,6 +957,11 @@ object FileManifest {
   def history(spark: SparkSession, dataDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // batched op resolution (two listings for the whole chain); a
+    // version the batch missed (concurrent swap) falls back to the
+    // per-version resolver rather than displaying a wrong "unknown"
+    // for a version whose manifest read below succeeds
+    val ops = opsOfVersions(hfs, dataDir)
     val rows = versions(spark, dataDir).map { v =>
       val agg = withSwapRetry {
         val mf = manifestFrameAt(spark, dataDir, v)
@@ -919,7 +972,7 @@ object FileManifest {
       }
       // an EMPTY snapshot (delete-everything publish) sums to NULL rows
       val nr = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      (v, opOfVersion(hfs, dataDir, v), agg.getLong(0), nr)
+      (v, ops.getOrElse(v, opOfVersion(hfs, dataDir, v)), agg.getLong(0), nr)
     }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_rows").orderBy("version")
@@ -1082,11 +1135,19 @@ object FileManifest {
     // multiset-invariant.
     val runs: Seq[(Long, Long)] = {
       val mids = retained.toSeq.filter(v => v > fromV && v <= toV).sorted
+      // ops for ALL mid versions from TWO batched listings (see
+      // opsOfVersions) — a lagging consumer's span may cover thousands
+      // of commits, and a listStatus per mid would serialize thousands
+      // of driver round-trips before any planning. A version the batch
+      // missed reads "unknown" = not-reorganization — sound.
+      val ops =
+        if (mids.isEmpty) Map.empty[Long, String]
+        else opsOfVersions(hfs, dataDir)
       val out = Seq.newBuilder[(Long, Long)]
       var runStart = fromV
       var prev = fromV
       mids.foreach { v =>
-        if (v == prev + 1 && ReorgOps(opOfVersion(hfs, dataDir, v))) {
+        if (v == prev + 1 && ReorgOps(ops.getOrElse(v, "unknown"))) {
           if (runStart < prev) out += ((runStart, prev))
           runStart = v
         }
@@ -1957,7 +2018,7 @@ object FileManifest {
           .flatten.reduce(_ unionByName _)
         val tmp = new org.apache.hadoop.fs.Path(
           s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        writeManifest(merged, tmp, (allMeta.length + moved.size).toLong)
         swapVersioned(hfs, dataDir, tmp, op)
         spark.catalog.refreshByPath(dataDir)
         (dvSet.size, rwSet.size, nCarriedBounds + zeroMatch.size)
@@ -1983,8 +2044,12 @@ object FileManifest {
     val m = manifestFrame(spark, dataDir)
     if (!m.columns.contains(DvCol)) return 0
     val fNorm = ManifestFileIndex.normPath(col("file"))
-    val dvPaths = m.filter(col(DvCol).isNotNull)
-      .select(fNorm).collect().map(_.getString(0)).sorted
+    // one metadata collect serves BOTH the dv file list and the entry
+    // tally the sharded manifest write sizes itself by
+    val allFlags = m.select(fNorm.as("f"), col(DvCol).isNotNull.as("d"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val nTotal = allFlags.length
+    val dvPaths = allFlags.filter(_._2).map(_._1).sorted
     val bareCols = m.columns.toSeq.filterNot(c => c == DvCol || c == DvDelCol)
     val stg = new org.apache.hadoop.fs.Path(
       s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -2025,7 +2090,8 @@ object FileManifest {
               expectedPerFile, fpp), bareCols))
         val tmp = new org.apache.hadoop.fs.Path(
           s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        writeManifest(merged, tmp,
+          (nTotal - dvPaths.length + moved.size).toLong)
         swapVersioned(hfs, dataDir, tmp, "purge")
         spark.catalog.refreshByPath(dataDir)
         dvPaths.length
@@ -2123,7 +2189,7 @@ object FileManifest {
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       // `merged` reads the manifest it replaces — land beside, then swap
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      writeManifest(merged, tmp, (flags.length + moved.size).toLong)
       swapVersioned(hfs, dataDir, tmp, "delete")
       spark.catalog.refreshByPath(dataDir)
       (candPaths.length, nCarried)
@@ -2649,7 +2715,7 @@ object FileManifest {
             expectedPerFile, fpp), carried.columns.toIndexedSeq))
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      writeManifest(merged, tmp, (mFlags.length + moved.size).toLong)
       swapVersioned(hfs, dataDir, tmp, "merge")
       spark.catalog.refreshByPath(dataDir)
       (candPaths.length, nCarried)
@@ -2761,6 +2827,48 @@ object FileManifest {
     moved.result()
   }
 
+  /** Bounded-concurrency submitter for per-partition STAGING jobs (the
+    * partition-aware surgeries): each partition's staged write is its
+    * own Spark job — at 10⁴ partitions a sequential loop pays 10⁴ job-
+    * scheduling latencies for work the cluster could overlap, turning a
+    * minutes-long I/O into tens of minutes of pure scheduling. Spark's
+    * scheduler is thread-safe (concurrent action submission is the
+    * documented fair-scheduling pattern), and every structure these
+    * jobs share (the dv estimate memo, the spill publish, the UDF
+    * registry) is already concurrency-safe, so a small pool submits
+    * partitions in parallel; `graft.surgery.maxConcurrentStaging`
+    * (default 8) bounds it — enough to hide scheduling latency, small
+    * enough that per-job shuffle memory stays bounded. The FIRST
+    * failure propagates (its cause, not the ExecutionException wrapper)
+    * and cancels the remainder — the caller's staging-dir cleanup and
+    * the untouched manifest make a partial stage invisible.
+    */
+  private[graft] val MaxConcurrentStagingKey =
+    "graft.surgery.maxConcurrentStaging"
+  private def stageConcurrently[T](spark: SparkSession, items: Seq[T])(
+      f: T => Unit): Unit = {
+    val maxC = spark.conf.get(MaxConcurrentStagingKey, "8").toInt
+    require(maxC >= 1, s"$MaxConcurrentStagingKey=$maxC")
+    if (items.size <= 1 || maxC == 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxC, items.size))
+      try {
+        val futs = items.map(it => pool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = f(it)
+          }))
+        futs.foreach { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdownNow()
+    }
+  }
+
   /** Relative partition dir of a manifest `file` entry ("" for a
     * root-level file) — the grouping key of the partition-aware verbs.
     */
@@ -2815,10 +2923,12 @@ object FileManifest {
     * tree-wide (the post-optimize manifest carries no dv columns), the
     * pre-optimize snapshot stays readable until vacuum retention, and
     * the change feed across it nets to zero — same contract as the
-    * flat verb, q180. Partitions stage sequentially (one write job
-    * each — the job count is O(partition dirs), the I/O is O(live
-    * bytes) either way). Works on flat tables too (one "" partition ≡
-    * optimizeTable). Returns the number of files written.
+    * flat verb, q180. Partitions stage CONCURRENTLY under a bounded
+    * pool (`graft.surgery.maxConcurrentStaging`, default 8 — see
+    * [[stageConcurrently]]): the job count is still O(partition dirs)
+    * but the per-job scheduling latency overlaps instead of summing.
+    * Works on flat tables too (one "" partition ≡ optimizeTable).
+    * Returns the number of files written.
     */
   def optimizePartitioned(spark: SparkSession, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -2849,8 +2959,13 @@ object FileManifest {
     val stg = new org.apache.hadoop.fs.Path(
       s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      var written = 0
-      byPart.foreach { case (rel, files) =>
+      // partitions stage CONCURRENTLY (bounded pool): the I/O is O(live
+      // bytes) either way, but sequential submission pays one job-
+      // scheduling latency PER partition dir — linear in tree width —
+      // where the pool overlaps them (ScaleSmoke's partitioned_surgery
+      // tier measures the wall-time difference at 64 dirs)
+      val written = new java.util.concurrent.atomic.AtomicInteger(0)
+      stageConcurrently(spark, byPart) { case (rel, files) =>
         val live = files.map(_._2).sum
         if (live > 0) {
           val n = ((live + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -2862,7 +2977,7 @@ object FileManifest {
             else raw
           rows.repartition(n).write.parquet(
             if (rel.isEmpty) stg.toString else s"$stg/$rel")
-          written += n
+          written.addAndGet(n)
         }
       }
       beforeCommitHook()
@@ -2880,11 +2995,11 @@ object FileManifest {
           expectedPerFile, fpp)
         val tmp = new org.apache.hadoop.fs.Path(
           s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-        stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        writeManifest(stats, tmp, moved.size.toLong)
         swapVersioned(hfs, dataDir, tmp, "optimize")
         spark.catalog.refreshByPath(dataDir)
       }
-      written
+      written.get()
     } finally { if (hfs.exists(stg)) hfs.delete(stg, true) }
   }
 
@@ -2938,7 +3053,8 @@ object FileManifest {
     val stg = new org.apache.hadoop.fs.Path(
       s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      byPart.foreach { case (rel, files) =>
+      // concurrent staging — see optimizePartitioned
+      stageConcurrently(spark, byPart) { case (rel, files) =>
         val raw = spark.read.parquet(files.toIndexedSeq: _*)
         val live =
           if (hasDv) applyDv(raw,
@@ -2962,7 +3078,7 @@ object FileManifest {
               expectedPerFile, fpp), carried.columns.toIndexedSeq))
         val tmp = new org.apache.hadoop.fs.Path(
           s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        writeManifest(merged, tmp, (flags.length + moved.size).toLong)
         swapVersioned(hfs, dataDir, tmp, "delete")
         spark.catalog.refreshByPath(dataDir)
         (candPaths.length, nCarried)
@@ -3210,8 +3326,36 @@ object FileManifest {
       .foreach(s => hfs.delete(s.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(
       s"${manifestPath(dataDir)}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    writeManifest(merged, tmp, live.size.toLong)
     swapVersioned(hfs, dataDir, tmp, "refresh")
+  }
+
+  /** Entries per manifest part file for [[writeManifest]]'s sharding:
+    * with inline bloom sidecars at the default expectedPerFile/fpp a
+    * manifest row is ~80 KB, so 4096 entries ≈ a 300 MB part — large
+    * enough that the common table (≤ 4096 files) keeps the single-part
+    * fast path, small enough that a 10⁵-file table's multi-GB manifest
+    * never funnels through one write task (or lands as one multi-GB
+    * object a reader must fetch serially).
+    */
+  private[graft] val ManifestEntriesPerPart = 4096L
+
+  /** Land a manifest frame at `tmp` with a part count sized to its
+    * (approximate — an upper bound is fine) entry count. Readers glob
+    * the manifest dir ([[manifestFrame]]), so the part count is
+    * invisible to them; the version/op markers are dir-level files
+    * beside the parts either way. Single-part stays `coalesce(1)` (no
+    * shuffle); sharded uses `repartition` because upstream frames
+    * (carried ∪ fresh unions) may hold fewer partitions than parts and
+    * coalesce can only reduce.
+    */
+  private def writeManifest(df: DataFrame, tmp: org.apache.hadoop.fs.Path,
+      approxEntries: Long): Unit = {
+    val parts = math.max(1L, math.min(64L,
+      (approxEntries + ManifestEntriesPerPart - 1) / ManifestEntriesPerPart))
+      .toInt
+    (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+      .write.mode("overwrite").parquet(tmp.toString)
   }
 
   /** VERSIONED manifest swap: the outgoing `_manifest` RENAMES to
