@@ -909,42 +909,68 @@ object FileManifest {
   private[graft] val opOfVersionCalls =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Operation stamps for EVERY retained version in TWO batched listing
-    * calls — one glob over the history dirs' `_op_` markers, one over
-    * the current manifest's markers — instead of [[opOfVersion]]'s
-    * exists+listStatus per version: a consumer 10³ commits behind pays
-    * two client round-trips before planning its feed, not 10³. The
-    * current-manifest glob returns the `_v{N}` stamp and the `_op_`
-    * marker from ONE listing, so the pair is consistent; a version a
-    * rival swap moves between the two globs simply resolves to no entry
-    * — and every consumer treats a missing entry as "unknown", which is
-    * NOT-reorganization: the safe direction (a hop is never skipped on
-    * evidence that can't be proven).
+  /** Operation stamps for the `wanted` versions, resolved in BATCH: ONE
+    * root listing discovers every history dir (by literal name match —
+    * never a glob: a dataDir containing glob metacharacters like `[1]`
+    * must not pattern-match a SIBLING table's history, which would map
+    * foreign op stamps onto this table's version numbers and silently
+    * skip data-changing hops), then one listing per wanted history dir
+    * for its marker, plus one listing of the current manifest (whose
+    * `_v{N}` stamp and `_op_` marker come from the SAME listing, so the
+    * pair is consistent). Versus [[opOfVersion]]'s exists + listStatus +
+    * current-fallback per version this is ~3× fewer calls and, crucially,
+    * SCOPED: a short-lag poll on a deep-retention table pays ~3 listings
+    * (only its span's dirs), a 10³-commit-lag poll pays 10³+2 — the
+    * markers live inside the dirs, so per-dir listings are inherent; the
+    * batch removes every redundant call around them. A version a rival
+    * swap moves mid-batch simply resolves to no entry — and every
+    * consumer treats a missing entry as "unknown" = NOT-reorganization:
+    * the safe direction (a hop is never skipped on unproven evidence).
     */
   private[graft] def opsOfVersions(hfs: org.apache.hadoop.fs.FileSystem,
-      dataDir: String): Map[Long, String] = {
-    def glob(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      try {
-        val sts = hfs.globStatus(p)
-        if (sts == null) Nil else sts.toSeq
-      } catch { case _: java.io.IOException => Nil }
-    val hist = glob(new org.apache.hadoop.fs.Path(dataDir,
-      "_manifest_v*/_op_*")).flatMap { st =>
-      val dn = st.getPath.getParent.getName
-      scala.util.Try(dn.stripPrefix("_manifest_v").toLong).toOption
-        .map(v => (v, st.getPath.getName.stripPrefix("_op_")))
-    }
-    val curMarkers = glob(new org.apache.hadoop.fs.Path(
-      manifestPath(dataDir), "_*")).map(_.getPath.getName)
-    val cur = for {
-      v <- curMarkers.collectFirst {
-        case n if n.startsWith("_v") && n.drop(2).forall(_.isDigit) &&
-          n.length > 2 => n.drop(2).toLong
+      dataDir: String, wanted: Set[Long]): Map[Long, String] = {
+    if (wanted.isEmpty) return Map.empty
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    def opIn(dir: org.apache.hadoop.fs.Path): Option[String] =
+      try hfs.listStatus(dir).iterator.map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
+      catch { case _: java.io.FileNotFoundException => None }
+    val prefix = "_manifest_v"
+    val dirs =
+      try hfs.listStatus(root).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val hist = dirs.iterator
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        val d = n.stripPrefix(prefix)
+        if (n.startsWith(prefix) && d.nonEmpty && d.forall(_.isDigit))
+          Some((d.toLong, st.getPath))
+        else None
       }
-      op <- curMarkers.collectFirst {
-        case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
-    } yield (v, op)
-    (hist ++ cur).toMap
+      .filter(t => wanted(t._1))
+      .flatMap { case (v, p) => opIn(p).map(v -> _) }
+      .toMap
+    val cur: Option[(Long, String)] =
+      try {
+        val names = hfs.listStatus(
+          new org.apache.hadoop.fs.Path(manifestPath(dataDir)))
+          .map(_.getPath.getName)
+        for {
+          v <- names.collectFirst {
+            case n if n.startsWith("_v") && n.length > 2 &&
+              n.drop(2).forall(_.isDigit) => n.drop(2).toLong
+          }
+          if wanted(v) && !hist.contains(v) // history-first, like opOfVersion
+          op <- names.collectFirst {
+            case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
+        } yield (v, op)
+      } catch {
+        // swap-renamed away mid-listing: it is history now (covered or
+        // resolves "unknown" — the conservative answer either way)
+        case _: java.io.FileNotFoundException => None
+      }
+    hist ++ cur
   }
 
   /** DESCRIBE HISTORY: one row per readable version — (version, op,
@@ -957,12 +983,13 @@ object FileManifest {
   def history(spark: SparkSession, dataDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // batched op resolution (two listings for the whole chain); a
+    // batched op resolution (one root listing + one per version); a
     // version the batch missed (concurrent swap) falls back to the
     // per-version resolver rather than displaying a wrong "unknown"
     // for a version whose manifest read below succeeds
-    val ops = opsOfVersions(hfs, dataDir)
-    val rows = versions(spark, dataDir).map { v =>
+    val vs = versions(spark, dataDir)
+    val ops = opsOfVersions(hfs, dataDir, vs.toSet)
+    val rows = vs.map { v =>
       val agg = withSwapRetry {
         val mf = manifestFrameAt(spark, dataDir, v)
         val del =
@@ -1135,14 +1162,14 @@ object FileManifest {
     // multiset-invariant.
     val runs: Seq[(Long, Long)] = {
       val mids = retained.toSeq.filter(v => v > fromV && v <= toV).sorted
-      // ops for ALL mid versions from TWO batched listings (see
+      // ops for ALL mid versions from ONE span-scoped batched pass (see
       // opsOfVersions) — a lagging consumer's span may cover thousands
-      // of commits, and a listStatus per mid would serialize thousands
-      // of driver round-trips before any planning. A version the batch
-      // missed reads "unknown" = not-reorganization — sound.
-      val ops =
-        if (mids.isEmpty) Map.empty[Long, String]
-        else opsOfVersions(hfs, dataDir)
+      // of commits, and exists+listStatus+fallback per mid would
+      // triple the driver round-trips before any planning, while a
+      // SHORT-lag poll must not pay for the table's whole retention
+      // depth either (the batch lists only its span's dirs). A version
+      // the batch missed reads "unknown" = not-reorganization — sound.
+      val ops = opsOfVersions(hfs, dataDir, mids.toSet)
       val out = Seq.newBuilder[(Long, Long)]
       var runStart = fromV
       var prev = fromV
@@ -1461,7 +1488,25 @@ object FileManifest {
     hfs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_SPILL_OK"), true)
       .close()
     if (!hfs.rename(tmp, dir)) {
-      hfs.delete(tmp, true)
+      // dir already exists: a complete winner (reuse it), or a
+      // marker-less leftover — a pre-marker-era spill on a cluster whose
+      // committer emits no _SUCCESS, or a crashed writer's torn dir.
+      // REPAIR the latter by replacing it with our proven-complete tmp;
+      // without this, every over-threshold read would re-spill into tmp
+      // and fail here forever (nothing else ever adds a marker to an
+      // existing dir). Deleting is safe: a marker-less dir is never
+      // served (only complete() dirs are returned), and the race of two
+      // repairers resolves like the original race — one rename wins.
+      if (!complete()) {
+        hfs.delete(dir, true)
+        hfs.rename(tmp, dir)
+        // a rival repairer can re-create dir between our delete and
+        // rename — Hadoop then nests tmp INSIDE it (returning true);
+        // remove the nesting exactly as the first-publish branch does
+        val nested = new org.apache.hadoop.fs.Path(dir, tmp.getName)
+        if (hfs.exists(nested)) hfs.delete(nested, true)
+      }
+      if (hfs.exists(tmp)) hfs.delete(tmp, true)
       require(complete(), s"dv spill publish failed under $dir")
     } else {
       // Hadoop rename semantics move src INTO an existing dst DIRECTORY
@@ -1719,10 +1764,9 @@ object FileManifest {
       s"deleteKeysDV batch of ${keys.size} keys exceeds maxKeys=$maxKeys " +
         "— the key set rides the plan (InSet) and the candidate probes; " +
         "split the erasure into batches or use deleteRangeDV for ranges")
-    if (partitioned)
-      requirePhysicalKey(spark, dataDir, key, "deleteKeysDVPartitioned")
     val m = manifestFrame(spark, dataDir)
-    val dt = resolveColumnType(spark, dataDir, key, "deleteKeysDV")
+    val dt = resolveColumnType(spark, dataDir, key,
+      if (partitioned) "deleteKeysDVPartitioned" else "deleteKeysDV")
     require(FsListing.isIntegral(dt),
       s"deleteKeysDV key '$key' is $dt — only integral key columns " +
         "(cast-to-long must be value- and order-preserving)")
@@ -1779,10 +1823,9 @@ object FileManifest {
         "candidate probes; split the erasure into batches")
     require(!keys.contains(null),
       "deleteKeysDVString: NULL key in batch — a NULL key matches no row")
-    if (partitioned)
-      requirePhysicalKey(spark, dataDir, key, "deleteKeysDVStringPartitioned")
     val m = manifestFrame(spark, dataDir)
-    val dt = resolveColumnType(spark, dataDir, key, "deleteKeysDVString")
+    val dt = resolveColumnType(spark, dataDir, key,
+      if (partitioned) "deleteKeysDVStringPartitioned" else "deleteKeysDVString")
     require(dt == StringType,
       s"deleteKeysDVString key '$key' is $dt — use deleteKeysDV for " +
         "integral keys")
@@ -2346,39 +2389,6 @@ object FileManifest {
       partitioned = partitioned)
   }
 
-  /** The hive partition columns of the CURRENT manifest's tree, derived
-    * from one anchor entry — the up-front guard the partitioned keyed
-    * verbs run so "erase BY the partition column" fails loud with the
-    * directory-drop guidance before any type resolution can garble the
-    * message (the partition column is not in any file's physical
-    * schema, so [[resolveColumnType]]'s anchor probe would name it
-    * missing instead).
-    */
-  private def partitionColsOfTable(spark: SparkSession, dataDir: String,
-      verb: String): Seq[String] = {
-    val anchor = withSwapRetry {
-      manifestFrame(spark, dataDir)
-        .select(ManifestFileIndex.normPath(col("file")))
-        .limit(1).collect().headOption.map(_.getString(0))
-        .getOrElse(throw new IllegalArgumentException(
-          s"$verb: empty manifest under $dataDir"))
-    }
-    val root = new org.apache.hadoop.fs.Path(dataDir)
-    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val rootQ = FsListing.norm(root.makeQualified(
-      hfs.getUri, hfs.getWorkingDirectory).toString)
-    partitionColsOf(rootQ, Seq(anchor), verb)
-  }
-
-  private def requirePhysicalKey(spark: SparkSession, dataDir: String,
-      key: String, verb: String): Unit = {
-    val pc = partitionColsOfTable(spark, dataDir, verb)
-    require(!pc.contains(key),
-      s"$verb key '$key' is a PARTITION column under $dataDir — drop " +
-        "the matching partition directories and refresh instead of a " +
-        "row-level surgery")
-  }
-
   /** The TRACKED TYPE of column `c` under `dataDir`: from the manifest's
     * `min_<c>` bounds when present (exact — the bound carries the
     * column's own type), else ONE manifest-anchored footer — never a
@@ -2389,6 +2399,15 @@ object FileManifest {
     * hashes would silently false-negative files out of the kept set —
     * the one failure mode bloom semantics must never allow — so callers
     * fail loud on a type mismatch instead.
+    *
+    * A column absent from the anchor's PHYSICAL schema that names one of
+    * its hive partition dir levels fails with the directory-drop
+    * guidance instead of "missing column": the partitioned keyed verbs
+    * route "erase BY the partition column" here with zero extra I/O
+    * (the anchor path is already in hand). A partition column whose
+    * bounds ARE tracked resolves a type here and is caught by
+    * [[deleteDvCore]]'s scanCols-vs-partCols guard instead — loud either
+    * way.
     */
   private def resolveColumnType(spark: SparkSession, dataDir: String,
       c: String, verb: String): DataType = withSwapRetry {
@@ -2399,9 +2418,22 @@ object FileManifest {
         .getOrElse(throw new IllegalArgumentException(
           s"$verb: empty manifest under $dataDir"))
       val sch = spark.read.parquet(anchor).schema
-      require(sch.fieldNames.contains(c),
-        s"$verb column '$c' not in table schema under $dataDir " +
-          s"(anchored on $anchor)")
+      if (!sch.fieldNames.contains(c)) {
+        val root = new org.apache.hadoop.fs.Path(dataDir)
+        val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val rootQ = FsListing.norm(root.makeQualified(
+          hfs.getUri, hfs.getWorkingDirectory).toString)
+        val rel = relPartitionDir(rootQ, anchor)
+        val isPartCol = rel.nonEmpty &&
+          rel.split('/').exists(_.takeWhile(_ != '=') == c)
+        if (isPartCol) throw new IllegalArgumentException(
+          s"$verb column '$c' is a PARTITION column under $dataDir — " +
+            "drop the matching partition directories and refresh " +
+            "instead of a row-level surgery")
+        throw new IllegalArgumentException(
+          s"requirement failed: $verb column '$c' not in table schema " +
+            s"under $dataDir (anchored on $anchor)")
+      }
       sch(c).dataType
     }
   }
@@ -2851,21 +2883,50 @@ object FileManifest {
     require(maxC >= 1, s"$MaxConcurrentStagingKey=$maxC")
     if (items.size <= 1 || maxC == 1) items.foreach(f)
     else {
+      // per-call job group: on failure the surviving IN-FLIGHT staging
+      // jobs must be CANCELLED, not just their threads interrupted — a
+      // thread interrupt does not stop an already-submitted Spark job,
+      // and a job still writing would re-create staging files AFTER the
+      // caller's cleanup deleted the staging dir (bytes outside the
+      // table root that no vacuum ever reaps)
+      val group =
+        s"graft_stage_${java.util.UUID.randomUUID().toString.take(8)}"
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(maxC, items.size))
+      val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
       try {
         val futs = items.map(it => pool.submit(
           new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = f(it)
+            override def call(): Unit = {
+              // a QUEUED task starting after the abort must not submit a
+              // fresh job — the group cancel only reaches jobs already
+              // submitted when it fires
+              if (aborted.get()) return
+              // the group tag is per-thread state — set it in the worker
+              spark.sparkContext.setJobGroup(group,
+                "graft partitioned-surgery staging", interruptOnCancel = true)
+              try f(it) finally spark.sparkContext.clearJobGroup()
+            }
           }))
+        var firstErr: Throwable = null
         futs.foreach { fu =>
           try fu.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              if (firstErr == null) {
+                firstErr = e.getCause
+                aborted.set(true)
+                spark.sparkContext.cancelJobGroup(group)
+              }
           }
         }
-      } finally pool.shutdownNow()
+        if (firstErr != null) throw firstErr
+      } finally {
+        pool.shutdownNow()
+        // the caller's cleanup deletes the staging dir next — wait for
+        // every worker to actually exit (their jobs cancelled above)
+        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+      }
     }
   }
 

@@ -9,9 +9,11 @@ import graft.sources.FileManifest
 /** Batched `_op_` resolution (FileManifest.opsOfVersions): a lagging CDC
   * consumer's changesBetween span may cover thousands of commits, and
   * the run decomposition needs each mid version's operation stamp — the
-  * batched path resolves ALL of them from two listing calls (one glob
-  * over the history dirs, one over the current manifest) instead of a
-  * listStatus per version. Pins: (1) changesBetween performs ZERO
+  * batched path resolves ALL of them from one span-scoped pass (one
+  * literal root listing to find the history dirs — never a glob, which
+  * would let metacharacters in the table path match a sibling table —
+  * then one listing per IN-SPAN dir) instead of exists+listStatus+
+  * fallback per version. Pins: (1) changesBetween performs ZERO
   * per-version op listings however long the lag (the opOfVersionCalls
   * probe); (2) the batched map agrees with the per-version resolver for
   * every retained version; (3) the long-lag feed is exact — applying it
@@ -83,7 +85,8 @@ class OpBatchSpec extends AnyFunSuite with SparkSpec {
 
     // (2) the batched map agrees with the per-version resolver (this
     // comparison itself uses the per-version path — after the probe)
-    val batched = FileManifest.opsOfVersions(hfs, dir)
+    val batched = FileManifest.opsOfVersions(hfs, dir,
+      FileManifest.versions(spark, dir).toSet)
     FileManifest.versions(spark, dir).foreach { v =>
       assert(batched.get(v).contains(
         expectedOps.getOrElse(v, "unknown")),
