@@ -49,6 +49,17 @@ object ScaleSmoke {
       manifest10kSmoke(spark, if (args.contains("small")) 2048 else 10000)
       spark.stop(); return
     }
+    if (args.contains("manifest100k")) {
+      // the next decade of the manifest ceiling (the 64→1024 part-cap
+      // lift): same probe at 10⁵ entries, fewer rows per file — the
+      // cost under test is per-ENTRY, not per-row
+      manifest10kSmoke(spark, 100000, rowsPerFile = 200L)
+      spark.stop(); return
+    }
+    if (args.contains("bigkeys")) {
+      bigkeysSmoke(spark)
+      spark.stop(); return
+    }
     // 10x replicate lineitem/orders with shifted keys; copy dims
     val reps = (0 until 10)
     def rep(t: String, keyCols: Seq[String], shift: Long): Unit = {
@@ -758,14 +769,15 @@ object ScaleSmoke {
     * byte through the sharded write), then a planned read. Prints the
     * manifest part count and total bytes so the sharding is observable.
     */
-  private def manifest10kSmoke(spark: SparkSession, n: Int): Unit = {
+  private def manifest10kSmoke(spark: SparkSession, n: Int,
+      rowsPerFile: Long = 2000L): Unit = {
     import graft.sources.FileManifest
     import spark.implicits._
     val dir = s"/tmp/graft_manifest10k/$n"
     val path = new org.apache.hadoop.fs.Path(dir)
     val hfs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (hfs.exists(path)) hfs.delete(path, true)
-    val rows = n * 2000L // small files: the cost under test is per-ENTRY
+    val rows = n * rowsPerFile // small files: the cost under test is per-ENTRY
     var t0 = System.nanoTime()
     FileManifest.writeThrough(
       spark.range(rows).select(col("id").as("k"), (col("id") % 97).as("v"))
@@ -798,6 +810,46 @@ object ScaleSmoke {
     val s1 = pruned.agg(sum("v")).head().getLong(0)
     val readDt = (System.nanoTime() - t0) / 1e9
     println(f"manifest10k read  files=$n%-6d kept=$kept%-4d of=$total%-6d sum=$s1 $readDt%8.2f s")
+  }
+
+  /** UNCAPPED KEYED ERASE at production shape: a 64-partition tree and
+    * an erase batch of 10⁶ QUERY-SELECTED keys (10× past the collect
+    * cap) through deleteKeysDVFramePartitioned — aggregate-only guards,
+    * global-bounds candidates, exact key-JOIN matchers, zero
+    * driver-resident key state. Every file matches ~1/8 of its rows
+    * (under maxDvFraction), so the commit is DV-only: the timing
+    * separates the one matched-position scan+join from a rewrite
+    * storm, and the (dv, rw, carried) split printed makes the
+    * metadata-only story observable. A follow-up planned read verifies
+    * the count so a silently-partial erase can't pass as fast.
+    */
+  private def bigkeysSmoke(spark: SparkSession): Unit = {
+    import graft.sources.FileManifest
+    val dir = "/tmp/graft_bigkeys/t"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val hfs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(path)) hfs.delete(path, true)
+    val rows = 8000000L // 64 partitions x 125k rows; 10^6 doomed keys
+    var t0 = System.nanoTime()
+    FileManifest.writeThrough(
+      spark.range(rows).select(col("id").as("k"),
+          (col("id") % 64).as("part"), (col("id") * 7 % 1000).as("v"))
+        .repartitionByRange(128, col("part"), col("k")),
+      dir, Seq("k"), bloomCols = Seq("k"),
+      partitionCols = Seq("part"), mode = "overwrite")
+    val buildDt = (System.nanoTime() - t0) / 1e9
+    println(f"bigkeys build rows=$rows part=64 $buildDt%8.2f s")
+    val doomed = spark.range(rows / 8).select((col("id") * 8L).as("k"))
+    t0 = System.nanoTime()
+    val (dv, rw, car) = FileManifest.deleteKeysDVFramePartitioned(
+      spark, dir, "k", doomed, Seq("k"), bloomCols = Seq("k"))
+    val delDt = (System.nanoTime() - t0) / 1e9
+    println(f"bigkeys erase keys=${rows / 8} dv=$dv rw=$rw carried=$car $delDt%8.2f s")
+    t0 = System.nanoTime()
+    val n = graft.sources.ManifestFileIndex.read(spark, dir).count()
+    val readDt = (System.nanoTime() - t0) / 1e9
+    require(n == rows - rows / 8, s"erase lost rows: $n")
+    println(f"bigkeys read  rows=$n $readDt%8.2f s")
   }
 
   private def compact100(spark: SparkSession, base: String,

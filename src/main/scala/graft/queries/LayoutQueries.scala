@@ -2017,6 +2017,70 @@ object LayoutQueries {
           min("ok").as("min_ok"), max("ok").as("max_ok"),
           sum("o_custkey").as("cust_sum"))
         .orderBy("p")
+    },
+
+    // q187 is q186's scale dimension: the UNCAPPED partitioned keyed
+    // path — both batches forced past `maxCollectedKeys`, so candidate
+    // planning runs global-bounds (agg-only, zero driver-resident
+    // keys), the NULL/dup guards run as aggregates, and matched
+    // positions / rewrite survivors run as exact key JOINS instead of
+    // InSet predicates; the erase batch arrives as a DATAFRAME
+    // (deleteKeysDVFramePartitioned — the query-selected GDPR sweep,
+    // millions of keys at 100 TB). Same one-commit-per-verb atomicity
+    // and directory-only partition encoding as q186
+    // (PartitionedKeyedSpec pins parity with the capped path). The
+    // gate pins per-partition (count, custkey sum, key sum): a join
+    // matcher that missed a key, a candidate bound that excluded a
+    // holder file, or an insert routed to the wrong dir each move one.
+    QueryDef.sql(
+      "q187_partitioned_keyed_uncapped",
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |                  CAST(o_custkey AS BIGINT) AS c,
+        |                  o_orderkey % 4 AS p FROM orders),
+        |m AS (SELECT k, CASE WHEN k % 97 = 0 THEN -7 ELSE c END AS c, p
+        |      FROM t),
+        |merged AS (SELECT k, c, p FROM m
+        |  UNION ALL SELECT * FROM (VALUES (900000000, -100, 0),
+        |    (900000001, -101, 1), (900000002, -102, 2)) v(k, c, p)),
+        |final AS (SELECT * FROM merged
+        |          WHERE NOT (k % 131 = 0 AND k < 900000000))
+        |SELECT CAST(p AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(c) AS BIGINT) AS cust_sum,
+        |       CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM final GROUP BY p ORDER BY p""") { (s, d) =>
+      import s.implicits._
+      val dir = QueryDef.scratch(d, "manifest_partkey_uncapped")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val h = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (h.exists(p)) h.delete(p, true)
+      }
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("c"),
+        (col("o_orderkey") % 4).cast("long").as("p"))
+      graft.sources.FileManifest.writeThrough(
+        o.repartitionByRange(8, col("p"), col("k")),
+        dir, Seq("k"), bloomCols = Seq("k"),
+        partitionCols = Seq("p"), mode = "overwrite") // v1
+      // v2: ~1/97 of the keys update + three inserts — forced PAST the
+      // cap, so this merge runs the no-collect plan at any scale factor
+      val updates = o.filter(col("k") % 97 === 0)
+        .select(col("k"), lit(-7L).as("c"), col("p"))
+        .unionByName(Seq((900000000L, -100L, 0L), (900000001L, -101L, 1L),
+          (900000002L, -102L, 2L)).toDF("k", "c", "p"))
+      graft.sources.FileManifest.mergeKeysDVPartitioned(
+        s, dir, updates, "k", Seq("k"), bloomCols = Seq("k"),
+        maxCollectedKeys = 50)
+      // v3: QUERY-SELECTED erase batch as a DataFrame, also past the cap
+      graft.sources.FileManifest.deleteKeysDVFramePartitioned(
+        s, dir, "k", o.filter(col("k") % 131 === 0).select("k"),
+        Seq("k"), bloomCols = Seq("k"), maxCollectedKeys = 50)
+      graft.sources.ManifestFileIndex.read(s, dir)
+        .groupBy(col("p").cast("long").as("p"))
+        .agg(count(lit(1)).as("n"), sum("c").as("cust_sum"),
+          sum("k").as("key_sum"))
+        .orderBy("p")
     }
   )
 }

@@ -46,13 +46,78 @@ object FileManifest {
     * version 1.
     */
   private def versionOf(hfs: org.apache.hadoop.fs.FileSystem,
-      mdir: org.apache.hadoop.fs.Path): Long =
-    hfs.listStatus(mdir).iterator.map(_.getPath.getName)
-      .collectFirst {
-        case n if n.startsWith("_v") && n.length > 2 && n.drop(2).forall(_.isDigit) =>
-          n.drop(2).toLong
+      mdir: org.apache.hadoop.fs.Path): Long = {
+    // Hadoop's local listStatus is NOT atomic: it lists child NAMES,
+    // then stats each child BY PATH, silently DROPPING children whose
+    // stat races a concurrent swap-rename (the per-child FNFE is
+    // swallowed) — so a listing taken mid-swap can come back EMPTY or
+    // PARTIAL instead of throwing (measured ~1% of tight polls against
+    // a rename-churn loop). A FOUND `_v{N}` marker is always
+    // trustworthy: listings never fabricate entries, and both dirs a
+    // racing path can resolve to are legitimate versions of this table
+    // (returning the just-renamed-away version is linearizable — it WAS
+    // current an instant ago). A MISSING marker is ambiguous — legacy
+    // pre-versioning manifest (legitimately reads as 1) vs torn view —
+    // so it is re-probed until stable; only a marker-less answer that
+    // survives the backoff is accepted as legacy.
+    var attempt = 0
+    while (true) {
+      val found = hfs.listStatus(mdir).iterator.map(_.getPath.getName)
+        .collectFirst {
+          case n if n.startsWith("_v") && n.length > 2 &&
+            n.drop(2).forall(_.isDigit) => n.drop(2).toLong
+        }
+      found match {
+        case Some(v) => return v
+        case None =>
+          attempt += 1
+          if (attempt > 3) return 1L
+          Thread.sleep(5L * attempt)
       }
-      .getOrElse(1L)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True when `t` (or any link of its cause chain) has the shape a
+    * concurrent manifest swap-rename leaves behind on a lock-free
+    * reader: the directory vanished between the reader's exists/open
+    * probe and its listing. HDFS and the object-store connectors throw
+    * FileNotFoundException there, but Hadoop's RawLocalFileSystem
+    * (local disk, NFS — exactly what CI and dev boxes run on) throws a
+    * BARE `IOException("Invalid directory or I/O error occurred for
+    * dir: …")` when `java.io.File.list()` returns null inside its own
+    * exists→list gap — and, third flavor (SwapRaceSpec's churn stress
+    * caught it), `java.nio.file.AccessDeniedException("Permission
+    * denied")` from Hadoop's `FileUtil.list`, which re-probes
+    * `exists()` after a null `list()` and, when the dir has already
+    * been renamed BACK IN by the swap's second rename, misdiagnoses
+    * the transient as a permission problem. Every swap-tolerance site
+    * must treat all three as "not found"; matching only the FNFE shape
+    * leaves lock-free readers (change-feed polls, DESCRIBE HISTORY,
+    * version probes) a small per-commit crash window on local
+    * filesystems — the exact failure ChangeFeedTailSpec caught
+    * intermittently. Trade-off, documented: a GENUINELY
+    * permission-broken manifest dir now resolves like a half-swap
+    * (bounded retries, then history fallback / loud downstream
+    * retention errors) instead of surfacing AccessDenied from a
+    * read-only probe — acceptable because every writer path still
+    * fails loud on its own create/rename syscalls.
+    */
+  private[sources] def isVanishedDir(t: Throwable): Boolean = {
+    var c = t
+    while (c != null) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _: java.nio.file.AccessDeniedException => return true
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains(
+              "Invalid directory or I/O error occurred") => return true
+        case _ =>
+      }
+      c = c.getCause
+    }
+    false
+  }
 
   /** Union of every retained history manifest's file paths (normed,
     * one column `h_file`) — None when the table has no history. The
@@ -81,14 +146,27 @@ object FileManifest {
     */
   private def historyVersions(hfs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] =
-    hfs.listStatus(root).iterator.map(_.getPath.getName)
-      .collect {
-        case n if n.startsWith("_manifest_v") &&
-            n.stripPrefix("_manifest_v").nonEmpty &&
-            n.stripPrefix("_manifest_v").forall(_.isDigit) =>
-          n.stripPrefix("_manifest_v").toLong
-      }
-      .toSeq.sorted
+    historyDirs(hfs, root).keysIterator.toSeq.sorted
+
+  /** ONE root listing → every `_manifest_v{N}` history entry, version →
+    * FileStatus. The single enumeration both [[versions]] and
+    * [[opsOfVersions]] derive from — CDC callers thread this map
+    * through so a poll pays one root listStatus, not two (on a large
+    * FLAT table the data files live in the root, so each listing is
+    * O(files) driver RPCs). Name match is LITERAL, never a glob: a
+    * dataDir containing glob metacharacters like `[1]` must not
+    * pattern-match a SIBLING table's history.
+    */
+  private def historyDirs(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Map[Long, org.apache.hadoop.fs.FileStatus] =
+    hfs.listStatus(root).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      val d = n.stripPrefix("_manifest_v")
+      if (n.startsWith("_manifest_v") && d.nonEmpty && d.forall(_.isDigit))
+        Some(d.toLong -> st)
+      else None
+    }.toMap
 
   /** The `_manifest` parquet as a (lazy, distributed) DataFrame — the
     * ONE way planning code touches manifest CONTENT. Bounds and bloom
@@ -127,8 +205,19 @@ object FileManifest {
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if (e.getErrorClass == "PATH_NOT_FOUND" ||
-              e.getMessage.contains("Path does not exist")) &&
+              e.getMessage.contains("Path does not exist") ||
+              // a TORN local listing (names listed from the renamed-away
+              // dir, per-child stats silently dropped) can resolve to
+              // ZERO parquet files instead of an absent path — Spark
+              // then fails schema inference, not path resolution
+              e.getErrorClass == "UNABLE_TO_INFER_SCHEMA") &&
               swapMaybeInFlight() =>
+          attempt += 1
+          Thread.sleep(20L << attempt)
+        // local-FS flavor of the same gap: the dir vanished between
+        // Spark's own exists probe and its listing (isVanishedDir)
+        case t: java.io.IOException
+            if isVanishedDir(t) && swapMaybeInFlight() =>
           attempt += 1
           Thread.sleep(20L << attempt)
       }
@@ -162,15 +251,19 @@ object FileManifest {
       // fresh re-probe rather than crashing the consumer
       val curV: Option[Long] =
         try { if (hfs.exists(cur)) Some(versionOf(hfs, cur)) else None }
-        catch { case _: java.io.FileNotFoundException => None }
+        catch { case t: java.io.IOException if isVanishedDir(t) => None }
       curV match {
         case Some(v) if v == version =>
           try return spark.read.parquet(cur.toString)
           catch {
             case e: org.apache.spark.sql.AnalysisException
                 if e.getErrorClass == "PATH_NOT_FOUND" ||
-                  e.getMessage.contains("Path does not exist") =>
-              // renamed to history in the gap — next loop probes hist
+                  e.getMessage.contains("Path does not exist") ||
+                  e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" =>
+              // renamed to history in the gap (or the listing tore to
+              // zero files) — next loop probes hist
+            case t: java.io.IOException if isVanishedDir(t) =>
+              // same gap, local-FS flavor: dir vanished mid-listing
           }
         case Some(_) =>
           // cur holds a DIFFERENT version: the target, if it exists at
@@ -203,12 +296,16 @@ object FileManifest {
     */
   private[sources] def withSwapRetry[T](body: => T): T = {
     def swapRaced(t: Throwable): Boolean = {
+      if (isVanishedDir(t)) return true // FNFE + RawLocalFS null-list IOE
       var c = t
       while (c != null) {
-        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
         val m = c.getMessage
         if (m != null && (m.contains("PATH_NOT_FOUND") ||
-          m.contains("Path does not exist") || m.contains("FileNotFound")))
+          m.contains("Path does not exist") || m.contains("FileNotFound") ||
+          // a torn local listing can resolve a swap-racing manifest to
+          // zero files — surfacing as failed schema inference rather
+          // than an absent path; a genuinely empty dir fails the retry
+          m.contains("UNABLE_TO_INFER_SCHEMA")))
           return true
         c = c.getCause
       }
@@ -221,11 +318,41 @@ object FileManifest {
   /** Version stamped on the CURRENT manifest — 0 when the table has no
     * manifest yet. The optimistic-concurrency token every write-surgery
     * verb validates under the commit lock before publishing.
+    *
+    * Writers call this under the commit lock, where no swap can race
+    * them and the first probe always decides. Lock-free READERS
+    * (change-feed head probes, as-of pinning) can land inside the swap
+    * window — rename(`_manifest`→`_manifest_vN`) then
+    * rename(tmp→`_manifest`) — where the dir is briefly absent or
+    * vanishes between the exists probe and `versionOf`'s listing. The
+    * bare exists→listStatus here used to be a TOCTOU crash on exactly
+    * that window; now both race shapes ([[isVanishedDir]]) retry with
+    * backoff. Disambiguation from REAL absence is by history: a table
+    * with no `_manifest` and no `_manifest_v*` dirs is genuinely
+    * unversioned → 0 immediately, no backoff. History present but the
+    * current manifest still absent after the backoff means a writer
+    * died between its two renames — the newest history dir holds the
+    * last state that was ever current, so its version is the
+    * linearizable answer (and what this probe returned moments before
+    * that half-swap).
     */
   private def currentVersion(hfs: org.apache.hadoop.fs.FileSystem,
       dataDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
     val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
-    if (hfs.exists(cur)) versionOf(hfs, cur) else 0L
+    def hist(): Seq[Long] =
+      try historyVersions(hfs, root)
+      catch { case t: java.io.IOException if isVanishedDir(t) => Seq.empty }
+    var attempt = 0
+    while (attempt <= 5) {
+      try {
+        if (hfs.exists(cur)) return versionOf(hfs, cur)
+        if (hist().isEmpty) return 0L // real absence: fail-fast, no backoff
+      } catch { case t: java.io.IOException if isVanishedDir(t) => }
+      attempt += 1
+      if (attempt <= 5) Thread.sleep(10L << attempt) // ≤ ~630 ms total
+    }
+    hist().lastOption.getOrElse(0L)
   }
 
   /** TEST SEAM: invoked once per write-surgery call (deleteRange /
@@ -844,13 +971,62 @@ object FileManifest {
 
   /** All readable versions under `dataDir`, ascending — retained history
     * plus the current manifest's stamped version.
+    *
+    * History and current are probed as a SNAPSHOT: a rival swap landing
+    * between the two listings used to either (a) crash `versionOf` on
+    * the vanished `_manifest` (the [[isVanishedDir]] local-FS shape),
+    * or (b) silently DROP the mid version — history listed before the
+    * rename added v_N, current already stamped v_N+1 — which a CDC
+    * consumer would see as one merged hop with the wrong op
+    * attribution (an intervening reorg's file churn misread as data
+    * change). Both interleavings are detected — current must be newest
+    * history + 1 whenever history is non-empty (rebuilds clear
+    * history; vacuum keeps a contiguous suffix) — and retried with
+    * both listings refreshed. Retries are bounded and SHORT (two, ≤45
+    * ms total — the rename window is microseconds) because the gap
+    * shape can also be legitimate: a from-scratch [[build]] over a
+    * table that kept older history dirs stamps current+1 without
+    * renaming, and such a table must converge to today's as-observed
+    * answer on every call instead of spinning or paying a long backoff
+    * per poll.
     */
-  def versions(spark: SparkSession, dataDir: String): Seq[Long] = {
+  def versions(spark: SparkSession, dataDir: String): Seq[Long] =
+    versionsSnapshot(spark, dataDir)._1
+
+  /** [[versions]] plus the history-dir statuses from the SAME root
+    * listing the versions came from — CDC callers ([[changesBetween]],
+    * [[history]]) thread the map into [[opsOfVersions]] so one poll
+    * pays ONE root enumeration.
+    */
+  private def versionsSnapshot(spark: SparkSession, dataDir: String)
+      : (Seq[Long], Map[Long, org.apache.hadoop.fs.FileStatus]) = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
-    (historyVersions(hfs, root) ++
-      (if (hfs.exists(cur)) Seq(versionOf(hfs, cur)) else Nil)).distinct.sorted
+    var attempt = 0
+    var last: (Seq[Long], Map[Long, org.apache.hadoop.fs.FileStatus]) =
+      (Seq.empty, Map.empty)
+    while (attempt <= 2) {
+      val histD =
+        try historyDirs(hfs, root)
+        catch {
+          case t: java.io.IOException if isVanishedDir(t) =>
+            Map.empty[Long, org.apache.hadoop.fs.FileStatus]
+        }
+      val hist = histD.keysIterator.toSeq.sorted
+      val curV: Option[Long] =
+        try { if (hfs.exists(cur)) Some(versionOf(hfs, cur)) else None }
+        catch { case t: java.io.IOException if isVanishedDir(t) => None }
+      last = ((hist ++ curV).distinct.sorted, histD)
+      val consistent = curV match {
+        case Some(v) => hist.isEmpty || v == hist.max + 1
+        case None => hist.isEmpty // hist-but-no-current = mid-swap window
+      }
+      if (consistent) return last
+      attempt += 1
+      if (attempt <= 2) Thread.sleep(15L * attempt)
+    }
+    last // bounded: a real (build-created) gap returns as observed
   }
 
   /** The CURRENT manifest's stamped version, for read-side pinning. */
@@ -886,7 +1062,7 @@ object FileManifest {
     val h = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
     def histOp(): Option[String] =
       try { if (hfs.exists(h)) Some(opOf(hfs, h)) else None }
-      catch { case _: java.io.FileNotFoundException => None }
+      catch { case t: java.io.IOException if isVanishedDir(t) => None }
     histOp().getOrElse {
       val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
       try {
@@ -894,7 +1070,7 @@ object FileManifest {
         else histOp().getOrElse("unknown")
       } catch {
         // swap-renamed away mid-listing: the target is now history
-        case _: java.io.FileNotFoundException =>
+        case t: java.io.IOException if isVanishedDir(t) =>
           histOp().getOrElse("unknown")
       }
     }
@@ -928,28 +1104,28 @@ object FileManifest {
     * the safe direction (a hop is never skipped on unproven evidence).
     */
   private[graft] def opsOfVersions(hfs: org.apache.hadoop.fs.FileSystem,
-      dataDir: String, wanted: Set[Long]): Map[Long, String] = {
+      dataDir: String, wanted: Set[Long],
+      histListing: Option[Map[Long, org.apache.hadoop.fs.FileStatus]] = None)
+      : Map[Long, String] = {
     if (wanted.isEmpty) return Map.empty
     val root = new org.apache.hadoop.fs.Path(dataDir)
     def opIn(dir: org.apache.hadoop.fs.Path): Option[String] =
       try hfs.listStatus(dir).iterator.map(_.getPath.getName)
         .collectFirst { case n if n.startsWith("_op_") => n.stripPrefix("_op_") }
-      catch { case _: java.io.FileNotFoundException => None }
-    val prefix = "_manifest_v"
-    val dirs =
-      try hfs.listStatus(root).toSeq
-      catch { case _: java.io.FileNotFoundException => Seq.empty }
+      catch { case t: java.io.IOException if isVanishedDir(t) => None }
+    // reuse the caller's root enumeration when it has one (history and
+    // changesBetween just paid it inside versionsSnapshot — re-listing
+    // the root would double every CDC poll's O(files) flat-table cost)
+    val dirs: Map[Long, org.apache.hadoop.fs.FileStatus] =
+      histListing.getOrElse(
+        try historyDirs(hfs, root)
+        catch {
+          case t: java.io.IOException if isVanishedDir(t) =>
+            Map.empty[Long, org.apache.hadoop.fs.FileStatus]
+        })
     val hist = dirs.iterator
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val n = st.getPath.getName
-        val d = n.stripPrefix(prefix)
-        if (n.startsWith(prefix) && d.nonEmpty && d.forall(_.isDigit))
-          Some((d.toLong, st.getPath))
-        else None
-      }
-      .filter(t => wanted(t._1))
-      .flatMap { case (v, p) => opIn(p).map(v -> _) }
+      .filter { case (v, st) => wanted(v) && st.isDirectory }
+      .flatMap { case (v, st) => opIn(st.getPath).map(v -> _) }
       .toMap
     val cur: Option[(Long, String)] =
       try {
@@ -968,7 +1144,7 @@ object FileManifest {
       } catch {
         // swap-renamed away mid-listing: it is history now (covered or
         // resolves "unknown" — the conservative answer either way)
-        case _: java.io.FileNotFoundException => None
+        case t: java.io.IOException if isVanishedDir(t) => None
       }
     hist ++ cur
   }
@@ -987,8 +1163,8 @@ object FileManifest {
     // version the batch missed (concurrent swap) falls back to the
     // per-version resolver rather than displaying a wrong "unknown"
     // for a version whose manifest read below succeeds
-    val vs = versions(spark, dataDir)
-    val ops = opsOfVersions(hfs, dataDir, vs.toSet)
+    val (vs, histD) = versionsSnapshot(spark, dataDir)
+    val ops = opsOfVersions(hfs, dataDir, vs.toSet, Some(histD))
     val rows = vs.map { v =>
       val agg = withSwapRetry {
         val mf = manifestFrameAt(spark, dataDir, v)
@@ -1138,7 +1314,8 @@ object FileManifest {
     // lag-past-retention contract) — the reorg decomposition below can
     // otherwise collapse the whole span without ever resolving an
     // endpoint manifest
-    val retained = versions(spark, dataDir).toSet
+    val (retainedSeq, histD) = versionsSnapshot(spark, dataDir)
+    val retained = retainedSeq.toSet
     Seq(fromV, toV).foreach { v =>
       if (!retained.contains(v)) throw new IllegalArgumentException(
         s"requirement failed: version $v not retained under $dataDir " +
@@ -1169,7 +1346,7 @@ object FileManifest {
       // SHORT-lag poll must not pay for the table's whole retention
       // depth either (the batch lists only its span's dirs). A version
       // the batch missed reads "unknown" = not-reorganization — sound.
-      val ops = opsOfVersions(hfs, dataDir, mids.toSet)
+      val ops = opsOfVersions(hfs, dataDir, mids.toSet, Some(histD))
       val out = Seq.newBuilder[(Long, Long)]
       var runStart = fromV
       var prev = fromV
@@ -1498,8 +1675,24 @@ object FileManifest {
       // served (only complete() dirs are returned), and the race of two
       // repairers resolves like the original race — one rename wins.
       if (!complete()) {
-        hfs.delete(dir, true)
+        // rename the torn dir ASIDE (doomed temp) rather than deleting
+        // in place: a rival repairer can publish a COMPLETE spill
+        // between the outer complete() check and here, and an in-place
+        // delete would destroy that just-published dir while it is the
+        // only complete copy — yanking files from under a reader's lazy
+        // plan for longer than the swap window. The aside-rename is
+        // atomic and our own proven-complete (equivalent) tmp is
+        // installed immediately after, so any reader-visible absence is
+        // two metadata renames wide — inside what the read path's
+        // withSwapRetry already tolerates; the doomed dir (torn, or a
+        // rival's superseded-but-equivalent spill) is then reaped from
+        // its dot-prefixed (listing-invisible) aside name.
+        val doomed = new org.apache.hadoop.fs.Path(
+          s"$dataDir/_dv_spill/.doomed_v${v}_" +
+            java.util.UUID.randomUUID().toString.take(8))
+        val aside = hfs.rename(dir, doomed)
         hfs.rename(tmp, dir)
+        if (aside) hfs.delete(doomed, true)
         // a rival repairer can re-create dir between our delete and
         // rename — Hadoop then nests tmp INSIDE it (returning true);
         // remove the nesting exactly as the first-publish branch does
@@ -1706,11 +1899,11 @@ object FileManifest {
       col(s"max_$c") < lo || col(s"min_$c") > hi, lit(false))
     deleteDvCore(spark, dataDir, m, candidate,
       scanCols = Seq(c),
-      matchPred = col(c) >= lo && col(c) <= hi,
+      matchRows = _.filter(col(c) >= lo && col(c) <= hi),
       // NULL never satisfies a range predicate — NULL-c rows survive: a
       // bare !(between) evaluates to NULL for them and the filter would
       // silently delete every NULL row in a rewritten file
-      survivorKeep = col(c).isNull || !(col(c) >= lo && col(c) <= hi),
+      keepRows = _.filter(col(c).isNull || !(col(c) >= lo && col(c) <= hi)),
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction)
   }
 
@@ -1773,8 +1966,8 @@ object FileManifest {
     val keyArr = keys.distinct.sorted.toArray
     deleteDvCore(spark, dataDir, m, keyCandidate(m, key, keyArr),
       scanCols = Seq(key),
-      matchPred = col(key).isin(keyArr: _*),
-      survivorKeep = col(key).isNull || !col(key).isin(keyArr: _*),
+      matchRows = _.filter(col(key).isin(keyArr: _*)),
+      keepRows = _.filter(col(key).isNull || !col(key).isin(keyArr: _*)),
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
       partitioned = partitioned)
   }
@@ -1832,25 +2025,138 @@ object FileManifest {
     val keyArr = keys.distinct.sorted(utf8Ordering).toArray
     deleteDvCore(spark, dataDir, m, keyCandidateStr(m, key, keyArr),
       scanCols = Seq(key),
-      matchPred = col(key).isin(keyArr.toIndexedSeq: _*),
-      survivorKeep = col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*),
+      matchRows = _.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
+      keepRows =
+        _.filter(col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)),
+      cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
+      partitioned = partitioned)
+  }
+
+  /** Keyed DELETE with the erase batch as a DataFrame COLUMN instead of
+    * a driver Seq — and therefore UNCAPPED: the production GDPR sweep
+    * ships millions of ids selected by a query, not a hand-held list.
+    * A batch of at most `maxCollectedKeys` DISTINCT keys collects once
+    * and takes the precise per-key bounds+bloom candidate path of
+    * [[deleteKeysDV]]/[[deleteKeysDVString]] (long vs string dispatched
+    * on the column's type); a larger batch never lands on the driver —
+    * NULL guards run as aggregates, candidates fall back to global-
+    * bounds overlap (a batch past the cap is dense over its range, and
+    * zero-match candidates are carried untouched by the count pass),
+    * and matched positions / rewrite survivors become exact key JOINS.
+    * Duplicates in the batch are collapsed (erasure is idempotent per
+    * key); NULL keys fail loud (they match no row). Returns
+    * (files DV-marked, files rewritten, files untouched).
+    */
+  def deleteKeysDVFrame(spark: SparkSession, dataDir: String, key: String,
+      keys: DataFrame, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5,
+      maxCollectedKeys: Int = 100000): (Int, Int, Int) =
+    deleteKeysDVFrameImpl(spark, dataDir, key, keys, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxCollectedKeys,
+      partitioned = false)
+
+  /** [[deleteKeysDVFrame]] on a HIVE-PARTITIONED tree — the uncapped
+    * right-to-be-forgotten verb in both production dimensions at once:
+    * query-selected keys of any cardinality AND a partitioned fact
+    * tree, one dynamic-partition staging job, one-swap atomicity
+    * (same contract as [[deleteKeysDVPartitioned]]).
+    */
+  def deleteKeysDVFramePartitioned(spark: SparkSession, dataDir: String,
+      key: String, keys: DataFrame, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, expectedPerFile: Long = 65536L,
+      fpp: Double = 0.01, maxDvFraction: Double = 0.5,
+      maxCollectedKeys: Int = 100000): (Int, Int, Int) =
+    deleteKeysDVFrameImpl(spark, dataDir, key, keys, cols, bloomCols,
+      expectedPerFile, fpp, maxDvFraction, maxCollectedKeys,
+      partitioned = true)
+
+  private def deleteKeysDVFrameImpl(spark: SparkSession, dataDir: String,
+      key: String, keys: DataFrame, cols: Seq[String],
+      bloomCols: Seq[String], expectedPerFile: Long,
+      fpp: Double, maxDvFraction: Double, maxCollectedKeys: Int,
+      partitioned: Boolean): (Int, Int, Int) = {
+    val verb =
+      if (partitioned) "deleteKeysDVFramePartitioned" else "deleteKeysDVFrame"
+    require(keys.columns.contains(key),
+      s"$verb: key frame has no column '$key' (has: " +
+        s"${keys.columns.mkString(", ")})")
+    val keyDt = keys.schema(key).dataType
+    val strKey = keyDt == StringType
+    require(FsListing.isIntegral(keyDt) || strKey,
+      s"$verb key '$key' is $keyDt — only integral (cast-to-long must " +
+        "be value- and order-preserving) or string key columns erase")
+    val tableDt = resolveColumnType(spark, dataDir, key, verb)
+    require(if (strKey) tableDt == StringType else FsListing.isIntegral(tableDt),
+      s"$verb: batch key type $keyDt does not probe table key type " +
+        s"$tableDt under $dataDir — bloom/bounds encodings must match")
+    val nullMsg = s"$verb: NULL key in batch — a NULL key matches no row"
+    val kDistinct = keys
+      .select((if (strKey) col(key) else col(key).cast("long")).as("k"))
+      .distinct()
+    // measured-size decision, one job in the common case (mergeKeys'
+    // cap-probe pattern): cap+1 rows decide the path AND, below the
+    // cap, already ARE the complete key set
+    val capped = kDistinct.limit(maxCollectedKeys + 1).collect()
+    require(capped.nonEmpty, s"$verb with no keys")
+    if (capped.length <= maxCollectedKeys) {
+      require(!capped.exists(_.isNullAt(0)), nullMsg)
+      return (
+        if (strKey)
+          deleteKeysDVStringImpl(spark, dataDir, key,
+            capped.toIndexedSeq.map(_.getString(0)), cols, bloomCols,
+            expectedPerFile, fpp, maxDvFraction,
+            maxKeys = capped.length, partitioned = partitioned)
+        else
+          deleteKeysDVImpl(spark, dataDir, key,
+            capped.toIndexedSeq.map(_.getLong(0)), cols, bloomCols,
+            expectedPerFile, fpp, maxDvFraction,
+            maxKeys = capped.length, partitioned = partitioned))
+    }
+    // UNCAPPED path: aggregate-only guards + global key bounds from one
+    // job — zero driver-resident key state however large the batch
+    val st = kDistinct.agg(
+      sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+      min("k").as("kmin"), max("k").as("kmax")).head()
+    require(st.getLong(0) == 0L, nullMsg)
+    val m = manifestFrame(spark, dataDir)
+    val isCand: Column =
+      if (!m.columns.contains(s"min_$key")) lit(true)
+      else if (strKey)
+        coalesce(!(col(s"max_$key") < lit(st.getString(1)) ||
+          col(s"min_$key") > lit(st.getString(2))), lit(true))
+      else
+        coalesce(!(col(s"max_$key").cast("long") < st.getLong(1) ||
+          col(s"min_$key").cast("long") > st.getLong(2)), lit(true))
+    val kcol = kDistinct.filter(col("k").isNotNull).select(col("k").as(key))
+    deleteDvCore(spark, dataDir, m, isCand,
+      scanCols = Seq(key),
+      matchRows = _.join(kcol, Seq(key), "left_semi"),
+      // anti-join keeps NULL-key rows — the `isNull || !isin` rule
+      keepRows = _.join(kcol, Seq(key), "left_anti"),
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
       partitioned = partitioned)
   }
 
   /** The shared DV-delete engine behind [[deleteRangeDV]] and
     * [[deleteKeysDV]]: plan candidates via `candidate` (a boolean over
-    * MANIFEST rows), find matched row positions via `matchPred` (a
-    * boolean over data rows reading only `scanCols`), split by the
-    * dead-fraction threshold, write DVs for the light side and rewrite
-    * the heavy side (`survivorKeep` keeps a rewrite file's live rows),
+    * MANIFEST rows), find matched row positions via `matchRows` (keeps
+    * exactly the MATCHED data rows, reading only `scanCols` — a
+    * predicate filter for driver-sized key sets, a key semi-join for
+    * uncapped batches), split by the dead-fraction threshold, write DVs
+    * for the light side and rewrite the heavy side (`keepRows` keeps a
+    * rewrite file's live rows — the complement filter, or an anti-join),
     * and commit both shapes atomically as one MVCC version under the
-    * usual OCC protocol. Returns (dv files, rewritten files, untouched
-    * files).
+    * usual OCC protocol. matchRows/keepRows MUST be exact complements
+    * over non-null match columns (an approximate matcher would mark
+    * wrong positions dead); both may be invoked more than once, each
+    * time on a fresh scan. Returns (dv files, rewritten files,
+    * untouched files).
     */
   private def deleteDvCore(spark: SparkSession, dataDir: String,
       m: DataFrame, candidate: Column, scanCols: Seq[String],
-      matchPred: Column, survivorKeep: Column, cols: Seq[String],
+      matchRows: DataFrame => DataFrame,
+      keepRows: DataFrame => DataFrame, cols: Seq[String],
       bloomCols: Seq[String], expectedPerFile: Long, fpp: Double,
       maxDvFraction: Double,
       appendDf: Option[DataFrame] = None,
@@ -1932,10 +2238,11 @@ object FileManifest {
       // under this version's key (the surgery itself then fails the
       // version check, but the poisoned spill would outlive it and
       // serve every later pinned reader of plannedV)
-      (if (hasDvCols)
-        applyDvOn(tagged, () => manifestFrameAt(spark, dataDir, plannedV),
-          col("f"), col("i"), spill = Some((dataDir, plannedV)))
-      else tagged).filter(matchPred)
+      matchRows(
+        if (hasDvCols)
+          applyDvOn(tagged, () => manifestFrameAt(spark, dataDir, plannedV),
+            col("f"), col("i"), spill = Some((dataDir, plannedV)))
+        else tagged)
     }
     val counts =
       if (candPaths.isEmpty) Map.empty[String, Long]
@@ -1994,10 +2301,11 @@ object FileManifest {
           // dv-lessness is provable from the plan-time schema (rival
           // commits fail the version check) — skip the resolver; the
           // resolver itself pins plannedV (spill-poisoning guard)
-          (if (hasDvCols)
-            applyDv(cand, () => manifestFrameAt(spark, dataDir, plannedV),
-              spill = Some((dataDir, plannedV)))
-          else cand).filter(survivorKeep)
+          keepRows(
+            if (hasDvCols)
+              applyDv(cand, () => manifestFrameAt(spark, dataDir, plannedV),
+                spill = Some((dataDir, plannedV)))
+            else cand)
         }
       val staged = (rewriteSurvivors, appendDf) match {
         case (Some(s), Some(a)) => Some(s.unionByName(a))
@@ -2283,9 +2591,12 @@ object FileManifest {
     * carries a DIFFERENT partition value than the old row MOVES
     * partitions — the old row dies in its old dir (DV), the new row
     * lands in the new dir; both are one commit, so readers never see
-    * the row doubled or missing. No CoW fallback above
-    * `maxCollectedKeys` (the flat verb's fallback is a full mergeKeys
-    * rewrite, meaningless on a partitioned tree) — split the batch.
+    * the row doubled or missing. A batch larger than `maxCollectedKeys`
+    * stays UNCAPPED here (no flat-CoW fallback is possible on a tree):
+    * the guards run as aggregates, candidates fall back to global-
+    * bounds overlap, and matched positions / rewrite survivors become
+    * exact key JOINS — zero driver-resident key state however many
+    * millions of keys the batch carries (the 100 TB GDPR sweep's shape).
     */
   def mergeKeysDVPartitioned(spark: SparkSession, dataDir: String,
       updates: DataFrame, key: String, cols: Seq[String],
@@ -2312,27 +2623,51 @@ object FileManifest {
       .groupBy("k").agg(count(lit(1)).as("c"))
     val capped = keyStats.limit(maxCollectedKeys + 1).collect()
     require(capped.nonEmpty, "mergeKeysDV: empty update batch")
-    if (capped.length > maxCollectedKeys) {
-      require(!partitioned,
-        s"mergeKeysDVPartitioned batch exceeds maxCollectedKeys=" +
-          s"$maxCollectedKeys and the flat CoW fallback (a root-level " +
-          "mergeKeys rewrite) cannot run on a partitioned tree — split " +
-          "the batch")
+    val bigBatch = capped.length > maxCollectedKeys
+    if (bigBatch && !partitioned) {
+      // flat fallback unchanged: the CoW verb has its own uncapped
+      // bounds-only path, and a batch this dense rewrites most
+      // candidates anyway
       val (rw, car) = mergeKeys(spark, dataDir, updates, key, cols,
         bloomCols, expectedPerFile, fpp, maxCollectedKeys)
       return (0, rw, car)
     }
-    capped.find(_.isNullAt(0)).foreach { _ =>
-      throw new IllegalArgumentException(
-        s"mergeKeysDV: update batch has NULL '$key' keys — a NULL key " +
-          "matches no row and cannot MERGE; filter or fill the batch first")
-    }
-    capped.find(_.getLong(1) > 1L).foreach { r =>
-      throw new IllegalArgumentException(
-        s"mergeKeysDV: update batch has multiple rows for key $key=" +
-          s"${r.get(0)} — MERGE replaces exactly one row per matched " +
-          "key; dedup the batch (e.g. keep-last by an ordering column) " +
-          "before merging")
+    val nullMsg =
+      s"mergeKeysDV: update batch has NULL '$key' keys — a NULL key " +
+        "matches no row and cannot MERGE; filter or fill the batch first"
+    def dupMsg(k: Any) =
+      s"mergeKeysDV: update batch has multiple rows for key $key=$k — " +
+        "MERGE replaces exactly one row per matched key; dedup the " +
+        "batch (e.g. keep-last by an ordering column) before merging"
+    // UNCAPPED partitioned batch (the GDPR/CDC sweep at 100 TB carries
+    // millions of keys): guards run as AGGREGATES and the global key
+    // bounds come back from the same job — ZERO driver-resident key
+    // state, mirroring mergeKeys' measured-count fallback. Candidate
+    // precision drops from per-key bloom slices to global-bounds
+    // overlap (a batch past the cap is dense over its range, so per-key
+    // precision would rescue few files — and zero-match candidates are
+    // carried untouched by the count pass anyway); matched positions
+    // and rewrite survivors become EXACT key joins instead of InSet
+    // predicates.
+    val bigBounds: Option[(Any, Any)] =
+      if (!bigBatch) None
+      else {
+        val st = keyStats.agg(max("c").as("maxc"),
+          sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+          min("k").as("kmin"), max("k").as("kmax")).head()
+        require(st.getLong(1) == 0L, nullMsg)
+        if (st.getLong(0) > 1L)
+          throw new IllegalArgumentException(dupMsg(
+            keyStats.filter(col("c") > 1).select("k").head().get(0)))
+        Some((st.get(2), st.get(3)))
+      }
+    if (!bigBatch) {
+      capped.find(_.isNullAt(0)).foreach { _ =>
+        throw new IllegalArgumentException(nullMsg)
+      }
+      capped.find(_.getLong(1) > 1L).foreach { r =>
+        throw new IllegalArgumentException(dupMsg(r.get(0)))
+      }
     }
     val m = manifestFrame(spark, dataDir)
     // the batch appends VERBATIM on the common no-rewrite path, so the
@@ -2368,22 +2703,45 @@ object FileManifest {
           s"${missing.mkString(", ")} — merged keys would silently read " +
           "NULL for them; align the batch schema (unionByName semantics)")
     }
-    val (cand, matchP, keepP) =
-      if (strKey) {
+    val (cand, matchRows, keepRows) = bigBounds match {
+      case Some((kmin, kmax)) =>
+        // global-bounds candidates in the key's NATIVE type (the agg
+        // min/max compare as Catalyst literals — one ordering end to
+        // end for longs and strings alike); exact-match by key join.
+        // NULL bounds prove nothing → candidate (sound direction).
+        val isCand: Column =
+          if (!m.columns.contains(s"min_$key")) lit(true)
+          else if (strKey)
+            coalesce(!(col(s"max_$key") < lit(kmin.asInstanceOf[String]) ||
+              col(s"min_$key") > lit(kmax.asInstanceOf[String])), lit(true))
+          else
+            coalesce(!(col(s"max_$key").cast("long") <
+              kmin.asInstanceOf[Long] ||
+              col(s"min_$key").cast("long") > kmax.asInstanceOf[Long]),
+              lit(true))
+        val kcol = updates.select(col(key))
+        (isCand,
+          (df: DataFrame) => df.join(kcol, Seq(key), "left_semi"),
+          // anti-join keeps NULL-key rows (NULL matches nothing) —
+          // exactly the `isNull || !isin` survivor rule of the capped path
+          (df: DataFrame) => df.join(kcol, Seq(key), "left_anti"))
+      case None if strKey =>
         val keyArr = capped.map(_.getString(0)).sorted(utf8Ordering)
         (keyCandidateStr(m, key, keyArr),
-          col(key).isin(keyArr.toIndexedSeq: _*),
-          col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*))
-      } else {
+          (df: DataFrame) => df.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
+          (df: DataFrame) => df.filter(
+            col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)))
+      case None =>
         val keyArr = capped.map(_.getLong(0)).sorted
         (keyCandidate(m, key, keyArr),
-          col(key).isin(keyArr.toIndexedSeq: _*),
-          col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*))
-      }
+          (df: DataFrame) => df.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
+          (df: DataFrame) => df.filter(
+            col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)))
+    }
     deleteDvCore(spark, dataDir, m, cand,
       scanCols = Seq(key),
-      matchPred = matchP,
-      survivorKeep = keepP,
+      matchRows = matchRows,
+      keepRows = keepRows,
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
       appendDf = Some(updates), op = "merge-dv",
       partitioned = partitioned)
@@ -2905,7 +3263,12 @@ object FileManifest {
               // the group tag is per-thread state — set it in the worker
               spark.sparkContext.setJobGroup(group,
                 "graft partitioned-surgery staging", interruptOnCancel = true)
-              try f(it) finally spark.sparkContext.clearJobGroup()
+              // re-check under the tag: a worker that passed the first
+              // check while the abort was firing now has its jobs
+              // covered by the finally-loop's re-issued group cancel;
+              // this check just avoids starting doomed work at all
+              try { if (!aborted.get()) f(it) }
+              finally spark.sparkContext.clearJobGroup()
             }
           }))
         var firstErr: Throwable = null
@@ -2924,8 +3287,20 @@ object FileManifest {
       } finally {
         pool.shutdownNow()
         // the caller's cleanup deletes the staging dir next — wait for
-        // every worker to actually exit (their jobs cancelled above)
-        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        // every worker to actually exit. cancelJobGroup is ONE-SHOT: a
+        // worker that passed its abort check while the first cancel was
+        // firing submits its job AFTER it, and that job would re-create
+        // the staging dir post-cleanup (unreapable bytes outside the
+        // table root). Re-issue the cancel on every wait tick until the
+        // pool drains, so no straggler job can outlive this method. On
+        // the success path the first await returns immediately and no
+        // cancel is ever issued.
+        var waitedMs = 0L
+        while (!pool.awaitTermination(
+            2, java.util.concurrent.TimeUnit.SECONDS) && waitedMs < 120000L) {
+          spark.sparkContext.cancelJobGroup(group)
+          waitedMs += 2000L
+        }
       }
     }
   }
@@ -3305,7 +3680,7 @@ object FileManifest {
           hfs.listStatus(spillRoot).foreach { st =>
             val n = st.getPath.getName
             val unretained =
-              n.startsWith(".tmp_") ||
+              n.startsWith(".tmp_") || n.startsWith(".doomed_") ||
                 (n.startsWith("v") && n.drop(1).nonEmpty &&
                   n.drop(1).forall(_.isDigit) && !keep.contains(n.drop(1).toLong))
             if (unretained && st.getModificationTime < cutoff)
@@ -3408,11 +3783,16 @@ object FileManifest {
     * beside the parts either way. Single-part stays `coalesce(1)` (no
     * shuffle); sharded uses `repartition` because upstream frames
     * (carried ∪ fresh unions) may hold fewer partitions than parts and
-    * coalesce can only reduce.
+    * coalesce can only reduce. The part-count ceiling (1024 — publish
+    * commits are rename-per-part, so an unbounded count would turn the
+    * swap into 10⁴ driver RPCs) re-binds entry growth only past
+    * `1024 × ManifestEntriesPerPart ≈ 4.2M` files — a table whose
+    * MANIFEST is hundreds of GB with default blooms, i.e. planning cost
+    * is dominated by content long before part sizing matters again.
     */
   private def writeManifest(df: DataFrame, tmp: org.apache.hadoop.fs.Path,
       approxEntries: Long): Unit = {
-    val parts = math.max(1L, math.min(64L,
+    val parts = math.max(1L, math.min(1024L,
       (approxEntries + ManifestEntriesPerPart - 1) / ManifestEntriesPerPart))
       .toInt
     (if (parts == 1) df.coalesce(1) else df.repartition(parts))

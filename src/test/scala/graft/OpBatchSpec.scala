@@ -61,7 +61,12 @@ class OpBatchSpec extends AnyFunSuite with SparkSpec {
     }
     assert(FileManifest.versions(spark, dir).max === 29L)
 
-    // (1) the poll pays ZERO per-version op listings
+    // (1) the poll pays ZERO per-version op listings. The probe is a
+    // JVM-GLOBAL counter, so this before/after compare is sound only
+    // because Test/fork runs ScalaTest suites sequentially in one JVM
+    // and nothing in THIS suite touches history()/opOfVersion between
+    // the two reads — if suites ever run concurrently, scope the probe
+    // per-table (or reset it under a lock) before trusting the delta.
     val before = FileManifest.opOfVersionCalls.get()
     val feed = FileManifest.changesBetween(spark, dir, 1L, 29L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

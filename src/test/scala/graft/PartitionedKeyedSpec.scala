@@ -172,4 +172,97 @@ class PartitionedKeyedSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e4.getMessage.contains("FLAT"), e4.getMessage)
   }
+
+  test("above maxCollectedKeys: UNCAPPED partitioned merge — agg guards, key-join matchers, identical table") {
+    import spark.implicits._
+    val dirSmall = freshDir("bigm_ref")
+    val dirBig = freshDir("bigm")
+    build(dirSmall); build(dirBig)
+    // 30 distinct keys: 20 matched updates (each routed to ITS partition)
+    // + 10 inserts; cap forced to 4 on one table — the uncapped path
+    // (global-bounds candidates + exact key joins, zero collected keys)
+    // must produce byte-identical MERGE results
+    val updates = ((41L to 60L).map(k => (k, s"p${k % 3}", -k)) ++
+      (9001L to 9010L).map(k => (k, s"p${k % 3}", -k))).toDF("k", "part", "v")
+    FileManifest.mergeKeysDVPartitioned(spark, dirSmall, updates,
+      "k", Seq("k"), bloomCols = Seq("k"))
+    val v1 = FileManifest.versions(spark, dirBig).max
+    FileManifest.mergeKeysDVPartitioned(spark, dirBig, updates,
+      "k", Seq("k"), bloomCols = Seq("k"), maxCollectedKeys = 4)
+    assert(FileManifest.versions(spark, dirBig).max === v1 + 1,
+      "the uncapped merge must still be ONE commit")
+    def rows(d: String) = ManifestFileIndex.read(spark, d)
+      .select("k", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(dirBig) === rows(dirSmall), "uncapped path changed MERGE results")
+    // guards still fire on the aggregate-only path: dup keys named loud,
+    // NULL keys loud — with NOTHING committed
+    val vNow = FileManifest.versions(spark, dirBig).max
+    val eDup = intercept[IllegalArgumentException] {
+      FileManifest.mergeKeysDVPartitioned(spark, dirBig,
+        Seq((7L, "p1", -1L), (7L, "p1", -2L), (8L, "p2", -3L), (9L, "p0", -4L),
+          (10L, "p1", -5L), (11L, "p2", -6L)).toDF("k", "part", "v"),
+        "k", Seq("k"), maxCollectedKeys = 4)
+    }
+    assert(eDup.getMessage.contains("k=7"), eDup.getMessage)
+    val eNull = intercept[IllegalArgumentException] {
+      FileManifest.mergeKeysDVPartitioned(spark, dirBig,
+        (Seq((Some(7L), "p1", -1L), (None, "p1", -2L)) ++
+          (20L to 23L).map(k => (Some(k), s"p${k % 3}", -k)))
+          .toDF("k", "part", "v"),
+        "k", Seq("k"), maxCollectedKeys = 4)
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    assert(FileManifest.versions(spark, dirBig).max === vNow,
+      "failed guards must commit nothing")
+  }
+
+  test("deleteKeysDVFramePartitioned: query-shaped erase batch, capped and uncapped parity") {
+    import spark.implicits._
+    val dirSeq = freshDir("fdel_ref")
+    val dirBig = freshDir("fdel")
+    build(dirSeq); build(dirBig)
+    val doomed = (1L to 600L).filter(k => k % 7 == 0)
+    FileManifest.deleteKeysDVPartitioned(spark, dirSeq, "k", doomed,
+      Seq("k"), bloomCols = Seq("k"))
+    // same erase from a DATAFRAME of keys, forced onto the uncapped path
+    val v1 = FileManifest.versions(spark, dirBig).max
+    val (dvN, rwN, _) = FileManifest.deleteKeysDVFramePartitioned(
+      spark, dirBig, "k", doomed.toDF("k"), Seq("k"), bloomCols = Seq("k"),
+      maxCollectedKeys = 4)
+    assert(dvN + rwN >= 1)
+    assert(FileManifest.versions(spark, dirBig).max === v1 + 1)
+    def ks(d: String) = ManifestFileIndex.read(spark, d)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(dirBig) === ks(dirSeq), "uncapped frame erase diverged from Seq erase")
+    assert(ks(dirBig) === (1L to 600L).filterNot(doomed.toSet).toSeq)
+    // the SMALL frame path delegates to the precise bloom probes and
+    // dedups; NULL keys fail loud on both paths
+    val (dv2, rw2, _) = FileManifest.deleteKeysDVFramePartitioned(
+      spark, dirBig, "k", Seq(3L, 3L, 9L).toDF("k"), Seq("k"),
+      bloomCols = Seq("k"))
+    assert(dv2 + rw2 >= 1)
+    assert(!ks(dirBig).exists(Set(3L, 9L)))
+    val eNull = intercept[IllegalArgumentException] {
+      FileManifest.deleteKeysDVFramePartitioned(spark, dirBig, "k",
+        Seq[Option[Long]](Some(4L), None).toDF("k"), Seq("k"))
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    // string dispatch guard: a long-key frame refuses a string table
+    val sdir = freshDir("fdel_str")
+    FileManifest.writeThrough(
+      (1L to 60L).map(k => (f"id_$k%04d", k)).toDF("id", "v"),
+      sdir, Seq("id"), bloomCols = Seq("id"), mode = "overwrite")
+    val eTy = intercept[IllegalArgumentException] {
+      FileManifest.deleteKeysDVFrame(spark, sdir, "id",
+        Seq(5L).toDF("id"), Seq("id"))
+    }
+    assert(eTy.getMessage.contains("does not probe"), eTy.getMessage)
+    // and the string frame path works uncapped end to end (flat tree)
+    val (dv3, rw3, _) = FileManifest.deleteKeysDVFrame(spark, sdir, "id",
+      (1L to 20L).map(k => f"id_$k%04d").toDF("id"), Seq("id"),
+      bloomCols = Seq("id"), maxCollectedKeys = 4)
+    assert(dv3 + rw3 >= 1)
+    assert(ManifestFileIndex.read(spark, sdir).count() === 40L)
+  }
 }
