@@ -839,7 +839,11 @@ object ScaleSmoke {
       partitionCols = Seq("part"), mode = "overwrite")
     val buildDt = (System.nanoTime() - t0) / 1e9
     println(f"bigkeys build rows=$rows part=64 $buildDt%8.2f s")
-    val doomed = spark.range(rows / 8).select((col("id") * 8L).as("k"))
+    // k%512<64 dooms exactly 1/8 of EVERY partition (part = k%64, so a
+    // k%8 predicate would correlate with the partition value and doom 8
+    // whole partitions — a rewrite storm, not the DV story under test)
+    val doomed = spark.range(rows).select(col("id").as("k"))
+      .filter(col("k") % 512 < 64)
     t0 = System.nanoTime()
     val (dv, rw, car) = FileManifest.deleteKeysDVFramePartitioned(
       spark, dir, "k", doomed, Seq("k"), bloomCols = Seq("k"))
