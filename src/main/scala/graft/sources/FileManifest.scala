@@ -59,7 +59,11 @@ object FileManifest {
     // current an instant ago). A MISSING marker is ambiguous — legacy
     // pre-versioning manifest (legitimately reads as 1) vs torn view —
     // so it is re-probed until stable; only a marker-less answer that
-    // survives the backoff is accepted as legacy.
+    // survives the backoff is accepted as legacy. Documented trade-off:
+    // a genuinely LEGACY (pre-versioning) manifest pays the full ~30 ms
+    // backoff on EVERY probe — acceptable because every manifest this
+    // library has ever written carries a marker; cache the legacy
+    // determination per path if foreign marker-less tables ever matter.
     var attempt = 0
     while (true) {
       val found = hfs.listStatus(mdir).iterator.map(_.getPath.getName)
@@ -1007,6 +1011,18 @@ object FileManifest {
     var last: (Seq[Long], Map[Long, org.apache.hadoop.fs.FileStatus]) =
       (Seq.empty, Map.empty)
     while (attempt <= 2) {
+      // probe CURRENT first, history second — the same order
+      // [[currentVersion]] uses, and load-bearing for a table taking its
+      // FIRST surgery (no history dirs yet): with history listed first,
+      // a poll could list an empty history just before rename#1 and find
+      // `_manifest` absent inside the rename#1→#2 window, and the
+      // "no history + no current" arm would declare a LIVE table empty
+      // with no retry. Current-first closes it: a None current means
+      // rename#1 already ran, so the history listing that FOLLOWS
+      // necessarily sees the just-renamed v1 dir and takes the retry arm.
+      val curV: Option[Long] =
+        try { if (hfs.exists(cur)) Some(versionOf(hfs, cur)) else None }
+        catch { case t: java.io.IOException if isVanishedDir(t) => None }
       val histD =
         try historyDirs(hfs, root)
         catch {
@@ -1014,9 +1030,6 @@ object FileManifest {
             Map.empty[Long, org.apache.hadoop.fs.FileStatus]
         }
       val hist = histD.keysIterator.toSeq.sorted
-      val curV: Option[Long] =
-        try { if (hfs.exists(cur)) Some(versionOf(hfs, cur)) else None }
-        catch { case t: java.io.IOException if isVanishedDir(t) => None }
       last = ((hist ++ curV).distinct.sorted, histD)
       val consistent = curV match {
         case Some(v) => hist.isEmpty || v == hist.max + 1
@@ -1693,9 +1706,10 @@ object FileManifest {
         val aside = hfs.rename(dir, doomed)
         hfs.rename(tmp, dir)
         if (aside) hfs.delete(doomed, true)
-        // a rival repairer can re-create dir between our delete and
-        // rename — Hadoop then nests tmp INSIDE it (returning true);
-        // remove the nesting exactly as the first-publish branch does
+        // a rival repairer can re-create dir between our aside-rename
+        // and rename(tmp, dir) — Hadoop then nests tmp INSIDE it
+        // (returning true); remove the nesting exactly as the
+        // first-publish branch does
         val nested = new org.apache.hadoop.fs.Path(dir, tmp.getName)
         if (hfs.exists(nested)) hfs.delete(nested, true)
       }
@@ -2091,51 +2105,54 @@ object FileManifest {
       s"$verb: batch key type $keyDt does not probe table key type " +
         s"$tableDt under $dataDir — bloom/bounds encodings must match")
     val nullMsg = s"$verb: NULL key in batch — a NULL key matches no row"
+    // PERSISTED for the whole verb: the probe, the guards, and the
+    // matcher joins must all see ONE evaluation of the caller's key
+    // query — a re-evaluated non-deterministic query (or one racing a
+    // concurrent append to its source) would erase file A's positions
+    // against a different key set than file B's survivors, a silent
+    // partial right-to-be-forgotten erase (see keyJoinMatchers)
     val kDistinct = keys
       .select((if (strKey) col(key) else col(key).cast("long")).as("k"))
       .distinct()
-    // measured-size decision, one job in the common case (mergeKeys'
-    // cap-probe pattern): cap+1 rows decide the path AND, below the
-    // cap, already ARE the complete key set
-    val capped = kDistinct.limit(maxCollectedKeys + 1).collect()
-    require(capped.nonEmpty, s"$verb with no keys")
-    if (capped.length <= maxCollectedKeys) {
-      require(!capped.exists(_.isNullAt(0)), nullMsg)
-      return (
-        if (strKey)
-          deleteKeysDVStringImpl(spark, dataDir, key,
-            capped.toIndexedSeq.map(_.getString(0)), cols, bloomCols,
-            expectedPerFile, fpp, maxDvFraction,
-            maxKeys = capped.length, partitioned = partitioned)
-        else
-          deleteKeysDVImpl(spark, dataDir, key,
-            capped.toIndexedSeq.map(_.getLong(0)), cols, bloomCols,
-            expectedPerFile, fpp, maxDvFraction,
-            maxKeys = capped.length, partitioned = partitioned))
-    }
-    // UNCAPPED path: aggregate-only guards + global key bounds from one
-    // job — zero driver-resident key state however large the batch
-    val st = kDistinct.agg(
-      sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
-      min("k").as("kmin"), max("k").as("kmax")).head()
-    require(st.getLong(0) == 0L, nullMsg)
-    val m = manifestFrame(spark, dataDir)
-    val isCand: Column =
-      if (!m.columns.contains(s"min_$key")) lit(true)
-      else if (strKey)
-        coalesce(!(col(s"max_$key") < lit(st.getString(1)) ||
-          col(s"min_$key") > lit(st.getString(2))), lit(true))
-      else
-        coalesce(!(col(s"max_$key").cast("long") < st.getLong(1) ||
-          col(s"min_$key").cast("long") > st.getLong(2)), lit(true))
-    val kcol = kDistinct.filter(col("k").isNotNull).select(col("k").as(key))
-    deleteDvCore(spark, dataDir, m, isCand,
-      scanCols = Seq(key),
-      matchRows = _.join(kcol, Seq(key), "left_semi"),
-      // anti-join keeps NULL-key rows — the `isNull || !isin` rule
-      keepRows = _.join(kcol, Seq(key), "left_anti"),
-      cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
-      partitioned = partitioned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // measured-size decision, one job in the common case (mergeKeys'
+      // cap-probe pattern): cap+1 rows decide the path AND, below the
+      // cap, already ARE the complete key set
+      val capped = kDistinct.limit(maxCollectedKeys + 1).collect()
+      require(capped.nonEmpty, s"$verb with no keys")
+      if (capped.length <= maxCollectedKeys) {
+        require(!capped.exists(_.isNullAt(0)), nullMsg)
+        return (
+          if (strKey)
+            deleteKeysDVStringImpl(spark, dataDir, key,
+              capped.toIndexedSeq.map(_.getString(0)), cols, bloomCols,
+              expectedPerFile, fpp, maxDvFraction,
+              maxKeys = capped.length, partitioned = partitioned)
+          else
+            deleteKeysDVImpl(spark, dataDir, key,
+              capped.toIndexedSeq.map(_.getLong(0)), cols, bloomCols,
+              expectedPerFile, fpp, maxDvFraction,
+              maxKeys = capped.length, partitioned = partitioned))
+      }
+      // UNCAPPED path: aggregate-only guards + global key bounds from
+      // one job (which also materializes the persisted key set in full)
+      // — zero driver-resident key state however large the batch
+      val st = kDistinct.agg(
+        sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+        min("k").as("kmin"), max("k").as("kmax")).head()
+      require(st.getLong(0) == 0L, nullMsg)
+      val m = manifestFrame(spark, dataDir)
+      val kcol = kDistinct.filter(col("k").isNotNull).select(col("k").as(key))
+      val (matchRows, keepRows) = keyJoinMatchers(kcol, key)
+      deleteDvCore(spark, dataDir, m,
+        globalBoundsCandidate(m, key, strKey, st.get(1), st.get(2)),
+        scanCols = Seq(key),
+        matchRows = matchRows,
+        keepRows = keepRows,
+        cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
+        partitioned = partitioned)
+    } finally kDistinct.unpersist(false)
   }
 
   /** The shared DV-delete engine behind [[deleteRangeDV]] and
@@ -2703,48 +2720,42 @@ object FileManifest {
           s"${missing.mkString(", ")} — merged keys would silently read " +
           "NULL for them; align the batch schema (unionByName semantics)")
     }
-    val (cand, matchRows, keepRows) = bigBounds match {
+    val (cand, matchRows, keepRows, persistedKeys) = bigBounds match {
       case Some((kmin, kmax)) =>
-        // global-bounds candidates in the key's NATIVE type (the agg
-        // min/max compare as Catalyst literals — one ordering end to
-        // end for longs and strings alike); exact-match by key join.
-        // NULL bounds prove nothing → candidate (sound direction).
-        val isCand: Column =
-          if (!m.columns.contains(s"min_$key")) lit(true)
-          else if (strKey)
-            coalesce(!(col(s"max_$key") < lit(kmin.asInstanceOf[String]) ||
-              col(s"min_$key") > lit(kmax.asInstanceOf[String])), lit(true))
-          else
-            coalesce(!(col(s"max_$key").cast("long") <
-              kmin.asInstanceOf[Long] ||
-              col(s"min_$key").cast("long") > kmax.asInstanceOf[Long]),
-              lit(true))
-        val kcol = updates.select(col(key))
-        (isCand,
-          (df: DataFrame) => df.join(kcol, Seq(key), "left_semi"),
-          // anti-join keeps NULL-key rows (NULL matches nothing) —
-          // exactly the `isNull || !isin` survivor rule of the capped path
-          (df: DataFrame) => df.join(kcol, Seq(key), "left_anti"))
+        // key column PERSISTED and materialized ONCE — the matcher pair
+        // runs on several independent scans and must see one key set
+        // even when `updates` is an expensive or non-deterministic query
+        // (see keyJoinMatchers). `updates` itself stays lazy for the
+        // append, same determinism contract as mergeKeys' CoW survivors.
+        val kcol = updates.select(col(key)).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kcol.count()
+        val (mr, kr) = keyJoinMatchers(kcol, key)
+        (globalBoundsCandidate(m, key, strKey, kmin, kmax), mr, kr,
+          Some(kcol))
       case None if strKey =>
         val keyArr = capped.map(_.getString(0)).sorted(utf8Ordering)
         (keyCandidateStr(m, key, keyArr),
           (df: DataFrame) => df.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
           (df: DataFrame) => df.filter(
-            col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)))
+            col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)),
+          None)
       case None =>
         val keyArr = capped.map(_.getLong(0)).sorted
         (keyCandidate(m, key, keyArr),
           (df: DataFrame) => df.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
           (df: DataFrame) => df.filter(
-            col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)))
+            col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)),
+          None)
     }
-    deleteDvCore(spark, dataDir, m, cand,
+    try deleteDvCore(spark, dataDir, m, cand,
       scanCols = Seq(key),
       matchRows = matchRows,
       keepRows = keepRows,
       cols, bloomCols, expectedPerFile, fpp, maxDvFraction,
       appendDf = Some(updates), op = "merge-dv",
       partitioned = partitioned)
+    finally persistedKeys.foreach(_.unpersist(false))
   }
 
   /** The TRACKED TYPE of column `c` under `dataDir`: from the manifest's
@@ -2942,6 +2953,41 @@ object FileManifest {
       boundsPre && boundsProbe(col(s"min_$key"), col(s"max_$key"))
     else lit(true)
   }
+
+  /** Global-bounds candidate for the UNCAPPED keyed verbs: a file is a
+    * candidate unless its tracked [min,max] provably excludes the whole
+    * batch range [kmin,kmax] — compared in the key's NATIVE type (the
+    * agg min/max arrive as Catalyst values and compare as literals; one
+    * ordering end to end for longs and strings alike). NULL bounds
+    * prove nothing → candidate, the sound direction. ONE definition
+    * shared by the uncapped merge and the frame erase so a bounds-type
+    * edge fix can never land in one and miss the other.
+    */
+  private def globalBoundsCandidate(m: DataFrame, key: String,
+      strKey: Boolean, kmin: Any, kmax: Any): Column =
+    if (!m.columns.contains(s"min_$key")) lit(true)
+    else if (strKey)
+      coalesce(!(col(s"max_$key") < lit(kmin.asInstanceOf[String]) ||
+        col(s"min_$key") > lit(kmax.asInstanceOf[String])), lit(true))
+    else
+      coalesce(!(col(s"max_$key").cast("long") < kmin.asInstanceOf[Long] ||
+        col(s"min_$key").cast("long") > kmax.asInstanceOf[Long]), lit(true))
+
+  /** The exact matched/survivor pair for the uncapped keyed verbs: a
+    * key semi-join (matched rows) and its anti-join complement
+    * (survivors — anti keeps NULL-key rows, the `isNull || !isin`
+    * rule of the capped path). `kcol` MUST be a one-column frame named
+    * `key`, PERSISTED AND MATERIALIZED by the caller before use: the
+    * pair is applied to several independent scans (count pass, DV
+    * position pass, rewrite staging), and an unpersisted
+    * non-deterministic key query would re-evaluate per pass — marking
+    * file A's dead positions with a different key set than the one
+    * file B's survivors were kept against, a silent partial erase.
+    */
+  private def keyJoinMatchers(kcol: DataFrame, key: String)
+      : (DataFrame => DataFrame, DataFrame => DataFrame) =
+    ((df: DataFrame) => df.join(kcol, Seq(key), "left_semi"),
+      (df: DataFrame) => df.join(kcol, Seq(key), "left_anti"))
 
   /** Catalyst's string order (UTF-8 binary) as a driver-side Ordering —
     * the sort every string key array MUST use before binary-searching
