@@ -2,22 +2,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // dev-only A/B seam: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays confs
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     args.foreach { name =>
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         dt
       }.sorted
-      println(f"TIMING $name median ${ts(1)}%.2f s (${ts.map(t => f"$t%.2f").mkString(", ")})")
+      println(f"TIMING $name median ${ts(ts.length / 2)}%.2f min ${ts.head}%.2f (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }

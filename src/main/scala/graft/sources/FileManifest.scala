@@ -36,6 +36,19 @@ import org.apache.spark.sql.types._
   */
 object FileManifest {
 
+  /** Label the Spark jobs `body` submits (guide §1.5: a multi-commit
+    * verb schedules many small actions — plan collects, staging writes,
+    * manifest writes — and an unlabeled UI/profiler can't attribute
+    * them). Thread-local, restores the caller's description on exit so
+    * nesting and user-set labels compose.
+    */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   private def manifestPath(dataDir: String) = s"$dataDir/_manifest"
   private def histPath(dataDir: String, v: Long) = s"$dataDir/_manifest_v$v"
 
@@ -227,6 +240,70 @@ object FileManifest {
       }
     }
     spark.read.parquet(manifestPath(dataDir))
+  }
+
+  /** ONE manifest entry's `file` path, read DRIVER-side (parquet-hadoop
+    * projected to the one column) — no Spark job. Three per-commit
+    * probes need exactly one data-file path from the manifest (schema
+    * anchoring, column-type resolution): each used to pay a full
+    * `limit(1).collect()` — an analyzed, optimized, scheduled Spark job
+    * of fixed ~0.1 s driver latency per surgery commit, to move one
+    * string. Row-group projection keeps the read to one column chunk of
+    * one part file; zero-row parts (a repartitioned shard can be empty)
+    * fall through to the next. Returns the [[FsListing.norm]] canonical
+    * form, exactly like the normPath-projected collect it replaces.
+    * Callers wrap in [[withSwapRetry]]: a swap mid-read surfaces as the
+    * same vanished-path shapes the retry already handles.
+    */
+  private def firstManifestFilePath(spark: SparkSession,
+      dataDir: String): Option[String] =
+    firstFileInManifestDir(spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(manifestPath(dataDir)))
+
+  /** The per-directory core of [[firstManifestFilePath]] — also probes a
+    * specific immutable `_manifest_v{N}` dir (the CDC empty-span anchor).
+    */
+  private def firstFileInManifestDir(conf: org.apache.hadoop.conf.Configuration,
+      md: org.apache.hadoop.fs.Path): Option[String] = {
+    val hfs = md.getFileSystem(conf)
+    val parts = hfs.listStatus(md).iterator
+      .filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && s.getLen > 0
+      }
+    while (parts.hasNext) {
+      val p = parts.next().getPath
+      // projection built from the part's OWN footer field (repetition
+      // must match exactly — a hand-written `optional` projection fails
+      // checkContains against the `required` field Spark writes)
+      val fileField = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          fr.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .find(_.getName == "file")
+        } finally fr.close()
+      }
+      if (fileField.nonEmpty) {
+        val rconf = new org.apache.hadoop.conf.Configuration(conf)
+        rconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          new org.apache.parquet.schema.MessageType("graft_anchor",
+            fileField.get).toString)
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+          .withConf(rconf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getFieldRepetitionCount("file") > 0)
+              return Some(FsListing.norm(g.getString("file", 0)))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    None
   }
 
   /** The manifest frame of a specific RETAINED version — history-first
@@ -660,6 +737,19 @@ object FileManifest {
       footerStats(spark, paths, df.schema, cols)
     else {
       val scanned = fileStats(df, cols, bloomCols, expectedPerFile, fpp)
+      // MATERIALIZE the per-file aggregation ONCE (eager localCheckpoint):
+      // the zero-row completion below used to ride a distributed
+      // anti-join against a second reference to `scanned`, so every
+      // bloom-bearing commit's manifest write re-planned the aggregate
+      // subtree (no exchange reuse once column pruning specialized the
+      // anti side) and AQE split the write into 3-4 scheduled stage-jobs
+      // — pure per-commit scheduling overhead. Checkpointed, the caller's
+      // manifest write is exchange-free (one job), and the completion is
+      // a driver-side set difference over the path strings this verb
+      // already holds.
+      val mat = labeled(spark, "graft: file-stats scan") {
+        scanned.localCheckpoint()
+      }
       // a ZERO-ROW part file produces no group (input_file_name never
       // fires) but IS live data — an all-rows-deleted rewrite lands one
       // schema-preserving empty file, and without an explicit
@@ -667,7 +757,7 @@ object FileManifest {
       // read as "stale". The footer path emits these naturally; complete
       // the scan path to match. Null bounds/blooms keep the file on
       // every probe — sound, and the exact row filter reads nothing.
-      val schema = scanned.schema
+      val schema = mat.schema
       // scheme-QUALIFY like the footer path: callers hand bare "/tmp/..."
       // rename targets, but these entries must join against
       // input_file_name's qualified form and the qualified live listing
@@ -678,14 +768,16 @@ object FileManifest {
         FsListing.norm(
           pp.makeQualified(pfs.getUri, pfs.getWorkingDirectory).toString)
       }
-      val zeroes = spark.createDataFrame(
-        spark.sparkContext.parallelize(paths.map(p =>
-          Row.fromSeq(qualified(p) +: 0L +:
+      val present = labeled(spark, "graft: file-stats names") {
+        mat.select(ManifestFileIndex.normPath(col("file"))).collect()
+      }.map(_.getString(0)).toSet
+      val missing = paths.map(qualified).filterNot(present)
+      if (missing.isEmpty) mat
+      else mat.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(missing.map(p =>
+          Row.fromSeq(p +: 0L +:
             Seq.fill(schema.length - 2)(null))), 1),
-        schema)
-      scanned.unionByName(zeroes.join(
-        scanned.select(ManifestFileIndex.normPath(col("file")).as("f2")),
-        ManifestFileIndex.normPath(col("file")) === col("f2"), "left_anti"))
+        schema))
     }
   }
 
@@ -916,7 +1008,9 @@ object FileManifest {
     // over it (lost update with a passing version check).
     val plannedV = expectedVersion.getOrElse(currentVersion(hfs, dataDir))
     try {
-    df.write.parquet(stg.toString) // may read dataDir: still untouched
+    labeled(spark, s"graft: $opName stage") {
+      df.write.parquet(stg.toString) // may read dataDir: still untouched
+    }
     beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
@@ -1164,10 +1258,24 @@ object FileManifest {
 
   /** DESCRIBE HISTORY: one row per readable version — (version, op,
     * n_files, n_rows live) — from the retained manifests alone
-    * (metadata-scale: |versions| small manifest reads, no data page).
-    * The op is the verb that PRODUCED the version (build / refresh /
-    * publish / optimize / delete / dv-delete / merge / merge-dv /
-    * purge); versions written before stamping read as "unknown".
+    * (metadata-scale, no data page). The op is the verb that PRODUCED
+    * the version (build / refresh / publish / optimize / delete /
+    * dv-delete / merge / merge-dv / purge); versions written before
+    * stamping read as "unknown".
+    *
+    * ONE aggregation job over every retained version, not one per
+    * version: all immutable `_manifest_v{N}` dirs go through a single
+    * multi-path read (version recovered from the dir name — the same
+    * rename that froze the dir stamped it), the mutable current
+    * `_manifest` unions in under its own version tag, and the per-dir
+    * (count, live-row sum) pairs come back in one collect. A
+    * 100-commit table's DESCRIBE HISTORY was 100 scheduled jobs + 100
+    * driver schema inferences of fixed overhead; now it is two reads
+    * and one job. Schema drift across versions (dv columns appear when
+    * the first vector lands) is bridged with mergeSchema +
+    * allowMissingColumns; a version whose manifest holds ZERO entries
+    * (delete-everything snapshot) produces no group and fills in as
+    * (0 files, 0 rows) exactly like the old per-version agg.
     */
   def history(spark: SparkSession, dataDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
@@ -1176,19 +1284,54 @@ object FileManifest {
     // version the batch missed (concurrent swap) falls back to the
     // per-version resolver rather than displaying a wrong "unknown"
     // for a version whose manifest read below succeeds
-    val (vs, histD) = versionsSnapshot(spark, dataDir)
-    val ops = opsOfVersions(hfs, dataDir, vs.toSet, Some(histD))
-    val rows = vs.map { v =>
-      val agg = withSwapRetry {
-        val mf = manifestFrameAt(spark, dataDir, v)
-        val del =
-          if (mf.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
-          else lit(0L)
-        mf.agg(count(lit(1)).as("nf"), sum(col("n_rows") - del).as("nr")).head()
+    val rows = withSwapRetry {
+      val (vs, histD) = versionsSnapshot(spark, dataDir)
+      val ops = opsOfVersions(hfs, dataDir, vs.toSet, Some(histD))
+      val histVs = vs.filter(histD.contains)
+      val curV = vs.filterNot(histD.contains) match {
+        case Seq() => None
+        case Seq(v) => Some(v)
+        case many => Some(many.max) // defensive: current is the newest
       }
-      // an EMPTY snapshot (delete-everything publish) sums to NULL rows
-      val nr = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      (v, ops.getOrElse(v, opOfVersion(hfs, dataDir, v)), agg.getLong(0), nr)
+      def liveAgg(df: DataFrame): DataFrame = {
+        val del =
+          if (df.columns.contains(DvDelCol)) coalesce(col(DvDelCol), lit(0L))
+          else lit(0L)
+        df.groupBy(col("_v")).agg(count(lit(1)).as("nf"),
+          sum(col("n_rows") - del).as("nr"))
+      }
+      // history dirs are IMMUTABLE once renamed — one multi-path read is
+      // race-free (a concurrent vacuum reaping a dir mid-read surfaces
+      // as the same vanished-path shapes the outer retry handles)
+      val histAgg: Option[DataFrame] =
+        if (histVs.isEmpty) None
+        else Some(liveAgg(
+          spark.read.option("mergeSchema", "true")
+            .parquet(histVs.map(histPath(dataDir, _)): _*)
+            .withColumn("_v", regexp_extract(
+              input_file_name(), "_manifest_v(\\d+)/[^/]*$", 1).cast("long"))))
+      // the CURRENT manifest is mutable: probe-then-read exactly like
+      // manifestFrameAt (a swap landing in the gap vanishes the dir —
+      // the outer retry re-resolves; the brand-new version it published
+      // is newer than this call's snapshot either way)
+      val curAgg: Option[DataFrame] = curV.map { v =>
+        liveAgg(manifestFrameAt(spark, dataDir, v).withColumn("_v", lit(v)))
+      }
+      val agg: Option[DataFrame] = (histAgg, curAgg) match {
+        case (Some(h), Some(c)) =>
+          Some(h.unionByName(c, allowMissingColumns = true))
+        case (h, c) => h.orElse(c) // None: no retained version at all
+      }
+      val byV = agg.map { a =>
+        labeled(spark, "graft: history agg") { a.collect() }
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }.getOrElse(Map.empty[Long, (Long, Long)])
+      vs.map { v =>
+        // an EMPTY snapshot (delete-everything publish) has no group —
+        // 0 files, 0 live rows, same as the old per-version aggregate
+        val (nf, nr) = byV.getOrElse(v, (0L, 0L))
+        (v, ops.getOrElse(v, opOfVersion(hfs, dataDir, v)), nf, nr)
+      }
     }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_rows").orderBy("version")
@@ -1393,17 +1536,25 @@ object FileManifest {
     val runDiffs: Seq[(Long, Long, Seq[String], Seq[String],
         Set[String], Set[String])] =
       runs.map { case (a, b) =>
-        withSwapRetry {
+        labeled(spark, s"graft: cdf diff v$a..v$b") { withSwapRetry {
           val ma = manifestFrameAt(spark, dataDir, a)
           val mb = manifestFrameAt(spark, dataDir, b)
           val hasDvA = ma.columns.contains(DvCol)
           val hasDvB = mb.columns.contains(DvCol)
           if (!hasDvA && !hasDvB) {
-            def files(m: DataFrame): Array[String] =
-              m.select(ManifestFileIndex.normPath(col("file")))
-                .collect().map(_.getString(0))
-            val fa = files(ma)
-            val fb = files(mb)
+            // ONE job for both sides (side-tagged union), not a collect
+            // per endpoint: the diff is pure per-commit overhead on a
+            // CDC poll, and each scheduled job is fixed driver latency
+            val both = ma
+              .select(ManifestFileIndex.normPath(col("file")).as("f"),
+                lit(false).as("isB"))
+              .unionByName(mb.select(
+                ManifestFileIndex.normPath(col("file")).as("f"),
+                lit(true).as("isB")))
+              .collect()
+            val (rb, ra) = both.partition(_.getBoolean(1))
+            val fa = ra.map(_.getString(0))
+            val fb = rb.map(_.getString(0))
             val (faSet, fbSet) = (fa.toSet, fb.toSet)
             (a, b, fa.filterNot(fbSet).sorted.toSeq,
               fb.filterNot(faSet).sorted.toSeq,
@@ -1435,7 +1586,7 @@ object FileManifest {
               .map(_.getString(1)).toSet
             (a, b, changedFrom, changedTo, dvA, dvB)
           }
-        }
+        } }
       }
     val anyChanged = runDiffs.flatMap(d => d._3 ++ d._4)
     if (anyChanged.isEmpty) {
@@ -1447,9 +1598,24 @@ object FileManifest {
       // derive and no changes to emit — fail loud as before.
       val anchor = Seq(toV, fromV).iterator.flatMap { v =>
         withSwapRetry {
-          manifestFrameAt(spark, dataDir, v)
-            .select(ManifestFileIndex.normPath(col("file")))
-            .limit(1).collect().headOption.map(_.getString(0))
+          // DRIVER-side probe of the (immutable) history dir first — the
+          // pure-reorg span pays no Spark job for its schema anchor; the
+          // version living in the mutable current manifest (or a dir
+          // vacuumed mid-read) falls back to the collect-based resolve,
+          // which is also what keeps the vacuumed-version error loud.
+          val h = new org.apache.hadoop.fs.Path(histPath(dataDir, v))
+          val conf = spark.sessionState.newHadoopConf()
+          val viaDriver =
+            try {
+              if (h.getFileSystem(conf).exists(h))
+                firstFileInManifestDir(conf, h)
+              else None
+            } catch { case _: java.io.IOException => None }
+          viaDriver.orElse {
+            manifestFrameAt(spark, dataDir, v)
+              .select(ManifestFileIndex.normPath(col("file")))
+              .limit(1).collect().headOption.map(_.getString(0))
+          }
         }
       }.nextOption()
       require(anchor.nonEmpty,
@@ -2197,15 +2363,17 @@ object FileManifest {
     // ONE metadata job for plan + tally: candidate flag evaluated in the
     // same collect that brings back per-file counts (a separate
     // carried-count job is pure scheduling overhead per surgery)
-    val allMeta = m.select(
-      ManifestFileIndex.normPath(col("file")).as("f"),
-      col("n_rows"),
-      (if (hasDvCols) coalesce(col(DvDelCol), lit(0L)) else lit(0L)).as("nd0"),
-      // NULL proves nothing → CANDIDATE (examined, at worst a wasted
-      // scan — the sound direction; callers' predicates are non-null
-      // by construction today)
-      coalesce(candidate, lit(true)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+    val allMeta = labeled(spark, s"graft: $op plan") {
+      m.select(
+        ManifestFileIndex.normPath(col("file")).as("f"),
+        col("n_rows"),
+        (if (hasDvCols) coalesce(col(DvDelCol), lit(0L)) else lit(0L)).as("nd0"),
+        // NULL proves nothing → CANDIDATE (examined, at worst a wasted
+        // scan — the sound direction; callers' predicates are non-null
+        // by construction today)
+        coalesce(candidate, lit(true)).as("c"))
+        .collect()
+    }.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3)))
     // partition layout (names of the hive `k=v` dir levels) from the
     // already-collected manifest paths — zero extra I/O. The key/scan
@@ -2263,9 +2431,11 @@ object FileManifest {
     }
     val counts =
       if (candPaths.isEmpty) Map.empty[String, Long]
-      else matchedRows(candPaths.toIndexedSeq)
-        .groupBy("f").agg(count(lit(1)).as("nd"))
-        .collect().map(r => (FsListing.norm(r.getString(0)), r.getLong(1))).toMap
+      else labeled(spark, s"graft: $op matched-count") {
+        matchedRows(candPaths.toIndexedSeq)
+          .groupBy("f").agg(count(lit(1)).as("nd"))
+          .collect()
+      }.map(r => (FsListing.norm(r.getString(0)), r.getLong(1))).toMap
     // split: files whose CUMULATIVE dead fraction stays under the
     // threshold get a DV; the rest rewrite (a fully-matched file always
     // rewrites — to zero survivors, i.e. drops from the version)
@@ -2336,9 +2506,11 @@ object FileManifest {
       // job loop), and rewrite tasks are file-aligned so output files
       // land in their own partition dir.
       staged.foreach { df =>
-        if (partCols.nonEmpty)
-          df.write.partitionBy(partCols: _*).parquet(stg.toString)
-        else df.write.parquet(stg.toString)
+        labeled(spark, s"graft: $op stage") {
+          if (partCols.nonEmpty)
+            df.write.partitionBy(partCols: _*).parquet(stg.toString)
+          else df.write.parquet(stg.toString)
+        }
       }
       beforeCommitHook()
       CommitLock.withLock(hfs,
@@ -2504,8 +2676,10 @@ object FileManifest {
       col(s"max_$c") < lo || col(s"min_$c") > hi, lit(false))
     // ONE metadata job for plan + tally (flag evaluated in the same
     // collect; a separate carried-count job is pure scheduling overhead)
-    val flags = m.select(ManifestFileIndex.normPath(col("file")).as("f"),
-      disjoint.as("d")).collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val flags = labeled(spark, "graft: deleteRange plan") {
+      m.select(ManifestFileIndex.normPath(col("file")).as("f"),
+        disjoint.as("d")).collect()
+    }.map(r => (r.getString(0), r.getBoolean(1)))
     val candPaths = flags.filter(!_._2).map(_._1).sorted
     val carried = m.filter(disjoint)
     val nCarried = flags.count(_._2)
@@ -2532,7 +2706,9 @@ object FileManifest {
     val stg = new org.apache.hadoop.fs.Path(
       s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-    survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    labeled(spark, "graft: deleteRange stage") {
+      survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    }
     beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
@@ -2635,12 +2811,35 @@ object FileManifest {
     require(FsListing.isIntegral(keyDt) || strKey,
       s"mergeKeysDV key '$key' is $keyDt — only integral (cast-to-long " +
         "must be value- and order-preserving) or string key columns merge")
-    val keyStats = updates
+    // ONE exchange-free job in the common case (raw cap+2-row take, all
+    // guards driver-side) — same probe shape as [[mergeKeys]]; see its
+    // comment for why the grouped probe was two stage-jobs per commit
+    val kSel = updates
       .select((if (strKey) col(key) else col(key).cast("long")).as("k"))
-      .groupBy("k").agg(count(lit(1)).as("c"))
-    val capped = keyStats.limit(maxCollectedKeys + 1).collect()
-    require(capped.nonEmpty, "mergeKeysDV: empty update batch")
-    val bigBatch = capped.length > maxCollectedKeys
+    lazy val keyStats = kSel.groupBy("k").agg(count(lit(1)).as("c"))
+    val raw = labeled(spark, "graft: mergeKeysDV key-guard") {
+      kSel.limit(maxCollectedKeys + 2).collect()
+    }
+    require(raw.nonEmpty, "mergeKeysDV: empty update batch")
+    val nullMsgEarly =
+      s"mergeKeysDV: update batch has NULL '$key' keys — a NULL key " +
+        "matches no row and cannot MERGE; filter or fill the batch first"
+    def dupMsgEarly(k: Any) =
+      s"mergeKeysDV: update batch has multiple rows for key $key=$k — " +
+        "MERGE replaces exactly one row per matched key; dedup the " +
+        "batch (e.g. keep-last by an ordering column) before merging"
+    val keysOpt: Option[Array[org.apache.spark.sql.Row]] =
+      if (raw.length > maxCollectedKeys + 1) None
+      else {
+        raw.find(_.isNullAt(0)).foreach { _ =>
+          throw new IllegalArgumentException(nullMsgEarly) }
+        val seen = new java.util.HashSet[Any](raw.length * 2)
+        raw.foreach { r =>
+          if (!seen.add(r.get(0)))
+            throw new IllegalArgumentException(dupMsgEarly(r.get(0))) }
+        if (seen.size > maxCollectedKeys) None else Some(raw)
+      }
+    val bigBatch = keysOpt.isEmpty
     if (bigBatch && !partitioned) {
       // flat fallback unchanged: the CoW verb has its own uncapped
       // bounds-only path, and a batch this dense rewrites most
@@ -2649,13 +2848,6 @@ object FileManifest {
         bloomCols, expectedPerFile, fpp, maxCollectedKeys)
       return (0, rw, car)
     }
-    val nullMsg =
-      s"mergeKeysDV: update batch has NULL '$key' keys — a NULL key " +
-        "matches no row and cannot MERGE; filter or fill the batch first"
-    def dupMsg(k: Any) =
-      s"mergeKeysDV: update batch has multiple rows for key $key=$k — " +
-        "MERGE replaces exactly one row per matched key; dedup the " +
-        "batch (e.g. keep-last by an ordering column) before merging"
     // UNCAPPED partitioned batch (the GDPR/CDC sweep at 100 TB carries
     // millions of keys): guards run as AGGREGATES and the global key
     // bounds come back from the same job — ZERO driver-resident key
@@ -2665,27 +2857,20 @@ object FileManifest {
     // precision would rescue few files — and zero-match candidates are
     // carried untouched by the count pass anyway); matched positions
     // and rewrite survivors become EXACT key joins instead of InSet
-    // predicates.
+    // predicates. (The small/complete path's null+dup guards already ran
+    // driver-side on the raw take above.)
     val bigBounds: Option[(Any, Any)] =
       if (!bigBatch) None
       else {
         val st = keyStats.agg(max("c").as("maxc"),
           sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
           min("k").as("kmin"), max("k").as("kmax")).head()
-        require(st.getLong(1) == 0L, nullMsg)
+        require(st.getLong(1) == 0L, nullMsgEarly)
         if (st.getLong(0) > 1L)
-          throw new IllegalArgumentException(dupMsg(
+          throw new IllegalArgumentException(dupMsgEarly(
             keyStats.filter(col("c") > 1).select("k").head().get(0)))
         Some((st.get(2), st.get(3)))
       }
-    if (!bigBatch) {
-      capped.find(_.isNullAt(0)).foreach { _ =>
-        throw new IllegalArgumentException(nullMsg)
-      }
-      capped.find(_.getLong(1) > 1L).foreach { r =>
-        throw new IllegalArgumentException(dupMsg(r.get(0)))
-      }
-    }
     val m = manifestFrame(spark, dataDir)
     // the batch appends VERBATIM on the common no-rewrite path, so the
     // unionByName schema check mergeKeys gets for free must run here
@@ -2694,9 +2879,8 @@ object FileManifest {
     // fails loud. Extra batch columns are allowed (schema evolution).
     locally {
       val missing = withSwapRetry {
-        val anchor = manifestFrame(spark, dataDir)
-          .select(ManifestFileIndex.normPath(col("file")))
-          .limit(1).collect().headOption.map(_.getString(0))
+        // driver-side single-entry probe — no Spark job per commit
+        val anchor = firstManifestFilePath(spark, dataDir)
         anchor.map { a =>
           // the table schema a merged row must cover is the PHYSICAL
           // anchor schema plus, on a partitioned tree, the directory-
@@ -2734,14 +2918,14 @@ object FileManifest {
         (globalBoundsCandidate(m, key, strKey, kmin, kmax), mr, kr,
           Some(kcol))
       case None if strKey =>
-        val keyArr = capped.map(_.getString(0)).sorted(utf8Ordering)
+        val keyArr = keysOpt.get.map(_.getString(0)).sorted(utf8Ordering)
         (keyCandidateStr(m, key, keyArr),
           (df: DataFrame) => df.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
           (df: DataFrame) => df.filter(
             col(key).isNull || !col(key).isin(keyArr.toIndexedSeq: _*)),
           None)
       case None =>
-        val keyArr = capped.map(_.getLong(0)).sorted
+        val keyArr = keysOpt.get.map(_.getLong(0)).sorted
         (keyCandidate(m, key, keyArr),
           (df: DataFrame) => df.filter(col(key).isin(keyArr.toIndexedSeq: _*)),
           (df: DataFrame) => df.filter(
@@ -2782,8 +2966,8 @@ object FileManifest {
       c: String, verb: String): DataType = withSwapRetry {
     val mf = manifestFrame(spark, dataDir)
     mf.schema.find(_.name == s"min_$c").map(_.dataType).getOrElse {
-      val anchor = mf.select(ManifestFileIndex.normPath(col("file")))
-        .limit(1).collect().headOption.map(_.getString(0))
+      // driver-side single-entry probe — no Spark job per resolution
+      val anchor = firstManifestFilePath(spark, dataDir)
         .getOrElse(throw new IllegalArgumentException(
           s"$verb: empty manifest under $dataDir"))
       val sch = spark.read.parquet(anchor).schema
@@ -3041,16 +3225,19 @@ object FileManifest {
     // row per key: Delta fails loud on multiple matches, and so do we —
     // the anti-join-then-append would otherwise silently insert BOTH
     // rows of a doubled key) and null keys (match nothing — reject) —
-    // plus the measured-size decision, all from ONE job in the common
-    // case: pull at most cap+1 grouped (key, count) rows; length ≤ cap
-    // means the COMPLETE key set is in hand and every check derives
-    // driver-side. Only a genuinely huge batch pays a second,
+    // plus the measured-size decision, all from ONE EXCHANGE-FREE job
+    // in the common case: pull at most cap+2 RAW key rows (executeTake
+    // short-circuits the scan, no groupBy shuffle stage — the old
+    // grouped probe was two AQE stage-jobs per commit); a complete
+    // result (≤ cap+1 rows) is the whole key multiset, so every guard
+    // derives driver-side. Only a genuinely huge batch pays a second,
     // aggregate-only pass for its guards and global bounds.
-    val keyStats = updates
+    val kSel = updates
       .select((if (strKey) col(key) else col(key).cast("long")).as("k"))
-      .groupBy("k").agg(count(lit(1)).as("c"))
-    val capped = keyStats.limit(maxCollectedKeys + 1).collect()
-    require(capped.nonEmpty, "mergeKeys: empty update batch")
+    val raw = labeled(spark, "graft: mergeKeys key-guard") {
+      kSel.limit(maxCollectedKeys + 2).collect()
+    }
+    require(raw.nonEmpty, "mergeKeys: empty update batch")
     val nullMsg =
       s"mergeKeys: update batch has NULL '$key' keys — a NULL key " +
         "matches no row and cannot MERGE; filter or fill the batch first"
@@ -3058,6 +3245,19 @@ object FileManifest {
       s"mergeKeys: update batch has multiple rows for key $key=$k — " +
         "MERGE replaces exactly one row per matched key; dedup the " +
         "batch (e.g. keep-last by an ordering column) before merging"
+    // complete + clean + under-cap ⇒ the distinct keys, driver-derived;
+    // None ⇒ truncated sample or over-cap — decide via the agg pass
+    val keysOpt: Option[Array[org.apache.spark.sql.Row]] =
+      if (raw.length > maxCollectedKeys + 1) None
+      else {
+        raw.find(_.isNullAt(0)).foreach { _ =>
+          throw new IllegalArgumentException(nullMsg) }
+        val seen = new java.util.HashSet[Any](raw.length * 2)
+        raw.foreach { r =>
+          if (!seen.add(r.get(0)))
+            throw new IllegalArgumentException(dupMsg(r.get(0))) }
+        if (seen.size > maxCollectedKeys) None else Some(raw)
+      }
     // MEASURED-COUNT GUARD: the per-key probes below capture the
     // collected key set in a closure — operationally bounded for a
     // CDC/upsert payload, but nothing enforced it. Above the cap, fall
@@ -3066,8 +3266,9 @@ object FileManifest {
     // from [kmin, kmax] holds no matched key), and a batch that large is
     // dense over its range anyway, so per-key bloom precision would
     // rescue few files while the probe cost itself turns O(files × keys).
-    val isCand: Column =
-      if (capped.length > maxCollectedKeys) {
+    val isCand: Column = keysOpt match {
+      case None =>
+        val keyStats = kSel.groupBy("k").agg(count(lit(1)).as("c"))
         val st = keyStats.agg(max("c").as("maxc"),
           sum(when(col("k").isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
           min("k").as("kmin"), max("k").as("kmax")).head()
@@ -3086,19 +3287,17 @@ object FileManifest {
             coalesce(!(col(s"max_$key").cast("long") < st.getLong(2) ||
               col(s"min_$key").cast("long") > st.getLong(3)), lit(true))
         } else lit(true)
-      } else {
-        capped.find(_.isNullAt(0)).foreach { _ =>
-          throw new IllegalArgumentException(nullMsg) }
-        capped.find(_.getLong(1) > 1L).foreach { r =>
-          throw new IllegalArgumentException(dupMsg(r.get(0))) }
+      case Some(keyRows) =>
         if (strKey)
           keyCandidateStr(m, key,
-            capped.map(_.getString(0)).sorted(utf8Ordering))
-        else keyCandidate(m, key, capped.map(_.getLong(0)).sorted)
-      }
+            keyRows.map(_.getString(0)).sorted(utf8Ordering))
+        else keyCandidate(m, key, keyRows.map(_.getLong(0)).sorted)
+    }
     // ONE metadata job for plan + tally (same fold as deleteRange)
-    val mFlags = m.select(ManifestFileIndex.normPath(col("file")).as("f"),
-      isCand.as("c")).collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val mFlags = labeled(spark, "graft: mergeKeys plan") {
+      m.select(ManifestFileIndex.normPath(col("file")).as("f"),
+        isCand.as("c")).collect()
+    }.map(r => (r.getString(0), r.getBoolean(1)))
     val candPaths = mFlags.filter(_._2).map(_._1).sorted
     val carried = m.filter(!isCand)
     val nCarried = mFlags.count(!_._2)
@@ -3127,7 +3326,9 @@ object FileManifest {
     val stg = new org.apache.hadoop.fs.Path(
       s"${dataDir}_stg_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-    survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    labeled(spark, "graft: mergeKeys stage") {
+      survivors.write.parquet(stg.toString) // reads the CURRENT files: untouched
+    }
     beforeCommitHook()
     CommitLock.withLock(hfs,
       new org.apache.hadoop.fs.Path(root, "_manifest.lock")) {
@@ -3778,14 +3979,22 @@ object FileManifest {
     // "new" means never-manifested: a file referenced only by RETAINED
     // HISTORY versions is a prior snapshot's member (an MVCC publish
     // left it for as-of readers), not a fresh append — re-manifesting it
-    // would double-count its rows in the current version
-    val newFiles = historyFiles(spark, dataDir, hfs, root)
-      .foldLeft(liveDf
-        .join(existing.select(normFile), col("live_file") === col("m_file"),
-          "left_anti")) { (acc, h) =>
-        acc.join(h, col("live_file") === col("h_file"), "left_anti")
-      }
-      .collect().map(_.getString(0)).sorted
+    // would double-count its rows in the current version. The subtract
+    // runs DRIVER-side over path strings (one column-pruned collect of
+    // the existing manifest's `file` column — the same paths the driver
+    // must hand to spark.read anyway — plus the memoized per-version
+    // history sets), so an append on a deep-retention table stops
+    // re-reading every history manifest per refresh.
+    val existingFiles = labeled(spark, "graft: refresh new-files") {
+      existing.select(normFile).collect()
+    }.map(_.getString(0)).toSet
+    val memoKey = FsListing.norm(root.makeQualified(
+      hfs.getUri, hfs.getWorkingDirectory).toString)
+    val histSets = historyFileSets(spark, dataDir, hfs, root, memoKey)
+    val newFiles = live
+      .filterNot(existingFiles)
+      .filterNot(f => histSets.exists(_.contains(f)))
+      .sorted
     val merged =
       if (newFiles.isEmpty) kept
       else {
@@ -3841,8 +4050,10 @@ object FileManifest {
     val parts = math.max(1L, math.min(1024L,
       (approxEntries + ManifestEntriesPerPart - 1) / ManifestEntriesPerPart))
       .toInt
-    (if (parts == 1) df.coalesce(1) else df.repartition(parts))
-      .write.mode("overwrite").parquet(tmp.toString)
+    labeled(df.sparkSession, "graft: manifest write") {
+      (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   /** VERSIONED manifest swap: the outgoing `_manifest` RENAMES to
@@ -4049,6 +4260,73 @@ object FileManifest {
   private val coveringMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
 
+  /** Per-(table, version, dir-mtime) memo of a HISTORY manifest's
+    * file-path set. A `_manifest_v{N}` dir is immutable once the swap
+    * renamed it in, so an entry can be served forever — but the KEY
+    * must identify the dir's INCARNATION, not just its number: a table
+    * deleted and rebuilt at the same path recycles version numbers
+    * (the full-suite PlanAuditSpec run caught exactly this — a lane's
+    * second plan construction read the first incarnation's sets and
+    * false-tripped the staleness guard), so the dir's modification
+    * time (stamped when its parquet was written, stable across the
+    * freeze rename, and strictly later for any rebuild) disambiguates.
+    * A stale entry (vacuum reaped the version, or a rebuild orphaned
+    * the key) is never LOOKED UP again — its key's mtime can't recur —
+    * so it is dead weight until [[HistFilesMemoMaxPaths]]
+    * cap-and-clears. Driver cost is path STRINGS — the same O(files)
+    * state the live listing (any FileIndex's contract) already holds.
+    */
+  private val histFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Set[String]]()
+  private[graft] val HistFilesMemoMaxPaths = 4 * 1024 * 1024
+  private val histFilesMemoPaths = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Union of the retained history versions' file sets, memoized per
+    * immutable version dir; only versions absent from the memo pay a
+    * read (ONE multi-path spark read for all of them — the same shape
+    * [[historyFiles]] uses), so a poll loop stops re-reading the whole
+    * retention depth on every coverage probe.
+    */
+  private def historyFileSets(spark: SparkSession, dataDir: String,
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, memoKey: String): Seq[Set[String]] = {
+    // (version, dir mtime) pairs from ONE root listing — the mtime is
+    // the incarnation stamp the memo key needs (see [[histFilesMemo]])
+    val hs = historyDirs(hfs, root).toSeq
+      .map { case (v, st) => (v, st.getModificationTime) }.sortBy(_._1)
+    val (hitV, missV) = hs.partition { case (v, mt) =>
+      histFilesMemo.containsKey((memoKey, v, mt)) }
+    val loaded: Map[Long, Set[String]] =
+      if (missV.isEmpty) Map.empty
+      else {
+        // version recovered from the dir name — same trick as history():
+        // the rename that froze the dir stamped it
+        val rows = labeled(spark, "graft: coverage history load") {
+          spark.read.parquet(missV.map(p => histPath(dataDir, p._1)): _*)
+            .select(ManifestFileIndex.normPath(col("file")).as("f"),
+              regexp_extract(input_file_name(),
+                "_manifest_v(\\d+)/[^/]*$", 1).cast("long").as("_v"))
+            .collect()
+        }
+        rows.groupBy(_.getLong(1)).map { case (v, rs) =>
+          v -> rs.map(_.getString(0)).toSet
+        }
+      }
+    missV.foreach { case (v, mt) =>
+      val s = loaded.getOrElse(v, Set.empty[String])
+      if (histFilesMemoPaths.addAndGet(s.size.toLong) > HistFilesMemoMaxPaths) {
+        histFilesMemo.clear()
+        histFilesMemoPaths.set(s.size.toLong)
+      }
+      histFilesMemo.put((memoKey, v, mt), s)
+    }
+    hitV.flatMap { case (v, mt) =>
+      Option(histFilesMemo.get((memoKey, v, mt))) } ++
+      // a version vacuumed between the listing and the read contributes
+      // an empty set — exactly what the multi-path read would have shown
+      missV.map { case (v, _) => loaded.getOrElse(v, Set.empty[String]) }
+  }
+
   private[sources] def requireCovering(spark: SparkSession,
       dataDir: String): (DataFrame, Int) = {
     val mdf = manifestFrame(spark, dataDir)
@@ -4068,34 +4346,37 @@ object FileManifest {
     val hit = coveringMemo.get(memoKey)
     if (hit != null && hit._1 == v && hit._2 == fp)
       return (mdf, hit._3)
-    import spark.implicits._
     // coverage = every live file is CURRENT data or a retained prior
     // snapshot's member (an MVCC publish leaves old files on disk for
     // as-of readers until vacuum retention) — only a file NO retained
-    // version knows is a staleness trip
-    val unknown = historyFiles(spark, dataDir, hfs, root)
-      .foldLeft(live.toDF("live_file")
-        .join(mdf.select(ManifestFileIndex.normPath(col("file")).as("m_file")),
-          col("live_file") === col("m_file"), "left_anti")) { (acc, h) =>
-        acc.join(h, col("live_file") === col("h_file"), "left_anti")
+    // version knows is a staleness trip. The verdict runs DRIVER-side
+    // over path strings (the state this guard already holds: the live
+    // listing): one column-pruned collect of the current manifest's
+    // `file` column — blooms/bounds never leave executors — plus the
+    // per-immutable-version history sets from [[historyFileSets]]'s
+    // memo. Versus the old distributed anti-join probe this drops the
+    // per-read history re-read (O(retention depth) work on EVERY index
+    // construction) and the extra join/union job — a CDC poll's
+    // coverage check is one tiny job, then set membership.
+    val curFiles = labeled(spark, "graft: coverage probe") {
+      withSwapRetry {
+        manifestFrame(spark, dataDir)
+          .select(ManifestFileIndex.normPath(col("file")))
+          .collect()
       }
-    // ONE job for the green path: the manifest row count and the (empty,
-    // when healthy) uncovered sample ride one union — this guard runs at
-    // every index construction, and a second count-job per read is pure
-    // scheduling overhead at metadata scale
-    val probe = mdf.agg(count(lit(1)).cast("long").as("n"))
-      .select(lit(null).cast("string").as("u"), col("n"))
-      .unionByName(unknown.limit(2)
-        .select(col("live_file").as("u"), lit(-1L).as("n")))
-      .collect()
-    val total = probe.find(_.isNullAt(0)).map(_.getLong(1).toInt).getOrElse(0)
+    }.map(_.getString(0))
+    val total = curFiles.length
     require(total > 0, s"empty manifest under $dataDir — build() first")
-    val sample = probe.filter(!_.isNullAt(0)).map(_.getString(0))
-    if (sample.nonEmpty) {
-      val n = unknown.count()
-      throw new IllegalArgumentException(
-        s"requirement failed: manifest under $dataDir is stale: $n " +
-          s"unmanifested files (e.g. ${sample.head}) — rebuild")
+    val known = curFiles.toSet
+    val missing0 = live.filterNot(known)
+    if (missing0.nonEmpty) {
+      val histSets = historyFileSets(spark, dataDir, hfs, root, memoKey)
+      val unknown = missing0.filterNot(f => histSets.exists(_.contains(f)))
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"requirement failed: manifest under $dataDir is stale: " +
+            s"${unknown.size} unmanifested files (e.g. ${unknown.head}) — " +
+            "rebuild")
     }
     // only PASSING verdicts memoize (a failure must re-probe and re-throw);
     // cap-and-clear bounds a long-lived session over many tables
