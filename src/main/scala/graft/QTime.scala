@@ -2,10 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
-    val builder = SparkSession.builder().master("local[32]")
+    val builder = graft.sources.FastLocalFileSystem.install(
+      SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
     // dev-only A/B seam: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays confs
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
       s.split(';').filter(_.contains('=')).foreach { kv =>

@@ -9,10 +9,11 @@ object ScaleSmoke {
       SpillSmoke.main(args.filterNot(_ == "spill"))
       return
     }
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.sources.FastLocalFileSystem.install(
+      SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/root/testdata/sf0.1"

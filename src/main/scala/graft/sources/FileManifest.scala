@@ -152,8 +152,12 @@ object FileManifest {
     // pays driver-side schema inference and plan analysis, so a deep
     // history made every coverage check O(versions) in fixed overhead.
     // Only `file` is selected — present in every manifest whatever
-    // tracked-column drift the versions carry.
-    else Some(spark.read.parquet(hs.map(histPath(dataDir, _)): _*)
+    // tracked-column drift the versions carry — and the schema is
+    // passed EXPLICITLY, so the read both skips footer inference
+    // entirely and is immune to min_/max_ type drift across versions.
+    else Some(spark.read
+      .schema(StructType(Seq(StructField("file", StringType))))
+      .parquet(hs.map(histPath(dataDir, _)): _*)
       .select(ManifestFileIndex.normPath(col("file")).as("h_file"))
       .distinct())
   }
@@ -218,7 +222,7 @@ object FileManifest {
     }
     var attempt = 0
     while (attempt < 5) {
-      try return spark.read.parquet(manifestPath(dataDir))
+      try return readManifestDir(spark, manifestPath(dataDir))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if (e.getErrorClass == "PATH_NOT_FOUND" ||
@@ -239,7 +243,7 @@ object FileManifest {
           Thread.sleep(20L << attempt)
       }
     }
-    spark.read.parquet(manifestPath(dataDir))
+    readManifestDir(spark, manifestPath(dataDir))
   }
 
   /** ONE manifest entry's `file` path, read DRIVER-side (parquet-hadoop
@@ -306,6 +310,80 @@ object FileManifest {
     None
   }
 
+  /** CONTENT STAMP of a manifest dir: first data part's name and length
+    * plus the part count, from ONE `listStatus`. Part names carry
+    * Spark's job-unique UUIDs, so two INCARNATIONS of the same logical
+    * version — a delete-and-rebuild recycling the version number, even
+    * inside one coarse-filesystem mtime tick — can never share a stamp.
+    * This is the memo key both the schema memo below and
+    * [[historyFileSets]] key their immutable-dir caches on (the r20
+    * mtime stamp narrowed but did not close the same-tick aliasing
+    * window; the part-name stamp closes it). None when the dir has no
+    * data part (torn listing mid-swap, or genuinely empty) — callers
+    * must then take their uncached path, whose failure shapes the swap
+    * retries already understand.
+    */
+  private def manifestDirStamp(hfs: org.apache.hadoop.fs.FileSystem,
+      mdir: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val parts = hfs.listStatus(mdir).iterator.filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+      if (parts.isEmpty) None
+      else {
+        val f = parts.minBy(_.getPath.getName)
+        Some(s"${f.getPath.getName}:${f.getLen}:${parts.size}")
+      }
+    } catch { case t: java.io.IOException if isVanishedDir(t) => None }
+
+  /** Schema memo for manifest dirs, keyed (normed dir, content stamp).
+    * Every `spark.read.parquet(manifest)` used to pay driver-side footer
+    * schema inference (~30 ms) — the single largest sampled driver cost
+    * across the MVCC lanes (JProf r21: 0.5-0.7 s/lane in
+    * ParquetUtils.inferSchema), multiplied by the several manifest
+    * resolutions each commit/CDC-poll performs. A manifest dir's
+    * contents are immutable per incarnation (swaps rename whole dirs),
+    * so the stamp-keyed schema can be served forever; cap-and-clear
+    * bounds a long session over many tables.
+    */
+  private val manifestSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
+  /** Read a manifest dir with the memoized schema when its content
+    * stamp is resolvable — one listStatus replaces footer inference —
+    * and VERIFY after construction that the read's own (independently
+    * listed) file set still carries the stamped part: a swap landing in
+    * the stamp→construction window would otherwise pair the OLD
+    * incarnation's schema with the NEW incarnation's files, a silent
+    * misread where today's uncached path at worst crashes and retries.
+    * On any mismatch or unstampable dir, fall back to the plain
+    * inference read — byte-identical behavior (and failure shapes) to
+    * the pre-memo code.
+    */
+  private def readManifestDir(spark: SparkSession, mdirStr: String): DataFrame = {
+    val mdir = new org.apache.hadoop.fs.Path(mdirStr)
+    val stampOpt =
+      try manifestDirStamp(
+        mdir.getFileSystem(spark.sessionState.newHadoopConf()), mdir)
+      catch { case _: java.io.IOException => None }
+    stampOpt match {
+      case Some(stamp) =>
+        val key = (FsListing.norm(mdirStr), stamp)
+        var sch = manifestSchemaMemo.get(key)
+        if (sch == null) {
+          sch = spark.read.parquet(mdirStr).schema
+          if (manifestSchemaMemo.size >= 4096) manifestSchemaMemo.clear()
+          manifestSchemaMemo.put(key, sch)
+        }
+        val df = spark.read.schema(sch).parquet(mdirStr)
+        val stampName = stamp.takeWhile(_ != ':')
+        if (df.inputFiles.exists(_.endsWith("/" + stampName))) df
+        else spark.read.parquet(mdirStr) // incarnation moved mid-resolve
+      case None => spark.read.parquet(mdirStr)
+    }
+  }
+
   /** The manifest frame of a specific RETAINED version — history-first
     * resolution (a history manifest is immutable once renamed, so the
     * read can never tear), falling back to the current manifest when it
@@ -324,7 +402,7 @@ object FileManifest {
     var attempt = 0
     while (true) {
       val h = new org.apache.hadoop.fs.Path(histPath(dataDir, version))
-      if (hfs.exists(h)) return spark.read.parquet(h.toString)
+      if (hfs.exists(h)) return readManifestDir(spark, h.toString)
       val cur = new org.apache.hadoop.fs.Path(manifestPath(dataDir))
       // the CURRENT manifest is mutable (a swap renames it away), so
       // every probe of it can race: versionOf's listStatus and the read
@@ -335,7 +413,7 @@ object FileManifest {
         catch { case t: java.io.IOException if isVanishedDir(t) => None }
       curV match {
         case Some(v) if v == version =>
-          try return spark.read.parquet(cur.toString)
+          try return readManifestDir(spark, cur.toString)
           catch {
             case e: org.apache.spark.sql.AnalysisException
                 if e.getErrorClass == "PATH_NOT_FOUND" ||
@@ -1302,11 +1380,22 @@ object FileManifest {
       }
       // history dirs are IMMUTABLE once renamed — one multi-path read is
       // race-free (a concurrent vacuum reaping a dir mid-read surfaces
-      // as the same vanished-path shapes the outer retry handles)
+      // as the same vanished-path shapes the outer retry handles).
+      // EXPLICIT minimal schema, not mergeSchema: only n_rows and the dv
+      // del count feed the aggregate, and a mergeSchema read (a) pays a
+      // distributed footer-merge job per DESCRIBE HISTORY and (b) throws
+      // 'Failed to merge incompatible data types' the moment two
+      // versions' tracked min_/max_ columns drifted type (a rebuild
+      // after a column's int→long evolution) — full-schema merge over
+      // columns the aggregate never touches. A version missing the dv
+      // column reads it as NULL, which the coalesce below already treats
+      // as zero.
+      val histSchema = StructType(Seq(
+        StructField("n_rows", LongType), StructField(DvDelCol, LongType)))
       val histAgg: Option[DataFrame] =
         if (histVs.isEmpty) None
         else Some(liveAgg(
-          spark.read.option("mergeSchema", "true")
+          spark.read.schema(histSchema)
             .parquet(histVs.map(histPath(dataDir, _)): _*)
             .withColumn("_v", regexp_extract(
               input_file_name(), "_manifest_v(\\d+)/[^/]*$", 1).cast("long"))))
@@ -3318,8 +3407,26 @@ object FileManifest {
             applyDv(cand, () => manifestFrameAt(spark, dataDir, plannedV),
               spill = Some((dataDir, plannedV))) // pinned: spill-poison guard
           else cand
-        live.join(updates.select(col(key)), Seq(key), "left_anti")
-          .unionByName(updates)
+        // capped batch: the driver already holds the COMPLETE key set, so
+        // prune survivors with a predicate instead of a distributed
+        // anti-join — the staged write loses its join exchanges entirely
+        // (guide §2.4; AQE was scheduling the join as two stage-jobs per
+        // commit) and `updates` is computed once (the append arm) instead
+        // of twice. NULL-keyed live rows survive, exactly as the anti
+        // join kept them (a NULL key matches no update). The uncapped
+        // fallback keeps the exact semi-structure join — zero driver key
+        // state, same rule as the DV twin's keyJoinMatchers.
+        val pruned = keysOpt match {
+          case Some(keyRows) if strKey =>
+            val ks = keyRows.map(_.getString(0)).toIndexedSeq
+            live.filter(col(key).isNull || !col(key).isin(ks: _*))
+          case Some(keyRows) =>
+            val ks = keyRows.map(_.getLong(0)).toIndexedSeq
+            live.filter(col(key).isNull || !col(key).cast("long").isin(ks: _*))
+          case None =>
+            live.join(updates.select(col(key)), Seq(key), "left_anti")
+        }
+        pruned.unionByName(updates)
       }
     // writer-private UUID staging + locked version validation: see
     // [[deleteRange]] — same optimistic-concurrency commit protocol
@@ -3954,7 +4061,7 @@ object FileManifest {
     if (!hfs.exists(mPath))
       return buildWithBloom(spark, dataDir, cols, bloomCols, expectedPerFile,
         fpp, versionFloor)
-    val existing = spark.read.parquet(manifestPath(dataDir))
+    val existing = readManifestDir(spark, manifestPath(dataDir))
     // dv columns are ORTHOGONAL to the tracked-column set: a refresh
     // must carry them (a rebuild re-stats raw files and would resurrect
     // DV-deleted rows — buildWithBloom's own guard fails loud on that)
@@ -4260,24 +4367,27 @@ object FileManifest {
   private val coveringMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
 
-  /** Per-(table, version, dir-mtime) memo of a HISTORY manifest's
+  /** Per-(table, version, content-stamp) memo of a HISTORY manifest's
     * file-path set. A `_manifest_v{N}` dir is immutable once the swap
     * renamed it in, so an entry can be served forever — but the KEY
     * must identify the dir's INCARNATION, not just its number: a table
     * deleted and rebuilt at the same path recycles version numbers
     * (the full-suite PlanAuditSpec run caught exactly this — a lane's
     * second plan construction read the first incarnation's sets and
-    * false-tripped the staleness guard), so the dir's modification
-    * time (stamped when its parquet was written, stable across the
-    * freeze rename, and strictly later for any rebuild) disambiguates.
-    * A stale entry (vacuum reaped the version, or a rebuild orphaned
-    * the key) is never LOOKED UP again — its key's mtime can't recur —
-    * so it is dead weight until [[HistFilesMemoMaxPaths]]
+    * false-tripped the staleness guard). The incarnation stamp is
+    * [[manifestDirStamp]] — first part name (job-unique UUID), length,
+    * part count — which two incarnations can never share even when a
+    * delete-and-rebuild lands in the same coarse-filesystem mtime tick
+    * with the same version number (the residual aliasing window the r20
+    * mtime stamp left open; HistMemoIncarnationSpec pins the same-tick
+    * rebuild). A stale entry (vacuum reaped the version, or a rebuild
+    * orphaned the key) is never LOOKED UP again — its stamp can't
+    * recur — so it is dead weight until [[HistFilesMemoMaxPaths]]
     * cap-and-clears. Driver cost is path STRINGS — the same O(files)
     * state the live listing (any FileIndex's contract) already holds.
     */
   private val histFilesMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Set[String]]()
   private[graft] val HistFilesMemoMaxPaths = 4 * 1024 * 1024
   private val histFilesMemoPaths = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -4290,19 +4400,29 @@ object FileManifest {
   private def historyFileSets(spark: SparkSession, dataDir: String,
       hfs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, memoKey: String): Seq[Set[String]] = {
-    // (version, dir mtime) pairs from ONE root listing — the mtime is
-    // the incarnation stamp the memo key needs (see [[histFilesMemo]])
-    val hs = historyDirs(hfs, root).toSeq
-      .map { case (v, st) => (v, st.getModificationTime) }.sortBy(_._1)
-    val (hitV, missV) = hs.partition { case (v, mt) =>
-      histFilesMemo.containsKey((memoKey, v, mt)) }
+    // (version, content stamp) pairs — one root listing for the dir set
+    // plus one listStatus per history dir for its incarnation stamp
+    // (sub-ms each against the ~50 ms spark read a memo hit avoids; see
+    // [[histFilesMemo]] for why mtime alone was not a sound stamp). A
+    // dir whose stamp is unresolvable (vacuumed mid-probe, torn listing)
+    // is treated as a miss and read uncached — never memoized wrong.
+    val hs = historyDirs(hfs, root).keysIterator.toSeq.sorted
+      .map { v =>
+        (v, manifestDirStamp(hfs,
+          new org.apache.hadoop.fs.Path(histPath(dataDir, v))))
+      }
+    val (hitV, missV) = hs.partition { case (v, st) =>
+      st.exists(s => histFilesMemo.containsKey((memoKey, v, s))) }
     val loaded: Map[Long, Set[String]] =
       if (missV.isEmpty) Map.empty
       else {
         // version recovered from the dir name — same trick as history():
-        // the rename that froze the dir stamped it
+        // the rename that froze the dir stamped it. Explicit one-column
+        // schema: no footer inference, no min_/max_ drift exposure.
         val rows = labeled(spark, "graft: coverage history load") {
-          spark.read.parquet(missV.map(p => histPath(dataDir, p._1)): _*)
+          spark.read
+            .schema(StructType(Seq(StructField("file", StringType))))
+            .parquet(missV.map(p => histPath(dataDir, p._1)): _*)
             .select(ManifestFileIndex.normPath(col("file")).as("f"),
               regexp_extract(input_file_name(),
                 "_manifest_v(\\d+)/[^/]*$", 1).cast("long").as("_v"))
@@ -4312,16 +4432,18 @@ object FileManifest {
           v -> rs.map(_.getString(0)).toSet
         }
       }
-    missV.foreach { case (v, mt) =>
-      val s = loaded.getOrElse(v, Set.empty[String])
-      if (histFilesMemoPaths.addAndGet(s.size.toLong) > HistFilesMemoMaxPaths) {
-        histFilesMemo.clear()
-        histFilesMemoPaths.set(s.size.toLong)
+    missV.foreach { case (v, st) =>
+      st.foreach { stamp =>
+        val s = loaded.getOrElse(v, Set.empty[String])
+        if (histFilesMemoPaths.addAndGet(s.size.toLong) > HistFilesMemoMaxPaths) {
+          histFilesMemo.clear()
+          histFilesMemoPaths.set(s.size.toLong)
+        }
+        histFilesMemo.put((memoKey, v, stamp), s)
       }
-      histFilesMemo.put((memoKey, v, mt), s)
     }
-    hitV.flatMap { case (v, mt) =>
-      Option(histFilesMemo.get((memoKey, v, mt))) } ++
+    hitV.flatMap { case (v, st) =>
+      st.flatMap(s => Option(histFilesMemo.get((memoKey, v, s)))) } ++
       // a version vacuumed between the listing and the read contributes
       // an empty set — exactly what the multi-path read would have shown
       missV.map { case (v, _) => loaded.getOrElse(v, Set.empty[String]) }
